@@ -1,0 +1,186 @@
+"""Enrichment layer — SURVEY §2.4 (U1-U3) as Arrow-vectorized pandas UDFs
+with pluggable backends.
+
+The reference runs translation, sentiment, and claim scoring as sequential
+driver-side loops over collected pandas frames (reference:
+glue/reddit_glue.py:233-236, 155-180, 187-196) — the 10-worker cluster idles
+while one Python process makes HTTP calls. Here each enrichment is a scalar
+`pandas_udf`: Arrow batches cross the JVM boundary once, the backend runs on
+every executor in parallel, and rate limiting is expressed as partitioning
+(`repartition(n_api_slots)` before the UDF bounds concurrent API clients).
+
+Backends are injected (BACKENDS registry) so tests are deterministic; the
+HTTP-backed implementations plug into the same seams. Deterministic backends
+are pure functions of the text — re-running a micro-batch reproduces
+identical enrichment (idempotency, W5).
+
+Alignment note: the reference aligns sentiment results to rows POSITIONALLY
+with `index = i*len(batch)+Index`, which is wrong for the final short batch
+(reference: glue/reddit_glue.py:169-180 — `i*len(batch)` uses the SHORT
+batch's length). The engine never aligns by position: the UDF contract is
+elementwise, so results ride with their rows by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+SENTIMENT_BATCH = 25  # Comprehend API limit the reference works around
+
+SENTIMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("Positive", T.DoubleType()),
+        T.StructField("Negative", T.DoubleType()),
+        T.StructField("Neutral", T.DoubleType()),
+        T.StructField("Mixed", T.DoubleType()),
+    ]
+)
+
+
+# --- deterministic local backends (test/default) ---------------------------
+
+
+def translate_identity(texts: pd.Series) -> pd.Series:
+    """U1 default: pass-through (English in, English out)."""
+    return texts
+
+
+_DICT = {"guerra": "war", "paz": "peace", "krieg": "war", "mir": "peace"}
+
+
+def translate_dictionary(texts: pd.Series) -> pd.Series:
+    """U1 test backend: word-level dictionary map, deterministic."""
+
+    def tr(t):
+        if t is None:
+            return None
+        return " ".join(_DICT.get(w.lower(), w) for w in t.split())
+
+    return texts.map(tr)
+
+
+def sentiment_hash(texts: pd.Series) -> pd.DataFrame:
+    """U2 default: hash(text) → fixed point on the 4-simplex. Deterministic,
+    distribution-shaped like the real scores (sum == 1.0)."""
+
+    def score(t):
+        if not t:
+            return (0.0, 0.0, 1.0, 0.0)
+        h = hashlib.md5(t.encode("utf-8", "ignore")).digest()
+        raw = [h[0] + 1, h[1] + 1, h[2] + 1, h[3] + 1]
+        s = float(sum(raw))
+        return tuple(x / s for x in raw)
+
+    pts = texts.map(score)
+    return pd.DataFrame(
+        pts.tolist(), columns=["Positive", "Negative", "Neutral", "Mixed"], index=texts.index
+    )
+
+
+_CLAIM_WORDS = ("percent", "%", "million", "billion", "kill", "dead", "report", "confirm", "official")
+
+
+def claim_keyword(texts: pd.Series) -> pd.Series:
+    """U3 default: keyword-density heuristic ∈ [0,1]; empty/None → 0.0
+    (matching the reference's error default, glue/reddit_glue.py:195-196)."""
+
+    def score(t):
+        if not t:
+            return 0.0
+        low = t.lower()
+        hits = sum(1 for w in _CLAIM_WORDS if w in low)
+        return min(1.0, hits / 3.0)
+
+    return texts.map(score)
+
+
+BACKENDS: dict[str, Callable] = {
+    "translate": translate_identity,
+    "sentiment": sentiment_hash,
+    "claim": claim_keyword,
+}
+
+
+def set_backend(kind: str, fn: Callable) -> None:
+    """Swap in an HTTP/real backend (e.g. a GoogleTranslator-wrapping
+    callable with internal batching + retry). Executors pick the registry up
+    via closure capture at UDF definition time — call before building plans."""
+    BACKENDS[kind] = fn
+
+
+# --- UDF constructors -------------------------------------------------------
+
+
+def translate_udf() -> Column:
+    backend = BACKENDS["translate"]
+
+    @F.pandas_udf(T.StringType())
+    def _translate(texts: pd.Series) -> pd.Series:
+        return backend(texts)
+
+    return _translate
+
+
+def sentiment_udf() -> Column:
+    """Returns struct<Positive,Negative,Neutral,Mixed>. The backend receives
+    ≤SENTIMENT_BATCH texts per call, mirroring the API's batch contract, but
+    results stay row-aligned because chunking happens inside the UDF."""
+    backend = BACKENDS["sentiment"]
+
+    @F.pandas_udf(SENTIMENT_SCHEMA)
+    def _sentiment(texts: pd.Series) -> pd.DataFrame:
+        chunks = [
+            backend(texts.iloc[i : i + SENTIMENT_BATCH])
+            for i in range(0, len(texts), SENTIMENT_BATCH)
+        ]
+        if not chunks:
+            return pd.DataFrame(columns=["Positive", "Negative", "Neutral", "Mixed"])
+        return pd.concat(chunks)
+
+    return _sentiment
+
+
+def claim_udf() -> Column:
+    backend = BACKENDS["claim"]
+
+    @F.pandas_udf(T.DoubleType())
+    def _claim(texts: pd.Series) -> pd.Series:
+        return backend(texts)
+
+    return _claim
+
+
+# --- DataFrame-level stages -------------------------------------------------
+
+
+def enrich(
+    df: DataFrame,
+    text_col: str = "content",
+    translate: bool = True,
+    sentiment: bool = True,
+    claim: bool = True,
+    api_slots: int | None = None,
+) -> DataFrame:
+    """U1→U2→U3 in one plan stage. `api_slots` bounds concurrent backend
+    clients by repartitioning before the UDFs (rate-limit backpressure,
+    SURVEY §4 custom piece (a))."""
+    out = df.repartition(api_slots) if api_slots else df
+    if translate:
+        out = out.withColumn(text_col, translate_udf()(F.col(text_col)))
+    if sentiment:
+        out = out.withColumn("__s", sentiment_udf()(F.col(text_col))).select(
+            "*", "__s.Positive", "__s.Negative", "__s.Neutral", "__s.Mixed"
+        ).drop("__s")
+    if claim:
+        out = out.withColumn("claimScore", claim_udf()(F.col(text_col)))
+    return out
+
+
+from .._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -1,0 +1,145 @@
+"""Modeling operators — SURVEY §2.5 (A1-A9): the aggregation / join / dedup
+shapes the reference performs implicitly in Cypher MERGE semantics and
+Python loops, as distributed DataFrame operators.
+
+Scale notes per operator are inline — every shape here is one shuffle (or
+zero, when a broadcast applies), and the skew/broadcast decision is left to
+AQE unless stated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def distinct_dim(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """A1: dimension extraction — `MERGE (u:User {username})` creates one
+    node per distinct key (reference: glue/reddit_glue.py:74-75). Partial
+    (map-side) aggregation makes this cheap even on skewed keys."""
+    return df.select(*key_cols).na.drop(how="any").distinct()
+
+
+def dedupe_by_key(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+    """A2: in-batch dedupe by natural key (reference Cypher MERGE-on-id,
+    glue/twitter_glue.py:76-91). With `order_col`, last-writer-wins
+    (deterministic); without, an arbitrary-but-stable row via max on a
+    canonical ordering is NOT guaranteed by dropDuplicates, so prefer the
+    windowed form whenever the row payload matters."""
+    if order_col is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def fk_join(child: DataFrame, parent: DataFrame, fk: str, pk: str, how: str = "inner") -> DataFrame:
+    """A3: comment→post FK equi-join. Cypher `MATCH (p {id: $postId})`
+    silently drops orphans ⇒ inner join (reference: glue/reddit_glue.py:94-98).
+    The parent (posts) side is the smaller — Catalyst/AQE broadcasts it when
+    under threshold; no hint needed, but callers may wrap parent in
+    F.broadcast() when cardinality is known-tiny."""
+    return child.join(parent, child[fk] == parent[pk], how)
+
+
+def orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """A3 validation variant: children with no parent (anti-join)."""
+    return child.join(parent, child[fk] == parent[pk], "left_anti")
+
+
+def strip_thing_prefix(col) -> F.Column:
+    """Reddit `t1_`/`t3_` fullname → bare id (reference comment trees,
+    reddit/lambda_function.py:58-69)."""
+    return F.substring_index(col, "_", -1)
+
+
+def parent_join(comments: DataFrame) -> DataFrame:
+    """A4 (one hop): attach each comment's parent comment id, null for
+    top-level (parent is the post). Self-join on the stripped parent_id."""
+    c = comments.alias("c")
+    p = comments.select(F.col("id").alias("p_id")).alias("p")
+    return c.join(
+        p, strip_thing_prefix(F.col("c.parent_id")) == F.col("p.p_id"), "left"
+    ).select("c.*", F.col("p.p_id").alias("parent_comment_id"))
+
+
+def comment_depth(comments: DataFrame, max_depth: int = 32) -> DataFrame:
+    """A4 (full traversal): depth of each comment in its thread.
+
+    Spark has no recursive CTE; this is the standard iterative-join loop with
+    a convergence check. Each iteration joins the unresolved frontier to the
+    resolved set — at scale, both sides stay partitioned on the join key and
+    the loop runs ≤ tree-depth times (comment trees are shallow: the
+    reference's own dumps are 2-4 levels).
+
+    Returns (id, post_id, depth) where depth=0 ⇒ top-level comment.
+    """
+    base = comments.select(
+        "id",
+        "post_id",
+        strip_thing_prefix(F.col("parent_id")).alias("parent"),
+        F.col("parent_id").startswith("t3_").alias("top_level"),
+    ).cache()
+    resolved = base.filter(F.col("top_level")).select("id", "post_id", F.lit(0).alias("depth"))
+    frontier = base.filter(~F.col("top_level")).select("id", "post_id", "parent")
+    out = resolved
+    for _ in range(max_depth):
+        if frontier.isEmpty():
+            break
+        step = frontier.join(
+            out.select(F.col("id").alias("parent"), F.col("depth").alias("pdepth")),
+            "parent",
+            "inner",
+        ).select("id", "post_id", (F.col("pdepth") + 1).alias("depth"))
+        step = step.cache()
+        if step.isEmpty():
+            break  # remaining frontier is orphaned (parent never scraped)
+        out = out.unionByName(step)
+        frontier = frontier.join(step.select("id"), "id", "left_anti")
+    base.unpersist()
+    return out
+
+
+def argmax(df: DataFrame, group_cols: list[str], order_col: str, payload_cols: list[str]) -> DataFrame:
+    """A5: max-by — the newest row per group (reference's LastModified argmax,
+    glue/twitter_glue.py:66-68). `max_by` aggregates map-side; ties resolve
+    arbitrarily, so pass a total-order column when determinism matters."""
+    return df.groupBy(*group_cols).agg(
+        F.max(order_col).alias(order_col),
+        *[F.expr(f"max_by({c}, {order_col})").alias(c) for c in payload_cols],
+    )
+
+
+def top_n(df: DataFrame, order_col: str, n: int, desc: bool = True) -> DataFrame:
+    """A7: global top-N. Spark plans orderBy+limit as TakeOrderedAndProject —
+    each partition keeps n rows, the driver merges n*partitions rows; no full
+    sort at any scale."""
+    c = F.col(order_col).desc() if desc else F.col(order_col).asc()
+    return df.orderBy(c).limit(n)
+
+
+def top_n_per_group(df: DataFrame, group_cols: list[str], order_col: str, n: int) -> DataFrame:
+    """A7 grouped variant: rank within group, keep n. One shuffle on the
+    group key; skewed groups are handled by AQE skew-split since row_number
+    needs the whole group on one partition (salting is NOT applicable to
+    ranking)."""
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(F.col(order_col).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n).drop("__rn")
+
+
+def union_sources(*dfs: DataFrame) -> DataFrame:
+    """A9: multi-source concat (reference extends a Python list per file,
+    reddit/lambda_function_aggregate.py:50-54). unionByName tolerates column
+    order drift between micro-batches."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def with_batch_id(df: DataFrame, batch_size: int, order_col: str) -> DataFrame:
+    """A8: fixed-size batching as a column (reference chunks lists of 25 for
+    the sentiment API, glue/reddit_glue.py:162). Only needed when batch
+    identity must be visible; the enrichment UDFs chunk inside mapInPandas
+    instead, which requires no shuffle at all."""
+    w = Window.orderBy(F.col(order_col))
+    return df.withColumn("__batch", ((F.row_number().over(w) - 1) / batch_size).cast("long"))

@@ -1,0 +1,110 @@
+"""Sinks — SURVEY §2.2 (K1, K2, K7, K8) + the upsert primitive (A2/W4/W5).
+
+The reference's sinks are per-row `put_object` calls and one-transaction-per-
+record Cypher loops (reference: glue/reddit_glue.py:112-125). Here every sink
+is a distributed table write; "upsert" — the semantics behind every Cypher
+MERGE in the reference — is implemented as partition-overwrite MERGE
+emulation (no Delta Lake in this environment): union new rows over old,
+last-writer-wins per key. On a Delta/Iceberg deployment `merge_upsert`
+becomes a real `MERGE INTO` with the same call signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def write_partitioned_json(df: DataFrame, root: str, partition_cols=("topic", "dataload")) -> None:
+    """K1: append JSON under topic=…/dataload=… (reference:
+    twitter/lambda_function.py:26,42-43 builds these keys by hand)."""
+    df.write.mode("append").partitionBy(*partition_cols).json(root)
+
+
+def write_csv_snapshot(df: DataFrame, path: str) -> None:
+    """K2: headered CSV snapshot (reference: glue/reddit_glue.py:225-226).
+
+    The reference writes one pandas CSV from the driver; this stays
+    distributed. Complex types are serialized to JSON strings first since
+    CSV is flat.
+    """
+    flat = df.select(
+        *[
+            F.to_json(F.col(f.name)).alias(f.name)
+            if f.dataType.typeName() in ("array", "map", "struct")
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+    flat.write.mode("overwrite").option("header", True).csv(path)
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """K7: truncate-and-reload (reference `MATCH (n) DETACH DELETE n`,
+    neo4j_insert/neo4j_reddit_insert.py:56-76) = overwrite-mode write."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def dedupe_last_writer(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the newest row per natural key (MERGE-then-SET semantics,
+    reference: glue/twitter_glue.py:76-91). Window + row_number: one shuffle
+    on the key — the same shuffle a MERGE would need."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(order_col).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """A2/W4/W5: idempotent upsert of `updates` into the parquet table at
+    `target_path`, keyed on `keys`; last-writer-wins.
+
+    This is the engine's stand-in for Delta `MERGE INTO` — the mechanism
+    behind the reference's 2-3-day late-refresh of Reddit scores
+    (reference: reddit/lambda_function_aggregate.py:59-71) and its
+    idempotent re-runs (Cypher MERGE, glue/reddit_glue.py:72-79).
+
+    Updates win over existing rows; among duplicate update keys the largest
+    `order_col` wins (ties broken by provenance: update > existing). Returns
+    the merged frame after writing it back.
+    """
+    try:
+        existing = spark.read.parquet(target_path)
+        base = existing.withColumn("__src", F.lit(0))
+    except Exception:  # first write: target doesn't exist yet
+        base = None
+    upd = updates.withColumn("__src", F.lit(1))
+    merged = upd if base is None else base.unionByName(upd)
+    order = [F.col("__src").desc()]
+    if order_col is not None:
+        order = [F.col(order_col).desc(), F.col("__src").desc()]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    result = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    # Materialize before overwriting the path we read from (no txn log here;
+    # Delta would make this atomic).
+    out = result.cache()
+    out.count()
+    out.write.mode("overwrite").parquet(target_path)
+    out.unpersist()
+    return spark.read.parquet(target_path)
+
+
+def foreach_partition_sink(df: DataFrame, writer_factory) -> None:
+    """K8: external-store sink — one connection per partition, batched writes
+    (replaces the reference's one-transaction-per-row loop, reference:
+    glue/twitter_glue.py:100-105). `writer_factory()` must return a callable
+    taking an iterator of Rows; it runs on executors."""
+
+    def _run(rows):
+        writer = writer_factory()
+        writer(rows)
+
+    df.foreachPartition(_run)
