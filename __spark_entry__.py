@@ -1,38 +1,1180 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship social pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the BASELINE.json north-star extensions); ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+
+Parity rules used throughout (so Spark and DuckDB hash-match):
+- timestamps leave queries as formatted strings (yyyy-MM-dd HH:mm:ss);
+- double↔int casts are explicit trunc/floor (DuckDB CAST rounds, Spark
+  truncates — never rely on the default);
+- floating aggregates are rounded (2dp money, 6dp ratios) on BOTH sides;
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from reddit_twitter_big_data_pipeline_spark import schemas  # noqa: E402
+from reddit_twitter_big_data_pipeline_spark.functions import enrich  # noqa: E402
+from reddit_twitter_big_data_pipeline_spark.operators import (  # noqa: E402
+    cleanse,
+    dedup,
+    model,
+    multimodal,
+    similarity,
+    text as text_ops,
+)
+from reddit_twitter_big_data_pipeline_spark.plans import graph, social  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return schemas.load_table(spark, sf_dir, name)
+
+
+def _fmt(col, fmt: str = "yyyy-MM-dd HH:mm:ss"):
+    return F.date_format(col, fmt)
+
+
+# Shared DuckDB CTE: the deterministic events→tweets derivation
+# (mirror of plans.social.tweets_from_events — keep in lockstep).
+_TWEETS_CTE = """
+tweets AS (
+  SELECT
+    event_id AS id,
+    strftime(ts, '%Y-%m-%d %H:%M:%S') AS date,
+    'event ' || event_type || ' ' || props AS content,
+    'u' || user_id AS username,
+    CAST(floor(value) AS INTEGER) AS followersCount,
+    CASE WHEN event_type IN ('click','view')
+         THEN 'u' || (user_id + 1) || ',u' || (user_id + 7) END AS mentionedUsers,
+    CAST(trunc(value) AS INTEGER) AS retweetCount,
+    CAST(event_id % 5 AS INTEGER) AS replyCount,
+    CASE WHEN event_type = 'error' THEN 'u' || (user_id + 3) END AS inReplyToUser,
+    strftime(make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000),
+             '%Y-%m-%d %H:%M:%S') AS timeStamp
+  FROM events
+)
+"""
+
+# Shared DuckDB CTE: reddit posts/comments derived from orders/lineitem
+# (mirror of _reddit_from_tpch below).
+_REDDIT_CTE = """
+posts AS (
+  SELECT
+    'o' || o_orderkey AS id,
+    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date,
+    'order' AS title,
+    'order ' || o_orderstatus AS content,
+    'c' || o_custkey AS username,
+    0 AS commentCount,
+    CAST(trunc(o_totalprice) AS INTEGER) AS score,
+    o_orderpriority AS subreddit
+  FROM orders
+),
+comments AS (
+  SELECT
+    'l' || l_orderkey || 'x' || l_linenumber AS id,
+    strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS date,
+    'line ' || l_returnflag AS content,
+    's' || l_suppkey AS username,
+    CAST(trunc(l_quantity) AS INTEGER) AS score,
+    'o' || l_orderkey AS post_id,
+    CASE WHEN l_linenumber = 1 THEN 't3_o' || l_orderkey
+         ELSE 't1_l' || l_orderkey || 'x' || (l_linenumber - 1) END AS parent_id
+  FROM lineitem
+)
+"""
+
+
+def _reddit_from_tpch(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Posts from orders, threaded comments from lineitem (linenumber chains
+    ⇒ real parent/child trees). Mirror of _REDDIT_CTE."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    posts = orders.select(
+        F.concat(F.lit("o"), "o_orderkey").alias("id"),
+        _fmt("o_orderdate").alias("date"),
+        F.lit("order").alias("title"),
+        F.concat(F.lit("order "), "o_orderstatus").alias("content"),
+        F.concat(F.lit("c"), "o_custkey").alias("username"),
+        F.lit(0).alias("commentCount"),
+        F.expr("cast(o_totalprice as int)").alias("score"),
+        F.col("o_orderpriority").alias("subreddit"),
+    )
+    cid = F.concat(F.lit("l"), "l_orderkey", F.lit("x"), "l_linenumber")
+    comments = li.select(
+        cid.alias("id"),
+        _fmt("l_shipdate").alias("date"),
+        F.concat(F.lit("line "), "l_returnflag").alias("content"),
+        F.concat(F.lit("s"), "l_suppkey").alias("username"),
+        F.expr("cast(l_quantity as int)").alias("score"),
+        F.concat(F.lit("o"), "l_orderkey").alias("post_id"),
+        F.when(F.col("l_linenumber") == 1, F.concat(F.lit("t3_o"), "l_orderkey")).otherwise(
+            F.concat(F.lit("t1_l"), "l_orderkey", F.lit("x"), F.col("l_linenumber") - 1)
+        ).alias("parent_id"),
+    )
+    return posts, comments
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copy-shifted-by-1M: every text appears ≥2× so dedup
+    operators have guaranteed positives (mirrored in oracles as UNION ALL)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return docs.unionByName(copy)
+
+
+_PLANTED_CTE = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+"""
+
+# DuckDB mirror of functions.enrich deterministic backends over a text col.
+def _sentiment_sql(col: str) -> str:
+    h = [f"(('0x' || substr(md5({col}), {2*i+1}, 2))::INTEGER + 1)" for i in range(4)]
+    s = " + ".join(h)
+    return ", ".join(
+        f"{h[i]} / CAST({s} AS DOUBLE) AS {name}"
+        for i, name in enumerate(["Positive", "Negative", "Neutral", "Mixed"])
+    )
+
+
+def _claim_sql(col: str) -> str:
+    words = ["percent", "%", "million", "billion", "kill", "dead", "report",
+             "confirm", "official", "data"]
+    hits = " + ".join(
+        f"(CASE WHEN contains(lower({col}), '{w}') THEN 1 ELSE 0 END)" for w in words
+    )
+    return f"LEAST(1.0, ({hits}) / 3.0)"
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → tweets → cleanse → enrich (U1-U3) → graph model,
+    summarized per relationship type. One Catalyst plan, no collect."""
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    tweets = social.tweets_from_events(events)
+    nodes, edges = social.twitter_pipeline(tweets)
+    return (
+        edges.groupBy("rel_type")
+        .agg(F.count(F.lit(1)).alias("n_edges"), F.countDistinct("dst").alias("n_dst"))
+        .orderBy("rel_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one entry per SURVEY §2 operator / north-star extension
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- scans / sources (S1-S5) ----
+    def s1_pruned_scan(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            cleanse.filter_time_range(ev, "ts", "2024-01-02 00:00:00", "2024-01-05 00:00:00")
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", _fmt("ts").alias("ts_s"), "user_id", F.round("value", 2).alias("value"))
+        )
+
+    q["s1_pruned_scan"] = s1_pruned_scan
+
+    def s4_latest_batch(spark, sf):
+        ev = _t(spark, sf, "events").withColumn(
+            "batch", (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
+        )
+        from reddit_twitter_big_data_pipeline_spark.sources import readers
+
+        return readers.latest_batch(ev, "batch").select("event_id", "user_id", "batch")
+
+    q["s4_latest_batch"] = s4_latest_batch
+
+    # ---- filters / transforms (F1-F6, T2, T3) ----
+    def f1_time_range(spark, sf):
+        ev = _t(spark, sf, "events")
+        return cleanse.filter_time_range(
+            ev, "ts", "2024-01-03 06:00:00", "2024-01-04 06:00:00"
+        ).select("event_id", "event_type")
+
+    q["f1_time_range"] = f1_time_range
+
+    def f2_scrub_empty(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return cleanse.scrub_empty(docs, ["text", "lang", "source"]).select("doc_id", "lang")
+
+    q["f2_scrub_empty"] = f2_scrub_empty
+
+    def f3_sentinel_scrub(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return cleanse.scrub_sentinels(docs, content_col="text", user_col="source").select(
+            "doc_id", "source"
+        )
+
+    q["f3_sentinel_scrub"] = f3_sentinel_scrub
+
+    def f4_bot_filter(spark, sf):
+        _, comments = _reddit_from_tpch(spark, sf)
+        return cleanse.filter_bots(comments).select("id", "username")
+
+    q["f4_bot_filter"] = f4_bot_filter
+
+    def f5_length_guard(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return cleanse.filter_length(docs, ["text"], 300).select("doc_id", "n_chars")
+
+    q["f5_length_guard"] = f5_length_guard
+
+    def f6_blocklist(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return cleanse.filter_blocklist(docs, ["text"], ["vector", "hash"]).select("doc_id")
+
+    q["f6_blocklist"] = f6_blocklist
+
+    def t2_explode_tokens(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select(F.explode(text_ops.tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(50)
+        )
+
+    q["t2_explode_tokens"] = t2_explode_tokens
+
+    def t3_time_parse(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            _fmt(cleanse.trunc_minute("ts")).alias("minute_s"),
+            _fmt(F.col("ts"), "yyyy-MM-dd").alias("day_s"),
+        )
+
+    q["t3_time_parse"] = t3_time_parse
+
+    # ---- modeling (A1-A9) ----
+    def a1_distinct_dims(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return model.distinct_dim(docs, ["lang", "source"])
+
+    q["a1_distinct_dims"] = a1_distinct_dims
+
+    def a2_dedupe_by_key(spark, sf):
+        ev = _t(spark, sf, "events").withColumn("ts_s", _fmt("ts"))
+        # deterministic last-writer: order by (ts, event_id) desc
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            ev.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_id", "ts_s")
+        )
+
+    q["a2_dedupe_by_key"] = a2_dedupe_by_key
+
+    def a3_fk_join(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        joined = model.fk_join(li, orders, "l_orderkey", "o_orderkey")
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
+    q["a3_fk_join"] = a3_fk_join
+
+    def a3_orphans_antijoin(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        return model.orphans(cust, orders, "c_custkey", "o_custkey").select(
+            "c_custkey", "c_name"
+        )
+
+    q["a3_orphans_antijoin"] = a3_orphans_antijoin
+
+    def a4_comment_depth(spark, sf):
+        _, comments = _reddit_from_tpch(spark, sf)
+        return model.comment_depth(comments)
+
+    q["a4_comment_depth"] = a4_comment_depth
+
+    def a5_argmax(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+        return (
+            ev.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("event_type", "event_id", F.round("value", 2).alias("value"))
+        )
+
+    q["a5_argmax"] = a5_argmax
+
+    def a6_count_groups(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    q["a6_count_groups"] = a6_count_groups
+
+    def a7_top_n(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return model.top_n(
+            orders.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")),
+            "o_totalprice",
+            20,
+        ).withColumn("o_totalprice", F.col("o_totalprice"))
+
+    q["a7_top_n"] = a7_top_n
+
+    def a7_top_n_per_group(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        w = Window.partitionBy("l_returnflag").orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+        )
+        return (
+            li.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 3)
+            .select(
+                "l_returnflag",
+                "l_orderkey",
+                "l_linenumber",
+                F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            )
+        )
+
+    q["a7_top_n_per_group"] = a7_top_n_per_group
+
+    def a9_union(spark, sf):
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        errors = ev.filter(F.col("event_type") == "error")
+        return (
+            model.union_sources(purchases, errors)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        )
+
+    q["a9_union"] = a9_union
+
+    # ---- windows / streaming-shaped (W2, W3, W6) ----
+    def w2_tumbling_window(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            .select(_fmt("w.start").alias("window_start"), "event_type", "n", "total")
+        )
+
+    q["w2_tumbling_window"] = w2_tumbling_window
+
+    def w3_daily_batches(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(cleanse.dataload_label(F.col("ts")).alias("dataload"))
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        )
+
+    q["w3_daily_batches"] = w3_daily_batches
+
+    def w6_sessionize(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", _fmt("sw.start").alias("session_start"), "n_events")
+        )
+
+    q["w6_sessionize"] = w6_sessionize
+
+    # ---- social pipeline parity ----
+    def social_tweets_derive(spark, sf):
+        ev = _t(spark, sf, "events")
+        return social.tweets_from_events(ev)
+
+    q["social_tweets_derive"] = social_tweets_derive
+
+    def social_twitter_edges(spark, sf):
+        ev = _t(spark, sf, "events")
+        tweets = social.tweets_from_events(ev)
+        _, edges = social.twitter_pipeline(tweets, enrichment=False)
+        return edges
+
+    q["social_twitter_edges"] = social_twitter_edges
+
+    def social_twitter_nodes(spark, sf):
+        ev = _t(spark, sf, "events")
+        tweets = social.tweets_from_events(ev)
+        nodes, _ = social.twitter_pipeline(tweets, enrichment=False)
+        return nodes.select("node_id", "label")
+
+    q["social_twitter_nodes"] = social_twitter_nodes
+
+    def social_reddit_edges(spark, sf):
+        posts, comments = _reddit_from_tpch(spark, sf)
+        _, edges = graph.reddit_graph(posts, comments)
+        return edges
+
+    q["social_reddit_edges"] = social_reddit_edges
+
+    def social_enriched_tweets(spark, sf):
+        ev = _t(spark, sf, "events")
+        tweets = social.tweets_from_events(ev)
+        df = cleanse.scrub_sentinels(tweets)
+        df = enrich.enrich(df)
+        return df.select(
+            "id", "content", "Positive", "Negative", "Neutral", "Mixed", "claimScore"
+        )
+
+    q["social_enriched_tweets"] = social_enriched_tweets
+
+    def u1_translate_dict(spark, sf):
+        docs = _t(spark, sf, "documents")
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import types as T
+
+        backend = enrich.translate_dictionary
+
+        @F.pandas_udf(T.StringType())
+        def tr(texts):
+            return backend(texts)
+
+        return docs.select("doc_id", tr(F.col("text")).alias("translated"))
+
+    q["u1_translate_dict"] = u1_translate_dict
+
+    def u2_sentiment(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.withColumn("__s", enrich.sentiment_udf()(F.col("text"))).select(
+            "doc_id", "__s.Positive", "__s.Negative", "__s.Neutral", "__s.Mixed"
+        )
+
+    q["u2_sentiment"] = u2_sentiment
+
+    def u3_claim_score(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", enrich.claim_udf()(F.col("text")).alias("claimScore"))
+
+    q["u3_claim_score"] = u3_claim_score
+
+    # ---- capability-gap demos (§2.7) ----
+    def x_window_rank(spark, sf):
+        orders = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_seq"),
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ).alias("running_total"),
+        )
+
+    q["x_window_rank"] = x_window_rank
+
+    def x_rollup(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "sum_qty",
+                "n",
+            )
+        )
+
+    q["x_rollup"] = x_rollup
+
+    def x_intersect(spark, sf):
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        return cust.select(F.col("c_nationkey").alias("nationkey")).intersect(
+            supp.select(F.col("s_nationkey").alias("nationkey"))
+        )
+
+    q["x_intersect"] = x_intersect
+
+    def x_except(spark, sf):
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        return cust.select(F.col("c_nationkey").alias("nationkey")).subtract(
+            supp.select(F.col("s_nationkey").alias("nationkey"))
+        )
+
+    q["x_except"] = x_except
+
+    def x_distinct_count(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+    q["x_distinct_count"] = x_distinct_count
+
+    def x_json_path(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+        )
+
+    q["x_json_path"] = x_json_path
+
+    def x_regex_extract(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return (
+            orders.withColumn(
+                "prio_num", F.regexp_extract("o_orderpriority", "^([0-9]+)", 1).cast("int")
+            )
+            .groupBy("prio_num")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["x_regex_extract"] = x_regex_extract
+
+    def x_median(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value")
+        )
+
+    q["x_median"] = x_median
+
+    def tpch_q1_pricing(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("2024-10-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["tpch_q1_pricing"] = tpch_q1_pricing
+
+    def tpch_q3_shipping(spark, sf):
+        cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey", "o_orderpriority")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                )
+            )
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+        )
+
+    q["tpch_q3_shipping"] = tpch_q3_shipping
+
+    def tpch_q5_local_suppliers(spark, sf):
+        region = _t(spark, sf, "region")
+        nation = _t(spark, sf, "nation")
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                )
+            )
+        )
+
+    q["tpch_q5_local_suppliers"] = tpch_q5_local_suppliers
+
+    # ---- text analysis (north-star) ----
+    def text_profile(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return text_ops.text_profile(docs)
+
+    q["text_profile"] = text_profile
+
+    def text_fingerprint64(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", text_ops.fingerprint64("text").alias("fp64"))
+
+    q["text_fingerprint64"] = text_fingerprint64
+
+    # ---- dedup (north-star) ----
+    def dedup_exact_groups(spark, sf):
+        return dedup.exact_dup_groups(_docs_with_planted_dups(spark, sf))
+
+    q["dedup_exact_groups"] = dedup_exact_groups
+
+    def dedup_exact_keep(spark, sf):
+        return dedup.exact_dedupe(_docs_with_planted_dups(spark, sf)).select("doc_id")
+
+    q["dedup_exact_keep"] = dedup_exact_keep
+
+    def dedup_minhash_pairs(spark, sf):
+        return dedup.minhash_dedup_pairs(
+            _docs_with_planted_dups(spark, sf), threshold=0.5
+        )
+
+    q["dedup_minhash_pairs"] = dedup_minhash_pairs
+
+    def dedup_jaccard_pairs(spark, sf):
+        return dedup.jaccard_pairs(_docs_with_planted_dups(spark, sf), threshold=0.5)
+
+    q["dedup_jaccard_pairs"] = dedup_jaccard_pairs
+
+    def dedup_simhash_pairs(spark, sf):
+        # md5 token hash: the DuckDB oracle reproduces the signature exactly
+        return dedup.simhash_near_pairs(
+            _docs_with_planted_dups(spark, sf), max_distance=0, hash_fn="md5"
+        )
+
+    q["dedup_simhash_pairs"] = dedup_simhash_pairs
+
+    # ---- similarity search (north-star) ----
+    def sim_bruteforce_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        return similarity.brute_force_topk(probes, emb, k=5)
+
+    q["sim_bruteforce_topk"] = sim_bruteforce_topk
+
+    def sim_ann_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        return similarity.ann_topk(probes, emb, k=5)
+
+    q["sim_ann_topk"] = sim_ann_topk
+
+    def emb_near_dup(spark, sf):
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        copy = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        return similarity.embedding_near_dup_pairs(emb.unionByName(copy), threshold=0.95)
+
+    q["emb_near_dup"] = emb_near_dup
+
+    # ---- multimodal (north-star) ----
+    def media_features(spark, sf):
+        docs = _t(spark, sf, "documents")
+        media = multimodal.media_from_documents(docs)
+        return multimodal.extract_features(media).select(
+            "media_id", "kind", "n_bytes", "checksum"
+        )
+
+    q["media_features"] = media_features
+
+    def media_frame_sample(spark, sf):
+        docs = _t(spark, sf, "documents")
+        media = multimodal.media_from_documents(docs).filter(F.col("kind") == "video")
+        return multimodal.frame_sample_stub(media).select(
+            "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+        )
+
+    q["media_frame_sample"] = media_frame_sample
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["s1_pruned_scan"] = """
+        SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id,
+               round(value, 2) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-05 00:00:00'
+          AND event_type = 'purchase'
     """
-    return {}
+
+    o["s4_latest_batch"] = """
+        WITH b AS (
+          SELECT event_id, user_id,
+                 CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS batch
+          FROM events
+        )
+        SELECT event_id, user_id, batch FROM b WHERE batch = (SELECT max(batch) FROM b)
+    """
+
+    o["f1_time_range"] = """
+        SELECT event_id, event_type FROM events
+        WHERE ts >= TIMESTAMP '2024-01-03 06:00:00' AND ts < TIMESTAMP '2024-01-04 06:00:00'
+    """
+
+    o["f2_scrub_empty"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE coalesce(text, '') <> '' AND coalesce(lang, '') <> '' AND coalesce(source, '') <> ''
+    """
+
+    o["f3_sentinel_scrub"] = """
+        SELECT doc_id, source FROM documents
+        WHERE text IS NOT NULL AND text NOT IN ('', '[deleted]', '[removed]')
+          AND source IS NOT NULL AND source NOT IN ('', 'None')
+    """
+
+    o["f4_bot_filter"] = f"""
+        WITH {_REDDIT_CTE.split(',', 0)[0] if False else ''} {_REDDIT_CTE}
+        SELECT id, username FROM comments
+        WHERE username IS NOT NULL AND username <> 'AutoModerator'
+    """.replace("WITH  ", "WITH ")
+
+    o["f5_length_guard"] = """
+        SELECT doc_id, n_chars FROM documents WHERE length(text) <= 300
+    """
+
+    o["f6_blocklist"] = """
+        SELECT doc_id FROM documents
+        WHERE NOT (contains(lower(text), 'vector') OR contains(lower(text), 'hash'))
+    """
+
+    o["t2_explode_tokens"] = """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+    """
+
+    o["t3_time_parse"] = """
+        SELECT event_id,
+               strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute_s,
+               strftime(ts, '%Y-%m-%d') AS day_s
+        FROM events
+    """
+
+    o["a1_distinct_dims"] = "SELECT DISTINCT lang, source FROM documents"
+
+    o["a2_dedupe_by_key"] = """
+        SELECT user_id, event_id, ts_s FROM (
+          SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """
+
+    o["a3_fk_join"] = """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """
+
+    o["a3_orphans_antijoin"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    o["a4_comment_depth"] = f"""
+        WITH RECURSIVE {_REDDIT_CTE.strip().removeprefix('posts AS (').strip() if False else ''}
+        comments AS (
+          SELECT 'l' || l_orderkey || 'x' || l_linenumber AS id,
+                 'o' || l_orderkey AS post_id,
+                 CASE WHEN l_linenumber = 1 THEN 't3_o' || l_orderkey
+                      ELSE 't1_l' || l_orderkey || 'x' || (l_linenumber - 1) END AS parent_id
+          FROM lineitem
+        ),
+        d AS (
+          SELECT id, post_id, 0 AS depth FROM comments WHERE starts_with(parent_id, 't3_')
+          UNION ALL
+          SELECT c.id, c.post_id, d.depth + 1
+          FROM comments c JOIN d ON regexp_replace(c.parent_id, '^t[0-9]_', '') = d.id
+        )
+        SELECT id, post_id, depth FROM d
+    """
+
+    o["a5_argmax"] = """
+        SELECT event_type, event_id, round(value, 2) AS value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """
+
+    o["a6_count_groups"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+    o["a7_top_n"] = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC LIMIT 20
+    """
+
+    o["a7_top_n_per_group"] = """
+        SELECT l_returnflag, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+          FROM lineitem
+        ) WHERE rn <= 3
+    """
+
+    o["a9_union"] = """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events WHERE event_type IN ('purchase', 'error')
+        GROUP BY event_type
+    """
+
+    o["w2_tumbling_window"] = """
+        SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    """
+
+    o["w3_daily_batches"] = """
+        SELECT strftime(ts, '%d-%m-%Y') AS dataload, count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """
+
+    o["w6_sessionize"] = """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked
+        )
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    """
+
+    o["social_tweets_derive"] = f"""
+        WITH {_TWEETS_CTE}
+        SELECT * FROM tweets
+    """
+
+    o["social_twitter_edges"] = f"""
+        WITH {_TWEETS_CTE}
+        SELECT DISTINCT id::VARCHAR AS src, username AS dst, 'POSTED_BY' AS rel_type FROM tweets
+        UNION
+        SELECT DISTINCT id::VARCHAR, m, 'MENTIONS'
+        FROM (SELECT id, unnest(string_split(mentionedUsers, ',')) AS m
+              FROM tweets WHERE mentionedUsers IS NOT NULL)
+        WHERE m <> ''
+        UNION
+        SELECT DISTINCT id::VARCHAR, inReplyToUser, 'IN_REPLY_TO'
+        FROM tweets WHERE inReplyToUser IS NOT NULL
+    """
+
+    o["social_twitter_nodes"] = f"""
+        WITH {_TWEETS_CTE}
+        SELECT DISTINCT id::VARCHAR AS node_id, 'Tweet' AS label FROM tweets
+        UNION
+        SELECT DISTINCT u, 'User_Twitter' FROM (
+          SELECT username AS u FROM tweets
+          UNION ALL
+          SELECT unnest(string_split(mentionedUsers, ',')) FROM tweets WHERE mentionedUsers IS NOT NULL
+          UNION ALL
+          SELECT inReplyToUser FROM tweets WHERE inReplyToUser IS NOT NULL
+        ) WHERE u IS NOT NULL AND u <> ''
+    """
+
+    o["social_reddit_edges"] = f"""
+        WITH {_REDDIT_CTE}
+        SELECT DISTINCT id AS src, subreddit AS dst, 'POSTED_IN' AS rel_type FROM posts
+        UNION
+        SELECT DISTINCT id, username, 'POSTED_BY' FROM posts
+        UNION
+        SELECT DISTINCT c.id, c.post_id, 'COMMENTED_ON'
+        FROM comments c JOIN posts p ON c.post_id = p.id
+        UNION
+        SELECT DISTINCT c.id, c.username, 'COMMENTED_BY'
+        FROM comments c JOIN posts p ON c.post_id = p.id
+    """
+
+    o["social_enriched_tweets"] = f"""
+        WITH {_TWEETS_CTE}
+        SELECT id, content, {_sentiment_sql('content')}, {_claim_sql('content')} AS claimScore
+        FROM tweets
+        WHERE content IS NOT NULL AND content NOT IN ('', '[deleted]', '[removed]')
+          AND username IS NOT NULL AND username NOT IN ('', 'None')
+    """
+
+    _dict_case = (
+        "CASE lower(w) WHEN 'guerra' THEN 'war' WHEN 'paz' THEN 'peace' "
+        "WHEN 'krieg' THEN 'war' WHEN 'mir' THEN 'peace' "
+        "WHEN 'fast' THEN 'quick' WHEN 'slow' THEN 'sluggish' ELSE w END"
+    )
+    o["u1_translate_dict"] = f"""
+        SELECT doc_id,
+               array_to_string(list_transform(string_split(text, ' '), w -> {_dict_case}), ' ')
+               AS translated
+        FROM documents
+    """
+
+    o["u2_sentiment"] = f"""
+        SELECT doc_id, {_sentiment_sql('text')} FROM documents
+    """
+
+    o["u3_claim_score"] = f"""
+        SELECT doc_id, {_claim_sql('text')} AS claimScore FROM documents
+    """
+
+    o["x_window_rank"] = """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS order_seq,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    o["x_rollup"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["x_intersect"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """
+
+    o["x_except"] = """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    """
+
+    o["x_distinct_count"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+    """
+
+    o["x_json_path"] = """
+        SELECT event_type, sum(k) AS sum_k, max(k) AS max_k FROM (
+          SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+        ) GROUP BY event_type
+    """
+
+    o["x_regex_extract"] = """
+        SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INTEGER) AS prio_num,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    """
+
+    o["x_median"] = """
+        SELECT event_type, round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS median_value
+        FROM events GROUP BY event_type
+    """
+
+    o["tpch_q1_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-10-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["tpch_q3_shipping"] = """
+        SELECT o_orderkey, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """
+
+    o["tpch_q5_local_suppliers"] = """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name
+    """
+
+    _norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    _stop7 = "('the','a','of','and','is','to','in')"
+    o["text_profile"] = f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+               CASE
+                 WHEN s_de > s_en AND s_de >= s_es THEN 'de'
+                 WHEN s_es > s_en AND s_es > s_de THEN 'es'
+                 ELSE 'en'
+               END AS lang_pred,
+               round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / greatest(length(lower(text)), 1), 6) AS punct_ratio,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                     t -> lower(t) IN {_stop7})) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+               round(least(1.0, len(string_split(text, ' ')) / 100.0)
+                     * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / greatest(length(lower(text)), 1)), 6) AS quality,
+               md5({_norm}) AS fp
+        FROM (
+          SELECT *,
+            len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+            len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+            len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y','es'))) AS s_es
+          FROM documents
+        )
+    """
+
+    o["text_fingerprint64"] = f"""
+        SELECT doc_id, ('0x' || substr(md5({_norm}), 1, 15))::BIGINT AS fp64 FROM documents
+    """
+
+    o["dedup_exact_groups"] = f"""
+        WITH {_PLANTED_CTE}
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM docs GROUP BY 1
+    """
+
+    o["dedup_exact_keep"] = f"""
+        WITH {_PLANTED_CTE}
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            ORDER BY doc_id ASC) AS rn
+          FROM docs
+        ) WHERE rn = 1
+    """
+
+    # Exact 3-token-shingle Jaccard over the planted corpus — the testdata
+    # contains genuine near-dup pairs (J≈0.97-0.99) beyond the planted exact
+    # copies, so the oracle computes real Jaccard, mirroring
+    # operators.dedup.shingles()/jaccard_pairs() step for step. MinHash+LSH
+    # has recall ≈ 1 at J ≥ 0.5 with 64 perms / 16 bands (miss prob < 1e-13
+    # for the J ≥ 0.96 pairs present), so both operators share this oracle.
+    _jaccard_sql = f"""
+        WITH {_PLANTED_CTE},
+        norm AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM docs
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE [array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)] END) AS shingles
+          FROM norm
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE common / (sa.sz + sb.sz - common) >= 0.5
+    """
+    o["dedup_minhash_pairs"] = _jaccard_sql
+    o["dedup_jaccard_pairs"] = _jaccard_sql
+
+    # md5-token-hash SimHash (60-bit), mirrored bit for bit: vote per bit
+    # over token occurrences, bit set iff vote > 0; distance-0 pairs = equal
+    # signatures (blocking is exact for max_distance=0).
+    o["dedup_simhash_pairs"] = f"""
+        WITH {_PLANTED_CTE},
+        toks AS (
+          SELECT doc_id, unnest(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+          FROM docs
+        ),
+        th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, (SELECT unnest(range(60)) AS bit) b
+          GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS s
+          FROM votes GROUP BY 1
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b, 0 AS distance
+        FROM sig a JOIN sig b ON a.s = b.s AND a.doc_id < b.doc_id
+    """
+
+    o["sim_bruteforce_topk"] = """
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS s
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, round(s, 6) AS sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """
+
+    o["emb_near_dup"] = """
+        SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine FROM embeddings
+    """
+
+    o["media_features"] = """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS checksum
+        FROM documents
+    """
+
+    return o

@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract): run the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+collect-to-driver cost in the measurement). Timings are wall-clock per query;
+`value` is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline set: flagship pipeline + one representative per operator
+# family (scan/filter, join, window, rollup, enrichment UDFs, dedup family,
+# similarity, text analysis, graph model).
+HEADLINE = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_suppliers",
+    "a3_fk_join",
+    "a7_top_n_per_group",
+    "w2_tumbling_window",
+    "w6_sessionize",
+    "social_twitter_edges",
+    "social_enriched_tweets",
+    "dedup_exact_keep",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "sim_bruteforce_topk",
+    "sim_ann_topk",
+    "text_profile",
+    "media_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from reddit_twitter_big_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            print(f"bench error {name}: {ex}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

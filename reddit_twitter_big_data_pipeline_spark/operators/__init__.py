@@ -1,1 +1,1 @@
-from . import cleanse, model  # noqa: F401
+from . import cleanse, dedup, model, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,334 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north-star): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup.
+
+Scale design notes (the point of each implementation):
+
+- **exact**: one hash-shuffle on the 128-bit fingerprint — never on the raw
+  text (at 100 TB the shuffle payload must be the 16-byte key, not the
+  document). Canonical keeper = min(id) per group.
+- **MinHash+LSH**: signatures are computed with ONE aggregation over the
+  exploded shingle set (64 mins in a single groupBy — not 64 passes); LSH
+  banding turns the O(n²) pair space into per-bucket self-joins. Candidate
+  pairs then verify with exact Jaccard computed from shingle sets carried in
+  the same row — no second scan of the corpus.
+- **SimHash**: per-document bit-vote aggregation over token hashes; 64-bit
+  signature as a long; near-dups = hamming distance ≤ k within LSH-style
+  chunks of the signature.
+- **n-gram Jaccard**: the exact verifier — explode shingles, equi-join on
+  shingle, |A∩B| via count, |A∪B| = |A|+|B|−|∩|. All relational; skew on
+  very common shingles is bounded by dropping top-frequency shingles
+  (`max_shingle_freq`), the standard trick for web-scale dedup.
+- **embedding near-dup**: random-hyperplane LSH over the embedding column →
+  bucketed exact-cosine verify (see operators.similarity for the shared
+  primitives).
+
+Hash function: xxhash64 (JVM built-in, whole-stage codegen) everywhere the
+result doesn't need a cross-engine oracle; md5-derived longs where it does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from . import text as text_ops
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: (keep_id, n_dups). keep_id =
+    min(id). Shuffles 16-byte fingerprints, not documents."""
+    return (
+        df.select(F.col(id_col), text_ops.fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedupe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly the min-id row per duplicate group, preserving all
+    columns. Window on the fingerprint: one shuffle."""
+    w = Window.partitionBy(text_ops.fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# --- shingles --------------------------------------------------------------
+
+
+def shingles(col: str = "text", k: int = 3) -> Column:
+    """k-token shingles of the normalized text, as array<string>. Distinct
+    per document (set semantics for Jaccard)."""
+    toks = F.split(text_ops.normalize_text(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    # guard: shorter-than-k docs shingle to the whole text
+    return F.array_distinct(F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(sh))
+
+
+def explode_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+
+
+# --- n-gram Jaccard (exact pairwise over candidate space) ------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Pure relational plan: explode → (optional hot-shingle drop) →
+    self-equi-join on shingle → pair-count = |∩| → join per-doc set sizes →
+    J = ∩ / (|A|+|B|−∩). The equi-join bounds the pair space to documents
+    sharing ≥1 shingle; `max_shingle_freq` caps join fan-out on stop-shingles
+    (a shingle in f docs contributes f² pairs — drop the head of that
+    distribution at scale).
+    """
+    ex = explode_shingles(df, id_col, text_col, k)
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+        ex = (
+            ex.join(freq, "shingle")
+            .filter(F.col("__f") <= max_shingle_freq)
+            .drop("__f")
+        )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = ex.select(F.col("id").alias("a"), "shingle")
+    b = ex.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>[num_perm]): sig[i] = min over shingles of
+    xxhash64(i, shingle).
+
+    One explode + ONE groupBy: each exploded row computes all num_perm hashes
+    as an array expression (JVM, codegen), and the aggregation is an
+    elementwise array-min via aggregate(collect-free): we min each position
+    with num_perm scalar min() aggregates generated programmatically — still
+    a single shuffle, map-side partial aggregation shrinks it to one row per
+    (doc × partition) before the exchange.
+    """
+    ex = explode_shingles(df, id_col, text_col, k)
+    hashed = ex.select(
+        "id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(num_perm)]
+    )
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banding: docs agreeing on ALL rows of any band become a candidate
+    pair. One explode (bands per doc) + self-join per bucket. Bucket key is
+    a hash of the band slice, so the shuffle key is (band, long) — tiny."""
+    b = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = b.select(F.col("id").alias("a"), "band", "bucket")
+    right = b.select(F.col("id").alias("b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
+    verify on the candidate pairs only. Returns (a, b, jaccard ≥ threshold).
+
+    The verify joins candidates to per-doc shingle SETS (array column) and
+    computes intersection with array_intersect — candidates are a tiny
+    fraction of n², so carrying the arrays is cheap; the corpus is never
+    self-joined un-bucketed.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sets_ = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    )
+    return (
+        cand.join(sets_.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sets_.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def _md5_token_hash(t: Column) -> Column:
+    """60-bit token hash from md5 — slower than xxhash64 but reproducible in
+    any engine with md5 (the DuckDB oracle mirrors it verbatim)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, simhash long): signature from per-token hash bit votes.
+
+    Plan shape: tokens → token hashes (array<long>, one expression) → for
+    each bit, vote = Σ tokens (±1) → bit set iff vote > 0. The whole
+    signature is ONE array expression over the token-hash array — no
+    explode, no shuffle; a groupBy-free narrow projection.
+
+    hash_fn: "xxhash64" (64-bit, JVM-fast, default) or "md5" (60-bit,
+    cross-engine-reproducible for the DuckDB oracle).
+    """
+    n_bits = 64 if hash_fn == "xxhash64" else 60
+    toks = F.split(text_ops.normalize_text(text_col), " ")
+    if hash_fn == "xxhash64":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        hashes = F.transform(toks, _md5_token_hash)
+    # Shift amounts must be Python ints (F.shiftright rejects Columns), so
+    # the per-bit votes unroll as n_bits static fold expressions — one
+    # narrow projection, still zero shuffle. Materialize the hash array once
+    # per row so the n_bits folds don't re-hash the tokens.
+    hashed = df.select(F.col(id_col).alias("id"), hashes.alias("__h"))
+
+    # NB: higher-order functions introspect the lambda's arity, so the bit
+    # index must be captured by closure (a `b=b` default arg would become a
+    # third lambda variable).
+    def _vote(b: int) -> Column:
+        return F.aggregate(
+            F.col("__h"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = None
+    for b in range(n_bits):
+        bit = F.shiftleft(
+            F.when(_vote(b) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return hashed.select("id", sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 15/16-bit signature chunks
+    (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks identical), verify
+    hamming ≤ k within blocks. Same LSH-shape plan as MinHash banding."""
+    chunk_bits = 16 if hash_fn == "xxhash64" else 15
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(df, id_col, text_col, hash_fn)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.key")
+    left = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "key")
+    right = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "key")
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("distance", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("distance") <= max_distance)
+        .select("a", "b", "distance")
+        .distinct()
+    )

@@ -48,8 +48,9 @@ def orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
 
 def strip_thing_prefix(col) -> F.Column:
     """Reddit `t1_`/`t3_` fullname → bare id (reference comment trees,
-    reddit/lambda_function.py:58-69)."""
-    return F.substring_index(col, "_", -1)
+    reddit/lambda_function.py:58-69). Anchored regexp, not substring_index:
+    ids themselves may contain underscores."""
+    return F.regexp_replace(col, "^t[0-9]_", "")
 
 
 def parent_join(comments: DataFrame) -> DataFrame:
@@ -65,11 +66,16 @@ def parent_join(comments: DataFrame) -> DataFrame:
 def comment_depth(comments: DataFrame, max_depth: int = 32) -> DataFrame:
     """A4 (full traversal): depth of each comment in its thread.
 
-    Spark has no recursive CTE; this is the standard iterative-join loop with
-    a convergence check. Each iteration joins the unresolved frontier to the
-    resolved set — at scale, both sides stay partitioned on the join key and
-    the loop runs ≤ tree-depth times (comment trees are shallow: the
-    reference's own dumps are 2-4 levels).
+    Spark has no recursive CTE; this is a level-synchronous iterative join.
+    The key structural fact: the parent of a depth-d comment sits at depth
+    d−1 EXACTLY, so each iteration joins the (fixed, cached) non-top-level
+    set against only the PREVIOUS level — never the whole resolved set, and
+    no anti-join to shrink a frontier. A comment matches in exactly one
+    round, lineage stays flat (every input to a round is cached), and the
+    loop runs ≤ tree-depth times (comment trees are shallow: the reference's
+    own dumps are 2-4 levels). Orphaned subtrees (parent never scraped)
+    simply never match and are excluded — the reference's MATCH-drop
+    semantics (glue/reddit_glue.py:94-98).
 
     Returns (id, post_id, depth) where depth=0 ⇒ top-level comment.
     """
@@ -78,24 +84,27 @@ def comment_depth(comments: DataFrame, max_depth: int = 32) -> DataFrame:
         "post_id",
         strip_thing_prefix(F.col("parent_id")).alias("parent"),
         F.col("parent_id").startswith("t3_").alias("top_level"),
-    ).cache()
-    resolved = base.filter(F.col("top_level")).select("id", "post_id", F.lit(0).alias("depth"))
-    frontier = base.filter(~F.col("top_level")).select("id", "post_id", "parent")
-    out = resolved
-    for _ in range(max_depth):
-        if frontier.isEmpty():
-            break
-        step = frontier.join(
-            out.select(F.col("id").alias("parent"), F.col("depth").alias("pdepth")),
-            "parent",
-            "inner",
-        ).select("id", "post_id", (F.col("pdepth") + 1).alias("depth"))
-        step = step.cache()
+    )
+    rest = base.filter(~F.col("top_level")).select("id", "post_id", "parent").cache()
+    prev = base.filter(F.col("top_level")).select("id", "post_id", F.lit(0).alias("depth")).cache()
+    levels = [prev]
+    caches = [rest, prev]
+    for d in range(1, max_depth + 1):
+        step = (
+            rest.join(prev.select(F.col("id").alias("parent")), "parent", "inner")
+            .select("id", "post_id", F.lit(d).alias("depth"))
+            .cache()
+        )
+        caches.append(step)
         if step.isEmpty():
-            break  # remaining frontier is orphaned (parent never scraped)
-        out = out.unionByName(step)
-        frontier = frontier.join(step.select("id"), "id", "left_anti")
-    base.unpersist()
+            break
+        levels.append(step)
+        prev = step
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    # Materialization note: caches stay pinned until the consumer finishes;
+    # callers running inside a larger job should .checkpoint() the result.
     return out
 
 

@@ -1,0 +1,175 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata
+(BASELINE.json north-star).
+
+The Spark-side plumbing is real and tested: binary payload column, typed
+metadata struct (schemas.MEDIA), Arrow-batched ``mapInPandas`` feature
+extraction with an explicit output schema, and partition sizing guidance for
+large blobs. The actual codec work (JPEG decode, audio resample, video frame
+sampling) is STUBBED — the image/audio libraries are not in this container —
+behind two clearly-marked backends:
+
+  * ``deterministic_fake`` (default): pure function of the payload bytes, so
+    pipelines are testable end-to-end and idempotent;
+  * ``real`` raises NotImplementedError at the exact seam where PIL/ffmpeg
+    calls plug in.
+
+Partitioning note (the part that matters at 100 TB): blobs make rows heavy —
+size `spark.sql.files.maxPartitionBytes` so a task holds O(100) images, and
+never groupBy on a frame carrying payloads; extract features FIRST (this
+module), then drop/offload the payload column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .._serde import register_self
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _fake_feature(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decoded-content embedding: byte-histogram
+    moments over FEATURE_DIM equal-width bucket ranges."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    buckets = [0] * FEATURE_DIM
+    for by in payload:
+        buckets[by * FEATURE_DIM // 256] += 1
+    n = float(len(payload))
+    return [b / n for b in buckets]
+
+
+def _real_decode(payload: bytes, kind: str):
+    """THE decode seam. Plug PIL.Image.open / soundfile / pyav here."""
+    raise NotImplementedError(
+        "media decode requires image/audio libs not present in this "
+        "container; use backend='fake' or install codecs on the cluster"
+    )
+
+
+def extract_features(
+    media: DataFrame, backend: str = "fake", batch_hint: int = 256
+) -> DataFrame:
+    """mapInPandas feature extraction: (media_id, kind, payload) →
+    (media_id, kind, n_bytes, checksum, feature[FEATURE_DIM]).
+
+    Arrow ships payload bytes in columnar batches; the UDF iterates batches,
+    never materializing the whole partition. Output schema is explicit so
+    downstream plans analyze without running Python.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = []
+            sums = []
+            for p in payloads:
+                raw = bytes(p) if p is not None else b""
+                if backend == "real":
+                    _real_decode(raw, "")
+                feats.append(_fake_feature(raw))
+                sums.append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0).astype(
+                        "int32"
+                    ),
+                    "checksum": sums,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: passes payload through a mapInPandas stage that
+    would re-encode; fake backend tags the metadata struct instead (the
+    schema/batching contract is what's under test)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"],  # real impl: decoded→resized→re-encoded
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: fan-out one row per sampled frame.
+    Fake backend derives frame count from payload size; the real impl reads
+    container duration. Demonstrates the 1→N mapInPandas shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p) if p is not None else b""
+                n_frames = max(1, min(4, len(raw) // 64))
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(raw[i * 64 : (i + 1) * 64])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_payload": frames}
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a media table from the documents corpus (payload = utf-8 bytes
+    of the text — a deterministic opaque blob; kind cycles by doc_id). Lets
+    every multimodal operator run on driver testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+register_self(__name__)

@@ -1,0 +1,129 @@
+"""Text analysis for training-data pipelines — language ID, quality scoring,
+token counting, fingerprinting (BASELINE.json north-star extensions).
+
+Everything here is built-in Column expressions (whole-stage codegen, zero
+Python in the hot path). The formulas are deliberately simple and exactly
+SQL-expressible so every operator carries a DuckDB oracle in
+``__spark_entry__.py`` — determinism is a feature: the same document always
+scores the same, so re-running a 100 TB cleanse pass is idempotent.
+
+The reference has no text analytics beyond enrichment API calls (SURVEY
+§2.4); these extend that surface for LLM-data work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --- tokenization ----------------------------------------------------------
+
+# BPE-ish word/number/symbol split, shared with the DuckDB oracle verbatim.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens (documents are single-space normalized)."""
+    return F.split(F.col(col), " ")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """Regex-tokenizer count: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(BPE_PATTERN), 0))
+
+
+# --- language ID -----------------------------------------------------------
+
+# Marker stopwords per language. Deterministic n-gram-free heuristic: count
+# marker-token occurrences, argmax with fixed precedence en > de > es on
+# ties. (A production lang-ID swaps in a char-n-gram model behind the same
+# column contract.)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+}
+
+
+def _marker_hits(col: str, markers: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    hits = F.filter(toks, lambda t: t.isin(*markers))
+    return F.size(hits)
+
+
+def lang_id(col: str = "text") -> Column:
+    s_en = _marker_hits(col, LANG_MARKERS["en"])
+    s_de = _marker_hits(col, LANG_MARKERS["de"])
+    s_es = _marker_hits(col, LANG_MARKERS["es"])
+    return (
+        F.when((s_de > s_en) & (s_de >= s_es), F.lit("de"))
+        .when((s_es > s_en) & (s_es > s_de), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+
+
+# --- quality scoring -------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def punct_ratio(col: str = "text") -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after lowering."""
+    low = F.lower(F.col(col))
+    stripped = F.regexp_replace(low, "[a-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(low), F.lit(1))
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    toks = tokens(col)
+    stops = F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: str = "text") -> Column:
+    """∈ [0,1]: rewards length (saturating at 100 tokens) and low punctuation
+    noise. Mirrored exactly in SQL: LEAST(1, n_tokens/100) * (1 - punct)."""
+    return F.least(F.lit(1.0), token_count(col) / F.lit(100.0)) * (
+        F.lit(1.0) - punct_ratio(col)
+    )
+
+
+# --- fingerprinting --------------------------------------------------------
+
+
+def normalize_text(col: str = "text") -> Column:
+    """lower + trim + collapse internal whitespace — the canonical form every
+    dedup operator keys on."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), "\\s+", " ")
+
+
+def fingerprint(col: str = "text") -> Column:
+    """128-bit content fingerprint (hex md5 of normalized text)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint64(col: str = "text") -> Column:
+    """64-bit-ish fingerprint as a long: first 15 hex digits of the md5
+    (60 bits — stays positive in a signed long on both engines)."""
+    return F.conv(F.substring(fingerprint(col), 1, 15), 16, 10).cast("long")
+
+
+# --- DataFrame-level stage -------------------------------------------------
+
+
+def text_profile(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One pass over the corpus computing the full profile. Single scan →
+    project; no shuffle at any scale."""
+    return df.select(
+        F.col(id_col),
+        token_count(col).alias("n_tokens"),
+        bpe_token_count(col).alias("n_bpe_tokens"),
+        lang_id(col).alias("lang_pred"),
+        F.round(punct_ratio(col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(col), 6).alias("stopword_ratio"),
+        F.round(quality_score(col), 6).alias("quality"),
+        fingerprint(col).alias("fp"),
+    )

@@ -67,18 +67,19 @@ def reddit_graph(posts: DataFrame, comments: DataFrame) -> tuple[DataFrame, Data
     """
     post_props = [c for c in posts.columns if c != "id"]
     comment_props = [c for c in comments.columns if c != "id"]
+    # MATCH-drop semantics: the reference's comment Cypher MERGEs the comment
+    # node, its user node, and both edges in ONE query that starts with
+    # `MATCH (p1:Post_Reddit {id: $postId})` — an orphaned comment therefore
+    # contributes NOTHING, nodes included (glue/reddit_glue.py:92-109).
     attached = model.fk_join(
-        comments.select("id", "post_id", "username"),
-        posts.select(F.col("id").alias("p_id")),
-        "post_id",
-        "p_id",
+        comments, posts.select(F.col("id").alias("p_id")), "post_id", "p_id"
     )
 
     nodes = model.union_sources(
         _nodes(posts, F.col("id"), "Post_Reddit", post_props),
-        _nodes(comments, F.col("id"), "Comment_Reddit", comment_props),
+        _nodes(attached, F.col("id"), "Comment_Reddit", comment_props),
         _nodes(posts.select(F.col("username")), F.col("username"), "User_Reddit", []),
-        _nodes(comments.select(F.col("username")), F.col("username"), "User_Reddit", []),
+        _nodes(attached.select(F.col("username")), F.col("username"), "User_Reddit", []),
         _nodes(posts.select(F.col("subreddit")), F.col("subreddit"), "Subreddit_Reddit", []),
     ).dropDuplicates(["node_id", "label"])
 

@@ -137,12 +137,13 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
-# The driver's parquet carries TIMESTAMP(NANOS) columns, which Spark's
-# parquet reader rejects outright. We read them as raw nanos longs
+# Some driver parquet timestamp columns are TIMESTAMP(NANOS) (events.ts),
+# which Spark's parquet reader rejects outright; others are millis and read
+# fine as TimestampType (orders/lineitem). We read nanos as raw longs
 # (spark.sql.legacy.parquet.nanosAsLong) and rebuild TimestampType with
 # integer division — doubles can't represent epoch-nanos (> 2^53), so the
-# division MUST stay integral. Verified lossless: no testdata timestamp has
-# sub-microsecond residue.
+# division MUST stay integral. The repair is applied only when the column
+# actually arrives as a long, so millis-typed files pass through untouched.
 TESTDATA_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -152,12 +153,16 @@ TESTDATA_TS_COLS = {
 
 def load_table(spark, sf_dir: str, name: str):
     """Canonical scan of one driver testdata table, timestamps repaired."""
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F, types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in TESTDATA_TS_COLS.get(name, ()):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if dtypes.get(c) == "bigint":  # nanos-as-long needs the rebuild
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dtypes.get(c, "").startswith("timestamp"):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

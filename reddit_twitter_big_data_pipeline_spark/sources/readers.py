@@ -53,7 +53,14 @@ def read_partitioned_json(
 
 
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split a PERMISSIVE scan into (clean, corrupt) frames."""
+    """Split a PERMISSIVE scan into (clean, corrupt) frames.
+
+    Spark forbids queries that reference only `_corrupt_record` over a raw
+    JSON scan (SPARK-21610): the parsed result must be materialized first.
+    Local cache here; a production ingest would land the parsed batch to a
+    bronze table and split from there (same one-materialization cost).
+    """
+    df = df.cache()
     corrupt = df.filter(F.col("_corrupt_record").isNotNull())
     clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return clean, corrupt

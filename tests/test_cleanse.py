@@ -1,0 +1,107 @@
+"""Unit tests for operators.cleanse — SURVEY §2.3 F1-F6 / T1-T5, one test per
+inventory row, inline frames with exact expected output (SURVEY §5 plan #1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_twitter_big_data_pipeline_spark.operators import cleanse
+
+
+def test_f1_time_range_half_open(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-02 00:00:00",), ("2024-01-03 00:00:00",)],
+        ["s"],
+    ).select(F.to_timestamp("s").alias("ts"))
+    out = cleanse.filter_time_range(df, "ts", "2024-01-01 00:00:00", "2024-01-03 00:00:00")
+    got = sorted(r.ts.strftime("%Y-%m-%d") for r in out.collect())
+    assert got == ["2024-01-01", "2024-01-02"]  # end is exclusive
+
+
+def test_f2_scrub_empty_any_column_drops_row(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("", "y"), ("c", ""), (None, "z"), ("e", "w")], ["u", "v"]
+    )
+    out = cleanse.scrub_empty(df, ["u", "v"])
+    assert sorted(r.u for r in out.collect()) == ["a", "e"]
+
+
+def test_f3_sentinels_nulled_then_dropped(spark):
+    rows = [
+        ("keep", "alice"),
+        ("[deleted]", "bob"),
+        ("[removed]", "carol"),
+        ("", "dan"),
+        ("fine", "None"),
+        ("ok", ""),
+        (None, "eve"),
+        ("good", None),
+    ]
+    df = spark.createDataFrame(rows, ["content", "username"])
+    out = cleanse.scrub_sentinels(df)
+    assert sorted((r.content, r.username) for r in out.collect()) == [("keep", "alice")]
+
+
+def test_f4_bot_filter(spark):
+    df = spark.createDataFrame(
+        [("1", "AutoModerator"), ("2", "human"), ("3", None)], ["id", "username"]
+    )
+    out = cleanse.filter_bots(df)
+    assert [r.id for r in out.collect()] == ["2"]
+
+
+def test_f5_length_guard_null_passes(spark):
+    df = spark.createDataFrame([("abc",), ("toolongtext",), (None,)], ["content"])
+    out = cleanse.filter_length(df, ["content"], 5)
+    got = [r.content for r in out.collect()]
+    assert sorted(x or "" for x in got) == ["", "abc"]  # null content is not "too long"
+
+
+def test_f6_blocklist_case_insensitive_substring(spark):
+    df = spark.createDataFrame(
+        [("1", "clean text"), ("2", "has BadWord inside"), ("3", "also badword")],
+        ["id", "content"],
+    )
+    out = cleanse.filter_blocklist(df, ["content"], ["badword"])
+    assert [r.id for r in out.collect()] == ["1"]
+
+
+def test_f6_blocklist_regex_metachars_escaped(spark):
+    df = spark.createDataFrame([("1", "price is 5.5"), ("2", "price is 555")], ["id", "content"])
+    out = cleanse.filter_blocklist(df, ["content"], ["5.5"])
+    # "." must match literally: only the literal "5.5" row drops
+    assert [r.id for r in out.collect()] == ["2"]
+
+
+def test_t1_parse_mentions_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("1", "a,b"), ("2", None), ("3", "")], ["id", "mentionedUsers"]
+    )
+    parsed = cleanse.parse_mentions(df)
+    got = {r.id: r.mentionedUsers for r in parsed.collect()}
+    assert got == {"1": ["a", "b"], "2": [], "3": []}
+    back = parsed.select("id", cleanse.mentions_to_csv().alias("csv")).collect()
+    assert {r.id: r.csv for r in back} == {"1": "a,b", "2": None, "3": None}
+
+
+def test_t2_explode_mentions_null_yields_zero_rows(spark):
+    df = cleanse.parse_mentions(
+        spark.createDataFrame([("1", "x,y"), ("2", None)], ["id", "mentionedUsers"])
+    )
+    out = cleanse.explode_mentions(df)
+    assert sorted((r.id, r.mentioned_user) for r in out.collect()) == [("1", "x"), ("1", "y")]
+
+
+def test_t3_dataload_label(spark):
+    df = spark.createDataFrame([("2024-03-05 10:00:00",)], ["s"]).select(
+        F.to_timestamp("s").alias("ts")
+    )
+    assert df.select(cleanse.dataload_label(F.col("ts")).alias("d")).first().d == "05-03-2024"
+
+
+def test_t4_cast_cols(spark):
+    df = spark.createDataFrame([("5", "1.5")], ["a", "b"])
+    out = cleanse.cast_cols(df, {"a": "int", "b": "double"})
+    r = out.first()
+    assert r.a == 5 and abs(r.b - 1.5) < 1e-12
+    assert dict(out.dtypes) == {"a": "int", "b": "double"}

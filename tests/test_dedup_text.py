@@ -1,0 +1,189 @@
+"""Unit tests for the north-star extensions: dedup, text analysis,
+similarity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_twitter_big_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text as text_ops,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),        # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "  The  QUICK brown fox jumps over the lazy dog  "),   # normalizes to 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedupe_normalization(spark):
+    out = dedup.exact_dedupe(_docs(spark))
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4]  # 2 and 5 fold into 1
+
+
+def test_exact_dup_groups(spark):
+    out = dedup.exact_dup_groups(_docs(spark))
+    got = {r.keep_id: r.n_dups for r in out.collect()}
+    assert got == {1: 3, 3: 1, 4: 1}
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    sh = df.select(dedup.shingles("text", 3).alias("s")).first().s
+    assert sh == ["one two"]  # shorter than k ⇒ whole text
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    # one word changed in a 9-token doc: 3-shingle sets share 4 of 10 → J=0.4
+    out = dedup.jaccard_pairs(_docs(spark), threshold=0.3)
+    got = {(r.a, r.b): r.jaccard for r in out.collect()}
+    assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0 and got[(2, 5)] == 1.0
+    assert abs(got[(1, 3)] - 0.4) < 1e-9
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_matches_jaccard_on_planted(spark):
+    # At threshold 0.5 every qualifying pair here is an exact dup (J=1.0),
+    # which LSH banding recalls with certainty (all bands agree) — so the
+    # MinHash pipeline must reproduce exact-Jaccard output exactly.
+    mh = dedup.minhash_dedup_pairs(_docs(spark), threshold=0.5)
+    jc = dedup.jaccard_pairs(_docs(spark), threshold=0.5)
+    assert sorted(map(tuple, mh.collect())) == sorted(map(tuple, jc.collect()))
+
+
+def test_simhash_identical_distance_zero(spark):
+    for hash_fn in ("xxhash64", "md5"):
+        out = dedup.simhash_near_pairs(_docs(spark), max_distance=0, hash_fn=hash_fn)
+        pairs = {(r.a, r.b) for r in out.collect()}
+        assert {(1, 2), (1, 5), (2, 5)} <= pairs  # identical normalized text
+
+
+def test_max_shingle_freq_drops_hot_shingles(spark):
+    # every doc shares the hot shingle; capping the freq removes the join blowup
+    rows = [(i, f"common shared prefix unique{i} tail{i} end{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.jaccard_pairs(df, threshold=0.1, max_shingle_freq=5)
+    assert out.count() == 0  # only the hot shingle connected them
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def test_text_profile_columns(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat is here")], ["doc_id", "text"])
+    r = text_ops.text_profile(df).first()
+    assert r.n_tokens == 7
+    assert r.lang_pred == "en"
+    assert r.punct_ratio == 0.0
+    # stopwords: the ×2, and, is → 4 of 7
+    assert abs(r.stopword_ratio - round(4 / 7, 6)) < 1e-9
+    assert r.quality == round(7 / 100.0, 6)
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze ist"), (2, "el perro y la casa es"), (3, "just words")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.l for r in df.select("doc_id", text_ops.lang_id("text").alias("l")).collect()}
+    assert got == {1: "de", 2: "es", 3: "en"}
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(1, "hello, world42!")], ["doc_id", "text"])
+    # tokens: hello , world 42 !  → 5
+    assert df.select(text_ops.bpe_token_count("text").alias("n")).first().n == 5
+
+
+def test_fingerprint64_stable_and_positive(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "ABC  ")], ["doc_id", "text"])
+    out = df.select("doc_id", text_ops.fingerprint64("text").alias("f")).collect()
+    vals = {r.doc_id: r.f for r in out}
+    assert vals[1] == vals[2] > 0  # normalization folds case/space; 60-bit positive
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def _emb(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(spark):
+    emb = _emb(spark)
+    out = similarity.brute_force_topk(emb.filter(F.col("vec_id") == 1), emb, k=2)
+    got = [(r.neighbor_id, r.sim) for r in out.orderBy(F.desc("sim"), "neighbor_id").collect()]
+    assert got[0] == (4, 1.0)  # identical vector
+    assert got[1][0] == 2
+
+
+def test_ann_same_bucket_identical_vectors(spark):
+    emb = _emb(spark)
+    out = similarity.ann_topk(emb.filter(F.col("vec_id") == 1), emb, k=2, dim=4)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert 4 in ids  # identical vector always shares the bucket
+
+
+def test_embedding_near_dup(spark):
+    # cos(v1, v2) = 0.9/√0.82 ≈ 0.9939, so (1,2) and (2,4) also clear 0.99
+    out = similarity.embedding_near_dup_pairs(_emb(spark), threshold=0.99, dim=4)
+    assert {(r.a, r.b) for r in out.collect()} == {(1, 2), (1, 4), (2, 4)}
+    strict = similarity.embedding_near_dup_pairs(_emb(spark), threshold=0.999, dim=4)
+    assert {(r.a, r.b) for r in strict.collect()} == {(1, 4)}
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_media_features_deterministic(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload-bytes")), (2, "audio", None)],
+        ["media_id", "kind", "payload"],
+    )
+    out = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert out[1].n_bytes == 13
+    assert len(out[1].feature) == multimodal.FEATURE_DIM
+    assert abs(sum(out[1].feature) - 1.0) < 1e-6
+    assert out[2].n_bytes == 0
+    import hashlib
+
+    assert out[1].checksum == hashlib.md5(b"payload-bytes").hexdigest()
+
+
+def test_real_backend_raises_at_seam(spark):
+    media = spark.createDataFrame([(1, "image", bytearray(b"x"))], ["media_id", "kind", "payload"])
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(media, backend="real").collect()
+
+
+def test_frame_sample_fanout(spark):
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"f" * 200))], ["media_id", "kind", "payload"]
+    )
+    out = multimodal.frame_sample_stub(media).collect()
+    assert [r.frame_idx for r in out] == [0, 1, 2]  # 200 // 64 = 3 frames
+    assert all(len(r.frame_payload) <= 64 for r in out)
+
+
+def test_resize_stub_schema(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"img"))], ["media_id", "kind", "payload"]
+    )
+    r = multimodal.resize_stub(media, 64, 48).first()
+    assert (r.width, r.height) == (64, 48) and bytes(r.payload) == b"img"

@@ -1,0 +1,91 @@
+"""Unit tests for operators.model — SURVEY §2.5 A1-A9."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_twitter_big_data_pipeline_spark.operators import model
+
+
+def test_a1_distinct_dim_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [("x", "s1"), ("x", "s1"), ("y", None), ("z", "s2")], ["u", "s"]
+    )
+    out = model.distinct_dim(df, ["u", "s"])
+    assert sorted((r.u, r.s) for r in out.collect()) == [("x", "s1"), ("z", "s2")]
+
+
+def test_a2_dedupe_last_writer(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 2, "new"), ("j", 5, "only")], ["id", "v", "payload"]
+    )
+    out = model.dedupe_by_key(df, ["id"], order_col="v")
+    assert {r.id: r.payload for r in out.collect()} == {"k": "new", "j": "only"}
+
+
+def test_a3_fk_join_drops_orphans(spark):
+    comments = spark.createDataFrame([("c1", "p1"), ("c2", "p404")], ["id", "post_id"])
+    posts = spark.createDataFrame([("p1",)], ["pid"])
+    out = model.fk_join(comments, posts, "post_id", "pid")
+    assert [r.id for r in out.collect()] == ["c1"]
+    orph = model.orphans(comments, posts, "post_id", "pid")
+    assert [r.id for r in orph.collect()] == ["c2"]
+
+
+def test_a4_strip_thing_prefix(spark):
+    df = spark.createDataFrame([("t1_ab_cd",), ("t3_xyz",), ("plain",)], ["p"])
+    out = df.select(model.strip_thing_prefix(F.col("p")).alias("s")).collect()
+    # underscore INSIDE the id is preserved (anchored regex, not substring_index)
+    assert [r.s for r in out] == ["ab_cd", "xyz", "plain"]
+
+
+def test_a4_comment_depth_multilevel_and_orphan(spark):
+    comments = spark.createDataFrame(
+        [
+            ("c1", "p1", "t3_p1"),      # depth 0
+            ("c2", "p1", "t1_c1"),      # depth 1
+            ("c3", "p1", "t1_c2"),      # depth 2
+            ("c4", "p1", "t1_missing"),  # orphan: excluded
+        ],
+        ["id", "post_id", "parent_id"],
+    )
+    out = model.comment_depth(comments)
+    assert {r.id: r.depth for r in out.collect()} == {"c1": 0, "c2": 1, "c3": 2}
+
+
+def test_a5_argmax(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, "a"), ("g1", 9, "b"), ("g2", 5, "c")], ["g", "v", "payload"]
+    )
+    out = model.argmax(df, ["g"], "v", ["payload"])
+    assert {r.g: (r.v, r.payload) for r in out.collect()} == {"g1": (9, "b"), "g2": (5, "c")}
+
+
+def test_a7_top_n(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    out = model.top_n(df, "v", 3)
+    assert sorted(r.v for r in out.collect()) == [7, 8, 9]
+
+
+def test_a7_top_n_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5)] + [("h", i) for i in range(2)], ["g", "v"]
+    )
+    out = model.top_n_per_group(df, ["g"], "v", 2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("g", 3), ("g", 4), ("h", 0), ("h", 1)]
+
+
+def test_a9_union_by_name_missing_cols(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "only_a"])
+    b = spark.createDataFrame([(2,)], ["id"])
+    out = model.union_sources(a, b)
+    got = {r.id: r.only_a for r in out.collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_a8_with_batch_id(spark):
+    df = spark.createDataFrame([(i,) for i in range(7)], ["v"])
+    out = model.with_batch_id(df, 3, "v")
+    got = {r["v"]: r["__batch"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 2}

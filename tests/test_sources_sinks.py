@@ -1,0 +1,131 @@
+"""Tests for sources/sinks: partitioned JSON round-trip with partition
+pruning, corrupt-record quarantine, latest-batch, merge upsert idempotency
+(SURVEY §5 plan #4)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from reddit_twitter_big_data_pipeline_spark import schemas
+from reddit_twitter_big_data_pipeline_spark.sinks import writers
+from reddit_twitter_big_data_pipeline_spark.sources import readers
+
+
+def _write_json_array(path: str, records: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(records, f)
+
+
+def test_partitioned_json_scan_and_pruning(spark, tmp_path):
+    root = str(tmp_path / "social")
+    rec = {
+        "id": 1, "date": "2023-03-25 10:00:00", "content": "hello", "username": "u1",
+        "followersCount": 5, "mentionedUsers": None, "retweetCount": 0,
+        "replyCount": 0, "inReplyToUser": None, "timeStamp": "2023-03-25 10:00:00",
+    }
+    _write_json_array(f"{root}/topic=war/dataload=25-03-2023/0.json", [rec, {**rec, "id": 2}])
+    _write_json_array(f"{root}/topic=peace/dataload=25-03-2023/0.json", [{**rec, "id": 3}])
+
+    df = readers.read_partitioned_json(spark, root, schemas.TWEETS, topic="war")
+    # partition pruning reached the file source (check BEFORE caching)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "war" in plan
+    clean, corrupt = readers.quarantine_split(df)
+    assert sorted(r.id for r in clean.collect()) == [1, 2]
+    assert corrupt.count() == 0
+
+
+def test_corrupt_record_quarantine(spark, tmp_path):
+    """In multiLine (JSON-array) mode the parse unit is the FILE, so one
+    drifted record quarantines its whole file — sibling files stay clean and
+    the scan never fails."""
+    root = str(tmp_path / "bad")
+    bad = f"{root}/topic=x/dataload=01-01-2024/0.json"
+    os.makedirs(os.path.dirname(bad), exist_ok=True)
+    with open(bad, "w") as f:
+        f.write('[{"id": 1, "date": "d"}, {"id": "NOT_A_LONG", "date": "d"}]')
+    _write_json_array(
+        f"{root}/topic=x/dataload=01-01-2024/1.json", [{"id": 7, "date": "d"}]
+    )
+    df = readers.read_partitioned_json(spark, root, schemas.TWEETS)
+    clean, corrupt = readers.quarantine_split(df)
+    assert [r.id for r in clean.collect()] == [7]
+    assert corrupt.count() >= 1  # bad file quarantined, good file unaffected
+
+
+def test_latest_batch(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:15:00"), (3, "2024-01-01 10:15:00")],
+        ["id", "timeStamp"],
+    )
+    out = readers.latest_batch(df)
+    assert sorted(r.id for r in out.collect()) == [2, 3]
+
+
+def test_read_topics(spark, tmp_path):
+    p = tmp_path / "topics.txt"
+    p.write_text("Ukraine war\n\n  putin  \n")
+    out = readers.read_topics(spark, str(p))
+    assert sorted(r.topic for r in out.collect()) == ["Ukraine war", "putin"]
+
+
+def test_partitioned_json_write_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(1, "a", "war", "25-03-2023"), (2, "b", "peace", "25-03-2023")],
+        ["id", "content", "topic", "dataload"],
+    )
+    writers.write_partitioned_json(df, root)
+    back = spark.read.option("basePath", root).json(root)
+    assert sorted((r.id, r.topic) for r in back.collect()) == [(1, "war"), (2, "peace")]
+    assert os.path.isdir(f"{root}/topic=war/dataload=25-03-2023")
+
+
+def test_csv_snapshot_flattens_complex(spark, tmp_path):
+    path = str(tmp_path / "csv")
+    df = spark.createDataFrame([(1, ["a", "b"])], ["id", "arr"])
+    writers.write_csv_snapshot(df, path)
+    back = spark.read.option("header", True).csv(path)
+    r = back.first()
+    assert r.id == "1" and json.loads(r.arr) == ["a", "b"]
+
+
+def test_merge_upsert_late_refresh(spark, tmp_path):
+    """W4: the 2-3-day late re-crawl replaces initial score snapshots
+    (reference: reddit/lambda_function_aggregate.py:59-71)."""
+    target = str(tmp_path / "posts")
+    initial = spark.createDataFrame(
+        [("p1", 1, "2024-01-01"), ("p2", 2, "2024-01-01")], ["id", "score", "asof"]
+    )
+    writers.merge_upsert(spark, target, initial, ["id"], order_col="asof")
+    refresh = spark.createDataFrame(
+        [("p1", 99, "2024-01-03"), ("p3", 5, "2024-01-03")], ["id", "score", "asof"]
+    )
+    merged = writers.merge_upsert(spark, target, refresh, ["id"], order_col="asof")
+    got = {r.id: r.score for r in merged.collect()}
+    assert got == {"p1": 99, "p2": 2, "p3": 5}
+    # idempotency: replaying the same refresh changes nothing
+    again = writers.merge_upsert(spark, target, refresh, ["id"], order_col="asof")
+    assert {r.id: r.score for r in again.collect()} == got
+
+
+def test_dedupe_last_writer(spark):
+    df = spark.createDataFrame(
+        [("k", "2024-01-01", 1), ("k", "2024-01-02", 2)], ["id", "ts", "v"]
+    )
+    out = writers.dedupe_last_writer(df, ["id"], "ts")
+    assert [r.v for r in out.collect()] == [2]
+
+
+def test_load_table_timestamps(spark, sf_dir):
+    """schemas.load_table repairs nanos and passes millis through; both end
+    TimestampType."""
+    for t, cols in schemas.TESTDATA_TS_COLS.items():
+        df = schemas.load_table(spark, sf_dir, t)
+        for c in cols:
+            assert dict(df.dtypes)[c].startswith("timestamp"), (t, c)
+        assert df.limit(1).count() == 1

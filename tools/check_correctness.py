@@ -1,0 +1,122 @@
+"""Local approximation of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column
+names, and a value hash (columns sorted by name, rows sorted by all
+columns, floats rounded to 9 significant digits).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    df = df.copy()
+    df.columns = [str(c) for c in df.columns]
+    df = df[sorted(df.columns)]
+    norm = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            norm[c] = s.map(lambda v: "null" if pd.isna(v) else f"{v:.9g}")
+        elif s.dtype.kind in "iu":
+            norm[c] = s.map(lambda v: "null" if pd.isna(v) else str(int(v)))
+        else:
+            norm[c] = s.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+    nd = pd.DataFrame(norm) if norm else pd.DataFrame(index=df.index)
+    if len(nd.columns):
+        nd = nd.sort_values(by=list(nd.columns), kind="mergesort").reset_index(drop=True)
+    h = hashlib.md5()
+    for row in nd.itertuples(index=False):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return len(df), sorted(df.columns), h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
+        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
+    )
+
+    import __spark_entry__ as E
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: SPARK ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(sdf)} ({time.time()-t0:.1f}s, no oracle)")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:300]}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        sn, sc, sh = canon(sdf)
+        on, oc, oh = canon(odf)
+        ok = (sn, sc, sh) == (on, oc, oh)
+        if ok:
+            print(f"pass  {name}: rows={sn} ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark(rows={sn}, cols={sc}, h={sh[:8]}) vs oracle(rows={on}, cols={oc}, h={oh[:8]})")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak-check")
+    if failures:
+        print("failures:", " ".join(failures))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
