@@ -148,14 +148,15 @@ def minhash_signatures(
     (doc × partition) before the exchange.
     """
     ex = explode_shingles(df, id_col, text_col, k)
-    hashed = ex.select(
-        "id", *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(num_perm)]
-    )
-    agg = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)]
-    )
-    return agg.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    # The signature is built as ONE array-typed aggregate output — never
+    # num_perm aliased columns. Wide aliased projections make Catalyst's
+    # constraint propagation quadratic in plan width (measured 10-80×
+    # slowdowns in downstream joins); a single array attribute keeps the
+    # constraint set O(1) regardless of num_perm.
+    return ex.groupBy("id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))) for i in range(num_perm)]
+        ).alias("sig")
     )
 
 
@@ -258,34 +259,41 @@ def simhash_signatures(
     """
     n_bits = 64 if hash_fn == "xxhash64" else 60
     toks = F.split(text_ops.normalize_text(text_col), " ")
-    if hash_fn == "xxhash64":
-        hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    else:
-        hashes = F.transform(toks, _md5_token_hash)
-    # Shift amounts must be Python ints (F.shiftright rejects Columns), so
-    # the per-bit votes unroll as n_bits static fold expressions — one
-    # narrow projection, still zero shuffle. Materialize the hash array once
-    # per row so the n_bits folds don't re-hash the tokens.
-    hashed = df.select(F.col(id_col).alias("id"), hashes.alias("__h"))
-
-    # NB: higher-order functions introspect the lambda's arity, so the bit
-    # index must be captured by closure (a `b=b` default arg would become a
-    # third lambda variable).
-    def _vote(b: int) -> Column:
-        return F.aggregate(
-            F.col("__h"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    # Relational formulation: explode tokens → hash each once → ONE groupBy
+    # with n_bits conditional-sum aggregates. Everything stays inside
+    # whole-stage codegen (array HOF folds are interpreted in Spark — an
+    # earlier fold-based version was ~30× slower), partial aggregation
+    # shrinks the shuffle to one row per (doc × partition), and the shuffle
+    # key is the doc id. Token multiplicity is preserved (classic SimHash
+    # frequency weighting).
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    h = F.xxhash64(F.col("t")) if hash_fn == "xxhash64" else _md5_token_hash(F.col("t"))
+    hashed = ex.select("id", h.alias("h"))
+    # Votes land in ONE array-typed aggregate column (see minhash_signatures
+    # for why plan width matters: Catalyst constraint propagation is
+    # quadratic in the number of aliased attributes).
+    votes = hashed.groupBy("id").agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                )
+                for b in range(n_bits)
+            ]
+        ).alias("v")
+    )
     sig = None
     for b in range(n_bits):
         bit = F.shiftleft(
-            F.when(_vote(b) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
+            F.when(F.element_at(F.col("v"), b + 1) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+            b,
         )
         sig = bit if sig is None else sig.bitwiseOR(bit)
-    return hashed.select("id", sig.alias("simhash"))
+    return votes.select("id", sig.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

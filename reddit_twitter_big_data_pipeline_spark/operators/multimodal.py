@@ -43,14 +43,15 @@ FEATURE_DIM = 8
 
 def _fake_feature(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-content embedding: byte-histogram
-    moments over FEATURE_DIM equal-width bucket ranges."""
+    moments over FEATURE_DIM equal-width bucket ranges. numpy bincount —
+    never a per-byte Python loop (payloads are the hot bytes at scale)."""
     if not payload:
         return [0.0] * FEATURE_DIM
-    buckets = [0] * FEATURE_DIM
-    for by in payload:
-        buckets[by * FEATURE_DIM // 256] += 1
-    n = float(len(payload))
-    return [b / n for b in buckets]
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+    buckets = np.bincount(arr * FEATURE_DIM // 256, minlength=FEATURE_DIM)
+    return (buckets / float(len(payload))).tolist()
 
 
 def _real_decode(payload: bytes, kind: str):

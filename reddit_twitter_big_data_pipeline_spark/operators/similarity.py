@@ -22,8 +22,22 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double — sequential fold, deterministic order."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ in double — strictly left-to-right addition, so the result is
+    bit-identical to a single-threaded sequential oracle.
+
+    With `dim` known, the sum unrolls to a static expression chain that
+    whole-stage codegen compiles (array higher-order functions are
+    interpreted in Spark and ~10× slower in the join hot path); the addition
+    order is the same left-associative sequence as the fold, so results are
+    bit-identical between the two forms.
+    """
+    if dim is not None:
+        out = None
+        for i in range(1, dim + 1):
+            term = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+            out = term if out is None else out + term
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -31,12 +45,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -45,6 +59,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Exact top-k neighbors for each query: (query_id, neighbor_id, sim).
 
@@ -55,10 +70,14 @@ def brute_force_topk(
     results are total-ordered and reproducible.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col), dim).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col), dim).alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -67,7 +86,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+            (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -89,10 +108,17 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit i = 1{vec·plane_i > 0}, packed into a long."""
+    """Sign-bit bucket id: bit i = 1{vec·plane_i > 0}, packed into a long.
+
+    Uses the fold-form dot deliberately: unrolling n_planes × dim terms into
+    one projection exceeds janino's method limits (codegen compile fails and
+    the WHOLE stage falls back to interpreted). The bucket is computed once
+    per row — not in the pairwise hot path — so the interpreted fold is the
+    right trade."""
     bits = [
         F.when(
-            dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) > 0, F.lit(1).cast("long")
+            dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) > 0,
+            F.lit(1).cast("long"),
         )
         .otherwise(F.lit(0).cast("long"))
         .alias(f"b{i}")
@@ -122,13 +148,13 @@ def ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
+        norm(F.col(vec_col), dim).alias("qn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
+        norm(F.col(vec_col), dim).alias("cn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
@@ -137,7 +163,7 @@ def ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+            (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -165,7 +191,7 @@ def embedding_near_dup_pairs(
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("n"),
+        norm(F.col(vec_col), dim).alias("n"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
@@ -176,7 +202,7 @@ def embedding_near_dup_pairs(
         .select(
             "a",
             "b",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+            F.round(dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6).alias(
                 "cosine"
             ),
         )

@@ -51,6 +51,11 @@ def get_spark(
         # Driver testdata parquet uses TIMESTAMP(NANOS); read as long and
         # repair in schemas.load_table (Spark rejects nanos otherwise).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Constraint propagation is quadratic in plan width and measured
+        # 5-80× optimizer-time blowups on our wide hash/signature plans
+        # (minhash, simhash, unrolled dot products). Our plans state their
+        # filters explicitly, so inferred constraints buy nothing here.
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

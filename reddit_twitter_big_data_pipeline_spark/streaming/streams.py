@@ -1,0 +1,202 @@
+"""Structured Streaming layer — SURVEY §2.6 (W1-W5) + W6 extensions.
+
+The reference's "streaming" is cron wiring: EventBridge fires scraper
+Lambdas every 15 minutes (reference: terraform/main.tf:200-205), daily Glue
+jobs consume yesterday's Hive partition (reference: glue/reddit_glue.py:60),
+Glue job bookmarks provide incremental exactly-once progress (reference:
+terraform/main.tf:374,402), and a deliberate 2-3-day re-crawl refreshes
+settled Reddit scores (reference: reddit/lambda_function_aggregate.py:38,59-71).
+
+Here the same semantics are first-class Structured Streaming:
+
+  W1  micro-batch trigger      → file-source `readStream` (+ maxFilesPerTrigger
+                                 / availableNow for replay-all-then-stop)
+  W2  15-min tumbling window   → `window(ts, "15 minutes")` + watermark
+  W3  daily boundary/watermark → `window(ts, "1 day")` + 1-hour watermark
+  W4  3-day late refresh       → `foreachBatch` → sinks.writers.merge_upsert
+  W5  exactly-once bookmarks   → checkpointLocation (file-source offsets log)
+  W6  sessionization (absent   → `session_window`; stream dedup via
+      in reference)              `dropDuplicatesWithinWatermark`
+
+At 100 TB the same topology holds: the file source lists only NEW files per
+micro-batch (offset log keeps listing incremental), state for windowed aggs
+is bounded by the watermark (state-store rows expire once the watermark
+passes the window end), and `foreachBatch` turns each micro-batch into a
+bounded MERGE whose shuffle is keyed on the upsert keys. Nothing buffers the
+stream on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..sinks import writers
+
+
+# --------------------------------------------------------------------- W1
+
+def read_json_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+    multi_line: bool = True,
+) -> DataFrame:
+    """W1: micro-batch file-source ingest over the reference's landing layout
+    (JSON-array files under topic=…/dataload=… — reference:
+    twitter/lambda_function.py:26,42-43). Schema is EXPLICIT (never inferred
+    on a stream); partition dirs surface as columns automatically when the
+    glob keeps them. `maxFilesPerTrigger` bounds micro-batch size the way the
+    15-minute cron bounded scrape volume."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("multiLine", "true" if multi_line else "false")
+        .option("recursiveFileLookup", "false")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema: StructType, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """W1 (engine-native storage): same micro-batch semantics over parquet."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+# ---------------------------------------------------------------- W2 / W3
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """W2/W3: tumbling event-time window with late-data watermark.
+
+    The reference's 15-minute scrape window (reference:
+    twitter/lambda_function.py:28-29) and its 1-hour crawler→job settle
+    allowance (reference: terraform/main.tf:312,423 — crawl 00:00, job 01:00)
+    become a real watermark: rows later than `watermark` are dropped and the
+    window's state is reclaimed. Output columns: window_start, window_end,
+    group keys, n.
+    """
+    keys = keys or []
+    win = F.window(F.col(ts_col), window)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win, *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def sessionized_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """W6: session windows (gap-based) — absent in the reference, free in
+    Spark. State per (key, open session), closed when the watermark passes
+    session end + gap."""
+    keys = keys or []
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def dedupe_stream(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """A2-on-a-stream: drop duplicate natural keys within the watermark
+    horizon (bounded state). The batch twin is
+    sinks.writers.dedupe_last_writer."""
+    wm = df.withWatermark(ts_col, watermark)
+    try:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    except Exception:  # Spark < 3.5 fallback: state unbounded by key count
+        return wm.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------- W4 / W5
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    available_now: bool = True,
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """W5: checkpointed sink — the offset log + sink commit log give the
+    exactly-once progress the reference got from Glue job bookmarks
+    (reference: terraform/main.tf:374,402; glue/reddit_glue.py:282
+    `job.commit()`). `available_now=True` = "process everything new, then
+    stop": the direct analog of one nightly Glue run."""
+    writer = df.writeStream.format(fmt).option("checkpointLocation", checkpoint).outputMode(
+        output_mode
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(path)
+
+
+def upsert_stream(
+    df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """W4: late-data refresh as a streaming MERGE. Each micro-batch upserts
+    into the target keyed on `keys` (last-writer-wins on `order_col`) — the
+    reference's T+2/T+3-day re-crawl of Reddit scores (reference:
+    reddit/lambda_function_aggregate.py:38,59-71) replayed through
+    `foreachBatch`. Checkpointing makes the refresh itself exactly-once;
+    merge_upsert makes it idempotent even on replay."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        writers.merge_upsert(batch.sparkSession, target_path, batch, keys, order_col)
+
+    writer = df.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_completion(query: StreamingQuery, timeout_s: int = 300) -> None:
+    """Await an availableNow query; surface its exception if it failed."""
+    query.awaitTermination(timeout_s)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError(f"stream {query.name or query.id} still active after {timeout_s}s")
+    if query.exception() is not None:
+        raise query.exception()

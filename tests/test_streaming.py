@@ -1,0 +1,153 @@
+"""Streaming semantics — SURVEY §2.6 (W1-W6).
+
+Replays the reference's cron-based micro-batch topology (15-min scrapes →
+daily job with bookmarks → 2-3-day late refresh) as real Structured
+Streaming: file source + watermark windows + checkpointed exactly-once sinks
++ foreachBatch merge. Fixture files mimic the reference landing format
+(JSON arrays, reference: twitter/lambda_function.py:42-43).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reddit_twitter_big_data_pipeline_spark.streaming import streams
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("date", T.StringType(), False),
+        T.StructField("username", T.StringType(), True),
+    ]
+)
+
+
+def _write_batch(dirpath, name: str, rows: list[dict]) -> None:
+    dirpath.mkdir(parents=True, exist_ok=True)
+    (dirpath / name).write_text(json.dumps(rows))
+
+
+def _rows(ids_times: list[tuple[int, str]], user: str = "u1") -> list[dict]:
+    return [{"id": i, "date": t, "username": user} for i, t in ids_times]
+
+
+def _with_ts(df):
+    return df.withColumn("ts", F.to_timestamp("date", "yyyy-MM-dd HH:mm:ss"))
+
+
+def test_w1_w2_stream_windowed_counts(spark, tmp_path):
+    land = tmp_path / "land"
+    _write_batch(
+        land,
+        "b1.json",
+        _rows(
+            [(1, "2023-03-25 12:01:00"), (2, "2023-03-25 12:07:00"),
+             (3, "2023-03-25 12:16:00"), (4, "2023-03-25 14:00:00")]
+        ),
+    )
+    src = streams.read_json_stream(spark, str(land), SCHEMA)
+    assert src.isStreaming
+    agg = streams.windowed_counts(_with_ts(src), window="15 minutes", keys=["username"])
+    q = streams.write_stream(
+        agg, str(tmp_path / "out"), str(tmp_path / "ckpt"), output_mode="append"
+    )
+    streams.run_to_completion(q)
+    got = {
+        (r.window_start.minute, r.n)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # Final watermark = 14:00 − 1h = 13:00, which closes 12:00-12:15 (ids 1,2)
+    # and 12:15-12:30 (id 3); the 14:00-14:15 window stays open (append mode
+    # emits only watermark-closed windows — availableNow runs a flush batch).
+    assert got == {(0, 2), (15, 1)}
+
+
+def test_w5_checkpoint_exactly_once(spark, tmp_path):
+    land, out, ckpt = tmp_path / "land", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_batch(land, "b1.json", _rows([(1, "2023-03-25 12:01:00"), (2, "2023-03-25 12:02:00")]))
+    src = lambda: _with_ts(streams.read_json_stream(spark, str(land), SCHEMA)).select(  # noqa: E731
+        "id", "ts", "username"
+    )
+    streams.run_to_completion(streams.write_stream(src(), out, ckpt))
+    assert spark.read.parquet(out).count() == 2
+    # Replay with the same checkpoint, no new files → no duplicates (bookmark
+    # semantics, reference: terraform/main.tf:374).
+    streams.run_to_completion(streams.write_stream(src(), out, ckpt))
+    assert spark.read.parquet(out).count() == 2
+    # New file lands → only its rows are appended.
+    _write_batch(land, "b2.json", _rows([(3, "2023-03-25 12:03:00")]))
+    streams.run_to_completion(streams.write_stream(src(), out, ckpt))
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.select(F.countDistinct("id")).first()[0] == 3
+
+
+def test_w4_upsert_stream_late_refresh(spark, tmp_path):
+    land, tgt, ckpt = tmp_path / "land", str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    _write_batch(
+        land,
+        "day1.json",
+        [{"id": 10, "date": "2023-03-25 12:00:00", "username": "a"},
+         {"id": 11, "date": "2023-03-25 12:01:00", "username": "b"}],
+    )
+    run = lambda: streams.run_to_completion(  # noqa: E731
+        streams.upsert_stream(
+            _with_ts(streams.read_json_stream(spark, str(land), SCHEMA)),
+            tgt, ckpt, keys=["id"], order_col="ts",
+        )
+    )
+    run()
+    assert spark.read.parquet(tgt).count() == 2
+    # T+2 re-crawl of id=10 with settled data (reference:
+    # reddit/lambda_function_aggregate.py:59-71) — upsert, not append.
+    _write_batch(
+        land, "day3.json", [{"id": 10, "date": "2023-03-27 00:00:00", "username": "a2"}]
+    )
+    run()
+    got = {r.id: r.username for r in spark.read.parquet(tgt).collect()}
+    assert got == {10: "a2", 11: "b"}
+    # Idempotent replay: same checkpoint, nothing new.
+    run()
+    assert spark.read.parquet(tgt).count() == 2
+
+
+def test_w6_sessionized_counts(spark, tmp_path):
+    land = tmp_path / "land"
+    _write_batch(
+        land,
+        "b1.json",
+        _rows(
+            [(1, "2023-03-25 12:00:00"), (2, "2023-03-25 12:10:00"),  # session A
+             (3, "2023-03-25 14:00:00")],  # session B (gap > 30 min)
+        ),
+    )
+    src = _with_ts(streams.read_json_stream(spark, str(land), SCHEMA))
+    agg = streams.sessionized_counts(src, gap="30 minutes", keys=["username"])
+    q = streams.write_stream(
+        agg, str(tmp_path / "out"), str(tmp_path / "ckpt"), output_mode="append"
+    )
+    streams.run_to_completion(q)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    # Watermark closes the first session (ended 12:40 < 14:00 − 1h? no: wm is
+    # max_ts − 1h = 13:00 > 12:40 → emitted). Second session still open.
+    assert {(r.session_start.hour, r.n) for r in rows} == {(12, 2)}
+
+
+def test_w6_dedupe_stream(spark, tmp_path):
+    land = tmp_path / "land"
+    _write_batch(
+        land,
+        "b1.json",
+        _rows([(1, "2023-03-25 12:00:00"), (1, "2023-03-25 12:00:30"), (2, "2023-03-25 12:01:00")]),
+    )
+    src = _with_ts(streams.read_json_stream(spark, str(land), SCHEMA))
+    ded = streams.dedupe_stream(src, keys=["id"])
+    q = streams.write_stream(ded, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    streams.run_to_completion(q)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 2
+    assert sorted(r.id for r in got.collect()) == [1, 2]
