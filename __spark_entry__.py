@@ -481,6 +481,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["u3_claim_score"] = u3_claim_score
 
+    # ---- text analysis (north-star) ----
+    def text_profile(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return text_ops.text_profile(docs)
+
+    q["text_profile"] = text_profile
+
+    def text_fingerprint64(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", text_ops.fingerprint64("text").alias("fp64"))
+
+    q["text_fingerprint64"] = text_fingerprint64
+
+    # ---- dedup (north-star) ----
+    def dedup_exact_groups(spark, sf):
+        return dedup.exact_dup_groups(_docs_with_planted_dups(spark, sf))
+
+    q["dedup_exact_groups"] = dedup_exact_groups
+
+    def dedup_exact_keep(spark, sf):
+        return dedup.exact_dedupe(_docs_with_planted_dups(spark, sf)).select("doc_id")
+
+    q["dedup_exact_keep"] = dedup_exact_keep
+
+    def dedup_minhash_pairs(spark, sf):
+        # threshold 0.9: the regime where 64-perm/16-band LSH recall is ≈1,
+        # so the exact-Jaccard oracle is a valid gate (see ADVICE r1 — at
+        # J=0.5 recall is ~0.65 and the gate would flake on near-threshold
+        # pairs; the testdata's organic near-dups sit at J ∈ [0.8, 1.0]).
+        return dedup.minhash_dedup_pairs(
+            _docs_with_planted_dups(spark, sf), threshold=0.9
+        )
+
+    q["dedup_minhash_pairs"] = dedup_minhash_pairs
+
+    def dedup_jaccard_pairs(spark, sf):
+        # default hot-shingle cap (1000) ACTIVE and mirrored in the oracle
+        return dedup.jaccard_pairs(_docs_with_planted_dups(spark, sf), threshold=0.5)
+
+    q["dedup_jaccard_pairs"] = dedup_jaccard_pairs
+
+    def dedup_simhash_pairs(spark, sf):
+        # md5 token hash: the DuckDB oracle reproduces the signature exactly
+        return dedup.simhash_near_pairs(
+            _docs_with_planted_dups(spark, sf), max_distance=0, hash_fn="md5"
+        )
+
+    q["dedup_simhash_pairs"] = dedup_simhash_pairs
+
+    # ---- similarity search (north-star) ----
+    def sim_bruteforce_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        return similarity.brute_force_topk(probes, emb, k=5)
+
+    q["sim_bruteforce_topk"] = sim_bruteforce_topk
+
+    def sim_ann_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        return similarity.ann_topk(probes, emb, k=5)
+
+    q["sim_ann_topk"] = sim_ann_topk
+
+    def emb_near_dup(spark, sf):
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        copy = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        return similarity.embedding_near_dup_pairs(emb.unionByName(copy), threshold=0.95)
+
+    q["emb_near_dup"] = emb_near_dup
+
+    # ---- multimodal (north-star) ----
+    def media_features(spark, sf):
+        docs = _t(spark, sf, "documents")
+        media = multimodal.media_from_documents(docs)
+        return multimodal.extract_features(media).select(
+            "media_id", "kind", "n_bytes", "checksum"
+        )
+
+    q["media_features"] = media_features
+
+    def media_frame_sample(spark, sf):
+        docs = _t(spark, sf, "documents")
+        media = multimodal.media_from_documents(docs).filter(F.col("kind") == "video")
+        return multimodal.frame_sample_stub(media).select(
+            "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+        )
+
+    q["media_frame_sample"] = media_frame_sample
+
     # ---- capability-gap demos (§2.7) ----
     def x_window_rank(spark, sf):
         orders = _t(spark, sf, "orders")
@@ -540,7 +630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
             .groupBy("event_type")
-            .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+            .agg(
+                F.sum("k").cast("long").alias("sum_k"),
+                F.max("k").cast("long").alias("max_k"),
+            )
         )
 
     q["x_json_path"] = x_json_path
@@ -625,91 +718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q5_local_suppliers"] = tpch_q5_local_suppliers
-
-    # ---- text analysis (north-star) ----
-    def text_profile(spark, sf):
-        docs = _t(spark, sf, "documents")
-        return text_ops.text_profile(docs)
-
-    q["text_profile"] = text_profile
-
-    def text_fingerprint64(spark, sf):
-        docs = _t(spark, sf, "documents")
-        return docs.select("doc_id", text_ops.fingerprint64("text").alias("fp64"))
-
-    q["text_fingerprint64"] = text_fingerprint64
-
-    # ---- dedup (north-star) ----
-    def dedup_exact_groups(spark, sf):
-        return dedup.exact_dup_groups(_docs_with_planted_dups(spark, sf))
-
-    q["dedup_exact_groups"] = dedup_exact_groups
-
-    def dedup_exact_keep(spark, sf):
-        return dedup.exact_dedupe(_docs_with_planted_dups(spark, sf)).select("doc_id")
-
-    q["dedup_exact_keep"] = dedup_exact_keep
-
-    def dedup_minhash_pairs(spark, sf):
-        return dedup.minhash_dedup_pairs(
-            _docs_with_planted_dups(spark, sf), threshold=0.5
-        )
-
-    q["dedup_minhash_pairs"] = dedup_minhash_pairs
-
-    def dedup_jaccard_pairs(spark, sf):
-        return dedup.jaccard_pairs(_docs_with_planted_dups(spark, sf), threshold=0.5)
-
-    q["dedup_jaccard_pairs"] = dedup_jaccard_pairs
-
-    def dedup_simhash_pairs(spark, sf):
-        # md5 token hash: the DuckDB oracle reproduces the signature exactly
-        return dedup.simhash_near_pairs(
-            _docs_with_planted_dups(spark, sf), max_distance=0, hash_fn="md5"
-        )
-
-    q["dedup_simhash_pairs"] = dedup_simhash_pairs
-
-    # ---- similarity search (north-star) ----
-    def sim_bruteforce_topk(spark, sf):
-        emb = _t(spark, sf, "embeddings")
-        probes = emb.filter(F.col("vec_id") < 10)
-        return similarity.brute_force_topk(probes, emb, k=5)
-
-    q["sim_bruteforce_topk"] = sim_bruteforce_topk
-
-    def sim_ann_topk(spark, sf):
-        emb = _t(spark, sf, "embeddings")
-        probes = emb.filter(F.col("vec_id") < 10)
-        return similarity.ann_topk(probes, emb, k=5)
-
-    q["sim_ann_topk"] = sim_ann_topk
-
-    def emb_near_dup(spark, sf):
-        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-        copy = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
-        return similarity.embedding_near_dup_pairs(emb.unionByName(copy), threshold=0.95)
-
-    q["emb_near_dup"] = emb_near_dup
-
-    # ---- multimodal (north-star) ----
-    def media_features(spark, sf):
-        docs = _t(spark, sf, "documents")
-        media = multimodal.media_from_documents(docs)
-        return multimodal.extract_features(media).select(
-            "media_id", "kind", "n_bytes", "checksum"
-        )
-
-    q["media_features"] = media_features
-
-    def media_frame_sample(spark, sf):
-        docs = _t(spark, sf, "documents")
-        media = multimodal.media_from_documents(docs).filter(F.col("kind") == "video")
-        return multimodal.frame_sample_stub(media).select(
-            "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
-        )
-
-    q["media_frame_sample"] = media_frame_sample
 
     return q
 
@@ -989,8 +997,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
     """
 
+    # sum/max cast to BIGINT on BOTH sides: DuckDB sum(INTEGER) is HUGEINT
+    # (float64 in pandas) while Spark sum(int) is LongType — the driver's
+    # value hash is dtype-sensitive (CORRECTNESS_r01 hash mismatch).
     o["x_json_path"] = """
-        SELECT event_type, sum(k) AS sum_k, max(k) AS max_k FROM (
+        SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, CAST(max(k) AS BIGINT) AS max_k FROM (
           SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
         ) GROUP BY event_type
     """
@@ -1090,13 +1101,23 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn = 1
     """
 
-    # Exact 3-token-shingle Jaccard over the planted corpus — the testdata
-    # contains genuine near-dup pairs (J≈0.97-0.99) beyond the planted exact
-    # copies, so the oracle computes real Jaccard, mirroring
-    # operators.dedup.shingles()/jaccard_pairs() step for step. MinHash+LSH
-    # has recall ≈ 1 at J ≥ 0.5 with 64 perms / 16 bands (miss prob < 1e-13
-    # for the J ≥ 0.96 pairs present), so both operators share this oracle.
-    _jaccard_sql = f"""
+    # Exact 3-token-shingle Jaccard over the planted corpus, mirroring
+    # operators.dedup.shingles()/jaccard_pairs() step for step — including
+    # the hot-shingle cap when active. The testdata's organic near-dup pairs
+    # sit at J ∈ [0.8, 1.0]; the MinHash row compares at threshold 0.9 where
+    # 64-perm/16-band LSH candidate-recall 1−(1−J⁴)¹⁶ is ≈1 (miss ≤ 4e-8 per
+    # pair), so the exact oracle is a valid gate there (ADVICE r1 — at J=0.5
+    # recall is ~0.65 and the gate would flake on near-threshold pairs).
+    def _jaccard_oracle(threshold: float, max_freq: int | None = None) -> str:
+        cap = (
+            f"""ex AS (
+              SELECT e.doc_id, e.s FROM ex0 e
+              JOIN (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {max_freq}) ok
+                USING (s)),"""
+            if max_freq is not None
+            else "ex AS (SELECT * FROM ex0),"
+        )
+        return f"""
         WITH {_PLANTED_CTE},
         norm AS (
           SELECT doc_id,
@@ -1110,7 +1131,8 @@ def oracle_sql() -> dict[str, str]:
                             FOR i IN range(1, len(toks) - 1)] END) AS shingles
           FROM norm
         ),
-        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        {cap}
         sz AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
@@ -1119,10 +1141,11 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a, b, round(common / (sa.sz + sb.sz - common), 6) AS jaccard
         FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-        WHERE common / (sa.sz + sb.sz - common) >= 0.5
-    """
-    o["dedup_minhash_pairs"] = _jaccard_sql
-    o["dedup_jaccard_pairs"] = _jaccard_sql
+        WHERE common / (sa.sz + sb.sz - common) >= {threshold}
+        """
+
+    o["dedup_minhash_pairs"] = _jaccard_oracle(0.9)
+    o["dedup_jaccard_pairs"] = _jaccard_oracle(0.5, max_freq=1000)
 
     # md5-token-hash SimHash (60-bit), mirrored bit for bit: vote per bit
     # over token occurrences, bit set iff vote > 0; distance-0 pairs = equal
@@ -1165,8 +1188,63 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn <= 5
     """
 
+    # ANN oracle: reproduce the EXACT operator semantics — the random-
+    # hyperplane bucket (identical seeded plane literals inlined below),
+    # bucket-equality candidate restriction, cosine ranking. The gate then
+    # verifies bucketing + scoring + ranking end-to-end, not a recall
+    # assumption. Sign flips need |dot| < ~1e-13 — never on gaussian data.
+    from reddit_twitter_big_data_pipeline_spark.operators.similarity import hyperplanes
+
+    _planes = hyperplanes(64, 8, seed=42)
+    _bucket_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in plane)
+        + "]::DOUBLE[]) > 0 THEN " + str(1 << i) + " ELSE 0 END)"
+        for i, plane in enumerate(_planes)
+    )
+
+    o["sim_ann_topk"] = f"""
+        WITH b AS (
+          SELECT vec_id, embedding, ({_bucket_expr}) AS bucket,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                   / (q.nrm * c.nrm) AS s
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, round(s, 6) AS sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """
+
+    # Real all-pairs cosine over the planted corpus (ADVICE r1: the old
+    # oracle hardcoded the planted pairs). Exact copies always share an LSH
+    # bucket (recall 1.0 on them); organic pairs top out at cosine ≈ 0.60 in
+    # the testdata, far under the 0.95 threshold, so exhaustive-oracle ≡
+    # bucketed-operator output — and the gate now catches both organic
+    # near-dups and any bucketing regression.
     o["emb_near_dup"] = """
-        SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine FROM embeddings
+        WITH pl AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM pl
+        )
+        SELECT a, b, cosine FROM (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+                 round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                       / (x.nrm * y.nrm), 6) AS cosine
+          FROM n x JOIN n y ON x.vec_id < y.vec_id
+        ) WHERE cosine >= 0.95
     """
 
     o["media_features"] = """
@@ -1175,6 +1253,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                md5(text) AS checksum
         FROM documents
+    """
+
+    # frame_sample_stub derives n_frames = max(1, min(4, len/64)) and slices
+    # 64-byte frames from the payload (= utf-8 text bytes); byte counts are
+    # derivable in SQL from octet_length (VERDICT r1 item 5).
+    o["media_frame_sample"] = """
+        WITH v AS (
+          SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+          FROM documents WHERE doc_id % 3 = 2
+        ),
+        fr AS (
+          SELECT media_id, len,
+                 unnest(range(greatest(1, least(4, len // 64)))) AS i
+          FROM v
+        )
+        SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+               CAST(greatest(0, least(64, len - i * 64)) AS INTEGER) AS frame_bytes
+        FROM fr
     """
 
     return o

@@ -73,9 +73,13 @@ def filter_bots(df: DataFrame, user_col: str = "username") -> DataFrame:
 
 
 def filter_length(df: DataFrame, cols: list[str], max_len: int = 1000) -> DataFrame:
+    """NULL rows are DROPPED (length(NULL) <= n is NULL ⇒ filtered out) —
+    the reference calls len(text) on fetched content, which presumes it
+    exists; a missing-content row fails the guard. Mirrors SQL
+    `WHERE length(c) <= n` semantics so oracles need no NULL special-case."""
     out = df
     for c in cols:
-        out = out.filter(F.coalesce(F.length(F.col(c)), F.lit(0)) <= max_len)
+        out = out.filter(F.length(F.col(c)) <= max_len)
     return out
 
 

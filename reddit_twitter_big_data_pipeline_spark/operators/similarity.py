@@ -2,42 +2,56 @@
 cosine top-k baseline + LSH-bucketed ANN scale path (BASELINE.json
 north-star).
 
-Math stays JVM-side: dot products via zip_with + aggregate (sequential fold
-⇒ deterministic, bit-identical to a single-threaded oracle), norms
-precomputed once per side before the join. No Python in the hot path.
+Execution model (v2 — the round-1 pure-Column implementation unrolled 64-term
+dot products into giant expression trees whose analysis/codegen time dwarfed
+the actual math; see VERDICT r1):
 
-Scale posture:
-- brute force is O(|Q|·|C|) — correct baseline and fine when one side is
-  small enough to broadcast (the typical "probe batch vs corpus" shape);
-  the corpus side streams, the query side broadcasts.
-- ANN: random-hyperplane LSH buckets the corpus; probes only join their own
-  bucket (+ multiprobe neighbors). Hyperplanes are deterministic literals
-  derived from a seeded RNG — the plan is reproducible run to run.
+- **Scoring is Arrow-batched numpy.** One Arrow batch = one float64 matmul
+  (`C @ Q.T`), the canonical vectorized shape. Per-pair cost is a fused
+  multiply-add, not an interpreted expression node.
+- **The query side broadcasts.** `brute_force_topk`/`ann_topk` contractually
+  take a small probe set (the "probe batch vs corpus" shape); the probes are
+  collected once on the driver into a dense matrix and shipped to executors
+  as a Spark broadcast variable. The corpus is NEVER collected — it streams
+  through `mapInPandas` exactly once, emitting only per-batch partial top-k
+  rows (≤ batches × |Q| × k), so the shuffle into the final global top-k
+  window is tiny regardless of corpus size.
+- **Partial top-k pushdown.** Each Arrow batch keeps only its local top-k per
+  query under the same total order (sim desc, neighbor_id asc) as the final
+  window — a global top-k element is necessarily inside its batch's top-k, so
+  this is lossless (the map-side-combine of top-k).
+- **ANN** buckets by random-hyperplane sign bits (deterministic seeded
+  planes). Corpus rows score only against probes in their own bucket — the
+  per-batch matmul shrinks ~2^n_planes-fold.
+- **Near-dup pairs** (corpus × corpus) cannot broadcast either side: the
+  bucket is computed per-row (Arrow numpy UDF), the self-join is a cheap
+  equi-join on a long key, and the exact-cosine verify runs vectorized on
+  candidate pairs only.
+
+Determinism: all math is float64; cosine differs from a sequential-fold
+oracle only in summation association (≤ a few ulps), absorbed by the 6-dp
+rounding both sides apply.
+
+At 100 TB: corpus streams (no shuffle before the partial top-k), probes
+broadcast once per job, ANN bucket join shuffles 8-byte keys. The only
+O(|Q|·|C|) operator is the exact baseline, by design.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+# --- exact Column-expression primitives (deterministic fold; small-dim use) -
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Σ aᵢ·bᵢ in double — strictly left-to-right addition, so the result is
-    bit-identical to a single-threaded sequential oracle.
 
-    With `dim` known, the sum unrolls to a static expression chain that
-    whole-stage codegen compiles (array higher-order functions are
-    interpreted in Spark and ~10× slower in the join hot path); the addition
-    order is the same left-associative sequence as the fold, so results are
-    bit-identical between the two forms.
-    """
-    if dim is not None:
-        out = None
-        for i in range(1, dim + 1):
-            term = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-            out = term if out is None else out + term
-        return out
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double — strictly left-to-right fold, bit-identical to a
+    single-threaded sequential oracle. Interpreted (array HOFs don't codegen)
+    — fine for per-row use, NOT for pairwise hot paths (use the Arrow/numpy
+    scorers below)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -45,50 +59,72 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
-def brute_force_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int | None = 64,
-) -> DataFrame:
-    """Exact top-k neighbors for each query: (query_id, neighbor_id, sim).
+# --- shared numpy helpers ---------------------------------------------------
 
-    Plan: normalize norms once per side → broadcast the (small) query side →
-    cross-join streams the corpus exactly once → per-query top-k via
-    row_number window partitioned by query (AQE handles per-query skew).
-    Self-matches (same id) are excluded. Ties break on neighbor_id asc so
-    results are total-ordered and reproducible.
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    """array<float> column (Arrow → pandas object series of ndarrays/lists)
+    to a dense float64 matrix."""
+    return np.array([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
+
+
+def _row_norms(m: np.ndarray) -> np.ndarray:
+    return np.sqrt(np.einsum("ij,ij->i", m, m))
+
+
+def _batch_topk_rows(
+    q_ids: np.ndarray,
+    c_ids: np.ndarray,
+    sims: np.ndarray,
+    k: int,
+    q_subset: np.ndarray | None = None,
+) -> pd.DataFrame | None:
+    """Partial top-k per query within one scored batch.
+
+    sims: |C_batch| × |Q| similarity matrix (columns follow q_ids order, or
+    q_subset indices into q_ids when only some probes were scored). Keeps, per
+    query, the k best rows under (sim desc, neighbor_id asc) — the same total
+    order as the global window, so the pushdown is lossless. Self-matches
+    (query_id == neighbor_id) are dropped here so they never count toward k.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col), dim).alias("qn"),
+    out_q, out_n, out_s = [], [], []
+    cols = range(sims.shape[1]) if q_subset is None else range(len(q_subset))
+    for j in cols:
+        qi = q_ids[j] if q_subset is None else q_ids[q_subset[j]]
+        col = sims[:, j]
+        keep = c_ids != qi
+        idx = np.nonzero(keep)[0]
+        if idx.size == 0:
+            continue
+        # lexsort: primary sim desc, secondary neighbor_id asc
+        order = np.lexsort((c_ids[idx], -col[idx]))[:k]
+        sel = idx[order]
+        out_q.append(np.full(sel.size, qi, dtype=np.int64))
+        out_n.append(c_ids[sel])
+        out_s.append(col[sel])
+    if not out_q:
+        return None
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "sim": np.concatenate(out_s),
+        }
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col), dim).alias("cn"),
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("sim"),
-        )
-    )
+
+
+_TOPK_SCHEMA = "query_id long, neighbor_id long, sim double"
+
+
+def _global_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -97,37 +133,80 @@ def brute_force_topk(
     )
 
 
+def _collect_probes(queries: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side materialization of the probe set — the one deliberate
+    collect in the engine: broadcast variables require driver materialization,
+    and the probe side is contractually small (a probe batch, not a table)."""
+    rows = queries.select(id_col, vec_col).collect()
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each probe: (query_id, neighbor_id, sim).
+
+    Plan: probes → driver → broadcast matrix; corpus streams once through
+    mapInPandas (one matmul per Arrow batch, partial top-k per query per
+    batch); global top-k via a window over ≤ batches × |Q| × k rows.
+    """
+    q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
+    q_norm = _row_norms(q_mat)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        ids, qm, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = _to_matrix(pdf[vec_col])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_norm = _row_norms(c_mat)
+            sims = (c_mat @ qm.T) / (c_norm[:, None] * qn[None, :])
+            out = _batch_topk_rows(ids, c_ids, sims, k)
+            if out is not None:
+                yield out
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, _TOPK_SCHEMA)
+    return _global_topk(scored, k)
+
+
 # --- random-hyperplane LSH ANN --------------------------------------------
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic gaussian hyperplanes (driver-side literals; n_planes ×
-    dim floats is a few KB — ships inside the plan, no broadcast join)."""
+    """Deterministic gaussian hyperplanes (seeded — the plan is reproducible
+    run to run, and the DuckDB oracle inlines the identical literals)."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit i = 1{vec·plane_i > 0}, packed into a long.
-
-    Uses the fold-form dot deliberately: unrolling n_planes × dim terms into
-    one projection exceeds janino's method limits (codegen compile fails and
-    the WHOLE stage falls back to interpreted). The bucket is computed once
-    per row — not in the pairwise hot path — so the interpreted fold is the
-    right trade."""
-    bits = [
-        F.when(
-            dot(vec_col, F.array(*[F.lit(float(v)) for v in plane])) > 0,
-            F.lit(1).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias(f"b{i}")
-        for i, plane in enumerate(planes)
-    ]
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        out = out.bitwiseOR(F.shiftleft(b, i))
+def _pack_sign_bits(mat: np.ndarray, planes_t: np.ndarray) -> np.ndarray:
+    """bucket id per row: bit i = 1{row·plane_i > 0}, packed into int64."""
+    bits = (mat @ planes_t) > 0  # n × n_planes
+    out = np.zeros(mat.shape[0], dtype=np.int64)
+    for i in range(bits.shape[1]):
+        out |= bits[:, i].astype(np.int64) << i
     return out
+
+
+def lsh_bucket_udf(planes: list[list[float]]):
+    """Arrow-batched bucket assignment (replaces the r1 interpreted fold)."""
+    planes_t = np.array(planes, dtype=np.float64).T
+
+    @F.pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.array([], dtype=np.int64))
+        return pd.Series(_pack_sign_bits(_to_matrix(v), planes_t))
+
+    return _bucket
 
 
 def ann_topk(
@@ -140,38 +219,55 @@ def ann_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's LSH bucket are
-    scored. 2^n_planes buckets ⇒ the cross-join shrinks ~2^n_planes-fold;
-    recall is tunable via n_planes (fewer planes = bigger buckets = higher
-    recall, more work). The join key is a long — cheap shuffle."""
-    planes = hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col), dim).alias("qn"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col), dim).alias("cn"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", F.round(F.col("sim"), 6).alias("sim"))
-    )
+    """Approximate top-k: corpus rows score only against probes sharing their
+    LSH bucket. Same streaming shape as brute force — the bucket check is a
+    numpy equality inside the batch, so there is no join at all; the matmul
+    per batch shrinks ~2^n_planes-fold. Recall is tunable via n_planes."""
+    planes_t = np.array(hyperplanes(dim, n_planes, seed), dtype=np.float64).T
+    q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
+    q_norm = _row_norms(q_mat)
+    q_bucket = _pack_sign_bits(q_mat, planes_t)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm, q_bucket))
+
+    def score(batches):
+        ids, qm, qn, qb = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = _to_matrix(pdf[vec_col])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_norm = _row_norms(c_mat)
+            c_bucket = _pack_sign_bits(c_mat, planes_t)
+            for j in range(len(ids)):
+                in_bucket = np.nonzero(c_bucket == qb[j])[0]
+                if in_bucket.size == 0:
+                    continue
+                sub = c_mat[in_bucket]
+                sims = (sub @ qm[j]) / (c_norm[in_bucket] * qn[j])
+                out = _batch_topk_rows(
+                    ids, c_ids[in_bucket], sims[:, None], k, q_subset=np.array([j])
+                )
+                if out is not None:
+                    yield out
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, _TOPK_SCHEMA)
+    return _global_topk(scored, k)
+
+
+def cosine_pairs_udf():
+    """Vectorized exact cosine over candidate pairs (va, vb) — runs only on
+    the post-bucketing candidate set, one Arrow batch = one fused op."""
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series(np.array([], dtype=np.float64))
+        a = _to_matrix(va)
+        b = _to_matrix(vb)
+        num = np.einsum("ij,ij->i", a, b)
+        return pd.Series(num / (_row_norms(a) * _row_norms(b)))
+
+    return _cos
 
 
 def embedding_near_dup_pairs(
@@ -183,29 +279,24 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) via the
-    same LSH bucketing — the dedup-by-embedding operator from the north-star
-    list. High-cosine pairs collide in sign-bit buckets with high
-    probability; at scale add multiprobe (flip one bit) for recall."""
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) — the
+    dedup-by-embedding operator from the north-star list. Corpus × corpus, so
+    neither side broadcasts: rows bucket by hyperplane sign bits (identical
+    vectors always share a bucket ⇒ recall 1.0 on exact copies; at scale add
+    multiprobe — flip one bit — for near-copies), candidates self-join on the
+    8-byte bucket key, exact cosine verifies vectorized."""
     planes = hyperplanes(dim, n_planes, seed)
+    bucket = lsh_bucket_udf(planes)
     side = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("n"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket(F.col(vec_col)).alias("bucket")
     )
-    a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"), "bucket")
-    b = side.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "bucket")
+    a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    b = side.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    cos = cosine_pairs_udf()
     return (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6).alias(
-                "cosine"
-            ),
-        )
+        .select("a", "b", F.round(cos(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )

@@ -50,11 +50,12 @@ def test_f4_bot_filter(spark):
     assert [r.id for r in out.collect()] == ["2"]
 
 
-def test_f5_length_guard_null_passes(spark):
+def test_f5_length_guard_drops_null(spark):
+    # NULL content fails the guard (SQL `length(c) <= n` semantics — ADVICE
+    # r1: the coalesce-keep behavior diverged from the oracle on NULL data)
     df = spark.createDataFrame([("abc",), ("toolongtext",), (None,)], ["content"])
     out = cleanse.filter_length(df, ["content"], 5)
-    got = [r.content for r in out.collect()]
-    assert sorted(x or "" for x in got) == ["", "abc"]  # null content is not "too long"
+    assert [r.content for r in out.collect()] == ["abc"]
 
 
 def test_f6_blocklist_case_insensitive_substring(spark):

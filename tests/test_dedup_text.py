@@ -127,7 +127,7 @@ def _emb(spark):
 
 def test_brute_force_topk(spark):
     emb = _emb(spark)
-    out = similarity.brute_force_topk(emb.filter(F.col("vec_id") == 1), emb, k=2, dim=4)
+    out = similarity.brute_force_topk(emb.filter(F.col("vec_id") == 1), emb, k=2)
     got = [(r.neighbor_id, r.sim) for r in out.orderBy(F.desc("sim"), "neighbor_id").collect()]
     assert got[0] == (4, 1.0)  # identical vector
     assert got[1][0] == 2
