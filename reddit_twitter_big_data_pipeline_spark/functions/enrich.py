@@ -132,6 +132,88 @@ def set_backend(kind: str, fn: Callable) -> None:
     BACKENDS[kind] = fn
 
 
+# --- failure-mode wrapper (the reference's real operating mode) ------------
+
+
+class TransientEnrichError(Exception):
+    """Raise from a backend for retryable failures (HTTP 429/5xx, timeout).
+    Anything else propagates and fails the task (Spark retries the whole
+    partition — safe because enrichment is a pure function of the text)."""
+
+
+def retrying_backend(
+    fn: Callable,
+    max_retries: int = 3,
+    backoff_s: float = 0.05,
+    sleep: Callable[[float], None] | None = None,
+    null_columns: list[str] | None = None,
+):
+    """Wrap a flaky batch backend with the reference's operating semantics
+    (reference: glue/reddit_glue.py:187-196 — per-item try/except with a
+    default on failure):
+
+    1. the whole batch is retried on TransientEnrichError with exponential
+       backoff, up to `max_retries`;
+    2. if the batch still fails, it degrades to per-item calls (each with
+       its own retry budget) so one poison item cannot sink the batch;
+    3. an item that exhausts retries yields a NULL result (None for Series
+       backends, an all-NaN row for DataFrame backends) — the reference's
+       error default — and the rest of the batch keeps its real values.
+
+    The wrapper is transport-agnostic: `fn` is any pandas-batch callable, so
+    it composes with set_backend for translate/sentiment/claim alike.
+    """
+    import time as _time
+
+    _sleep = sleep if sleep is not None else _time.sleep
+
+    def _call_retry(batch: pd.Series):
+        attempt = 0
+        while True:
+            try:
+                return fn(batch)
+            except TransientEnrichError:
+                attempt += 1
+                if attempt > max_retries:
+                    raise
+                _sleep(backoff_s * (2 ** (attempt - 1)))
+
+    def _null_like(result_shape, index) -> pd.Series | pd.DataFrame:
+        # DataFrame backends (e.g. sentiment) should pass `null_columns` so
+        # the null shape is right even when every item in a batch fails.
+        cols = null_columns or (
+            list(result_shape.columns) if isinstance(result_shape, pd.DataFrame) else None
+        )
+        if cols is not None:
+            return pd.DataFrame({c: [None] for c in cols}, index=index)
+        return pd.Series([None], index=index, dtype="object")
+
+    def wrapped(texts: pd.Series):
+        try:
+            return _call_retry(texts)
+        except TransientEnrichError:
+            pass  # degrade to per-item salvage below
+        parts = []
+        shape = None
+        for idx in texts.index:
+            single = texts.loc[[idx]]
+            try:
+                r = _call_retry(single)
+                shape = r
+                parts.append(r)
+            except TransientEnrichError:
+                parts.append((idx,))  # placeholder; shaped once we know
+        out = []
+        for p in parts:
+            if isinstance(p, tuple):
+                out.append(_null_like(shape, pd.Index([p[0]])))
+            else:
+                out.append(p)
+        return pd.concat(out) if out else _null_like(shape, texts.index)
+
+    return wrapped
+
+
 # --- UDF constructors -------------------------------------------------------
 
 

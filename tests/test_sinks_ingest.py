@@ -1,0 +1,276 @@
+"""Tests for round-2 hardening: atomic merge_upsert, the batched graph
+sink, enrichment failure modes, and the rate-limited ingest connectors."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_twitter_big_data_pipeline_spark.functions import enrich
+from reddit_twitter_big_data_pipeline_spark.sinks import graph_sink, writers
+from reddit_twitter_big_data_pipeline_spark.sources import ingest
+
+
+# --- merge_upsert atomicity -------------------------------------------------
+
+
+def test_merge_upsert_crash_before_swap_preserves_target(spark, tmp_path, monkeypatch):
+    target = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "old"), (2, "old")], ["k", "v"]).write.parquet(target)
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash between staging write and swap")
+
+    monkeypatch.setattr(writers, "_swap_into_place", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        writers.merge_upsert(
+            spark, target, spark.createDataFrame([(2, "new")], ["k", "v"]), ["k"]
+        )
+    # old table fully intact; merged result parked in staging
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: "old", 2: "old"}
+    staged = {r.k: r.v for r in spark.read.parquet(target + ".__staging__").collect()}
+    assert staged == {1: "old", 2: "new"}
+
+
+def test_merge_upsert_recovers_after_crash(spark, tmp_path, monkeypatch):
+    target = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "old")], ["k", "v"]).write.parquet(target)
+    monkeypatch.setattr(writers, "_swap_into_place", lambda *a: (_ for _ in ()).throw(IOError("x")))
+    with pytest.raises(IOError):
+        writers.merge_upsert(spark, target, spark.createDataFrame([(2, "n")], ["k", "v"]), ["k"])
+    monkeypatch.undo()
+    # rerun over stale staging/backup leftovers must converge
+    out = writers.merge_upsert(
+        spark, target, spark.createDataFrame([(2, "n")], ["k", "v"]), ["k"]
+    )
+    assert {r.k: r.v for r in out.collect()} == {1: "old", 2: "n"}
+    assert not os.path.exists(target + ".__backup__")
+
+
+# --- graph sink -------------------------------------------------------------
+
+
+def _recording_transport(out_dir: str):
+    """Executor-side transport that appends each (statement, rows) call to a
+    uniquely-named JSONL file (executors are separate processes — a list in
+    the test process would stay empty)."""
+
+    def factory():
+        def send(statement, rows):
+            p = os.path.join(out_dir, f"{uuid.uuid4().hex}.json")
+            with open(p, "w") as f:
+                json.dump({"statement": statement, "rows": rows}, f)
+
+        return send
+
+    return factory
+
+
+def _replay(calls):
+    """Apply recorded MERGE statements to a dict-store with real MERGE
+    (create-or-match) semantics."""
+    nodes, edges = {}, set()
+    for c in calls:
+        stmt = c["statement"]
+        if stmt.startswith("UNWIND $rows AS row MERGE (n:"):
+            label = stmt.split("MERGE (n:")[1].split(" ")[0]
+            for r in c["rows"]:
+                nodes[(label, r["node_id"])] = r["props"]
+        else:
+            rel = stmt.split("MERGE (a)-[r:")[1].split("]")[0]
+            for r in c["rows"]:
+                edges.add((r["src"], rel, r["dst"]))
+    return nodes, edges
+
+
+def test_graph_sink_batched_idempotent(spark, tmp_path):
+    nodes = spark.createDataFrame(
+        [(f"u{i}", "User", {"name": f"n{i}"}) for i in range(7)],
+        "node_id string, label string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{(i + 1) % 7}", "FOLLOWS") for i in range(7)],
+        "src string, dst string, rel_type string",
+    )
+    d1 = str(tmp_path / "one")
+    os.makedirs(d1)
+    graph_sink.write_graph(nodes, edges, _recording_transport(d1), batch_size=3)
+    calls = [json.load(open(p)) for p in glob.glob(d1 + "/*.json")]
+    assert all(len(c["rows"]) <= 3 for c in calls)  # batch_size respected
+    store1 = _replay(calls)
+    assert len(store1[0]) == 7 and len(store1[1]) == 7
+
+    # replay the whole write a second time → MERGE converges, no duplicates
+    graph_sink.write_graph(nodes, edges, _recording_transport(d1), batch_size=3)
+    calls2 = [json.load(open(p)) for p in glob.glob(d1 + "/*.json")]
+    assert _replay(calls2) == store1
+
+
+def test_graph_sink_retries_transient(spark, tmp_path):
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir)
+    ok_dir = str(tmp_path / "ok")
+    os.makedirs(ok_dir)
+
+    def factory():
+        def send(statement, rows):
+            # fail the first attempt per batch (marker keyed on batch content)
+            key = str(abs(hash(json.dumps(rows, sort_keys=True))))
+            marker = os.path.join(marker_dir, key)
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                raise graph_sink.TransientSinkError("throttled")
+            with open(os.path.join(ok_dir, f"{uuid.uuid4().hex}.json"), "w") as f:
+                json.dump(rows, f)
+
+        return send
+
+    nodes = spark.createDataFrame(
+        [("a", "User", {}), ("b", "User", {})],
+        "node_id string, label string, props map<string,string>",
+    ).repartition(1)
+    graph_sink.write_nodes(nodes, factory, batch_size=10, backoff_s=0.0)
+    written = [json.load(open(p)) for p in glob.glob(ok_dir + "/*.json")]
+    assert sorted(r["node_id"] for c in written for r in c) == ["a", "b"]
+
+
+# --- enrichment failure modes ----------------------------------------------
+
+
+def test_retrying_backend_transient_then_success():
+    attempts = []
+
+    def flaky(texts: pd.Series) -> pd.Series:
+        attempts.append(len(texts))
+        if len(attempts) < 3:
+            raise enrich.TransientEnrichError("429")
+        return texts.str.upper()
+
+    slept = []
+    wrapped = enrich.retrying_backend(flaky, max_retries=3, sleep=slept.append)
+    out = wrapped(pd.Series(["a", "b"]))
+    assert list(out) == ["A", "B"]
+    assert len(attempts) == 3 and len(slept) == 2  # two backoffs before success
+
+
+def test_retrying_backend_poison_item_salvages_batch():
+    def poison(texts: pd.Series) -> pd.Series:
+        if texts.str.contains("bad").any():
+            raise enrich.TransientEnrichError("always fails")
+        return texts.str.len().astype("object")
+
+    wrapped = enrich.retrying_backend(poison, max_retries=1, sleep=lambda s: None)
+    out = wrapped(pd.Series(["ok", "bad", "fine"], index=[10, 11, 12]))
+    assert list(out.index) == [10, 11, 12]
+    assert out.loc[10] == 2 and out.loc[12] == 4
+    assert out.loc[11] is None  # null-on-error, rest of batch kept
+
+
+def test_retrying_backend_dataframe_all_fail_shape():
+    def always(texts: pd.Series) -> pd.DataFrame:
+        raise enrich.TransientEnrichError("dead API")
+
+    wrapped = enrich.retrying_backend(
+        always, max_retries=0, sleep=lambda s: None,
+        null_columns=["Positive", "Negative", "Neutral", "Mixed"],
+    )
+    out = wrapped(pd.Series(["x", "y"]))
+    assert list(out.columns) == ["Positive", "Negative", "Neutral", "Mixed"]
+    assert len(out) == 2 and out.isna().all().all()
+
+
+def test_retrying_backend_through_spark(spark):
+    def flaky_claim(texts: pd.Series) -> pd.Series:
+        if texts.str.contains("poison").any():
+            raise enrich.TransientEnrichError("throttle")
+        return enrich.claim_keyword(texts)
+
+    old = enrich.BACKENDS["claim"]
+    try:
+        enrich.set_backend(
+            "claim", enrich.retrying_backend(flaky_claim, max_retries=1, sleep=lambda s: None)
+        )
+        df = spark.createDataFrame(
+            [(1, "official data report"), (2, "poison pill"), (3, "nothing")], ["id", "t"]
+        ).repartition(1)
+        got = {r.id: r.c for r in df.select("id", enrich.claim_udf()(F.col("t")).alias("c")).collect()}
+        assert got[1] == 1.0 and got[3] == 0.0
+        assert got[2] is None  # poison row degraded to null, batch survived
+    finally:
+        enrich.set_backend("claim", old)
+
+
+# --- ingest connectors ------------------------------------------------------
+
+
+def test_rate_limiter_waits_when_bucket_empty():
+    t = {"now": 0.0}
+    waits = []
+    rl = ingest.RateLimiter(rate=2, per_s=1.0, clock=lambda: t["now"], sleeper=waits.append)
+    rl.acquire()
+    rl.acquire()  # bucket drained
+    rl.acquire()  # must wait ~0.5s
+    assert len(waits) == 1 and abs(waits[0] - 0.5) < 1e-6
+    t["now"] += 10.0  # bucket refills with time
+    rl.acquire()
+    assert len(waits) == 1
+
+
+def test_fetch_topics_roundtrip(spark):
+    def factory():
+        def fetch(topic, since, until):
+            return [
+                {"id": f"{topic}-1", "content": f"about {topic}", "since": since},
+                {"id": f"{topic}-2", "content": f"more {topic}", "since": since},
+            ]
+
+        return fetch
+
+    raw = ingest.fetch_topics(
+        spark, ["ukraine", "climate"], factory, "2024-01-01", "2024-01-02", api_slots=2
+    )
+    parsed = ingest.parse_payload(raw, "id string, content string, since string")
+    rows = {r.id: r for r in parsed.collect()}
+    assert set(rows) == {"ukraine-1", "ukraine-2", "climate-1", "climate-2"}
+    assert rows["climate-1"].topic == "climate"
+    assert rows["ukraine-2"].since == "2024-01-01"
+
+
+def test_refetch_by_ids_batches(spark):
+    def factory():
+        def fetch_ids(chunk):
+            # one record per id, tagged with the chunk it arrived in
+            return [{"id": i, "n_in_batch": len(chunk)} for i in chunk]
+
+        return fetch_ids
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], ["id"]).repartition(1)
+    raw = ingest.refetch_by_ids(ids, factory, batch_size=25)
+    parsed = ingest.parse_payload(raw, "id long, n_in_batch int")
+    sizes = [r.n_in_batch for r in parsed.collect()]
+    assert len(sizes) == 60 and max(sizes) <= 25
+    assert sorted(set(sizes)) == [10, 25]  # 60 = 25 + 25 + 10
+
+
+def test_refetch_merges_into_target(spark, tmp_path):
+    target = str(tmp_path / "posts")
+    spark.createDataFrame([(1, 5), (2, 5)], ["id", "score"]).write.parquet(target)
+
+    def factory():
+        def fetch_ids(chunk):
+            return [{"id": i, "score": 99} for i in chunk]
+
+        return fetch_ids
+
+    ids = spark.createDataFrame([(2,)], ["id"])
+    raw = ingest.refetch_by_ids(ids, factory)
+    updates = ingest.parse_payload(raw, "id long, score int").drop("topic")
+    out = writers.merge_upsert(spark, target, updates, ["id"])
+    assert {r.id: r.score for r in out.collect()} == {1: 5, 2: 99}
