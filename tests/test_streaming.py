@@ -151,3 +151,77 @@ def test_w6_dedupe_stream(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 2
     assert sorted(r.id for r in got.collect()) == [1, 2]
+
+
+# --- custom stateful operators (applyInPandasWithState) ---------------------
+
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("ts_s", T.StringType(), True),
+    ]
+)
+
+
+def test_stateful_running_user_stats_across_batches(spark, tmp_path):
+    from reddit_twitter_big_data_pipeline_spark.streaming import stateful
+
+    land = tmp_path / "land"
+    _write_batch(
+        land, "1.json",
+        [{"user_id": 1, "value": 1.0, "ts_s": "2023-03-25 12:00:00"},
+         {"user_id": 1, "value": 2.0, "ts_s": "2023-03-25 12:01:00"},
+         {"user_id": 2, "value": 5.0, "ts_s": "2023-03-25 12:02:00"}],
+    )
+    _write_batch(
+        land, "2.json",
+        [{"user_id": 1, "value": 3.0, "ts_s": "2023-03-25 12:10:00"}],
+    )
+    src = streams.read_json_stream(spark, str(land), EV_SCHEMA, max_files_per_trigger=1)
+    out = stateful.running_user_stats(src)
+    q = (
+        out.writeStream.format("memory").queryName("user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    streams.run_to_completion(q)
+    rows = spark.sql("select * from user_stats").collect()
+    # user 1 appears in both micro-batches: state carried over, totals grow
+    u1 = sorted((r.n_events, r.total_value) for r in rows if r.user_id == 1)
+    assert u1 == [(2, 3.0), (3, 6.0)]
+    u2 = [(r.n_events, r.total_value, r.last_seen) for r in rows if r.user_id == 2]
+    assert u2 == [(1, 5.0, "2023-03-25 12:02:00")]
+
+
+def test_stateful_burst_detector_fires_and_resets(spark, tmp_path):
+    from reddit_twitter_big_data_pipeline_spark.streaming import stateful
+
+    land = tmp_path / "land"
+    _write_batch(
+        land, "1.json",
+        [{"user_id": 1, "value": 1.0, "ts_s": "t"}, {"user_id": 1, "value": 1.0, "ts_s": "t"}],
+    )
+    _write_batch(
+        land, "2.json",
+        [{"user_id": 1, "value": 1.0, "ts_s": "t"}, {"user_id": 1, "value": 1.0, "ts_s": "t"},
+         {"user_id": 2, "value": 1.0, "ts_s": "t"}],
+    )
+    src = streams.read_json_stream(spark, str(land), EV_SCHEMA, max_files_per_trigger=1)
+    out = stateful.burst_detector(
+        src.withColumn("k", F.col("user_id").cast("string")), "k", threshold=3
+    )
+    q = (
+        out.writeStream.format("memory").queryName("bursts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    streams.run_to_completion(q)
+    rows = spark.sql("select * from bursts").collect()
+    # key 1: 2 events (no fire) then 2 more → 4 ≥ 3 fires once; key 2 never
+    assert [(r.key, r.n_in_burst) for r in rows] == [("1", 4)]
