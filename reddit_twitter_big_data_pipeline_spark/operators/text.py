@@ -127,3 +127,115 @@ def text_profile(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
         F.round(quality_score(col), 6).alias("quality"),
         fingerprint(col).alias("fp"),
     )
+
+
+# --- chunking (training-data windows) --------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into token windows of `window` tokens with
+    `overlap` tokens of context carried between consecutive chunks — the
+    pre-tokenization step of every LLM training-data pipeline.
+
+    Pure Column plan: tokens → sequence of window starts (stride =
+    window−overlap) → transform+slice builds each chunk → explode fans out.
+    One narrow projection + one explode, no shuffle, no Python; 100 TB of
+    documents chunks at scan speed. Output: (id, chunk_idx, chunk_text,
+    n_chunk_tokens).
+    """
+    if overlap >= window:
+        raise ValueError("overlap must be smaller than window")
+    stride = window - overlap
+    toks = tokens(col)
+    n = F.size(toks)
+    # starts: 0, stride, 2·stride, … covering every token at least once
+    last_start = F.greatest(
+        F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int"), F.lit(0)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), last_start), lambda i: i * stride
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, window)).alias("chunk_text"),
+            F.least(F.lit(window), n - s).alias("n_chunk_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("c")
+    ).select("id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
+
+
+# --- TF-IDF / salient terms -------------------------------------------------
+
+
+def tf_idf(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """(id, term, tf, n_docs_with_term, tfidf) over normalized whitespace
+    tokens — the relational formulation: explode → per-(doc, term) count
+    (tf) → per-term distinct-doc count (df) → smoothed
+    idf = ln((N+1)/(df+1)) + 1.
+
+    All shuffles are keyed on the term or (doc, term) — never the document —
+    and both aggregations combine map-side before their exchange. `min_df`
+    prunes hapax noise before the join (at web scale the term dictionary's
+    long tail dominates the join unless cut here). The corpus size N is a
+    scalar broadcast literal via a 1-row cross join, not a driver constant
+    baked at plan-build time, so the plan stays valid under re-execution.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.groupBy("term")
+        .agg(F.countDistinct("id").alias("n_docs_with_term"))
+        .filter(F.col("n_docs_with_term") >= min_df)
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1) / (F.col("n_docs_with_term") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .select("id", "term", "tf", "n_docs_with_term", "tfidf")
+    )
+
+
+def top_terms_per_doc(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", n: int = 5, min_df: int = 1
+) -> DataFrame:
+    """The n most salient terms per document by TF-IDF (ties break
+    alphabetically for determinism). One extra shuffle on the doc id for the
+    ranking window; AQE splits skewed docs."""
+    from pyspark.sql.window import Window
+
+    scored = tf_idf(df, col, id_col, min_df)
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select("id", "term", "tfidf", F.col("__rn").alias("rank"))
+    )

@@ -187,3 +187,62 @@ def test_resize_stub_schema(spark):
     )
     r = multimodal.resize_stub(media, 64, 48).first()
     assert (r.width, r.height) == (64, 48) and bytes(r.payload) == b"img"
+
+
+# --- chunking / tf-idf ------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    out = text_ops.chunk_documents(df, window=4, overlap=2)
+    rows = sorted((r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in out.collect())
+    # stride 2: starts at 0,2,4,6 (last window covers tokens 6..9)
+    assert rows == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w2 w3 w4 w5", 4),
+        (2, "w4 w5 w6 w7", 4),
+        (3, "w6 w7 w8 w9", 4),
+    ]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "just three words")], ["doc_id", "text"])
+    out = text_ops.chunk_documents(df, window=128, overlap=32).collect()
+    assert len(out) == 1
+    assert out[0].chunk_text == "just three words" and out[0].n_chunk_tokens == 3
+
+
+def test_chunk_documents_covers_every_token(spark):
+    words = " ".join(f"t{i}" for i in range(301))
+    df = spark.createDataFrame([(7, words)], ["doc_id", "text"])
+    out = text_ops.chunk_documents(df, window=100, overlap=25).collect()
+    seen = set()
+    for r in out:
+        seen.update(r.chunk_text.split(" "))
+    assert len(seen) == 301  # no token dropped at the tail
+
+
+def test_tf_idf_and_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark streaming"),
+            (2, "spark sql"),
+            (3, "flink streaming"),
+        ],
+        ["doc_id", "text"],
+    )
+    import math
+
+    scored = {(r.id, r.term): r for r in text_ops.tf_idf(df).collect()}
+    assert scored[(1, "spark")].tf == 2
+    assert scored[(1, "spark")].n_docs_with_term == 2
+    expect = round(2 * (math.log(4 / 3) + 1.0), 6)
+    assert abs(scored[(1, "spark")].tfidf - expect) < 1e-9
+    # "sql" appears in 1 of 3 docs → highest idf
+    assert scored[(2, "sql")].n_docs_with_term == 1
+
+    top = text_ops.top_terms_per_doc(df, n=1)
+    got = {r.id: r.term for r in top.collect()}
+    assert got[2] == "sql" and got[3] == "flink"
+    assert got[1] == "spark"  # tf=2 beats streaming's higher idf
