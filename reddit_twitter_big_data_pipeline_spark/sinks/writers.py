@@ -136,6 +136,35 @@ def merge_upsert(
     return spark.read.parquet(target_path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    THE pre-shuffle for repeated big joins: two tables bucketed on the same
+    key with the same bucket count join with ZERO exchanges — at 100 TB the
+    fact tables (posts/comments, lineitem/orders) get bucketed once at load
+    and every downstream FK join (A3/A4) skips its shuffle forever. With
+    `sort_cols` the join also skips its sort (full sort-merge locality).
+    Bucket pruning additionally serves point lookups on the key.
+
+    Uses saveAsTable (bucket metadata lives in the catalog; plain
+    .parquet(path) cannot record bucketing). Pass `path` for an external
+    table location.
+    """
+    w = df.write.bucketBy(n_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
 def foreach_partition_sink(df: DataFrame, writer_factory) -> None:
     """K8: external-store sink — one connection per partition, batched writes
     (replaces the reference's one-transaction-per-row loop, reference:

@@ -274,3 +274,42 @@ def test_refetch_merges_into_target(spark, tmp_path):
     updates = ingest.parse_payload(raw, "id long, score int").drop("topic")
     out = writers.merge_upsert(spark, target, updates, ["id"])
     assert {r.id: r.score for r in out.collect()} == {1: 5, 2: 99}
+
+
+# --- bucketed co-located joins ----------------------------------------------
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    orders = spark.range(0, 1000).select(
+        SF.col("id").alias("o_id"), (SF.col("id") % 7).alias("prio")
+    )
+    lines = spark.range(0, 5000).select(
+        (SF.col("id") % 1000).alias("l_oid"), SF.col("id").alias("line_id")
+    )
+    writers.write_bucketed(
+        orders, "t_orders_b", ["o_id"], n_buckets=8,
+        sort_cols=["o_id"], path=str(tmp_path / "ob"),
+    )
+    writers.write_bucketed(
+        lines, "t_lines_b", ["l_oid"], n_buckets=8,
+        sort_cols=["l_oid"], path=str(tmp_path / "lb"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (tiny test tables would broadcast, which
+        # hides the property under test: bucketing removes the join shuffle)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lines_b")
+        joined = a.join(b, a.o_id == b.l_oid)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # both sides pre-bucketed
+        assert "Bucketed: true" in plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lines_b")
