@@ -106,10 +106,20 @@ def jaccard_pairs(
     """
     ex = hashed_shingles(df, id_col, text_col, k).persist()
     if max_shingle_freq is not None:
-        hot = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__f")).filter(
-            F.col("__f") > max_shingle_freq
+        # Persist only the HOT hash set (tiny — the head of the frequency
+        # distribution); every consumer below anti-joins the cached base
+        # frame against it (AQE picks a broadcast anti-join at runtime).
+        # Persisting the capped frame itself would materialize a second
+        # full copy of the shingle table for a filter that removes a
+        # handful of keys.
+        hot = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") > max_shingle_freq)
+            .select("h")
+            .persist()
         )
-        ex = ex.join(hot, "h", "left_anti").persist()
+        ex = ex.join(hot, "h", "left_anti")
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = ex.select(F.col("id").alias("a"), "h")
     b = ex.select(F.col("id").alias("b"), "h")
