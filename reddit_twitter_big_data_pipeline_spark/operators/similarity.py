@@ -254,6 +254,86 @@ def ann_topk(
     return _global_topk(scored, k)
 
 
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd iterations on row-normalized vectors (spherical k-means).
+    Deterministic: seeded init, fixed iteration count, ties break to the
+    lowest centroid index (argmax semantics)."""
+    rng = np.random.default_rng(seed)
+    normed = sample / np.maximum(_row_norms(sample)[:, None], 1e-12)
+    cent = normed[rng.choice(len(normed), size=min(n_centroids, len(normed)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(normed @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = normed[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    train_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the centroid-partitioned alternative to the
+    hyperplane LSH path: train a small spherical-kmeans codebook on a
+    bounded, deterministic corpus sample, assign every corpus row to its
+    nearest centroid, and score each probe only against rows in its
+    `n_probe` nearest cells.
+
+    Same streaming shape as ann_topk — the codebook and probe matrix
+    broadcast, the corpus streams once through mapInPandas (cell assignment
+    is one matmul per Arrow batch), partial top-k pushes down, and the final
+    window sees ≤ batches × |Q| × k rows. Training is a driver-side numpy
+    kmeans over an orderBy(id).limit(train_size) sample — deterministic and
+    bounded (a codebook is KB-scale; training data never exceeds
+    train_size × dim floats). Recall/cost trades via n_probe exactly as in
+    any IVF index."""
+    sample_rows = corpus.select(vec_col).orderBy(F.col(id_col).asc()).limit(train_size).collect()
+    sample = np.array([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    cent = _kmeans(sample, n_centroids, iters, seed)
+
+    q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
+    q_norm = _row_norms(q_mat)
+    q_normed = q_mat / np.maximum(q_norm[:, None], 1e-12)
+    n_probe_eff = min(n_probe, len(cent))
+    # each probe's n_probe nearest cells (ties deterministic via argsort)
+    q_cells = np.argsort(-(q_normed @ cent.T), axis=1, kind="stable")[:, :n_probe_eff]
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm, q_cells, cent))
+
+    def score(batches):
+        ids, qm, qn, qcells, cb = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = _to_matrix(pdf[vec_col])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_norm = _row_norms(c_mat)
+            c_normed = c_mat / np.maximum(c_norm[:, None], 1e-12)
+            c_cell = np.argmax(c_normed @ cb.T, axis=1)
+            for j in range(len(ids)):
+                in_cells = np.nonzero(np.isin(c_cell, qcells[j]))[0]
+                if in_cells.size == 0:
+                    continue
+                sims = (c_mat[in_cells] @ qm[j]) / (c_norm[in_cells] * qn[j])
+                out = _batch_topk_rows(
+                    ids, c_ids[in_cells], sims[:, None], k, q_subset=np.array([j])
+                )
+                if out is not None:
+                    yield out
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, _TOPK_SCHEMA)
+    return _global_topk(scored, k)
+
+
 def cosine_pairs_udf():
     """Vectorized exact cosine over candidate pairs (va, vb) — runs only on
     the post-bucketing candidate set, one Arrow batch = one fused op."""
@@ -278,19 +358,36 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) — the
     dedup-by-embedding operator from the north-star list. Corpus × corpus, so
     neither side broadcasts: rows bucket by hyperplane sign bits (identical
-    vectors always share a bucket ⇒ recall 1.0 on exact copies; at scale add
-    multiprobe — flip one bit — for near-copies), candidates self-join on the
-    8-byte bucket key, exact cosine verifies vectorized."""
+    vectors always share a bucket ⇒ recall 1.0 on exact copies), candidates
+    self-join on the 8-byte bucket key, exact cosine verifies vectorized.
+
+    `multiprobe` = m > 0 additionally probes the m single-bit-flip neighbor
+    buckets of each row's bucket (one side only — a pair collides iff A's
+    probe set hits B's home bucket), raising recall on near-but-not-identical
+    copies whose cosine sits near the threshold: a pair at angle θ flips any
+    given plane with probability θ/π, and one flipped plane is exactly one
+    Hamming-1 bucket away. Join fan-out grows (m+1)× on the probe side —
+    still keyed on a long."""
     planes = hyperplanes(dim, n_planes, seed)
     bucket = lsh_bucket_udf(planes)
     side = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket(F.col(vec_col)).alias("bucket")
     )
     a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    if multiprobe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(min(multiprobe, n_planes))
+            ],
+        )
+        a = a.select("a", "va", F.explode(probes).alias("bucket"))
     b = side.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
     cos = cosine_pairs_udf()
     return (
@@ -300,3 +397,8 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+from .._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -246,3 +246,40 @@ def test_tf_idf_and_top_terms(spark):
     got = {r.id: r.term for r in top.collect()}
     assert got[2] == "sql" and got[3] == "flink"
     assert got[1] == "spark"  # tf=2 beats streaming's higher idf
+
+
+def test_ivf_topk_finds_planted_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # two well-separated clusters + one planted near-identical pair
+    rows = []
+    for i in range(40):
+        base = np.array([10.0, 0, 0, 0]) if i % 2 == 0 else np.array([0, 10.0, 0, 0])
+        rows.append((i, (base + rng.standard_normal(4)).tolist()))
+    rows.append((100, rows[0][1]))  # exact copy of vec 0
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_topk(probes, emb, k=3, n_centroids=4, n_probe=2, train_size=64)
+    got = [(r.neighbor_id, r.sim) for r in out.orderBy(F.desc("sim"), "neighbor_id").collect()]
+    assert got[0][0] == 100 and got[0][1] == 1.0  # exact copy shares the cell
+    # all reported neighbors are same-cluster (even ids or the copy)
+    assert all(n % 2 == 0 or n == 100 for n, _ in got)
+
+
+def test_ivf_matches_bruteforce_with_full_probing(spark):
+    emb = _emb(spark)
+    probes = emb.filter(F.col("vec_id") == 1)
+    ivf = similarity.ivf_topk(probes, emb, k=2, n_centroids=2, n_probe=2, train_size=16)
+    bf = similarity.brute_force_topk(probes, emb, k=2)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_embedding_near_dup_multiprobe_superset(spark):
+    base = similarity.embedding_near_dup_pairs(_emb(spark), threshold=0.99, dim=4)
+    probed = similarity.embedding_near_dup_pairs(
+        _emb(spark), threshold=0.99, dim=4, multiprobe=2
+    )
+    base_pairs = {(r.a, r.b) for r in base.collect()}
+    probed_pairs = {(r.a, r.b) for r in probed.collect()}
+    assert base_pairs <= probed_pairs  # multiprobe only adds candidates
