@@ -41,9 +41,14 @@ RAW_SCHEMA = "topic string, payload string"
 
 
 class RateLimiter:
-    """Token bucket: at most `rate` calls per `per_s` seconds, per client.
-    The reference enforced this with cron spacing; here each executor slot
-    polices itself. `clock`/`sleeper` are injectable for tests."""
+    """Sliding-window limiter: at most `rate` calls inside ANY window of
+    `per_s` seconds, per client — the guarantee API quotas actually mean
+    (a token bucket's burst+refill can legally double that in one window;
+    the hypothesis property test caught exactly that). Keeps the last
+    `rate` call timestamps in a ring; a call sleeps until the oldest falls
+    out of the window. The reference enforced this with cron spacing; here
+    each executor slot polices itself. `clock`/`sleeper` are injectable for
+    tests."""
 
     def __init__(
         self,
@@ -52,25 +57,23 @@ class RateLimiter:
         clock: Callable[[], float] | None = None,
         sleeper: Callable[[float], None] | None = None,
     ):
+        from collections import deque
+
         self.rate = rate
         self.per_s = per_s
         self._clock = clock or time.monotonic
         self._sleep = sleeper or time.sleep
-        self._allowance = float(rate)
-        self._last = self._clock()
+        self._stamps: deque = deque(maxlen=rate)
 
     def acquire(self) -> None:
         now = self._clock()
-        self._allowance = min(
-            float(self.rate), self._allowance + (now - self._last) * self.rate / self.per_s
-        )
-        self._last = now
-        if self._allowance < 1.0:
-            wait = (1.0 - self._allowance) * self.per_s / self.rate
-            self._sleep(wait)
-            self._allowance = 0.0
-        else:
-            self._allowance -= 1.0
+        if len(self._stamps) == self.rate:
+            oldest = self._stamps[0]
+            wait = oldest + self.per_s - now
+            if wait > 0:
+                self._sleep(wait)
+                now = self._clock()
+        self._stamps.append(now)
 
 
 def fetch_topics(

@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) — invariants the example tests can't
+pin: idempotence, coverage, and containment relations over generated
+corpora. Example counts are kept small because every example is a Spark
+round-trip."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from reddit_twitter_big_data_pipeline_spark.operators import dedup, text as text_ops
+from reddit_twitter_big_data_pipeline_spark.sources import ingest
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_DOC = st.lists(_WORDS, min_size=1, max_size=12).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_CORPUS)
+def test_exact_dedupe_idempotent_and_keeps_min_id(spark, corpus):
+    df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    once = dedup.exact_dedupe(df)
+    twice = dedup.exact_dedupe(once)
+    got_once = sorted(r.doc_id for r in once.collect())
+    got_twice = sorted(r.doc_id for r in twice.collect())
+    assert got_once == got_twice  # idempotent
+    # each survivor is the min id of its normalized-text group
+    norm = {}
+    for i, t in enumerate(corpus):
+        norm.setdefault(" ".join(t.lower().split()), []).append(i)
+    assert got_once == sorted(min(ids) for ids in norm.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=5),
+)
+def test_chunking_covers_all_tokens_within_window(spark, n_tokens, window, overlap):
+    if overlap >= window:
+        overlap = window - 1
+    words = [f"tok{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = text_ops.chunk_documents(df, window=window, overlap=overlap).collect()
+    seen = set()
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) <= window
+        assert r.n_chunk_tokens == len(toks)
+        seen.update(toks)
+    assert seen == set(words)  # every token appears in some chunk
+    # consecutive chunks overlap by exactly `overlap` tokens (except the tail)
+    idxs = sorted(r.chunk_idx for r in rows)
+    assert idxs == list(range(len(idxs)))
+
+
+@settings(max_examples=6, deadline=None)
+@given(_CORPUS)
+def test_minhash_pairs_subset_of_exact_jaccard(spark, corpus):
+    df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    mh = {(r.a, r.b) for r in dedup.minhash_dedup_pairs(df, threshold=0.5).collect()}
+    jc = {(r.a, r.b) for r in dedup.jaccard_pairs(df, threshold=0.5, max_shingle_freq=None).collect()}
+    # LSH can only MISS pairs, never invent them (candidates are verified
+    # with exact Jaccard), so minhash output ⊆ exact output always holds.
+    assert mh <= jc
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=30),
+)
+def test_rate_limiter_never_exceeds_rate(rate, n_calls):
+    t = {"now": 0.0}
+
+    def sleeper(s):
+        t["now"] += s  # sleeping advances the fake clock
+
+    rl = ingest.RateLimiter(rate=rate, per_s=1.0, clock=lambda: t["now"], sleeper=sleeper)
+    stamps = []
+    for _ in range(n_calls):
+        rl.acquire()
+        stamps.append(t["now"])
+    # in any 1-second window at most `rate` acquisitions complete
+    for i, s in enumerate(stamps):
+        in_window = [x for x in stamps if s - 1.0 + 1e-9 < x <= s + 1e-9]
+        assert len(in_window) <= rate

@@ -210,15 +210,15 @@ def test_retrying_backend_through_spark(spark):
 # --- ingest connectors ------------------------------------------------------
 
 
-def test_rate_limiter_waits_when_bucket_empty():
+def test_rate_limiter_waits_for_window_to_clear():
     t = {"now": 0.0}
     waits = []
     rl = ingest.RateLimiter(rate=2, per_s=1.0, clock=lambda: t["now"], sleeper=waits.append)
     rl.acquire()
-    rl.acquire()  # bucket drained
-    rl.acquire()  # must wait ~0.5s
-    assert len(waits) == 1 and abs(waits[0] - 0.5) < 1e-6
-    t["now"] += 10.0  # bucket refills with time
+    rl.acquire()  # window full (2 calls at t=0)
+    rl.acquire()  # must wait until the oldest call leaves the 1s window
+    assert len(waits) == 1 and abs(waits[0] - 1.0) < 1e-6
+    t["now"] += 10.0  # window long since cleared
     rl.acquire()
     assert len(waits) == 1
 
