@@ -1,0 +1,141 @@
+"""Temporal joins — as-of and range joins, the custom-operator shapes Spark
+lacks as built-ins (cited in BASELINE.json's custom-operator list; DuckDB
+has native ASOF JOIN, Spark does not).
+
+Both are expressed as compositions of existing DataFrame ops — no UDFs:
+
+- **as_of_join**: for each left row, the right row with the greatest
+  right_ts ≤ left_ts (per key) — "the latest snapshot as of this event".
+  Implemented with the union + window fill-forward trick: tag both sides,
+  union, sort by (key, ts, side), and carry the last non-null right payload
+  forward. ONE shuffle on the key, zero join fan-out — the naive
+  inequality-join formulation explodes to |L|×|R| per key and then filters,
+  which Catalyst plans as a broadcast-nested-loop at small scale and a
+  disaster at 100 TB. The union trick is the standard scale formulation.
+- **range_join**: left rows matched to right intervals
+  (right.start ≤ left.ts < right.end) per key. Equi-join on (key, bucket)
+  after bucketing both sides by a caller-chosen `bucket_width` — intervals
+  explode to the buckets they overlap, points land in one bucket, and the
+  exact range predicate filters after the equi-join. Shuffle stays keyed on
+  (key, bucket); fan-out is interval_length / bucket_width per interval, a
+  knob the caller sizes to the data (same trick Databricks' range-join hint
+  applies internally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str] | None = None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gains the most recent right row at
+    or before its timestamp (per key). Left rows with no earlier right row
+    keep nulls. `tolerance_s` drops matches older than the window (the
+    pandas merge_asof contract).
+
+    Plan: union(tagged left, tagged right) → window partitionBy(keys)
+    orderBy(ts, side) → last(payload, ignorenulls) over rows-unbounded-
+    preceding → keep left rows. Right rows sort BEFORE left rows at equal
+    timestamps (side 0 < 1), so an exactly-simultaneous snapshot matches —
+    the ≤ semantics.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    for c in right_payload:
+        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = l_tagged.withColumn("__r_ts", F.lit(None).cast(right.schema[right_ts].dataType))
+
+    r_cols = [F.col(k) for k in keys]
+    r_tagged = right.select(
+        *r_cols,
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    for c in left.columns:
+        if c not in keys:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_payload
+        ],
+        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__f_ts"),
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance_s is not None:
+        from pyspark.sql import types as T
+
+        def seconds(c):
+            col = F.col(c)
+            if isinstance(left.schema[left_ts].dataType, (T.TimestampType, T.TimestampNTZType)):
+                return F.unix_timestamp(col)
+            return col.cast("double")  # numeric event-time axis
+
+        in_tol = (
+            F.col("__f_ts").isNotNull()
+            & (seconds("__ts") - seconds("__f_ts") <= tolerance_s)
+        )
+        for c in right_payload:
+            out = out.withColumn(f"__f_{c}", F.when(in_tol, F.col(f"__f_{c}")))
+    return out.select(
+        *left.columns,
+        *[F.col(f"__f_{c}").alias(c) for c in right_payload],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Match each point row to the interval rows containing it
+    ([start, end) per key) via bucketed equi-join: intervals explode to
+    every `bucket_width`-sized bucket they overlap, points hash to one
+    bucket, the join runs on (keys..., bucket), and the exact containment
+    predicate filters the survivors. `bucket_width` trades interval fan-out
+    against per-bucket match density — set it near the median interval
+    length."""
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col).cast("double") / bucket_width).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / bucket_width).cast("long"),
+                F.floor(
+                    (F.col(end_col).cast("double") - 1e-9) / bucket_width
+                ).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, [*keys, "__bucket"], how).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bucket")

@@ -1,0 +1,95 @@
+"""As-of and range joins — unit cases plus a DuckDB ASOF JOIN differential
+oracle run inside the test (these operators stay out of the driver's
+queries() registry, so the oracle lives here)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from reddit_twitter_big_data_pipeline_spark.operators import temporal
+
+EVENTS = [
+    # user, ts, action
+    (1, 100, "a"), (1, 205, "b"), (1, 310, "c"),
+    (2, 150, "d"),
+    (3, 50, "e"),            # before any snapshot → null match
+]
+SNAPSHOTS = [
+    # user, ts, score
+    (1, 100, 10), (1, 200, 20), (1, 300, 30),
+    (2, 100, 77),
+]
+
+
+def _frames(spark):
+    ev = spark.createDataFrame(EVENTS, ["user_id", "ts", "action"])
+    snap = spark.createDataFrame(SNAPSHOTS, ["user_id", "snap_ts", "score"])
+    return ev, snap
+
+
+def test_as_of_join_backward_semantics(spark):
+    ev, snap = _frames(spark)
+    out = temporal.as_of_join(ev, snap, ["user_id"], "ts", "snap_ts")
+    got = {(r.user_id, r.ts): r.score for r in out.collect()}
+    assert got == {
+        (1, 100): 10,   # exactly-simultaneous snapshot matches (≤)
+        (1, 205): 20,
+        (1, 310): 30,
+        (2, 150): 77,
+        (3, 50): None,  # no snapshot for user 3
+    }
+
+
+def test_as_of_join_matches_duckdb_asof(spark):
+    ev, snap = _frames(spark)
+    out = temporal.as_of_join(ev, snap, ["user_id"], "ts", "snap_ts")
+    spark_rows = sorted(
+        (r.user_id, r.ts, r.action, r.score) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.register("ev", pd.DataFrame(EVENTS, columns=["user_id", "ts", "action"]))
+    con.register("snap", pd.DataFrame(SNAPSHOTS, columns=["user_id", "snap_ts", "score"]))
+    oracle = con.sql(
+        """
+        SELECT ev.user_id, ev.ts, ev.action, snap.score
+        FROM ev ASOF LEFT JOIN snap
+          ON ev.user_id = snap.user_id AND ev.ts >= snap.snap_ts
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    oracle = sorted((u, t, a, s) for (u, t, a, s) in oracle)
+    assert spark_rows == oracle
+
+
+def test_as_of_join_tolerance(spark):
+    ev, snap = _frames(spark)
+    out = temporal.as_of_join(ev, snap, ["user_id"], "ts", "snap_ts", tolerance_s=10)
+    got = {(r.user_id, r.ts): r.score for r in out.collect()}
+    # only the exactly-simultaneous and ≤10s-old snapshots survive
+    assert got[(1, 100)] == 10 and got[(1, 205)] == 20
+    assert got[(1, 310)] == 30  # 310-300 = 10 ≤ 10
+    assert got[(2, 150)] is None  # 150-100 = 50 > 10
+
+
+def test_range_join_buckets(spark):
+    pts = spark.createDataFrame(
+        [(1, 5, "p1"), (1, 15, "p2"), (1, 25, "p3"), (2, 5, "p4")],
+        ["k", "t", "name"],
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "early"), (1, 10, 30, "late"), (2, 100, 200, "nope")],
+        ["k", "lo", "hi", "label"],
+    )
+    out = temporal.range_join(pts, ivs, ["k"], "t", "lo", "hi", bucket_width=7)
+    got = sorted((r.name, r.label) for r in out.collect())
+    assert got == [("p1", "early"), ("p2", "late"), ("p3", "late")]
+
+
+def test_range_join_boundary_half_open(spark):
+    pts = spark.createDataFrame([(1, 10, "edge")], ["k", "t", "name"])
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "ends_at_10"), (1, 10, 20, "starts_at_10")], ["k", "lo", "hi", "label"]
+    )
+    out = temporal.range_join(pts, ivs, ["k"], "t", "lo", "hi", bucket_width=5)
+    assert [r.label for r in out.collect()] == ["starts_at_10"]  # [lo, hi)
