@@ -184,3 +184,52 @@ def with_batch_id(df: DataFrame, batch_size: int, order_col: str, partitions: in
         .drop("__pid", "__off", "__seq")
     )
     return out
+
+
+# --- skew handling (scale helpers) -----------------------------------------
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with hot-key salting: the skewed side scatters each key
+    across `n_salts` shuffle partitions (deterministic per-row salt from a
+    seeded rand), the other side replicates each row to all salts, and the
+    join runs on (key, salt). Breaks a single hot key's partition into
+    n_salts tasks at the cost of replicating `other` n_salts-fold — use
+    when the non-skewed side is small-ish but above broadcast size.
+
+    AQE's skew-join split (enabled in session.py) handles most cases
+    without this; explicit salting remains for aggregation-feeding joins
+    where AQE's post-shuffle split can't apply or when the skew is known
+    ahead of time.
+    """
+    sk = skewed.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
+    ot = other.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return sk.join(ot, [key, "__salt"], how).drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salts: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase sum/count aggregation under key skew: partial aggregate on
+    (keys, salt) spreads a hot key over n_salts reducers, the final
+    aggregate on keys combines n_salts partials per key. Built-in aggregates
+    already combine map-side, so this matters for the REDUCER-side skew a
+    hot key's final partition sees; returns (keys..., total, n)."""
+    salted = df.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.sum(value_col).alias("__t"), F.count(F.lit(1)).alias("__n")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__t").alias("total"), F.sum("__n").alias("n")
+    )

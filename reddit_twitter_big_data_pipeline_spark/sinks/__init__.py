@@ -1,1 +1,1 @@
-from . import writers  # noqa: F401
+from . import graph_sink, writers  # noqa: F401

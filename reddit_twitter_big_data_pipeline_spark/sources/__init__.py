@@ -1,1 +1,1 @@
-from . import readers  # noqa: F401
+from . import ingest, readers  # noqa: F401

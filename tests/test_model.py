@@ -89,3 +89,34 @@ def test_a8_with_batch_id(spark):
     out = model.with_batch_id(df, 3, "v")
     got = {r["v"]: r["__batch"] for r in out.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 2}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import model
+    from pyspark.sql import functions as F
+
+    # heavy skew: 90% of rows share key 1
+    skewed = spark.createDataFrame(
+        [(1 if i % 10 else i, f"v{i}") for i in range(200)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(20)], ["k", "d"])
+    plain = skewed.join(dim, "k").select("k", "v", "d")
+    salted = model.salted_join(skewed, dim, "k").select("k", "v", "d")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import model
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1 if i % 5 else 2, float(i)) for i in range(100)], ["k", "val"]
+    )
+    plain = {
+        (r.k): (r.total, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("val").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {(r.k): (r.total, r.n) for r in model.salted_agg(df, ["k"], "val").collect()}
+    assert plain == salted
