@@ -1,0 +1,74 @@
+"""Deterministic sampling and dataset splits — the selection operators a
+training-data pipeline runs after cleaning/dedup.
+
+Everything keys on a HASH of a stable id, never on rand(): re-running the
+pipeline (or running it on a different partitioning / cluster size) selects
+the SAME rows, so samples are reproducible, splits stay disjoint across
+runs, and downstream caches stay valid. This is the idempotency rule the
+engine applies everywhere (enrichment, dedup) extended to sampling —
+`df.sample()`'s per-partition RNG changes membership whenever partitioning
+changes, which silently leaks val rows into train on a re-shard.
+
+All operators are single narrow filters (no shuffle, pushdown-friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# granularity of hash buckets: fractions resolve to 1/1e6
+_BUCKETS = 1_000_000
+
+
+def _bucket(id_col: str, salt: str) -> F.Column:
+    """Stable per-row bucket in [0, 1e6): xxhash64 of (salt, id). The salt
+    decorrelates different samples over the same table — sampling 10% for
+    eval with salt A and 10% for audit with salt B overlaps ~1%, not 100%."""
+    return F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keeps rows whose id-hash bucket
+    falls under `fraction`. Same rows every run, any partitioning."""
+    return df.filter(_bucket(id_col, salt) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. keep 100% of rare languages,
+    5% of English). `fractions` maps stratum value → keep fraction; strata
+    not listed keep `default_fraction`. One narrow filter — the fraction map
+    becomes a CASE expression, no join, no shuffle."""
+    frac = F.lit(float(default_fraction))
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
+    return df.filter(_bucket(id_col, salt) < (frac * _BUCKETS).cast("long"))
+
+
+def split_train_val_test(
+    df: DataFrame,
+    weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Disjoint, exhaustive, reproducible 3-way split by id-hash range.
+    Membership depends only on (salt, id) — growing the corpus later keeps
+    every existing row in its original split (no train/val leakage across
+    dataset versions), the property random splits lose."""
+    total = sum(weights)
+    b = _bucket(id_col, salt)
+    c1 = int(weights[0] / total * _BUCKETS)
+    c2 = int((weights[0] + weights[1]) / total * _BUCKETS)
+    return (
+        df.filter(b < c1),
+        df.filter((b >= c1) & (b < c2)),
+        df.filter(b >= c2),
+    )
