@@ -162,31 +162,35 @@ def retrying_backend(
 
     The wrapper is transport-agnostic: `fn` is any pandas-batch callable, so
     it composes with set_backend for translate/sentiment/claim alike.
-    """
-    import time as _time
 
-    _sleep = sleep if sleep is not None else _time.sleep
+    DataFrame backends (e.g. sentiment) should pass `null_columns` so the
+    null shape is right even when the FIRST batch fails wholesale; without
+    it, the wrapper learns the column shape from the first successful call
+    (full-batch or per-item) and reuses it for every later outage.
+    """
+    from .._retry import call_with_retry
+
+    # learned output shape: None until any call succeeds, then the column
+    # list for DataFrame backends / () for Series backends
+    state: dict = {"cols": list(null_columns) if null_columns else None}
 
     def _call_retry(batch: pd.Series):
-        attempt = 0
-        while True:
-            try:
-                return fn(batch)
-            except TransientEnrichError:
-                attempt += 1
-                if attempt > max_retries:
-                    raise
-                _sleep(backoff_s * (2 ** (attempt - 1)))
-
-    def _null_like(result_shape, index) -> pd.Series | pd.DataFrame:
-        # DataFrame backends (e.g. sentiment) should pass `null_columns` so
-        # the null shape is right even when every item in a batch fails.
-        cols = null_columns or (
-            list(result_shape.columns) if isinstance(result_shape, pd.DataFrame) else None
+        r = call_with_retry(
+            lambda: fn(batch),
+            transient=TransientEnrichError,
+            max_retries=max_retries,
+            backoff_s=backoff_s,
+            sleep=sleep,
         )
-        if cols is not None:
-            return pd.DataFrame({c: [None] for c in cols}, index=index)
-        return pd.Series([None], index=index, dtype="object")
+        if state["cols"] is None and isinstance(r, pd.DataFrame):
+            state["cols"] = list(r.columns)
+        return r
+
+    def _null_like(index) -> pd.Series | pd.DataFrame:
+        n = len(index)
+        if state["cols"] is not None:
+            return pd.DataFrame({c: [None] * n for c in state["cols"]}, index=index)
+        return pd.Series([None] * n, index=index, dtype="object")
 
     def wrapped(texts: pd.Series):
         try:
@@ -194,22 +198,17 @@ def retrying_backend(
         except TransientEnrichError:
             pass  # degrade to per-item salvage below
         parts = []
-        shape = None
         for idx in texts.index:
             single = texts.loc[[idx]]
             try:
-                r = _call_retry(single)
-                shape = r
-                parts.append(r)
+                parts.append(_call_retry(single))
             except TransientEnrichError:
-                parts.append((idx,))  # placeholder; shaped once we know
-        out = []
-        for p in parts:
-            if isinstance(p, tuple):
-                out.append(_null_like(shape, pd.Index([p[0]])))
-            else:
-                out.append(p)
-        return pd.concat(out) if out else _null_like(shape, texts.index)
+                parts.append(idx)  # placeholder; shaped after the loop
+        out = [
+            p if isinstance(p, (pd.Series, pd.DataFrame)) else _null_like(pd.Index([p]))
+            for p in parts
+        ]
+        return pd.concat(out) if out else _null_like(texts.index)
 
     return wrapped
 

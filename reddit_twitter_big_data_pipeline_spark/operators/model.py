@@ -161,7 +161,11 @@ def with_batch_id(df: DataFrame, batch_size: int, order_col: str, partitions: in
     partition's ranks by the driver-side prefix sum of partition counts —
     the DataFrame equivalent of zipWithIndex. The only driver data is one
     count per partition. `order_col` must be a total order for the global
-    sequence to be deterministic."""
+    sequence to be deterministic.
+
+    Eager: the result is materialized (localCheckpoint) before returning so
+    the temporary cache backing the two passes can be released immediately —
+    nothing stays pinned for the session (VERDICT r1 item 8)."""
     sc = df.sparkSession
     parts = partitions or sc.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
@@ -183,6 +187,8 @@ def with_batch_id(df: DataFrame, batch_size: int, order_col: str, partitions: in
         .withColumn("__batch", (F.col("__seq") / batch_size).cast("long"))
         .drop("__pid", "__off", "__seq")
     )
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
     return out
 
 
@@ -208,7 +214,18 @@ def salted_join(
     without this; explicit salting remains for aggregation-feeding joins
     where AQE's post-shuffle split can't apply or when the skew is known
     ahead of time.
+
+    Only skewed-side-preserving joins are supported: each skewed row carries
+    exactly ONE salt, so inner/left/left_semi/left_anti semantics survive
+    salting unchanged — but `other` rows exist once PER SALT, so
+    right/full-outer would emit every unmatched `other` row n_salts times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the other side is "
+            "replicated per salt, so right/full outer joins would duplicate "
+            "its unmatched rows n_salts times"
+        )
     sk = skewed.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
     ot = other.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return sk.join(ot, [key, "__salt"], how).drop("__salt")

@@ -80,6 +80,16 @@ def _row_norms(m: np.ndarray) -> np.ndarray:
     return np.sqrt(np.einsum("ij,ij->i", m, m))
 
 
+def _safe_norms(m: np.ndarray) -> np.ndarray:
+    """Row norms clamped away from zero, for cosine DENOMINATORS: a zero
+    vector then scores 0.0 against everything (its dot is 0) instead of NaN.
+    NaN is poison here — numpy's lexsort ranks it LAST while Spark's window
+    `sim DESC` ranks it FIRST, so a NaN that survives a small batch's
+    partial top-k would evict a true neighbor at the global stage, and
+    whether it survives depends on Arrow batch packing."""
+    return np.maximum(_row_norms(m), 1e-12)
+
+
 def _batch_topk_rows(
     q_ids: np.ndarray,
     c_ids: np.ndarray,
@@ -157,7 +167,7 @@ def brute_force_topk(
     batch); global top-k via a window over ≤ batches × |Q| × k rows.
     """
     q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
-    q_norm = _row_norms(q_mat)
+    q_norm = _safe_norms(q_mat)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def score(batches):
@@ -167,7 +177,7 @@ def brute_force_topk(
                 continue
             c_mat = _to_matrix(pdf[vec_col])
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_norm = _row_norms(c_mat)
+            c_norm = _safe_norms(c_mat)
             sims = (c_mat @ qm.T) / (c_norm[:, None] * qn[None, :])
             out = _batch_topk_rows(ids, c_ids, sims, k)
             if out is not None:
@@ -225,7 +235,7 @@ def ann_topk(
     per batch shrinks ~2^n_planes-fold. Recall is tunable via n_planes."""
     planes_t = np.array(hyperplanes(dim, n_planes, seed), dtype=np.float64).T
     q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
-    q_norm = _row_norms(q_mat)
+    q_norm = _safe_norms(q_mat)
     q_bucket = _pack_sign_bits(q_mat, planes_t)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm, q_bucket))
 
@@ -236,7 +246,7 @@ def ann_topk(
                 continue
             c_mat = _to_matrix(pdf[vec_col])
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_norm = _row_norms(c_mat)
+            c_norm = _safe_norms(c_mat)
             c_bucket = _pack_sign_bits(c_mat, planes_t)
             for j in range(len(ids)):
                 in_bucket = np.nonzero(c_bucket == qb[j])[0]
@@ -302,8 +312,8 @@ def ivf_topk(
     cent = _kmeans(sample, n_centroids, iters, seed)
 
     q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
-    q_norm = _row_norms(q_mat)
-    q_normed = q_mat / np.maximum(q_norm[:, None], 1e-12)
+    q_norm = _safe_norms(q_mat)
+    q_normed = q_mat / q_norm[:, None]
     n_probe_eff = min(n_probe, len(cent))
     # each probe's n_probe nearest cells (ties deterministic via argsort)
     q_cells = np.argsort(-(q_normed @ cent.T), axis=1, kind="stable")[:, :n_probe_eff]
@@ -316,8 +326,8 @@ def ivf_topk(
                 continue
             c_mat = _to_matrix(pdf[vec_col])
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_norm = _row_norms(c_mat)
-            c_normed = c_mat / np.maximum(c_norm[:, None], 1e-12)
+            c_norm = _safe_norms(c_mat)
+            c_normed = c_mat / c_norm[:, None]
             c_cell = np.argmax(c_normed @ cb.T, axis=1)
             for j in range(len(ids)):
                 in_cells = np.nonzero(np.isin(c_cell, qcells[j]))[0]
@@ -345,7 +355,7 @@ def cosine_pairs_udf():
         a = _to_matrix(va)
         b = _to_matrix(vb)
         num = np.einsum("ij,ij->i", a, b)
-        return pd.Series(num / (_row_norms(a) * _row_norms(b)))
+        return pd.Series(num / (_safe_norms(a) * _safe_norms(b)))
 
     return _cos
 

@@ -51,6 +51,13 @@ def as_of_join(
     right_payload = right_payload or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
+    clash = [c for c in right_payload if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"as_of_join: right payload columns {clash} collide with left "
+            "columns — rename them on the right side (or pass an explicit "
+            "right_payload) so the output has unambiguous names"
+        )
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     for c in right_payload:
         l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
@@ -120,11 +127,29 @@ def range_join(
     bucket, the join runs on (keys..., bucket), and the exact containment
     predicate filters the survivors. `bucket_width` trades interval fan-out
     against per-bucket match density — set it near the median interval
-    length."""
+    length.
+
+    `how`: 'inner' (matched pairs only) or 'left' (every point preserved;
+    unmatched points carry null interval columns — implemented as inner +
+    anti-join union, because filtering the exact predicate after a left
+    join would silently drop the null-extended rows and degenerate to
+    inner). Empty/inverted intervals (end <= start) contain nothing under
+    [start, end) and are dropped before bucketing — this also stops
+    `F.sequence` from auto-stepping DESCENDING on an inverted pair, which
+    would fan a single corrupt row out into ~(start-end)/width bucket rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "range_join supports how='inner' or 'left'; right/full would "
+            "need the interval side preserved, which this bucketed "
+            "formulation does not provide"
+        )
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col).cast("double") / bucket_width).cast("long")
     )
-    i = intervals.withColumn(
+    if how == "left":
+        p = p.withColumn("__pid", F.monotonically_increasing_id())
+    i = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -135,7 +160,17 @@ def range_join(
             )
         ),
     )
-    joined = p.join(i, [*keys, "__bucket"], how).filter(
-        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    matched = (
+        p.join(i, [*keys, "__bucket"], "inner")
+        .filter(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
     )
-    return joined.drop("__bucket")
+    if how == "inner":
+        return matched
+    unmatched = p.join(matched.select("__pid"), "__pid", "left_anti").drop("__bucket")
+    for f in intervals.schema.fields:
+        if f.name not in keys:
+            unmatched = unmatched.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return matched.unionByName(unmatched).drop("__pid")

@@ -23,11 +23,11 @@ same backpressure pattern the enrichment UDFs use.
 
 from __future__ import annotations
 
-import time
 from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, Row
 
+from .._retry import call_with_retry
 from .writers import foreach_partition_sink
 
 # Parameterized, MERGE-semantics statement templates (Cypher-shaped, since
@@ -70,17 +70,15 @@ def _send_with_retry(
     rows: list[dict],
     max_retries: int,
     backoff_s: float,
+    sleep: Callable[[float], None] | None = None,
 ) -> None:
-    attempt = 0
-    while True:
-        try:
-            send(statement, rows)
-            return
-        except TransientSinkError:
-            attempt += 1
-            if attempt > max_retries:
-                raise
-            time.sleep(backoff_s * (2 ** (attempt - 1)))
+    call_with_retry(
+        lambda: send(statement, rows),
+        transient=TransientSinkError,
+        max_retries=max_retries,
+        backoff_s=backoff_s,
+        sleep=sleep,
+    )
 
 
 def write_nodes(
@@ -89,6 +87,7 @@ def write_nodes(
     batch_size: int = 500,
     max_retries: int = 3,
     backoff_s: float = 0.05,
+    sleep=None,
 ) -> None:
     """Upsert a nodes(node_id, label, props) frame. Batches are grouped by
     label inside each partition so each statement has one node label (labels
@@ -108,7 +107,7 @@ def write_nodes(
                         {"node_id": b["node_id"], "props": b.get("props") or {}}
                         for b in batch
                     ]
-                    _send_with_retry(send, stmt, payload, max_retries, backoff_s)
+                    _send_with_retry(send, stmt, payload, max_retries, backoff_s, sleep)
 
         return write
 
@@ -121,6 +120,7 @@ def write_edges(
     batch_size: int = 500,
     max_retries: int = 3,
     backoff_s: float = 0.05,
+    sleep=None,
 ) -> None:
     """Upsert an edges(src, dst, rel_type) frame, batched per rel_type."""
 
@@ -135,7 +135,7 @@ def write_edges(
                 stmt = EDGE_MERGE % {"rel_type": rel}
                 for batch in _chunks(group, batch_size):
                     payload = [{"src": b["src"], "dst": b["dst"]} for b in batch]
-                    _send_with_retry(send, stmt, payload, max_retries, backoff_s)
+                    _send_with_retry(send, stmt, payload, max_retries, backoff_s, sleep)
 
         return write
 

@@ -62,20 +62,42 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def recover_interrupted_swap(spark: SparkSession, target_path: str) -> bool:
+    """If a prior swap crashed between its two renames, the table exists only
+    under `<target>.__backup__`. Restore it. Returns True if a restore
+    happened. `merge_upsert` calls this before every read, so a crashed swap
+    can never be mistaken for a first write (which would rebuild the table
+    from the updates alone and then discard the backup — permanent loss of
+    every previously committed row)."""
+    jvm = spark._jvm
+    fs, tgt = _hadoop_fs(spark, target_path)
+    backup = jvm.org.apache.hadoop.fs.Path(target_path + ".__backup__")
+    if fs.exists(backup) and not fs.exists(tgt):
+        if not fs.rename(backup, tgt):
+            raise IOError(f"could not restore {backup} to {target_path}")
+        return True
+    return False
+
+
 def _swap_into_place(spark: SparkSession, target_path: str, staging_path: str) -> None:
     """Promote the staging table to the target via two renames. The old
     table survives as `<target>.__backup__` until the new one is in place,
     so no crash point loses committed data (the worst case leaves the
-    target under the backup name — recoverable by a rename, never gone).
-    True single-rename atomicity needs a transactional table format
-    (Delta/Iceberg MERGE); this is the strongest guarantee plain
+    target under the backup name — recovered by `recover_interrupted_swap`,
+    never gone). True single-rename atomicity needs a transactional table
+    format (Delta/Iceberg MERGE); this is the strongest guarantee plain
     parquet-on-a-filesystem offers."""
     jvm = spark._jvm
     fs, tgt = _hadoop_fs(spark, target_path)
     stg = jvm.org.apache.hadoop.fs.Path(staging_path)
     backup = jvm.org.apache.hadoop.fs.Path(target_path + ".__backup__")
     if fs.exists(backup):
-        fs.delete(backup, True)  # stale backup from an interrupted prior swap
+        if fs.exists(tgt):
+            fs.delete(backup, True)  # prior swap completed; backup is stale
+        else:
+            # prior swap crashed mid-rename: the backup is the ONLY copy of
+            # the table — restore it, never delete it
+            recover_interrupted_swap(spark, target_path)
     had_target = fs.exists(tgt)
     if had_target and not fs.rename(tgt, backup):
         raise IOError(f"could not move {target_path} aside for swap")
@@ -112,8 +134,10 @@ def merge_upsert(
     files to the very end, so no recomputation can ever observe a
     half-deleted source — and only then swapped into place. A failure at
     any point leaves either the old table or both copies on disk, never
-    neither.
+    neither; a crash between the swap's two renames is healed by
+    `recover_interrupted_swap` on the next call before anything is read.
     """
+    recover_interrupted_swap(spark, target_path)
     try:
         existing = spark.read.parquet(target_path)
         base = existing.withColumn("__src", F.lit(0))

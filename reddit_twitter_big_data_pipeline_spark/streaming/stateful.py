@@ -141,12 +141,10 @@ def burst_detector(
         n = state.get[0] if state.exists else 0
         for pdf in pdfs:
             n += len(pdf)
-        fired = []
-        while n >= threshold:
-            fired.append(n)
-            n = 0  # reset after firing (count carried bursts separately)
-        if fired:
-            yield pd.DataFrame({"key": [k] * len(fired), "n_in_burst": fired})
+        if n >= threshold:
+            # one fire per micro-batch, reporting the full accumulated count
+            yield pd.DataFrame({"key": [k], "n_in_burst": [n]})
+            n = 0
         state.update((n,))
         if window_ms is not None:
             state.setTimeoutDuration(window_ms)

@@ -283,3 +283,21 @@ def test_embedding_near_dup_multiprobe_superset(spark):
     base_pairs = {(r.a, r.b) for r in base.collect()}
     probed_pairs = {(r.a, r.b) for r in probed.collect()}
     assert base_pairs <= probed_pairs  # multiprobe only adds candidates
+
+
+def test_brute_force_topk_zero_norm_vector_scores_zero_not_nan(spark):
+    """A zero embedding must rank BELOW real neighbors (cosine 0.0), not
+    poison the top-k with NaN (numpy sorts NaN last, Spark's window first)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        (4, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(emb.filter(F.col("vec_id") == 1), emb, k=2)
+    got = [(r.neighbor_id, r.sim) for r in out.orderBy(F.desc("sim"), "neighbor_id").collect()]
+    assert got[0] == (4, 1.0)
+    assert got[1][0] == 2  # zero-norm row 3 must NOT displace a real neighbor
+    sims = [r.sim for r in out.collect()]
+    assert all(s == s for s in sims)  # no NaN anywhere

@@ -120,3 +120,13 @@ def test_salted_agg_matches_plain_agg(spark):
     }
     salted = {(r.k): (r.total, r.n) for r in model.salted_agg(df, ["k"], "val").collect()}
     assert plain == salted
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([(1, "y")], ["k", "d"])
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="n_salts times"):
+            model.salted_join(a, b, "k", how=how)

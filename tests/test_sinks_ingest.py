@@ -119,6 +119,11 @@ def test_graph_sink_retries_transient(spark, tmp_path):
     ok_dir = str(tmp_path / "ok")
     os.makedirs(ok_dir)
 
+    # capture the CLASS, not the module: `graph_sink.TransientSinkError`
+    # inside the closure would pickle the module by reference and executors
+    # launched from a non-repo cwd cannot import the package
+    transient_error = graph_sink.TransientSinkError
+
     def factory():
         def send(statement, rows):
             # fail the first attempt per batch (marker keyed on batch content)
@@ -126,7 +131,7 @@ def test_graph_sink_retries_transient(spark, tmp_path):
             marker = os.path.join(marker_dir, key)
             if not os.path.exists(marker):
                 open(marker, "w").close()
-                raise graph_sink.TransientSinkError("throttled")
+                raise transient_error("throttled")
             with open(os.path.join(ok_dir, f"{uuid.uuid4().hex}.json"), "w") as f:
                 json.dump(rows, f)
 
@@ -187,10 +192,15 @@ def test_retrying_backend_dataframe_all_fail_shape():
 
 
 def test_retrying_backend_through_spark(spark):
+    # capture class/function, not the `enrich` module — a module reference in
+    # the closure pickles by name and breaks executors launched off-repo-cwd
+    transient_error = enrich.TransientEnrichError
+    claim_keyword = enrich.claim_keyword
+
     def flaky_claim(texts: pd.Series) -> pd.Series:
         if texts.str.contains("poison").any():
-            raise enrich.TransientEnrichError("throttle")
-        return enrich.claim_keyword(texts)
+            raise transient_error("throttle")
+        return claim_keyword(texts)
 
     old = enrich.BACKENDS["claim"]
     try:
@@ -313,3 +323,47 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_merge_upsert_recovers_interrupted_swap(spark, tmp_path):
+    """Crash BETWEEN the swap's two renames (target gone, backup is the only
+    copy) must not be mistaken for a first write — the next merge_upsert
+    restores the backup before reading (the review-found data-loss path)."""
+    target = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "old"), (2, "old")], ["k", "v"]).write.parquet(target)
+    # simulate the mid-swap crash state: rename(tgt, backup) done, promote not
+    os.rename(target, target + ".__backup__")
+    out = writers.merge_upsert(
+        spark, target, spark.createDataFrame([(2, "new")], ["k", "v"]), ["k"]
+    )
+    assert {r.k: r.v for r in out.collect()} == {1: "old", 2: "new"}
+    assert not os.path.exists(target + ".__backup__")
+
+
+def test_retrying_backend_learns_dataframe_shape():
+    """A DataFrame backend with NO null_columns: after one successful call the
+    wrapper must emit DataFrame-shaped nulls during a later full outage."""
+    calls = {"n": 0}
+
+    def backend(texts: pd.Series) -> pd.DataFrame:
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise enrich.TransientEnrichError("outage")
+        return pd.DataFrame({"a": [1.0] * len(texts), "b": [2.0] * len(texts)}, index=texts.index)
+
+    wrapped = enrich.retrying_backend(backend, max_retries=0, sleep=lambda s: None)
+    first = wrapped(pd.Series(["x"]))
+    assert isinstance(first, pd.DataFrame)
+    out = wrapped(pd.Series(["y", "z"], index=[5, 6]))
+    assert isinstance(out, pd.DataFrame)
+    assert list(out.columns) == ["a", "b"]
+    assert list(out.index) == [5, 6] and out.isna().all().all()
+
+
+def test_retrying_backend_empty_batch_with_failing_fn():
+    def always(texts: pd.Series) -> pd.Series:
+        raise enrich.TransientEnrichError("dead")
+
+    wrapped = enrich.retrying_backend(always, max_retries=0, sleep=lambda s: None)
+    out = wrapped(pd.Series([], dtype="object"))
+    assert len(out) == 0

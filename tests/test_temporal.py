@@ -93,3 +93,45 @@ def test_range_join_boundary_half_open(spark):
     )
     out = temporal.range_join(pts, ivs, ["k"], "t", "lo", "hi", bucket_width=5)
     assert [r.label for r in out.collect()] == ["starts_at_10"]  # [lo, hi)
+
+
+def test_as_of_join_rejects_colliding_payload(spark):
+    import pytest
+
+    ev, snap = _frames(spark)
+    snap2 = snap.withColumnRenamed("score", "action")  # collides with left
+    with pytest.raises(ValueError, match="collide"):
+        temporal.as_of_join(ev, snap2, ["user_id"], "ts", "snap_ts")
+
+
+def test_range_join_left_preserves_unmatched_points(spark):
+    pts = spark.createDataFrame(
+        [(1, 50), (1, 250), (2, 10)], ["k", "t"]
+    )  # 250 and 10 match nothing
+    iv = spark.createDataFrame([(1, 0, 100, "x")], ["k", "s", "e", "tag"])
+    out = temporal.range_join(pts, iv, ["k"], "t", "s", "e", bucket_width=100, how="left")
+    rows = {(r.k, r.t): r.tag for r in out.collect()}
+    assert rows == {(1, 50): "x", (1, 250): None, (2, 10): None}
+    assert out.count() == 3
+
+
+def test_range_join_ignores_inverted_and_empty_intervals(spark):
+    pts = spark.createDataFrame([(1, 50)], ["k", "t"])
+    iv = spark.createDataFrame(
+        # inverted (would fan out to ~1e7 buckets descending without the
+        # guard), empty, and one real interval
+        [(1, 10_000_000, 0, "bad"), (1, 50, 50, "empty"), (1, 0, 100, "ok")],
+        ["k", "s", "e", "tag"],
+    )
+    out = temporal.range_join(pts, iv, ["k"], "t", "s", "e", bucket_width=100)
+    assert [r.tag for r in out.collect()] == ["ok"]
+
+
+def test_range_join_rejects_outer_hows(spark):
+    import pytest
+
+    pts = spark.createDataFrame([(1, 50)], ["k", "t"])
+    iv = spark.createDataFrame([(1, 0, 100)], ["k", "s", "e"])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            temporal.range_join(pts, iv, ["k"], "t", "s", "e", 100, how=how)
