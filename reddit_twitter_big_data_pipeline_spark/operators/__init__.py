@@ -1,1 +1,1 @@
-from . import cleanse, dedup, model, multimodal, sampling, similarity, temporal, text  # noqa: F401
+from . import cleanse, dedup, model, multimodal, sampling, similarity, sketches, temporal, text  # noqa: F401

@@ -51,6 +51,12 @@ def get_spark(
         # Driver testdata parquet uses TIMESTAMP(NANOS); read as long and
         # repair in schemas.load_table (Spark rejects nanos otherwise).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Runtime bloom-filter join pruning: when one join side is selective,
+        # inject a bloom filter of its keys into the other side's scan —
+        # at 100 TB this skips reading most of a fact table when the dim
+        # side carries a filter. Purely a runtime optimization; plans and
+        # results are unchanged.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Constraint propagation is quadratic in plan width and measured
         # 5-80× optimizer-time blowups on our wide hash/signature plans
         # (minhash, simhash, unrolled dot products). Our plans state their
