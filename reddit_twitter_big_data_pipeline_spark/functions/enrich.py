@@ -213,6 +213,34 @@ def retrying_backend(
     return wrapped
 
 
+def rate_limited_backend(
+    fn: Callable,
+    rate: int,
+    per_s: float = 1.0,
+    clock: Callable[[], float] | None = None,
+    sleeper: Callable[[float], None] | None = None,
+):
+    """Throttle a batch backend to the API's quota: at most `rate` calls in
+    any `per_s`-second window, per executor slot (each UDF worker gets its
+    own limiter — bound total concurrency with `enrich(api_slots=...)`, so
+    cluster-wide rate = api_slots × rate).
+
+    Composes inside retrying_backend so retries are throttled too — the full
+    reference operating mode is
+    `retrying_backend(rate_limited_backend(http_fn, rate=..), null_columns=..)`
+    with batch-25 chunking already applied by sentiment_udf.
+    """
+    from ..sources.ingest import RateLimiter
+
+    limiter = RateLimiter(rate, per_s, clock=clock, sleeper=sleeper)
+
+    def throttled(batch: pd.Series):
+        limiter.acquire()
+        return fn(batch)
+
+    return throttled
+
+
 # --- UDF constructors -------------------------------------------------------
 
 

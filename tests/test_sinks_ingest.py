@@ -367,3 +367,33 @@ def test_retrying_backend_empty_batch_with_failing_fn():
     wrapped = enrich.retrying_backend(always, max_retries=0, sleep=lambda s: None)
     out = wrapped(pd.Series([], dtype="object"))
     assert len(out) == 0
+
+
+def test_rate_limited_backend_composes_with_retry():
+    """The full reference operating mode: throttled calls, retried on
+    transient failure, each retry also passing through the limiter."""
+    t = {"now": 0.0}
+    waits = []
+
+    def advance(s):
+        waits.append(s)
+        t["now"] += s
+
+    calls = {"n": 0}
+
+    def flaky(texts: pd.Series) -> pd.Series:
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise enrich.TransientEnrichError("429")
+        return texts.str.upper()
+
+    throttled = enrich.rate_limited_backend(
+        flaky, rate=2, per_s=1.0, clock=lambda: t["now"], sleeper=advance
+    )
+    wrapped = enrich.retrying_backend(throttled, max_retries=2, sleep=lambda s: None)
+    out = wrapped(pd.Series(["a"]))
+    assert list(out) == ["A"]
+    assert calls["n"] == 2  # one failure, one retried success
+    # third acquire in the same window must wait (2 limiter passes happened)
+    throttled(pd.Series(["b"]))
+    assert len(waits) == 1 and abs(waits[0] - 1.0) < 1e-6
