@@ -140,6 +140,46 @@ def dedupe_stream(
         return wm.dropDuplicates(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream equi-join with BOUNDED state: rows match when their
+    event times are within `max_delay` of each other (|left_ts - right_ts|
+    ≤ max_delay). Both sides carry watermarks and the join condition carries
+    the time bound, so the state store holds only `watermark + max_delay`
+    of each stream — without the bound, a stream-stream join must buffer
+    BOTH streams forever (Spark rejects it in append mode for this reason).
+
+    The reference's analogue is temporal co-occurrence of a post and its
+    enrichment/refresh event inside one scrape window (the 15-min cadence,
+    reference: terraform/main.tf cron; hence the default). `right_ts` is
+    auto-renamed `right_<name>` on collision so the output is unambiguous
+    (same contract as operators.temporal.as_of_join, which is the BATCH
+    as-of twin of this operator)."""
+    if right_ts == left_ts:
+        new_right_ts = f"right_{right_ts}"
+        right = right.withColumnRenamed(right_ts, new_right_ts)
+        right_ts = new_right_ts
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    key_cond = [l_wm[k] == r_wm[k] for k in keys]
+    time_cond = [
+        F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_delay}"),
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"),
+    ]
+    joined = l_wm.join(
+        r_wm, [c for conds in (key_cond, time_cond) for c in conds], "inner"
+    )
+    # drop the duplicate key columns from the right side
+    return joined.drop(*[r_wm[k] for k in keys])
+
+
 # ---------------------------------------------------------------- W4 / W5
 
 def write_stream(

@@ -225,3 +225,36 @@ def test_stateful_burst_detector_fires_and_resets(spark, tmp_path):
     rows = spark.sql("select * from bursts").collect()
     # key 1: 2 events (no fire) then 2 more → 4 ≥ 3 fires once; key 2 never
     assert [(r.key, r.n_in_burst) for r in rows] == [("1", 4)]
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Posts joined to refresh events within 15 min on the same key; the
+    time bound keeps join state bounded (append mode requires it)."""
+    posts = tmp_path / "posts"
+    refr = tmp_path / "refresh"
+    _write_batch(
+        posts,
+        "p.json",
+        _rows([(1, "2023-03-25 12:00:00"), (2, "2023-03-25 12:30:00"),
+               (3, "2023-03-25 14:00:00")]),
+    )
+    _write_batch(
+        refr,
+        "r.json",
+        _rows([(1, "2023-03-25 12:05:00"),   # within 15 min of post 1
+               (2, "2023-03-25 13:20:00"),   # 50 min after post 2 → no match
+               (9, "2023-03-25 12:01:00")]), # key never posted
+    )
+    p = _with_ts(streams.read_json_stream(spark, str(posts), SCHEMA))
+    r = _with_ts(streams.read_json_stream(spark, str(refr), SCHEMA)).select(
+        "id", F.col("ts").alias("refresh_ts")
+    )
+    joined = streams.stream_stream_join(
+        p, r, ["id"], left_ts="ts", right_ts="refresh_ts", max_delay="15 minutes"
+    ).select("id", "ts", "refresh_ts")
+    q = streams.write_stream(
+        joined, str(tmp_path / "out"), str(tmp_path / "ck"), output_mode="append"
+    )
+    streams.run_to_completion(q)
+    got = {(r.id, r.refresh_ts.minute) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {(1, 5)}
