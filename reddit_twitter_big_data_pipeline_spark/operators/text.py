@@ -239,3 +239,61 @@ def top_terms_per_doc(
         .filter(F.col("__rn") <= n)
         .select("id", "term", "tfidf", F.col("__rn").alias("rank"))
     )
+
+
+# --- training-data scrubbing (PII / markup) --------------------------------
+#
+# The cleaning passes a pretraining corpus runs before anything else. All
+# pure Column regexp expressions — JVM-side, codegen'd, one scan, no UDFs;
+# at 100 TB these fuse into whatever projection already reads the text.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement) — applied in order: specific shapes first,
+    # because the catch-all phone pattern would otherwise swallow dotted
+    # quads and SSN-shaped ids
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"(?<![\w.])(?:\d{1,3}\.){3}\d{1,3}(?![\w.])", "<IP>"),
+    ("ssn", r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", "<SSN>"),
+    # international-ish phone numbers: optional +CC, separators, 7+ digits
+    ("phone", r"(?<![\w.])\+?\d[\d ()\-.]{6,}\d(?![\w.])", "<PHONE>"),
+]
+
+
+def scrub_pii(col: str = "text", patterns: list[tuple[str, str, str]] | None = None) -> Column:
+    """Mask PII spans with typed placeholders (emails, phone numbers, IPv4,
+    SSN-shaped ids). Pattern list is override-able; order matters (emails
+    before phones so the digits in a mailbox name don't half-match)."""
+    out = F.col(col)
+    for _name, rx, repl in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, rx, repl)
+    return out
+
+
+def strip_markup(col: str = "text") -> Column:
+    """Drop HTML/XML tags and bare URLs — the boilerplate-removal pass.
+    Tags go first so an href URL inside a tag doesn't leave an orphan
+    attribute; whitespace is re-collapsed at the end."""
+    no_tags = F.regexp_replace(F.col(col), r"<[^>]{0,256}>", " ")
+    no_urls = F.regexp_replace(no_tags, r"https?://[^\s<>\"]+|www\.[^\s<>\"]+", " ")
+    return F.trim(F.regexp_replace(no_urls, r"\s+", " "))
+
+
+def strip_control_chars(col: str = "text") -> Column:
+    """Remove control and zero-width characters (keeps \\t \\n): the invisible
+    junk that breaks tokenizers and dedup keys."""
+    return F.regexp_replace(
+        F.col(col),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f​‌‍﻿]",
+        "",
+    )
+
+
+def clean_for_training(df: DataFrame, col: str = "text") -> DataFrame:
+    """The composed scrub pass: markup → control chars → PII, in place.
+    One projection, one scan; composes with quality_score/filters downstream."""
+    return (
+        df.withColumn("__c0", strip_markup(col))
+        .withColumn("__c1", strip_control_chars("__c0"))
+        .withColumn(col, scrub_pii("__c1"))
+        .drop("__c0", "__c1")
+    )

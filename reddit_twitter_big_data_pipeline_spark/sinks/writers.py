@@ -189,6 +189,40 @@ def write_bucketed(
     w.mode("overwrite").format("parquet").saveAsTable(table)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet table into ~`target_file_bytes` files — the
+    small-files maintenance pass every streaming/append sink needs (each
+    micro-batch of `upsert_stream`/K1 leaves a file per partition; a year of
+    15-min batches is 35k files whose open/footer overhead dominates scans).
+
+    File count = ceil(current_bytes / target). With `sort_cols` the rewrite
+    also range-partitions and sorts, so parquet row-group min/max stats line
+    up with the sort key and selective scans skip whole files (poor man's
+    data clustering). Uses the same staging + two-rename swap as
+    merge_upsert, so a crash never loses the table. Returns the file count
+    written."""
+    recover_interrupted_swap(spark, path)
+    fs, p = _hadoop_fs(spark, path)
+    size = fs.getContentSummary(p).getLength()
+    n_files = max(1, int((size + target_file_bytes - 1) // target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols]).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(n_files) if df.rdd.getNumPartitions() > n_files else df
+    staging = path + ".__staging__"
+    df.write.mode("overwrite").parquet(staging)
+    _swap_into_place(spark, path, staging)
+    return n_files
+
+
 def foreach_partition_sink(df: DataFrame, writer_factory) -> None:
     """K8: external-store sink — one connection per partition, batched writes
     (replaces the reference's one-transaction-per-row loop, reference:

@@ -301,3 +301,39 @@ def test_brute_force_topk_zero_norm_vector_scores_zero_not_nan(spark):
     assert got[1][0] == 2  # zero-norm row 3 must NOT displace a real neighbor
     sims = [r.sim for r in out.collect()]
     assert all(s == s for s in sims)  # no NaN anywhere
+
+
+def test_scrub_pii_masks_typed_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@site.co.uk or call +1 (555) 123-4567"),
+            (2, "server 10.0.0.1 leaked ssn 123-45-6789"),
+            (3, "clean text stays clean"),
+        ],
+        ["id", "text"],
+    )
+    out = {r.id: r.t for r in df.select("id", text_ops.scrub_pii("text").alias("t")).collect()}
+    assert out[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[2] == "server <IP> leaked ssn <SSN>"
+    assert out[3] == "clean text stays clean"
+
+
+def test_strip_markup_and_control_chars(spark):
+    df = spark.createDataFrame(
+        [(1, '<p class="x">hello <b>world</b></p> see https://ex.com/a?b=1 now'),
+         (2, "zero\u200bwidth \x07ctrl")],
+        ["id", "text"],
+    )
+    got = {r.id: r.t for r in df.select("id", text_ops.strip_markup("text").alias("t")).collect()}
+    assert got[1] == "hello world see now"
+    ctrl = {r.id: r.t for r in df.select("id", text_ops.strip_control_chars("text").alias("t")).collect()}
+    assert ctrl[2] == "zerowidth ctrl"
+
+
+def test_clean_for_training_composes(spark):
+    df = spark.createDataFrame(
+        [(1, "<a href=https://t.co/x>hi</a> reach\u200b me: a@b.io")], ["id", "text"]
+    )
+    (row,) = text_ops.clean_for_training(df).collect()
+    assert row.text == "hi reach me: <EMAIL>"
+    assert text_ops.clean_for_training(df).columns == ["id", "text"]  # no temp cols

@@ -397,3 +397,27 @@ def test_rate_limited_backend_composes_with_retry():
     # third acquire in the same window must wait (2 limiter passes happened)
     throttled(pd.Series(["b"]))
     assert len(waits) == 1 and abs(waits[0] - 1.0) < 1e-6
+
+
+def test_compact_table_reduces_files_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").repartition(32).write.parquet(path)
+    import glob as _glob
+
+    before = len(_glob.glob(path + "/part-*"))
+    assert before >= 32
+    n = writers.compact_table(spark, path, target_file_bytes=10**9)  # fits in 1
+    after = len(_glob.glob(path + "/part-*"))
+    assert n == 1 and after == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_compact_table_sorted_clusters_key(spark, tmp_path):
+    path = str(tmp_path / "frag2")
+    spark.range(1000).selectExpr("id", "cast(id % 97 AS long) AS k").repartition(8).write.parquet(path)
+    writers.compact_table(spark, path, target_file_bytes=10**9, sort_cols=["k"])
+    pdf = spark.read.parquet(path).toPandas()
+    # single sorted file: k must arrive non-decreasing
+    assert list(pdf["k"]) == sorted(pdf["k"])
