@@ -383,3 +383,85 @@ def simhash_near_pairs(
         .select("a", "b", "distance")
         .distinct()
     )
+
+
+# --- pairs → clusters → canonical keep (the end of every dedup pipeline) ---
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group near-dup PAIRS (from minhash/simhash/embedding/jaccard) into
+    clusters: returns (node, component) where component = the smallest node
+    id reachable from `node`. Iterative hash-min label propagation — each
+    round every node takes the min label among itself and its neighbors;
+    converges in O(component diameter) rounds, and near-dup components are
+    shallow (stars around a popular document), so the practical bound is a
+    handful of rounds, NOT max_iter.
+
+    Scale shape: each round is one edge-join + one groupBy-min on node id —
+    all shuffles keyed the same way; lineage is truncated per round
+    (localCheckpoint) exactly as in comment_depth, so plan size stays flat.
+    Stops early when a round changes no label (count of changed rows — one
+    scan over labels, cheap next to the join)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .select(F.col("s").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("__nmin") < F.col("component")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        old = labels
+        labels = new_labels.drop("__changed")
+        old.unpersist()
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the min-id member — the same
+    keep-min rule as exact_dedupe) and every document in no cluster.
+    Composes with any pair generator:
+    `dedup_keep_canonical(docs, minhash_dedup_pairs(docs))`.
+
+    Only CLUSTERED ids flow through connected_components (near-dup pairs are
+    a tiny fraction of the corpus); the corpus itself is touched by exactly
+    one anti-join against the non-canonical member set."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -337,3 +337,30 @@ def test_clean_for_training_composes(spark):
     (row,) = text_ops.clean_for_training(df).collect()
     assert row.text == "hi reach me: <EMAIL>"
     assert text_ops.clean_for_training(df).columns == ["id", "text"]  # no temp cols
+
+
+def test_connected_components_two_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a", "b"]  # chain 1-2-3, pair 10-11
+    )
+    comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 5, 10, 11]], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    kept = sorted(r.doc_id for r in dedup.dedup_keep_canonical(docs, pairs).collect())
+    # one survivor per cluster (min id), singletons untouched
+    assert kept == [1, 5, 10]
+
+
+def test_dedup_keep_canonical_end_to_end_minhash(spark):
+    docs = _docs(spark)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    kept = sorted(r.doc_id for r in dedup.dedup_keep_canonical(docs, pairs).collect())
+    # docs 1/2/5 are one cluster (exact + normalized dups); 3 ("leaps")
+    # stays below J=0.5 on 3-gram shingles; 4 is unrelated -> keep 1, 3, 4
+    assert kept == [1, 3, 4]
