@@ -1,1 +1,1 @@
-from . import graph, social  # noqa: F401
+from . import audit, graph, social  # noqa: F401

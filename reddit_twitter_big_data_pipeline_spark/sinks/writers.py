@@ -189,6 +189,23 @@ def write_bucketed(
     w.mode("overwrite").format("parquet").saveAsTable(table)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Replace ONLY the partitions present in `df`, leaving all others
+    untouched — the backfill/late-refresh write (re-run one dataload day
+    without truncating the table, reference: the daily re-crawl replacing
+    one day's snapshot, reddit/lambda_function_aggregate.py:38).
+
+    Uses dynamic partition-overwrite mode scoped to this single write (the
+    session default stays static, where mode('overwrite') truncates — safer
+    for ad-hoc use)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

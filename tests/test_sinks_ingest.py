@@ -421,3 +421,31 @@ def test_compact_table_sorted_clusters_key(spark, tmp_path):
     pdf = spark.read.parquet(path).toPandas()
     # single sorted file: k must arrive non-decreasing
     assert list(pdf["k"]) == sorted(pdf["k"])
+
+
+def test_overwrite_partitions_touches_only_present_days(spark, tmp_path):
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")], ["day", "id", "v"]
+    )
+    base.write.partitionBy("day").parquet(path)
+    # backfill d1 only; d2 must survive untouched
+    writers.overwrite_partitions(
+        spark.createDataFrame([("d1", 9, "z")], ["day", "id", "v"]), path, ["day"]
+    )
+    got = {(r.day, r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 9, "z"), ("d2", 3, "c")}
+
+
+def test_plan_audit_catches_cartesian_and_counts(spark):
+    from reddit_twitter_big_data_pipeline_spark.plans import audit
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    cross = a.crossJoin(b)
+    with pytest.raises(AssertionError, match="Cartesian|NestedLoop"):
+        audit.assert_no_cartesian(cross)
+    joined = a.join(F.broadcast(b), a["id"] == b["id2"])
+    audit.assert_no_cartesian(joined)
+    audit.assert_broadcasts(joined, 1)
+    assert audit.summarize(joined)["BroadcastHashJoin"] >= 1
