@@ -86,3 +86,39 @@ def test_rate_limiter_never_exceeds_rate(rate, n_calls):
     for i, s in enumerate(stamps):
         in_window = [x for x in stamps if s - 1.0 + 1e-9 < x <= s + 1e-9]
         assert len(in_window) <= rate
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from reddit_twitter_big_data_pipeline_spark.operators import dedup
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # reference: driver-side union-find with min-id canonical labels
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == expected
