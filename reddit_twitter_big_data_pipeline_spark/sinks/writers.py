@@ -206,11 +206,60 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     )
 
 
+def zorder_value(*cols, bits: int = 16):
+    """Z-order (Morton) curve value for up to 4 numeric columns — sort by
+    this to cluster a table on SEVERAL dimensions at once, so parquet
+    row-group min/max stats prune selective filters on ANY of them (a
+    single-column sort clusters only its own column; Z-order trades a
+    little per-column locality for locality on all of them).
+
+    Each column is rank-normalized to `bits` bits per Arrow batch (rank,
+    not raw value — Morton codes need uniform bit utilization, and ranks
+    are distribution-free), then bits interleave into one long. Arrow-
+    batched numpy; this is a maintenance-pass helper (compact_table), not
+    a query-path operator, so the Python hop is paid once per rewrite.
+
+    Approximation note: ranks are computed within each Arrow batch rather
+    than globally (a global rank would need a sort — the thing Z-ordering
+    replaces). Batches are large (10k+ rows) and the subsequent
+    repartitionByRange on the z-value does the global placement, so
+    per-batch rank noise only blurs bucket edges.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError("zorder_value supports 1-4 columns")
+
+    # no type hints: pandas_udf cannot infer an eval type from a varargs
+    # signature, but the unannotated form with an explicit returnType is a
+    # plain scalar pandas UDF
+    def _z_impl(*series):
+        if len(series[0]) == 0:
+            return pd.Series(np.array([], dtype=np.int64))
+        out = np.zeros(len(series[0]), dtype=np.int64)
+        for ci, s in enumerate(series):
+            v = pd.to_numeric(s, errors="coerce").to_numpy(dtype=np.float64)
+            order = np.argsort(np.argsort(v, kind="stable"), kind="stable")
+            scaled = ((order.astype(np.float64) / max(len(v) - 1, 1)) * ((1 << bits) - 1)).astype(
+                np.int64
+            )
+            for b in range(bits):
+                out |= ((scaled >> b) & 1) << (b * n + ci)
+        return pd.Series(out)
+
+    _z = F.pandas_udf(_z_impl, "long")
+    return _z(*[F.col(c) if isinstance(c, str) else c for c in cols])
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 256 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet table into ~`target_file_bytes` files — the
     small-files maintenance pass every streaming/append sink needs (each
@@ -220,15 +269,25 @@ def compact_table(
     File count = ceil(current_bytes / target). With `sort_cols` the rewrite
     also range-partitions and sorts, so parquet row-group min/max stats line
     up with the sort key and selective scans skip whole files (poor man's
-    data clustering). Uses the same staging + two-rename swap as
-    merge_upsert, so a crash never loses the table. Returns the file count
-    written."""
+    data clustering). With `zorder_cols` (mutually exclusive) the sort key
+    is the Morton value over several columns, clustering all of them at
+    once. Uses the same staging + two-rename swap as merge_upsert, so a
+    crash never loses the table. Returns the file count written."""
+    if sort_cols and zorder_cols:
+        raise ValueError("pass sort_cols OR zorder_cols, not both")
     recover_interrupted_swap(spark, path)
     fs, p = _hadoop_fs(spark, path)
     size = fs.getContentSummary(p).getLength()
     n_files = max(1, int((size + target_file_bytes - 1) // target_file_bytes))
     df = spark.read.parquet(path)
-    if sort_cols:
+    if zorder_cols:
+        df = (
+            df.withColumn("__z", zorder_value(*zorder_cols))
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_cols:
         df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols]).sortWithinPartitions(
             *sort_cols
         )

@@ -449,3 +449,31 @@ def test_plan_audit_catches_cartesian_and_counts(spark):
     audit.assert_no_cartesian(joined)
     audit.assert_broadcasts(joined, 1)
     assert audit.summarize(joined)["BroadcastHashJoin"] >= 1
+
+
+def test_zorder_compaction_clusters_both_dims(spark, tmp_path):
+    path = str(tmp_path / "zt")
+    df = spark.range(4096).selectExpr(
+        "id", "cast(id % 64 AS long) AS x", "cast(cast(id / 64 AS long) AS long) AS y"
+    )
+    df.repartition(8).write.parquet(path)
+    writers.compact_table(spark, path, target_file_bytes=8_000, zorder_cols=["x", "y"])
+
+    # Z-ordered files must be selective on BOTH dims: for each output file,
+    # the x and y ranges should each span a minority of the domain.
+    import glob as _glob
+
+    files = _glob.glob(path + "/part-*")
+    assert len(files) >= 2
+    spans_x, spans_y = [], []
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        spans_x.append(pdf["x"].max() - pdf["x"].min())
+        spans_y.append(pdf["y"].max() - pdf["y"].min())
+    # average span well under the full 0..63 domain on both dimensions
+    assert sum(spans_x) / len(spans_x) < 48
+    assert sum(spans_y) / len(spans_y) < 48
+    assert spark.read.parquet(path).count() == 4096
+
+    with pytest.raises(ValueError, match="not both"):
+        writers.compact_table(spark, path, sort_cols=["x"], zorder_cols=["y"])
