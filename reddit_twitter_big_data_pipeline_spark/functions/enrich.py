@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import uuid
 from typing import Callable
 
 import pandas as pd
@@ -221,9 +222,16 @@ def rate_limited_backend(
     sleeper: Callable[[float], None] | None = None,
 ):
     """Throttle a batch backend to the API's quota: at most `rate` calls in
-    any `per_s`-second window, per executor slot (each UDF worker gets its
-    own limiter — bound total concurrency with `enrich(api_slots=...)`, so
-    cluster-wide rate = api_slots × rate).
+    any `per_s`-second window, per worker process (bound total concurrency
+    with `enrich(api_slots=...)`, so cluster-wide rate = api_slots × rate).
+
+    The limiter's call-timestamp window must survive TASK boundaries —
+    Spark re-deserializes UDF closures per task, and a fresh (empty) window
+    per task would let back-to-back short tasks double the rate inside one
+    wall-clock window. So the closure ships only a key minted at wrap time;
+    the limiter itself lives in a process-global registry on the worker
+    (keyed lookup, created on first use), shared by every task that runs
+    this wrapped backend in that worker.
 
     Composes inside retrying_backend so retries are throttled too — the full
     reference operating mode is
@@ -232,9 +240,20 @@ def rate_limited_backend(
     """
     from ..sources.ingest import RateLimiter
 
-    limiter = RateLimiter(rate, per_s, clock=clock, sleeper=sleeper)
+    limiter_cls = RateLimiter  # captured as a class, ships by value
+    limiter_key = f"rl-{uuid.uuid4().hex}"  # minted once on the driver
 
     def throttled(batch: pd.Series):
+        import builtins
+
+        registry = getattr(builtins, "__engine_rate_limiters__", None)
+        if registry is None:
+            registry = {}
+            builtins.__engine_rate_limiters__ = registry
+        limiter = registry.get(limiter_key)
+        if limiter is None:
+            limiter = limiter_cls(rate, per_s, clock=clock, sleeper=sleeper)
+            registry[limiter_key] = limiter
         limiter.acquire()
         return fn(batch)
 

@@ -442,6 +442,13 @@ def connected_components(
         old.unpersist()
         if changed == 0:
             break
+    else:
+        # silent non-convergence would hand dedup_keep_canonical split
+        # components and KEEP duplicate documents — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; a component's diameter exceeds it — raise max_iter"
+        )
     return labels
 
 

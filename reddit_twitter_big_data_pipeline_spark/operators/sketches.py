@@ -13,12 +13,10 @@ look like, which tokens dominate — are answered with sketches:
   percentiles in one pass with bounded state, no global sort. An exact
   median of 100 TB is a full-table sort; the sketch is a scan.
 - **Heavy hitters**: frequency of the top candidate values. Exact counting
-  of ALL values shuffles the whole universe; candidate-then-verify counts
-  only plausible hitters. (Spark's `freqItems` one-pass sketch exists but
-  returns no counts and over-reports; here candidates come from a cheap
-  per-partition pre-aggregation, then one exact count over candidates only
-  — same two-phase shape as salted_agg, candidate set bounded by
-  `n_candidates × partitions`.)
+  of ALL values shuffles the whole universe; sample-then-verify counts a
+  sample to nominate candidates, then exactly counts ONLY candidate rows.
+  (Spark's `freqItems` one-pass sketch exists but returns no counts and
+  over-reports.)
 
 All three stay entirely in Tungsten codegen (built-in aggregates, no UDFs,
 no collects) and compose with groupBy — partial aggregation is map-side, so
@@ -90,9 +88,13 @@ def heavy_hitters(
     probability at any realistic N. Raise `sample_fraction` for small data
     (tests use 1.0, making the result exact and deterministic).
 
+    NULLs are excluded (a semi-join cannot match them and "null is the top
+    value" is a data-quality question, not a heavy-hitter one — ask it with
+    a plain null-count filter).
+
     Returns (value, freq) ordered freq desc, value asc (A7 tie-break)."""
     n_cand = n_candidates or 4 * n
-    vals = df.select(F.col(value_col).alias("value"))
+    vals = df.select(F.col(value_col).alias("value")).filter(F.col("value").isNotNull())
     sampled = vals if sample_fraction >= 1.0 else vals.sample(sample_fraction, seed)
     candidates = (
         sampled.groupBy("value")

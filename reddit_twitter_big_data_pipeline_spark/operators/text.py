@@ -254,8 +254,17 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"(?<![\w.])(?:\d{1,3}\.){3}\d{1,3}(?![\w.])", "<IP>"),
     ("ssn", r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", "<SSN>"),
-    # international-ish phone numbers: optional +CC, separators, 7+ digits
-    ("phone", r"(?<![\w.])\+?\d[\d ()\-.]{6,}\d(?![\w.])", "<PHONE>"),
+    # phone numbers in recognizable shapes only: +CC international, US
+    # parenthesized, or 3-3-4 separated. A digits-and-separators catch-all
+    # would also swallow dates ("2023-03-25 12") and number lists
+    # ("10 20 30 40"), corrupting ordinary text at corpus scale.
+    (
+        "phone",
+        r"(?<![\w.])(?:\+\d[\d ()\-.]{6,}\d"
+        r"|\(\d{3}\)[ \-.]?\d{3}[ \-.]?\d{4}"
+        r"|\d{3}[ \-.]\d{3}[ \-.]\d{4})(?![\w.])",
+        "<PHONE>",
+    ),
 ]
 
 
@@ -273,7 +282,9 @@ def strip_markup(col: str = "text") -> Column:
     """Drop HTML/XML tags and bare URLs — the boilerplate-removal pass.
     Tags go first so an href URL inside a tag doesn't leave an orphan
     attribute; whitespace is re-collapsed at the end."""
-    no_tags = F.regexp_replace(F.col(col), r"<[^>]{0,256}>", " ")
+    # first char must be tag-like, so comparison prose ("a < b and c > d")
+    # is not eaten as markup
+    no_tags = F.regexp_replace(F.col(col), r"</?[A-Za-z!][^>]{0,255}>", " ")
     no_urls = F.regexp_replace(no_tags, r"https?://[^\s<>\"]+|www\.[^\s<>\"]+", " ")
     return F.trim(F.regexp_replace(no_urls, r"\s+", " "))
 

@@ -9,6 +9,8 @@ handy interactively: `audit.summarize(df)` prints the operator counts.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -18,8 +20,15 @@ def _physical_plan(df: DataFrame) -> str:
 
 def count_operator(df: DataFrame, operator: str) -> int:
     """Occurrences of a physical operator (e.g. 'Exchange', 'CartesianProduct',
-    'BroadcastHashJoin', 'SortMergeJoin') in the executed plan."""
-    return _physical_plan(df).count(operator)
+    'BroadcastHashJoin', 'SortMergeJoin') in the executed plan. Token-boundary
+    matched, so 'Exchange' does NOT count BroadcastExchange/ReusedExchange,
+    'Sort' does not count SortMergeJoin, 'Filter' does not count
+    PushedFilters, 'HashAggregate' does not count ObjectHashAggregate."""
+    return _count(_physical_plan(df), operator)
+
+
+def _count(plan: str, operator: str) -> int:
+    return len(re.findall(rf"(?<![A-Za-z]){re.escape(operator)}(?![A-Za-z])", plan))
 
 
 def assert_no_cartesian(df: DataFrame) -> None:
@@ -52,6 +61,8 @@ def summarize(df: DataFrame) -> dict[str, int]:
     plan = _physical_plan(df)
     ops = (
         "Exchange",
+        "BroadcastExchange",
+        "ReusedExchange",
         "BroadcastHashJoin",
         "SortMergeJoin",
         "CartesianProduct",
@@ -62,4 +73,4 @@ def summarize(df: DataFrame) -> dict[str, int]:
         "Filter",
         "Project",
     )
-    return {op: plan.count(op) for op in ops}
+    return {op: _count(plan, op) for op in ops}

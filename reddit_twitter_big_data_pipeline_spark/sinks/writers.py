@@ -206,14 +206,15 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     )
 
 
-def zorder_value(*cols, bits: int = 16):
+def zorder_value(*cols, bits: int | None = None):
     """Z-order (Morton) curve value for up to 4 numeric columns — sort by
     this to cluster a table on SEVERAL dimensions at once, so parquet
     row-group min/max stats prune selective filters on ANY of them (a
     single-column sort clusters only its own column; Z-order trades a
     little per-column locality for locality on all of them).
 
-    Each column is rank-normalized to `bits` bits per Arrow batch (rank,
+    Each column is rank-normalized to `bits` bits (default: 63 // n_cols,
+    the most that fit an int64) per Arrow batch (rank,
     not raw value — Morton codes need uniform bit utilization, and ranks
     are distribution-free), then bits interleave into one long. Arrow-
     batched numpy; this is a maintenance-pass helper (compact_table), not
@@ -232,6 +233,15 @@ def zorder_value(*cols, bits: int = 16):
     n = len(cols)
     if not 1 <= n <= 4:
         raise ValueError("zorder_value supports 1-4 columns")
+    # int64 budget: n interleaved tracks of `bits` bits must fit in the 63
+    # value bits — beyond that, numpy shifts wrap mod 64 and the Morton
+    # value silently scrambles. Default: as many bits as fit.
+    bits = bits if bits is not None else 63 // n
+    if bits * n > 63:
+        raise ValueError(
+            f"bits={bits} × {n} columns needs {bits * n} bits; the int64 "
+            f"z-value holds 63 — use bits <= {63 // n}"
+        )
 
     # no type hints: pandas_udf cannot infer an eval type from a varargs
     # signature, but the unannotated form with an explicit returnType is a

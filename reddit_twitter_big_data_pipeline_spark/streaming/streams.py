@@ -169,9 +169,12 @@ def stream_stream_join(
     l_wm = left.withWatermark(left_ts, watermark)
     r_wm = right.withWatermark(right_ts, watermark)
     key_cond = [l_wm[k] == r_wm[k] for k in keys]
+    # qualified refs: an unqualified F.col(left_ts) is ambiguous whenever the
+    # right stream happens to carry a column with the left timestamp's name
+    delay = F.expr(f"INTERVAL {max_delay}")
     time_cond = [
-        F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_delay}"),
-        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"),
+        r_wm[right_ts] >= l_wm[left_ts] - delay,
+        r_wm[right_ts] <= l_wm[left_ts] + delay,
     ]
     joined = l_wm.join(
         r_wm, [c for conds in (key_cond, time_cond) for c in conds], "inner"

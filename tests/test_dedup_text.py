@@ -364,3 +364,31 @@ def test_dedup_keep_canonical_end_to_end_minhash(spark):
     # docs 1/2/5 are one cluster (exact + normalized dups); 3 ("leaps")
     # stays below J=0.5 on 3-gram shingles; 4 is unrelated -> keep 1, 3, 4
     assert kept == [1, 3, 4]
+
+
+def test_scrub_pii_preserves_dates_and_number_lists(spark):
+    """The phone patterns must not swallow ordinary numeric text."""
+    df = spark.createDataFrame(
+        [(1, "posted 2023-03-25 12:00:00"), (2, "scores 10 20 30 40"),
+         (3, "dial (555) 123-4567 or 555-123-4567")],
+        ["id", "text"],
+    )
+    out = {r.id: r.t for r in df.select("id", text_ops.scrub_pii("text").alias("t")).collect()}
+    assert out[1] == "posted 2023-03-25 12:00:00"
+    assert out[2] == "scores 10 20 30 40"
+    assert out[3] == "dial <PHONE> or <PHONE>"
+
+
+def test_strip_markup_keeps_comparison_prose(spark):
+    df = spark.createDataFrame([(1, "if a < b and c > d then <b>bold</b>")], ["id", "text"])
+    (row,) = df.select(text_ops.strip_markup("text").alias("t")).collect()
+    assert row.t == "if a < b and c > d then bold"
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    # and converges fine with enough rounds
+    comp = {r.node: r.component for r in dedup.connected_components(chain, max_iter=10).collect()}
+    assert set(comp.values()) == {0}

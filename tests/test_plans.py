@@ -4,7 +4,7 @@ lost broadcast, shuffle explosion) must fail here, not at 100 TB."""
 
 from __future__ import annotations
 
-import importlib.util
+import importlib
 
 import pytest
 
@@ -13,10 +13,9 @@ from reddit_twitter_big_data_pipeline_spark.plans import audit
 
 @pytest.fixture(scope="module")
 def entry():
-    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
-    m = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(m)
-    return m
+    # conftest puts the repo root on sys.path; import the driver contract
+    # module portably instead of hardcoding its absolute path
+    return importlib.import_module("__spark_entry__")
 
 
 # every registered query must plan without a cartesian/nested-loop join

@@ -477,3 +477,39 @@ def test_zorder_compaction_clusters_both_dims(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         writers.compact_table(spark, path, sort_cols=["x"], zorder_cols=["y"])
+
+
+def test_zorder_value_rejects_overflowing_bits(spark):
+    df = spark.range(4).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(ValueError, match="63"):
+        df.select(writers.zorder_value("a", "b", "c", "d", bits=20))
+    # default bits adapt to the column count (4 cols -> 15 bits each)
+    assert df.select(writers.zorder_value("a", "b", "c", "d")).count() == 4
+
+
+def test_rate_limited_backend_state_survives_task_reserialization(tmp_path):
+    """Spark re-deserializes UDF closures per task; two unpickled copies of
+    the same wrapped backend must share ONE limiter window (worker-global
+    registry), or back-to-back tasks could double the rate. The sleeper
+    records to a FILE because each pickled copy gets its own copy of any
+    captured list — only the registry itself is shared."""
+    from pyspark import cloudpickle
+
+    record = str(tmp_path / "waits.log")
+
+    def sleeper(s):
+        with open(record, "a") as f:
+            f.write(f"{s}\n")
+
+    throttled = enrich.rate_limited_backend(
+        lambda texts: texts, rate=2, per_s=1.0, clock=lambda: 0.0, sleeper=sleeper
+    )
+    blob = cloudpickle.dumps(throttled)
+    copy1 = cloudpickle.loads(blob)  # "task 1"
+    copy2 = cloudpickle.loads(blob)  # "task 2", same worker process
+    copy1(pd.Series(["a"]))
+    copy2(pd.Series(["b"]))  # window now holds 2 calls ACROSS tasks
+    assert not os.path.exists(record)  # first two calls fit the window
+    copy2(pd.Series(["c"]))  # third call in the frozen-clock window waits
+    waits = [float(x) for x in open(record).read().split()]
+    assert waits == [1.0]

@@ -59,3 +59,10 @@ def test_heavy_hitters_sampled_finds_dominant(spark):
     df = spark.createDataFrame(rows, ["v"]).repartition(8)
     out = sketches.heavy_hitters(df, "v", n=1, sample_fraction=0.2).collect()
     assert out[0].value == "hot" and out[0].freq == 5000  # freq EXACT despite sampling
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    rows = [(None,)] * 50 + [("a",)] * 10 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "v string")
+    out = [(r.value, r.freq) for r in sketches.heavy_hitters(df, "v", n=2, sample_fraction=1.0).collect()]
+    assert out == [("a", 10), ("b", 5)]  # null excluded by contract
