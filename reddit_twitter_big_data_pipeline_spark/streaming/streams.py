@@ -235,6 +235,41 @@ def upsert_stream(
     return writer.start()
 
 
+def graph_stream(
+    tweets: DataFrame,
+    transport_factory,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The reference's full topology as ONE streaming pipeline: scraped
+    tweets stream in, each micro-batch derives the nodes/edges model and
+    upserts it through the batched graph sink (reference: the
+    EventBridge→Lambda→Glue→Neo4j chain, terraform/main.tf:200-205 +
+    neo4j_insert/neo4j_twitter_insert.py:60-82, collapsed into
+    readStream→foreachBatch).
+
+    Exactly-once composition: the checkpoint makes each micro-batch
+    processed once; the sink's MERGE statements make a replayed batch (task
+    retry, crash between checkpoint and sink) converge instead of
+    duplicating — the same idempotency argument as upsert_stream, applied
+    to an external store."""
+    from ..plans.graph import twitter_graph
+    from ..sinks.graph_sink import write_graph
+
+    def _serve(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        nodes, edges = twitter_graph(batch)
+        write_graph(nodes, edges, transport_factory)
+
+    writer = tweets.writeStream.foreachBatch(_serve).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_completion(query: StreamingQuery, timeout_s: int = 300) -> None:
     """Await an availableNow query; surface its exception if it failed."""
     query.awaitTermination(timeout_s)

@@ -10,6 +10,7 @@ Streaming: file source + watermark windows + checkpointed exactly-once sinks
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -258,3 +259,69 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     streams.run_to_completion(q)
     got = {(r.id, r.refresh_ts.minute) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {(1, 5)}
+
+
+def test_graph_stream_end_to_end_idempotent(spark, tmp_path):
+    """Full reference topology on a stream: tweets in, nodes/edges MERGEd to
+    the (mock) graph store per micro-batch; replaying the whole stream into
+    a fresh checkpoint converges to the same graph — the exactly-once +
+    idempotent-MERGE composition."""
+    import glob as _glob
+    import uuid as _uuid
+
+    from reddit_twitter_big_data_pipeline_spark.operators import cleanse
+
+    land = tmp_path / "tweets"
+    land.mkdir()
+    rows = [
+        {"id": "1", "content": "hi", "username": "alice",
+         "mentionedUsers": "bob,carol", "inReplyToUser": None},
+        {"id": "2", "content": "yo", "username": "bob",
+         "mentionedUsers": None, "inReplyToUser": None},
+    ]
+    (land / "t1.json").write_text(json.dumps(rows))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("username", T.StringType()),
+            T.StructField("mentionedUsers", T.StringType()),
+            T.StructField("inReplyToUser", T.StringType()),
+        ]
+    )
+    out_dir = str(tmp_path / "calls")
+    os.makedirs(out_dir)
+
+    def transport_factory():
+        def send(statement, rows):
+            p = os.path.join(out_dir, f"{_uuid.uuid4().hex}.json")
+            with open(p, "w") as f:
+                json.dump({"statement": statement, "rows": rows}, f)
+
+        return send
+
+    def run(ckpt):
+        src = cleanse.parse_mentions(streams.read_json_stream(spark, str(land), schema))
+        q = streams.graph_stream(src, transport_factory, str(tmp_path / ckpt))
+        streams.run_to_completion(q)
+
+    run("ck1")
+    run("ck2")  # full replay into a fresh checkpoint: MERGE must converge
+
+    nodes, edges = {}, set()
+    for p in _glob.glob(out_dir + "/*.json"):
+        c = json.load(open(p))
+        if "MERGE (n:" in c["statement"]:
+            label = c["statement"].split("MERGE (n:")[1].split(" ")[0]
+            for r in c["rows"]:
+                nodes[(label, r["node_id"])] = True
+        else:
+            rel = c["statement"].split("MERGE (a)-[r:")[1].split("]")[0]
+            for r in c["rows"]:
+                edges.add((r["src"], rel, r["dst"]))
+    assert ("Tweet", "1") in nodes and ("User_Twitter", "carol") in nodes
+    assert ("1", "MENTIONS", "bob") in edges and ("2", "POSTED_BY", "bob") in edges
+    # replay created no NEW graph entities: sets are deduped by construction,
+    # so assert cardinalities match a single logical graph
+    assert len([k for k in nodes if k[0] == "Tweet"]) == 2
+    assert len(edges) == 4  # 2 POSTED_BY + 2 MENTIONS
