@@ -392,3 +392,36 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and converges fine with enough rounds
     comp = {r.node: r.component for r in dedup.connected_components(chain, max_iter=10).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_ann_and_ivf_recall_on_real_embeddings(spark, sf_dir):
+    """Quantified recall@10 against the exact baseline on the driver-generated
+    embeddings table — the accuracy/cost trade the approximate paths make
+    must stay measurable and bounded, not anecdotal."""
+    from reddit_twitter_big_data_pipeline_spark import schemas
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings")
+    probes = emb.orderBy("vec_id").limit(5)
+    bf = similarity.brute_force_topk(probes, emb, k=10)
+    truth = {}
+    for r in bf.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(approx_df):
+        got = {}
+        for r in approx_df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    # observed on this data: ann(2 planes)=0.28, ivf(n_probe=4)=0.80,
+    # ivf(n_probe=8)=1.00 — floors sit at roughly half the observed value,
+    # so the test is stable but a bucketing/scoring regression still fails.
+    # (Single-probe sign-LSH recall is intrinsically modest at organic
+    # cosines ~0.6; the multiprobe/near-dup paths exist for exactly that.)
+    r_ann = recall(similarity.ann_topk(probes, emb, k=10, n_planes=2))
+    r_ivf4 = recall(similarity.ivf_topk(probes, emb, k=10, n_centroids=8, n_probe=4))
+    r_ivf8 = recall(similarity.ivf_topk(probes, emb, k=10, n_centroids=8, n_probe=8))
+    assert r_ann >= 0.10, f"ANN recall@10 collapsed: {r_ann:.2f}"
+    assert r_ivf4 >= 0.40, f"IVF recall@10 collapsed: {r_ivf4:.2f}"
+    assert r_ivf8 >= r_ivf4  # probing more cells can only help
