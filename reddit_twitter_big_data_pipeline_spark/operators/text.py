@@ -308,3 +308,70 @@ def clean_for_training(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn(col, scrub_pii("__c1"))
         .drop("__c0", "__c1")
     )
+
+
+# --- sequence packing (training-example assembly) ---------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Pack documents into training sequences of at most `max_tokens`
+    whitespace tokens per pack (greedy next-fit in doc-id order) — the
+    assembly step after chunking: short documents share a sequence instead
+    of wasting padded context.
+
+    Scale shape: range-partition on the id (the only shuffle), then each
+    partition packs ITS documents independently with a running token-count
+    cursor inside one mapInPandas pass — packs never span partitions, so
+    no global coordination exists and the result is deterministic for a
+    given (partitioning, id order). A document longer than `max_tokens`
+    gets a pack of its own (chunk first if that matters). Output:
+    (pack_id string "<partition>-<seq>", doc_id, pack_tokens) — join back
+    to the corpus on doc_id to materialize pack text.
+    """
+    import pandas as pd
+
+    sc = df.sparkSession
+    parts = partitions or sc.sparkContext.defaultParallelism
+    ranged = (
+        df.select(F.col(id_col).alias("doc_id"), token_count(col).alias("n_tokens"))
+        .repartitionByRange(parts, F.col("doc_id"))
+        # range partitioning does NOT order rows inside a partition; the
+        # packing cursor needs a stable order, and sorted batches also make
+        # the first batch's min id the true partition minimum
+        .sortWithinPartitions("doc_id")
+    )
+
+    def pack(batches):
+        part_key = None
+        seq = 0
+        used = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if part_key is None:
+                # stable per-partition prefix without a second shuffle: the
+                # smallest doc id this partition sees (range partitioning
+                # makes it unique across partitions)
+                part_key = str(int(pdf["doc_id"].min()))
+            pdf = pdf.sort_values("doc_id")
+            out_pack, out_doc, out_n = [], [], []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                n = int(n)
+                if used > 0 and used + n > max_tokens:
+                    seq += 1
+                    used = 0
+                used += n
+                out_pack.append(f"{part_key}-{seq}")
+                out_doc.append(int(doc_id))
+                out_n.append(n)
+            yield pd.DataFrame(
+                {"pack_id": out_pack, "doc_id": out_doc, "n_tokens": out_n}
+            )
+
+    return ranged.mapInPandas(pack, "pack_id string, doc_id long, n_tokens int")

@@ -425,3 +425,33 @@ def test_ann_and_ivf_recall_on_real_embeddings(spark, sf_dir):
     assert r_ann >= 0.10, f"ANN recall@10 collapsed: {r_ann:.2f}"
     assert r_ivf4 >= 0.40, f"IVF recall@10 collapsed: {r_ivf4:.2f}"
     assert r_ivf8 >= r_ivf4  # probing more cells can only help
+
+
+def test_pack_sequences_respects_budget(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([100, 200, 250, 300, 600, 50])],
+        ["doc_id", "text"],
+    )
+    out = text_ops.pack_sequences(docs, max_tokens=512, partitions=1).toPandas()
+    assert len(out) == 6  # every document assigned exactly once
+    sums = out.groupby("pack_id")["n_tokens"].sum()
+    # a pack exceeds the budget only when a single document alone does
+    for pid, total in sums.items():
+        members = out[out["pack_id"] == pid]
+        assert total <= 512 or len(members) == 1
+    # oversized doc (600) is alone in its pack
+    big = out[out["n_tokens"] == 600]["pack_id"].iloc[0]
+    assert (out["pack_id"] == big).sum() == 1
+
+
+def test_pack_sequences_deterministic_and_partition_local(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100)) for i in range(40)], ["doc_id", "text"]
+    )
+    a = text_ops.pack_sequences(docs, max_tokens=300, partitions=4).toPandas()
+    b = text_ops.pack_sequences(docs, max_tokens=300, partitions=4).toPandas()
+    pd_a = a.sort_values("doc_id").reset_index(drop=True)
+    pd_b = b.sort_values("doc_id").reset_index(drop=True)
+    assert pd_a.equals(pd_b)  # same partitioning + id order -> same packs
+    # every pack holds <= 3 docs of 100 tokens under the 300 budget
+    assert a.groupby("pack_id").size().max() <= 3
