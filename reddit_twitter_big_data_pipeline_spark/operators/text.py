@@ -331,19 +331,26 @@ def pack_sequences(
     no global coordination exists and the result is deterministic for a
     given (partitioning, id order). A document longer than `max_tokens`
     gets a pack of its own (chunk first if that matters). Output:
-    (pack_id string "<partition>-<seq>", doc_id, pack_tokens) — join back
+    (pack_id string "<partition>-<seq>", doc_id, n_tokens) — n_tokens is
+    the DOCUMENT's count (sum per pack_id for the pack total); join back
     to the corpus on doc_id to materialize pack text.
+
+    Ids may be any orderable type (string ids sort lexicographically —
+    the order only has to be stable, not semantic); rows with a null id
+    are dropped (they cannot be joined back anyway).
     """
     import pandas as pd
 
     sc = df.sparkSession
     parts = partitions or sc.sparkContext.defaultParallelism
+    id_type = df.schema[id_col].dataType.simpleString()
     ranged = (
         df.select(F.col(id_col).alias("doc_id"), token_count(col).alias("n_tokens"))
+        .filter(F.col("doc_id").isNotNull())
         .repartitionByRange(parts, F.col("doc_id"))
         # range partitioning does NOT order rows inside a partition; the
         # packing cursor needs a stable order, and sorted batches also make
-        # the first batch's min id the true partition minimum
+        # the first batch's first row the partition minimum
         .sortWithinPartitions("doc_id")
     )
 
@@ -357,21 +364,24 @@ def pack_sequences(
             if part_key is None:
                 # stable per-partition prefix without a second shuffle: the
                 # smallest doc id this partition sees (range partitioning
-                # makes it unique across partitions)
-                part_key = str(int(pdf["doc_id"].min()))
-            pdf = pdf.sort_values("doc_id")
-            out_pack, out_doc, out_n = [], [], []
-            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                # makes it unique across partitions; batches arrive sorted)
+                part_key = str(pdf["doc_id"].iloc[0])
+            out_pack, out_n = [], []
+            for n in pdf["n_tokens"]:
                 n = int(n)
                 if used > 0 and used + n > max_tokens:
                     seq += 1
                     used = 0
                 used += n
                 out_pack.append(f"{part_key}-{seq}")
-                out_doc.append(int(doc_id))
                 out_n.append(n)
             yield pd.DataFrame(
-                {"pack_id": out_pack, "doc_id": out_doc, "n_tokens": out_n}
+                {"pack_id": out_pack, "doc_id": pdf["doc_id"], "n_tokens": out_n}
             )
 
-    return ranged.mapInPandas(pack, "pack_id string, doc_id long, n_tokens int")
+    return ranged.mapInPandas(pack, f"pack_id string, doc_id {id_type}, n_tokens int")
+
+
+from .._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

@@ -257,10 +257,17 @@ def graph_stream(
     from ..sinks.graph_sink import write_graph
 
     def _serve(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        nodes, edges = twitter_graph(batch)
-        write_graph(nodes, edges, transport_factory)
+        # twitter_graph references the batch across ~7 union branches and the
+        # sink runs two actions — pin it once or every branch re-reads the
+        # micro-batch's source files
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            nodes, edges = twitter_graph(batch)
+            write_graph(nodes, edges, transport_factory)
+        finally:
+            batch.unpersist()
 
     writer = tweets.writeStream.foreachBatch(_serve).option(
         "checkpointLocation", checkpoint
