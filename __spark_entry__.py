@@ -719,6 +719,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q5_local_suppliers"] = tpch_q5_local_suppliers
 
+    # ---- round-2 additions (appended AFTER the r1-verified block so a
+    # count-capped correctness run never displaces a previously-green row) --
+    def text_quality_gopher(spark, sf):
+        docs = _t(spark, sf, "documents")
+        # min_stop_hits=1: the synthetic corpus's vocabulary contains only
+        # one Gopher stopword ('the'), so the published ≥2 would zero out
+        return text_ops.quality_signals(docs, min_stop_hits=1)
+
+    q["text_quality_gopher"] = text_quality_gopher
+
+    def text_decontaminate(spark, sf):
+        docs = _t(spark, sf, "documents")
+        corpus = docs.filter(F.col("source") != "src0")
+        benchmark = docs.filter(F.col("source") == "src0")
+        # k=5: short synthetic docs; published k=8 finds nothing this small
+        return dedup.contamination_flags(corpus, benchmark, k=5)
+
+    q["text_decontaminate"] = text_decontaminate
+
+    def sem_dedup_pairs(spark, sf):
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        copy = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        # n_clusters sizes cells to ~tens of rows at bench scale; exact-copy
+        # recall is cluster-count-independent (identical vectors, identical
+        # assignment) and the testdata's organic pairs top out at cosine 0.6
+        return similarity.semantic_dedup_pairs(
+            emb.unionByName(copy), threshold=0.95, n_clusters=256
+        )
+
+    q["sem_dedup_pairs"] = sem_dedup_pairs
+
     return q
 
 
@@ -1272,5 +1303,73 @@ def oracle_sql() -> dict[str, str]:
                CAST(greatest(0, least(64, len - i * 64)) AS INTEGER) AS frame_bytes
         FROM fr
     """
+
+    # Gopher signals mirrored term for term; the keep predicate compares the
+    # RAW (unrounded) signals exactly as operators.text.gopher_keep does.
+    _gstop = "['the','be','to','of','and','that','have','with']"
+    o["text_quality_gopher"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        ),
+        mw AS (
+          SELECT doc_id, max(n) AS best FROM (
+            SELECT doc_id, w, count(*) AS n
+            FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+          ) GROUP BY 1
+        ),
+        s AS (
+          SELECT t.doc_id,
+                 len(toks) AS n_words,
+                 (length(text) - (len(toks) - 1)) / greatest(len(toks), 1) AS mwl,
+                 len(list_filter(toks, x -> regexp_matches(lower(x), '[a-z]')))
+                   / greatest(len(toks), 1) AS awf,
+                 len(list_filter({_gstop}, s -> list_contains(toks, s))) AS stop_hits,
+                 len(list_distinct(toks)) / greatest(len(toks), 1) AS ttr,
+                 mw.best / greatest(len(toks), 1) AS twf
+          FROM t JOIN mw ON t.doc_id = mw.doc_id
+        )
+        SELECT doc_id,
+               n_words::BIGINT AS n_words,
+               round(mwl, 6) AS mean_word_len,
+               round(awf, 6) AS alpha_word_frac,
+               stop_hits::BIGINT AS stop_hits,
+               round(ttr, 6) AS type_token_ratio,
+               round(twf, 6) AS top_word_frac,
+               (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                AND awf >= 0.8 AND stop_hits >= 1 AND twf < 0.2) AS keep
+        FROM s
+    """
+
+    # 5-token-shingle overlap vs the src0 benchmark slice, shingle
+    # construction identical to the Jaccard oracle's (normalize → slice →
+    # distinct); the operator joins on xxhash64 of the same strings.
+    o["text_decontaminate"] = """
+        WITH t AS (
+          SELECT doc_id, source,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, source,
+                 unnest(list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                        ELSE [array_to_string(toks[i:i+4], ' ')
+                              FOR i IN range(1, len(toks) - 3)] END)) AS s
+          FROM t
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        hits AS (
+          SELECT doc_id, count(*) AS n FROM sh JOIN bench USING (s)
+          WHERE source <> 'src0' GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.source <> 'src0'
+    """
+
+    # Same exhaustive all-pairs oracle as emb_near_dup: the k-means-cell
+    # candidate generator must recover exactly the pairs the hyperplane one
+    # does — both are graded against ground truth, not against each other.
+    o["sem_dedup_pairs"] = o["emb_near_dup"]
 
     return o

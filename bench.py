@@ -45,6 +45,9 @@ HEADLINE = [
     "sim_ann_topk",
     "emb_near_dup",
     "text_profile",
+    "text_quality_gopher",
+    "text_decontaminate",
+    "sem_dedup_pairs",
     "media_features",
     "media_frame_sample",
 ]

@@ -452,6 +452,43 @@ def connected_components(
     return labels
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any k-token
+    shingle with an evaluation/benchmark set (the standard n-gram-overlap
+    check run before training; k=8 is the common published choice, k is
+    tunable down for short texts). Output: one row per corpus document —
+    (id, n_contaminated [distinct overlapping shingles], contaminated).
+
+    Scale shape: the benchmark side (eval sets are MB-scale) reduces to a
+    DISTINCT set of 8-byte shingle hashes and BROADCASTS; the corpus streams
+    once through explode → hash → broadcast-hash-join → per-doc count. The
+    corpus is never shuffled — the only wide op is the per-doc count, keyed
+    on the doc id. Hash-collision false positives are ~|shingles|²/2⁶⁴.
+    """
+    ex = hashed_shingles(corpus, id_col, text_col, k)
+    bench = hashed_shingles(benchmark, id_col, text_col, k).select("h").distinct()
+    hits = (
+        ex.join(F.broadcast(bench), "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def dedup_keep_canonical(
     docs: DataFrame,
     pairs: DataFrame,

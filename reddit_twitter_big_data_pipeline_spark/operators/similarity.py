@@ -409,6 +409,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    n_assign: int = 2,
+    train_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster embeddings
+    with the IVF spherical-kmeans codebook, generate candidate pairs only
+    WITHIN a cluster, verify with exact cosine. The k-means alternative to
+    ``embedding_near_dup_pairs``' hyperplane buckets — data-adaptive cells
+    concentrate near-dups harder than random planes on clustered corpora.
+
+    Each row is assigned to its `n_assign` nearest centroids (multi-
+    assignment: a near-dup pair straddling a cell boundary still shares the
+    runner-up cell — the same recall trick as IVF multiprobe, applied on the
+    index side). Candidates self-join on the int cell id, exact cosine
+    verifies vectorized, duplicate candidates collapse before scoring.
+    Training is the same bounded deterministic driver-side sample as
+    ``ivf_topk``; everything after is one matmul per Arrow batch, a join
+    keyed on an int, and the verify UDF over candidates only."""
+    sample_rows = df.select(vec_col).orderBy(F.col(id_col).asc()).limit(train_size).collect()
+    sample = np.array([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    cent = _kmeans(sample, n_clusters, iters, seed)
+    n_assign_eff = min(n_assign, len(cent))
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = _to_matrix(v)
+        normed = m / _safe_norms(m)[:, None]
+        top = np.argsort(-(normed @ bc.value.T), axis=1, kind="stable")[:, :n_assign_eff]
+        return pd.Series(list(top.astype(np.int32)))
+
+    # persist the assigned frame: both self-join sides read it, and without
+    # the pin each side re-runs the scan + assignment UDF (the same lesson
+    # as the minhash shingle frame — r2 measured 2× on the unpinned plan)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        cells(F.col(vec_col)).alias("cells"),
+    ).persist()
+    side = assigned.withColumn("cell", F.explode("cells"))
+    a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("cells").alias("ca"), "cell")
+    b = side.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("cells").alias("cb"), "cell")
+    cos = cosine_pairs_udf()
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        # multi-assignment makes a pair collide in up to n_assign shared
+        # cells; keep it only where cell = min(shared cells) — an exact,
+        # shuffle-free dedupe (the assignment arrays ride along as
+        # n_assign ints) instead of a dropDuplicates over vector-laden rows
+        .filter(F.col("cell") == F.array_min(F.array_intersect("ca", "cb")))
+        .select("a", "b", F.round(cos(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 from .._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)

@@ -310,6 +310,115 @@ def clean_for_training(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# --- Gopher/C4-style quality heuristics -------------------------------------
+
+# Gopher's required-stopword list (Rae et al. 2021, "Scaling Language Models",
+# table A1): a document must contain ≥2 of these to pass. Public heuristic,
+# not from the reference (which has no quality filtering).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def mean_word_length(col: str = "text") -> Column:
+    """Mean token length over single-space-normalized text — computed as
+    (chars − separators) / words, a pure O(1)-per-row expression that never
+    materializes the token array lengths."""
+    n = token_count(col)
+    return (F.length(F.col(col)) - (n - F.lit(1))) / F.greatest(n, F.lit(1))
+
+
+def alpha_word_frac(col: str = "text") -> Column:
+    """Fraction of tokens containing at least one [a-z] letter (after
+    lowering) — Gopher's 80%-alphabetic rule."""
+    toks = tokens(col)
+    alpha = F.filter(toks, lambda t: F.lower(t).rlike("[a-z]"))
+    return F.size(alpha) / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_hits(col: str = "text", markers: tuple[str, ...] = GOPHER_STOPWORDS) -> Column:
+    """How many DISTINCT required stopwords appear in the document (presence,
+    not frequency — a doc saying 'the' fifty times still scores 1)."""
+    toks = tokens(col)
+    present = F.filter(
+        F.array(*[F.lit(m) for m in markers]), lambda s: F.array_contains(toks, s)
+    )
+    return F.size(present)
+
+
+def type_token_ratio(col: str = "text") -> Column:
+    """Distinct-token / token ratio — low values flag boilerplate or
+    degenerate repetition."""
+    toks = tokens(col)
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def max_word_frac(col: str = "text") -> Column:
+    """Fraction of the document taken by its single most frequent token —
+    Gopher's repetition signal. Computed WITHOUT a shuffle: sort the token
+    array and fold once over it counting the longest run of equal adjacent
+    tokens (`aggregate` evaluates its lambda iteratively at runtime — the
+    plan stays O(1) in size, the work O(n log n) per row). The equivalent
+    explode → groupBy(doc, word) formulation shuffles the entire token table;
+    at 100 TB this version is a projection."""
+    toks = F.array_sort(tokens(col))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(toks, zero, step, lambda acc: acc["best"])
+    return best / F.greatest(F.size(toks), F.lit(1))
+
+
+def gopher_keep(
+    col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_top_word_frac: float = 0.2,
+) -> Column:
+    """The composed Gopher keep/drop predicate. Thresholds are the published
+    defaults; every signal is also exposed individually via
+    ``quality_signals`` so a pipeline can tune per-corpus."""
+    n = token_count(col)
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & mean_word_length(col).between(min_mean_word_len, max_mean_word_len)
+        & (alpha_word_frac(col) >= min_alpha_frac)
+        & (stopword_hits(col) >= min_stop_hits)
+        & (max_word_frac(col) < max_top_word_frac)
+    )
+
+
+def quality_signals(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """One scan → one projection computing every Gopher-style signal plus the
+    keep verdict. No shuffle at any scale (see ``max_word_frac`` for why even
+    the repetition signal stays shuffle-free)."""
+    return df.select(
+        F.col(id_col),
+        token_count(col).cast("long").alias("n_words"),
+        F.round(mean_word_length(col), 6).alias("mean_word_len"),
+        F.round(alpha_word_frac(col), 6).alias("alpha_word_frac"),
+        stopword_hits(col).cast("long").alias("stop_hits"),
+        F.round(type_token_ratio(col), 6).alias("type_token_ratio"),
+        F.round(max_word_frac(col), 6).alias("top_word_frac"),
+        gopher_keep(col, min_stop_hits=min_stop_hits).alias("keep"),
+    )
+
+
 # --- sequence packing (training-example assembly) ---------------------------
 
 

@@ -1,0 +1,162 @@
+"""Gopher-style quality signals, benchmark decontamination, and SemDeDup
+cluster-verified embedding dedup (round-2 LLM-pipeline additions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from reddit_twitter_big_data_pipeline_spark.operators import dedup, similarity, text
+
+
+# --- quality signals --------------------------------------------------------
+
+
+def _signals(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.quality_signals(df, min_stop_hits=1)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_quality_signals_values(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs near river banks"] * 6
+    )  # 11 words x6 = 66, 'the' x6
+    sig = _signals(
+        spark,
+        [
+            (1, good),
+            (2, "tiny doc"),  # too short
+            (3, " ".join(["spam"] * 80)),  # one word repeated
+        ],
+    )
+    s1 = sig[1]
+    assert s1["n_words"] == 66
+    assert s1["stop_hits"] == 1
+    assert s1["keep"] is True
+    assert s1["top_word_frac"] == pytest.approx(6 / 66, abs=1e-6)
+    # 11 distinct words repeated 6x
+    assert s1["type_token_ratio"] == pytest.approx(11 / 66, abs=1e-6)
+
+    assert sig[2]["n_words"] == 2
+    assert sig[2]["keep"] is False
+
+    s3 = sig[3]
+    assert s3["top_word_frac"] == pytest.approx(1.0)
+    assert s3["type_token_ratio"] == pytest.approx(1 / 80, abs=1e-6)
+    assert s3["keep"] is False  # repetition + no stopwords
+
+
+def test_quality_signals_mean_word_len_and_alpha(spark):
+    sig = _signals(spark, [(1, "aa bbbb cc dddd"), (2, "12 34 56 78 90")])
+    assert sig[1]["mean_word_len"] == pytest.approx(3.0)
+    assert sig[1]["alpha_word_frac"] == pytest.approx(1.0)
+    assert sig[2]["alpha_word_frac"] == pytest.approx(0.0)
+    assert sig[2]["keep"] is False
+
+
+def test_max_word_frac_single_token(spark):
+    sig = _signals(spark, [(1, "solo")])
+    assert sig[1]["top_word_frac"] == pytest.approx(1.0)
+    assert sig[1]["n_words"] == 1
+
+
+def test_gopher_keep_published_default_requires_two_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["the quick brown fox jumps over lazy dogs again today"] * 6))],
+        "doc_id long, text string",
+    )
+    # only 'the' present -> fails the published >=2 rule
+    out = df.select(text.gopher_keep("text").alias("k")).collect()
+    assert out[0]["k"] is False
+
+
+# --- decontamination --------------------------------------------------------
+
+
+def test_contamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "beta gamma delta epsilon zeta"
+            (1, "prefix words beta gamma delta epsilon zeta suffix tail"),
+            (2, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.contamination_flags(corpus, bench, k=5).collect()
+    }
+    assert out[1]["contaminated"] is True
+    assert out[1]["n_contaminated"] >= 1
+    assert out[2]["contaminated"] is False
+    assert out[2]["n_contaminated"] == 0
+
+
+def test_contamination_flags_k8_misses_short_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        # shares only a 5-token run; no 8-token shingle can match
+        [(1, "one two beta gamma delta epsilon zeta nine ten eleven")],
+        "doc_id long, text string",
+    )
+    out = dedup.contamination_flags(corpus, bench, k=8).collect()
+    assert out[0]["contaminated"] is False
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+
+def _emb_df(spark, mat, ids=None):
+    rows = [
+        (int(i if ids is None else ids[j]), [float(x) for x in row])
+        for j, (i, row) in enumerate(zip(range(len(mat)), mat))
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_recovers_planted_copies(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 16))
+    # plant 5 exact copies with offset ids
+    mat = np.vstack([base, base[:5]])
+    ids = list(range(60)) + [1000 + i for i in range(5)]
+    df = _emb_df(spark, mat, ids)
+    pairs = similarity.semantic_dedup_pairs(
+        df, threshold=0.95, n_clusters=8, n_assign=2, seed=42
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    for i in range(5):
+        assert (i, 1000 + i) in found
+    for r in pairs:
+        assert r["cosine"] >= 0.95
+
+
+def test_semantic_dedup_no_false_pairs_on_random(spark):
+    rng = np.random.default_rng(11)
+    # random gaussian 16-dim: no pair reaches cosine 0.95
+    df = _emb_df(spark, rng.normal(size=(50, 16)))
+    assert similarity.semantic_dedup_pairs(df, n_clusters=4).count() == 0
+
+
+def test_semantic_dedup_matches_lsh_variant_on_testdata(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    copy = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    both = emb.unionByName(copy)
+    sem = {
+        (r["a"], r["b"])
+        for r in similarity.semantic_dedup_pairs(both, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dup_pairs(both, threshold=0.95).collect()
+    }
+    assert sem == lsh and len(sem) > 0
