@@ -750,6 +750,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sem_dedup_pairs"] = sem_dedup_pairs
 
+    def dedup_editdist_pairs(spark, sf):
+        cust = _t(spark, sf, "customer")
+        return dedup.edit_distance_pairs(cust, id_col="c_custkey", text_col="c_name")
+
+    q["dedup_editdist_pairs"] = dedup_editdist_pairs
+
     return q
 
 
@@ -1365,6 +1371,15 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.source <> 'src0'
+    """
+
+    # Exhaustive Levenshtein over the customer names: the deletion-
+    # neighborhood blocking must recover exactly the brute-force answer.
+    o["dedup_editdist_pairs"] = """
+        SELECT a.c_custkey AS a, b.c_custkey AS b,
+               levenshtein(a.c_name, b.c_name)::BIGINT AS distance
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
     """
 
     # Same exhaustive all-pairs oracle as emb_near_dup: the k-means-cell

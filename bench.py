@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_jaccard_pairs",
     "dedup_simhash_pairs",
+    "dedup_editdist_pairs",
     "sim_bruteforce_topk",
     "sim_ann_topk",
     "emb_near_dup",

@@ -489,6 +489,50 @@ def contamination_flags(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (a < b) with Levenshtein distance ≤ 1 — the fuzzy-key /
+    entity-resolution join, blocked so it never goes all-pairs.
+
+    Blocking is the FastSS / SymSpell deletion neighborhood: every string
+    expands to itself plus its |s| single-character-deletion variants; two
+    strings within edit distance 1 ALWAYS share a variant (substitution →
+    delete the differing position from both; insert/delete → the longer
+    side's deletion equals the shorter), so candidate recall is exactly 1.
+    Variants hash to 8-byte longs for the self-equi-join (same key-size
+    discipline as the shingle joins); transposition-shaped false candidates
+    are removed by the exact `levenshtein` verify, which runs ONLY on
+    candidates. Fan-out is |s|+1 rows per string — linear in data size, no
+    quadratic stage anywhere."""
+    c = F.col(text_col)
+    variants = F.concat(
+        F.array(c),
+        F.expr(
+            f"transform(sequence(1, length({text_col})), i -> "
+            f"concat(substring({text_col}, 1, i - 1), "
+            f"substring({text_col}, i + 1, length({text_col}))))"
+        ),
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        c.alias("s"),
+        F.explode(F.array_distinct(variants)).alias("var"),
+    ).select("id", "s", F.xxhash64("var").alias("h"))
+    a = ex.select(F.col("id").alias("a"), F.col("s").alias("sa"), "h")
+    b = ex.select(F.col("id").alias("b"), F.col("s").alias("sb"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", F.levenshtein("sa", "sb").cast("long").alias("distance"))
+        .filter(F.col("distance") <= 1)
+    )
+
+
 def dedup_keep_canonical(
     docs: DataFrame,
     pairs: DataFrame,

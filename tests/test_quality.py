@@ -160,3 +160,51 @@ def test_semantic_dedup_matches_lsh_variant_on_testdata(spark, sf_dir):
         for r in similarity.embedding_near_dup_pairs(both, threshold=0.95).collect()
     }
     assert sem == lsh and len(sem) > 0
+
+
+# --- edit-distance pairs ----------------------------------------------------
+
+
+def test_edit_distance_pairs_exact_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitten"),   # substitution: distance 1
+            (3, "kittens"),  # insertion: distance 1
+            (4, "kiten"),    # deletion: distance 1
+            (5, "mitten"),   # distance 1 from kitten, 1 from sitten
+            (6, "banana"),   # unrelated
+            (7, "abcd"),
+            (8, "bacd"),     # transposition: distance 2 — must NOT pair
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]): r["distance"] for r in dedup.edit_distance_pairs(df).collect()}
+    assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 1 and pairs[(1, 4)] == 1
+    assert pairs[(1, 5)] == 1 and pairs[(2, 5)] == 1
+    assert (7, 8) not in pairs  # transposition is distance 2
+    assert all(a != 6 and b != 6 for a, b in pairs)
+    # exact duplicates pair at distance 0
+    df2 = spark.createDataFrame([(1, "same"), (2, "same")], "doc_id long, text string")
+    out = dedup.edit_distance_pairs(df2).collect()
+    assert len(out) == 1 and out[0]["distance"] == 0
+
+
+def test_edit_distance_pairs_matches_bruteforce_oracle(spark, sf_dir):
+    import duckdb
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = {
+        (r["a"], r["b"]): r["distance"]
+        for r in dedup.edit_distance_pairs(cust, "c_custkey", "c_name").collect()
+    }
+    want = {
+        (a, b): d
+        for a, b, d in duckdb.sql(
+            f"""SELECT a.c_custkey, b.c_custkey, levenshtein(a.c_name, b.c_name)
+                FROM '{sf_dir}/customer.parquet' a
+                JOIN '{sf_dir}/customer.parquet' b ON a.c_custkey < b.c_custkey
+                WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
