@@ -756,6 +756,159 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_editdist_pairs"] = dedup_editdist_pairs
 
+    # ---- TPC-H-shaped subquery/join demos (round 2, widening §2.7) --------
+    # Each exercises a declarative shape absent from the reference: EXISTS
+    # semi-join (q4), single-pass filter-agg (q6), top-N revenue join (q10),
+    # outer-join histogram (q13), conditional-agg ratio (q14), IN-subquery
+    # with HAVING (q18), scalar subquery + anti-join (q22). The synthetic
+    # tables lack partsupp/commitdate/phone, so predicates are adapted; the
+    # join/subquery SHAPE is the point, not TPC-H spec numbers.
+
+    def tpch_q4_order_priority(spark, sf):
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01"))
+        )
+        li = _t(spark, sf, "lineitem")
+        # EXISTS ⇒ left-semi join; the correlated predicate (l_shipdate >
+        # o_orderdate + 90 days) rides in the join condition so Catalyst
+        # keeps it a single shuffled semi-join — no fan-out, no distinct.
+        late = orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+            "left_semi",
+        )
+        return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+    q["tpch_q4_order_priority"] = tpch_q4_order_priority
+
+    def tpch_q6_forecast_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        # The canonical scan-dominated query: every predicate and the
+        # projection push into the parquet reader; one partial+final agg.
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                & (F.col("l_discount").between(0.05, 0.07))
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        )
+
+    q["tpch_q6_forecast_revenue"] = tpch_q6_forecast_revenue
+
+    def tpch_q10_returned_items(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+            # unrounded: the gate canonicalizes floats to 9 significant
+            # digits, which absorbs sum-order noise; a fixed 2-decimal round
+            # flips on .xx5 boundaries instead
+            .agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20)
+        )
+
+    q["tpch_q10_returned_items"] = tpch_q10_returned_items
+
+    def tpch_q13_order_distribution(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+        # Left-outer keeps order-less customers; count(o_orderkey) skips the
+        # NULLs they carry, so they land in the c_count=0 bucket — the outer
+        # join IS the histogram's zero bin.
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+        )
+
+    q["tpch_q13_order_distribution"] = tpch_q13_order_distribution
+
+    def tpch_q14_promo_revenue(spark, sf):
+        part = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01"))
+        )
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(
+                F.round(
+                    100.0
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                    / F.sum(rev),
+                    4,
+                ).alias("promo_revenue_pct")
+            )
+        )
+
+    q["tpch_q14_promo_revenue"] = tpch_q14_promo_revenue
+
+    def tpch_q18_large_orders(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        # IN (SELECT … HAVING) ⇒ aggregate-then-join: the qty rollup both
+        # filters (HAVING) and supplies the sum column, so one groupBy
+        # serves subquery and projection — no second scan of lineitem.
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .filter(F.col("sum_qty") > 300)
+        )
+        return (
+            big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select(
+                "c_name",
+                "c_custkey",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                "sum_qty",
+            )
+        )
+
+    q["tpch_q18_large_orders"] = tpch_q18_large_orders
+
+    def tpch_q22_idle_balance(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        # Scalar subquery = 1-row agg broadcast-cross-joined (Catalyst plans
+        # it as a BroadcastNestedLoopJoin over one row — effectively free);
+        # NOT EXISTS = left-anti against the recent-orders side.
+        avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+            F.avg("c_acctbal").alias("avg_bal")
+        )
+        recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        return (
+            cust.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("numcust"),
+                F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            )
+        )
+
+    q["tpch_q22_idle_balance"] = tpch_q22_idle_balance
+
     return q
 
 
@@ -1386,5 +1539,85 @@ def oracle_sql() -> dict[str, str]:
     # candidate generator must recover exactly the pairs the hyperplane one
     # does — both are graded against ground truth, not against each other.
     o["sem_dedup_pairs"] = o["emb_near_dup"]
+
+    # ---- TPC-H-shaped subquery/join demos --------------------------------
+
+    o["tpch_q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1996-07-01' AND o.o_orderdate < DATE '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+    """
+
+    o["tpch_q6_forecast_revenue"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """
+
+    o["tpch_q10_returned_items"] = """
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, c_nationkey
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """
+
+    o["tpch_q13_order_distribution"] = """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """
+
+    o["tpch_q14_promo_revenue"] = """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+    """
+
+    o["tpch_q18_large_orders"] = """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, sq.sum_qty
+        FROM (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+        ) sq
+        JOIN orders ON sq.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """
+
+    o["tpch_q22_idle_balance"] = """
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '2000-01-01'
+          )
+        GROUP BY c_nationkey
+    """
 
     return o

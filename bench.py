@@ -29,6 +29,8 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_suppliers",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
     "a3_fk_join",
     "a4_comment_depth",
     "a7_top_n_per_group",
