@@ -57,6 +57,22 @@ def exact_dedupe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 # --- shingles --------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a low-partition-count input out to the session's parallelism
+    before a high-fan-out op (shingle/variant explode). Tiny corpora arrive
+    as 1-2 parquet splits (a few MB of text is one file), which would
+    serialize the entire shingle stage on 1-2 cores — measured 3.5× on the
+    sf0.1 bench. The repartition shuffles the COMPACT pre-explode rows
+    (bounded by corpus size, never shingle count); when the scan already has
+    at least `defaultParallelism` splits (the 100-TB case, where
+    maxPartitionBytes governs split count) it is a no-op costing only the
+    partition-count check."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(col: str = "text", k: int = 3) -> Column:
     """k-token shingles of the normalized text, as array<string>. Distinct
     per document (set semantics for Jaccard)."""
@@ -71,7 +87,7 @@ def shingles(col: str = "text", k: int = 3) -> Column:
 def explode_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("shingle")
     )
 
@@ -86,43 +102,107 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
-    Pure relational plan: explode → hash each shingle to a long ONCE →
-    hot-shingle drop → self-equi-join on the 8-byte hash → pair-count = |∩|
-    → join per-doc set sizes → J = ∩/(|A|+|B|−∩). Joining/shuffling hashes
-    instead of shingle strings keeps every exchange payload 16 bytes/row —
-    at 100 TB the join key size IS the shuffle. The hashed frame is
-    persisted once and read by the frequency, size, and both join sides
-    (r2: the unpersisted string-join version recomputed the explode 4× and
-    was 3.6× slower end-to-end).
+    Default plan (flat similarity join): explode → hash each shingle to a
+    long ONCE → frequency cap → self-equi-join on the 8-byte hash →
+    pair-count = |∩| → join per-doc set sizes → J = ∩/(|A|+|B|−∩). Every
+    exchange payload is 8-byte hashes — the raw shingle string is hashed
+    once and never shipped; at 100 TB the join key size IS the shuffle.
+
+    `prefix_filter=True` switches candidate generation to the AllPairs /
+    PPJoin prefix filter (Bayardo et al., WWW'07; Xiao et al., WWW'08):
+    under a rarest-first global shingle order, two sets with J ≥ t MUST
+    share an element within the first |s| − ⌈t·|s|⌉ + 1 elements of each
+    (else the overlap is provably < t·|s| ≤ t·|union|), so only prefixes
+    self-join and verification runs `array_intersect` on per-doc hash
+    arrays for the surviving candidates. Both paths return identical rows
+    (property-tested); choose by corpus shape:
+
+    - Zipfian shingle frequencies (real web/text corpora at scale): prefix
+      wins — the frequent head falls in pruned suffixes and the candidate
+      space collapses toward the true pair count.
+    - Dense/small-vocabulary corpora (mean shingle frequency high, like the
+      synthetic bench corpus at mean f≈19): the flat join wins — prefixes
+      still cross-match heavily (measured 4.5M → only 1.6M candidates) and
+      the extra set-building + verify stages cost more than they save.
 
     `max_shingle_freq` caps join fan-out on stop-shingles — a shingle in f
     docs contributes f² join rows, the classic web-scale skew bomb, so the
     cap defaults ON (1000; sizes and Jaccard are computed over the capped
-    shingle set, the standard web-dedup semantics). Pass None explicitly for
-    exact uncapped Jaccard on corpora known to be skew-free.
+    shingle set, the standard web-dedup semantics). Pass None explicitly
+    for exact uncapped Jaccard on corpora known to be skew-free.
     """
     ex = hashed_shingles(df, id_col, text_col, k).persist()
+    # One frequency pass serves both the hot-shingle cap and (when enabled)
+    # the prefix order; ~16 bytes per distinct shingle.
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
     if max_shingle_freq is not None:
-        # Persist only the HOT hash set (tiny — the head of the frequency
-        # distribution); every consumer below anti-joins the cached base
-        # frame against it (AQE picks a broadcast anti-join at runtime).
-        # Persisting the capped frame itself would materialize a second
-        # full copy of the shingle table for a filter that removes a
-        # handful of keys.
-        hot = (
-            ex.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("__f"))
-            .filter(F.col("__f") > max_shingle_freq)
-            .select("h")
+        freq = freq.filter(F.col("f") <= max_shingle_freq)
+        exk = ex.join(freq.select("h"), "h") if not prefix_filter else ex
+    else:
+        exk = ex
+
+    if prefix_filter:
+        # Per-doc rarest-first shingle arrays: sort_array on (f, h) structs
+        # gives the canonical order; one groupBy builds the whole set table.
+        sets = (
+            ex.join(freq, "h")
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("f", "h"))), lambda x: x["h"]
+                ).alias("arr")
+            )
+            .select(
+                "id",
+                "arr",
+                F.size("arr").alias("sz"),
+                (F.size("arr") - F.ceil(F.lit(threshold) * F.size("arr")) + 1)
+                .cast("int")
+                .alias("p"),
+            )
             .persist()
         )
-        ex = ex.join(hot, "h", "left_anti")
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = ex.select(F.col("id").alias("a"), "h")
-    b = ex.select(F.col("id").alias("b"), "h")
+        pref = sets.select(
+            "id", F.explode(F.slice("arr", F.lit(1), F.col("p"))).alias("h")
+        )
+        cand = (
+            pref.select(F.col("id").alias("a"), "h")
+            .join(pref.select(F.col("id").alias("b"), "h"), "h")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        return (
+            cand.join(
+                sets.select(
+                    F.col("id").alias("a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sz_a")
+                ),
+                "a",
+            )
+            .join(
+                sets.select(
+                    F.col("id").alias("b"), F.col("arr").alias("arr_b"), F.col("sz").alias("sz_b")
+                ),
+                "b",
+            )
+            .withColumn("common", F.size(F.array_intersect("arr_a", "arr_b")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+
+    sizes = exk.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = exk.select(F.col("id").alias("a"), "h")
+    b = exk.select(F.col("id").alias("b"), "h")
     inter = (
         a.join(b, "h")
         .filter(F.col("a") < F.col("b"))
@@ -309,7 +389,7 @@ def simhash_signatures(
     # shrinks the shuffle to one row per (doc × partition), and the shuffle
     # key is the doc id. Token multiplicity is preserved (classic SimHash
     # frequency weighting).
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    ex = _spread(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
     h = F.xxhash64(F.col("t")) if hash_fn == "xxhash64" else _md5_token_hash(F.col("t"))
     hashed = ex.select("id", h.alias("h"))
     # Votes land in ONE array-typed aggregate column (see minhash_signatures
@@ -516,7 +596,7 @@ def edit_distance_pairs(
             f"substring({text_col}, i + 1, length({text_col}))))"
         ),
     )
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("id"),
         c.alias("s"),
         F.explode(F.array_distinct(variants)).alias("var"),

@@ -68,6 +68,27 @@ def test_simhash_identical_distance_zero(spark):
         assert {(1, 2), (1, 5), (2, 5)} <= pairs  # identical normalized text
 
 
+def test_jaccard_prefix_filter_matches_flat_join(spark):
+    # The AllPairs prefix filter is lossless at the given threshold: both
+    # candidate-generation strategies must return identical (a, b, jaccard)
+    # rows — across thresholds, and on a corpus with organic near-dups,
+    # exact dups, and unrelated docs.
+    rows = DOCS + [
+        (6, "spark engines process completely different content"),
+        (7, "a b c d e f g h i j k l m"),
+        (8, "a b c d e f g h i j k l z"),
+        (9, "unrelated nine words about some other thing entirely here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.2, 0.5, 0.8):
+        flat = sorted(map(tuple, dedup.jaccard_pairs(df, threshold=t).collect()))
+        pref = sorted(
+            map(tuple, dedup.jaccard_pairs(df, threshold=t, prefix_filter=True).collect())
+        )
+        assert flat == pref, f"threshold {t}: {flat} != {pref}"
+        assert (t > 0.2) or flat  # the low threshold must actually find pairs
+
+
 def test_max_shingle_freq_drops_hot_shingles(spark):
     # every doc shares the hot shingle; capping the freq removes the join blowup
     rows = [(i, f"common shared prefix unique{i} tail{i} end{i}") for i in range(10)]
