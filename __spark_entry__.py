@@ -33,7 +33,9 @@ from reddit_twitter_big_data_pipeline_spark.operators import (  # noqa: E402
     dedup,
     model,
     multimodal,
+    sampling,
     similarity,
+    temporal,
     text as text_ops,
 )
 from reddit_twitter_big_data_pipeline_spark.plans import graph, social  # noqa: E402
@@ -755,6 +757,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.edit_distance_pairs(cust, id_col="c_custkey", text_col="c_name")
 
     q["dedup_editdist_pairs"] = dedup_editdist_pairs
+
+    # ---- temporal joins (custom operators Spark lacks as built-ins) -------
+
+    def temporal_asof_join(spark, sf):
+        # For each click/view/error event, the user's most recent purchase
+        # at or before it — the "latest snapshot as of this event" shape.
+        # Snapshots dedupe to one row per (user, ts) so ties are
+        # deterministic on both engines.
+        ev = _t(spark, sf, "events")
+        left = ev.filter(F.col("event_type").isin("click", "view", "error")).select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        snaps = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("snap_value"))
+            .select("user_id", "ts", F.col("ts").alias("snap_ts"), "snap_value")
+        )
+        out = temporal.as_of_join(
+            left, snaps, keys=["user_id"], left_ts="ts", right_ts="ts",
+            right_payload=["snap_ts", "snap_value"],
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.date_format("snap_ts", "yyyy-MM-dd HH:mm:ss").alias("snap_ts_s"),
+            F.round("snap_value", 3).alias("snap_value"),
+        )
+
+    q["temporal_asof_join"] = temporal_asof_join
+
+    def temporal_range_join(spark, sf):
+        # Clicks landing inside the 2-hour window opened by each purchase
+        # of the same user — the point-in-interval join, bucketed so the
+        # plan is an equi-join on (user, bucket), never an inequality
+        # nested-loop. Intervals span 2 h with 1 h buckets, so each fans
+        # out to 2-3 bucket rows (the multi-bucket explode path).
+        ev = _t(spark, sf, "events")
+        pts = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("point_id"),
+            "user_id",
+            F.unix_timestamp("ts").alias("pe"),
+        )
+        iv = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("interval_id"),
+            "user_id",
+            F.unix_timestamp("ts").alias("start_e"),
+            (F.unix_timestamp("ts") + 7200).alias("end_e"),
+        )
+        out = temporal.range_join(
+            pts, iv, keys=["user_id"], point_col="pe",
+            start_col="start_e", end_col="end_e", bucket_width=3600,
+        )
+        return out.select("point_id", "interval_id", "user_id")
+
+    q["temporal_range_join"] = temporal_range_join
+
+    # ---- deterministic sampling / splits ----------------------------------
+
+    def sample_split_label(spark, sf):
+        # Reproducible 98/1/1 split with the md5 hash backend (cross-engine
+        # seam — the oracle mirrors the bucket math exactly). Exercises the
+        # real three-way operator, then reassembles with labels.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        tr, va, te = sampling.split_train_val_test(docs, hash_fn="md5")
+        return (
+            tr.withColumn("split", F.lit("train"))
+            .unionByName(va.withColumn("split", F.lit("val")))
+            .unionByName(te.withColumn("split", F.lit("test")))
+        )
+
+    q["sample_split_label"] = sample_split_label
+
+    # ---- text pipeline ops (chunking / TF-IDF / scrubbing) ----------------
+
+    def text_chunks(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return text_ops.chunk_documents(docs, window=32, overlap=8)
+
+    q["text_chunks"] = text_chunks
+
+    def text_top_terms(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return text_ops.top_terms_per_doc(docs, n=3, min_df=2)
+
+    q["text_top_terms"] = text_top_terms
+
+    def text_clean_training(spark, sf):
+        # Full composed scrub (markup → control chars → PII). The synthetic
+        # corpus contains no lookaround-dependent PII shapes (verified), so
+        # the RE2-limited DuckDB mirror is value-exact on this data; the
+        # lookaround semantics themselves are pinned by pytest fixtures.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return text_ops.clean_for_training(docs).select(
+            "doc_id", F.col("text").alias("clean_text")
+        )
+
+    q["text_clean_training"] = text_clean_training
 
     # ---- TPC-H-shaped subquery/join demos (round 2, widening §2.7) --------
     # Each exercises a declarative shape absent from the reference: EXISTS
@@ -1539,6 +1641,132 @@ def oracle_sql() -> dict[str, str]:
     # candidate generator must recover exactly the pairs the hyperplane one
     # does — both are graded against ground truth, not against each other.
     o["sem_dedup_pairs"] = o["emb_near_dup"]
+
+    # ---- temporal joins --------------------------------------------------
+
+    # DuckDB has a NATIVE ASOF JOIN — the union+window Spark formulation is
+    # graded against the real thing.
+    o["temporal_asof_join"] = """
+        WITH snaps AS (
+          SELECT user_id, ts, max(value) AS snap_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        l AS (
+          SELECT event_id, user_id, event_type, ts FROM events
+          WHERE event_type IN ('click', 'view', 'error')
+        )
+        SELECT l.event_id, l.user_id, l.event_type,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS snap_ts_s,
+               round(s.snap_value, 3) AS snap_value
+        FROM l ASOF LEFT JOIN snaps s
+          ON l.user_id = s.user_id AND l.ts >= s.ts
+    """
+
+    # The bucketed equi-join must reproduce the plain inequality join.
+    o["temporal_range_join"] = """
+        WITH p AS (
+          SELECT event_id AS point_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS pe
+          FROM events WHERE event_type = 'click'
+        ),
+        i AS (
+          SELECT event_id AS interval_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS s_e
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.point_id, i.interval_id, p.user_id
+        FROM p JOIN i
+          ON p.user_id = i.user_id AND p.pe >= i.s_e AND p.pe < i.s_e + 7200
+    """
+
+    # ---- deterministic sampling / splits ---------------------------------
+
+    # Cutoffs computed with the operator's own float math so int-truncation
+    # lands identically on both engines.
+    _c1 = int(0.98 / 1.0 * 1_000_000)
+    _c2 = int((0.98 + 0.01) / 1.0 * 1_000_000)
+    o["sample_split_label"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bk
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN bk < {_c1} THEN 'train'
+                    WHEN bk < {_c2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """
+
+    # ---- text pipeline ops -----------------------------------------------
+
+    # window=32, overlap=8 ⇒ stride 24; starts are i·24 for
+    # i ∈ [0, max(ceil((n−32)/24), 0)]; chunk i = tokens[s+1 .. s+32].
+    o["text_chunks"] = """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(
+                   0, greatest(CAST(ceil((n - 32) / 24.0) AS INTEGER), 0))) AS i
+          FROM t
+        )
+        SELECT doc_id AS id, i AS chunk_idx,
+               array_to_string(toks[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+               least(32, n - i*24)::INTEGER AS n_chunk_tokens
+        FROM idx
+    """
+
+    o["text_top_terms"] = """
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (
+          SELECT term, count(DISTINCT id) AS n_docs_with_term
+          FROM toks GROUP BY 1 HAVING count(DISTINCT id) >= 2
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT id, term,
+                 round(tf * (ln((n_docs + 1.0) / (n_docs_with_term + 1.0)) + 1.0), 6)
+                   AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT id, term, tfidf, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """
+
+    # RE2 (DuckDB) lacks the lookarounds the ipv4/ssn/phone patterns use;
+    # the synthetic corpus contains no such shapes (verified — the email +
+    # markup + control passes are the only ones that fire), so this mirror
+    # is value-exact here. Lookaround behavior itself is pinned by pytest.
+    o["text_clean_training"] = """
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              trim(regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '</?[A-Za-z!][^>]{0,255}>', ' ', 'g'),
+                  'https?://[^\\s<>"]+|www\\.[^\\s<>"]+', ' ', 'g'),
+                '\\s+', ' ', 'g')),
+              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}\\x{200c}\\x{200d}\\x{feff}]',
+              '', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+            AS clean_text
+        FROM documents
+    """
 
     # ---- TPC-H-shaped subquery/join demos --------------------------------
 

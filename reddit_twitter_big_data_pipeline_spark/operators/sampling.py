@@ -20,19 +20,36 @@ from pyspark.sql import DataFrame, functions as F
 _BUCKETS = 1_000_000
 
 
-def _bucket(id_col: str, salt: str) -> F.Column:
-    """Stable per-row bucket in [0, 1e6): xxhash64 of (salt, id). The salt
+def _bucket(id_col: str, salt: str, hash_fn: str = "xxhash64") -> F.Column:
+    """Stable per-row bucket in [0, 1e6): hash of (salt, id). The salt
     decorrelates different samples over the same table — sampling 10% for
-    eval with salt A and 10% for audit with salt B overlaps ~1%, not 100%."""
+    eval with salt A and 10% for audit with salt B overlaps ~1%, not 100%.
+
+    hash_fn: "xxhash64" (JVM-fast, default) or "md5" (60-bit prefix,
+    reproducible in any engine with md5 — the same cross-engine seam as
+    dedup's SimHash; the DuckDB mirror is
+    `('0x' || substr(md5(salt || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+    % 1000000`)."""
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        return h % _BUCKETS
     return F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(_BUCKETS))
 
 
 def hash_sample(
-    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic Bernoulli-style sample: keeps rows whose id-hash bucket
     falls under `fraction`. Same rows every run, any partitioning."""
-    return df.filter(_bucket(id_col, salt) < int(fraction * _BUCKETS))
+    return df.filter(_bucket(id_col, salt, hash_fn) < int(fraction * _BUCKETS))
 
 
 def stratified_sample(
@@ -42,6 +59,7 @@ def stratified_sample(
     default_fraction: float = 0.0,
     id_col: str = "doc_id",
     salt: str = "strata",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. keep 100% of rare languages,
     5% of English). `fractions` maps stratum value → keep fraction; strata
@@ -50,7 +68,7 @@ def stratified_sample(
     frac = F.lit(float(default_fraction))
     for value, f in fractions.items():
         frac = F.when(F.col(strata_col) == value, F.lit(float(f))).otherwise(frac)
-    return df.filter(_bucket(id_col, salt) < (frac * _BUCKETS).cast("long"))
+    return df.filter(_bucket(id_col, salt, hash_fn) < (frac * _BUCKETS).cast("long"))
 
 
 def split_train_val_test(
@@ -58,13 +76,14 @@ def split_train_val_test(
     weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
     id_col: str = "doc_id",
     salt: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Disjoint, exhaustive, reproducible 3-way split by id-hash range.
     Membership depends only on (salt, id) — growing the corpus later keeps
     every existing row in its original split (no train/val leakage across
     dataset versions), the property random splits lose."""
     total = sum(weights)
-    b = _bucket(id_col, salt)
+    b = _bucket(id_col, salt, hash_fn)
     c1 = int(weights[0] / total * _BUCKETS)
     c2 = int((weights[0] + weights[1]) / total * _BUCKETS)
     return (
