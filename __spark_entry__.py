@@ -858,6 +858,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_clean_training"] = text_clean_training
 
+    def text_quality_gate(spark, sf):
+        # Corpus selection by per-language quality percentile: keep docs at
+        # or above their language's 75th-percentile quality score. The
+        # threshold table is 5 rows — broadcast; the corpus streams once.
+        # Boundary-safe across engines: the interpolated percentile either
+        # equals a data value (ties) or falls strictly between two adjacent
+        # values, so ulp noise in the interpolation cannot flip membership.
+        docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+        scored = docs.withColumn("__q", text_ops.quality_score("text"))
+        thr = scored.groupBy("lang").agg(F.expr("percentile(__q, 0.75)").alias("__thr"))
+        return (
+            scored.join(F.broadcast(thr), "lang")
+            .filter(F.col("__q") >= F.col("__thr"))
+            .select("doc_id", "lang", F.round("__q", 6).alias("quality"))
+        )
+
+    q["text_quality_gate"] = text_quality_gate
+
+    def text_token_budget(spark, sf):
+        # Data-budget trim: per source, keep documents (in stable doc_id
+        # order) until the cumulative token budget is spent — the standard
+        # per-source cap when assembling a training mix. One window over
+        # the source partition; integer math, no float boundaries.
+        docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            docs.withColumn("n_tokens", text_ops.token_count("text"))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= 1000)
+            .select("doc_id", "source", "n_tokens", "cum_tokens")
+        )
+
+    q["text_token_budget"] = text_token_budget
+
     # ---- TPC-H-shaped subquery/join demos (round 2, widening §2.7) --------
     # Each exercises a declarative shape absent from the reference: EXISTS
     # semi-join (q4), single-pass filter-agg (q6), top-N revenue join (q10),
@@ -1010,6 +1048,166 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_q22_idle_balance"] = tpch_q22_idle_balance
+
+    # Second TPC-H wave: bidirectional two-nation join (q7), share-of-total
+    # HAVING (q11), argmax-over-view (q15), NOT-IN + distinct count (q16),
+    # correlated-average scalar (q17), disjunctive pushdown (q19), and
+    # sole-supplier anti-correlation (q21).
+
+    def tpch_q7_volume_shipping(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        # Both nation lookups broadcast; the (supp_nation, cust_nation) pair
+        # filter keeps both directions of trade between the two nations.
+        sn = nation.select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+        cn = nation.select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+        pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+            F.col("supp_nation") == "NATION_2"
+        ) & (F.col("cust_nation") == "NATION_1")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            )
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        )
+
+    q["tpch_q7_volume_shipping"] = tpch_q7_volume_shipping
+
+    def tpch_q11_important_stock(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        # Share-of-total: the global sum is a 1-row broadcast cross join
+        # (scalar subquery), reused in the HAVING-style filter.
+        rev = li.groupBy("l_suppkey").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+        )
+        tot = rev.agg(F.sum("value").alias("__tot"))
+        return (
+            rev.join(F.broadcast(tot))
+            .filter(F.col("value") > F.col("__tot") * 0.001)
+            .select("l_suppkey", "value")
+        )
+
+    q["tpch_q11_important_stock"] = tpch_q11_important_stock
+
+    def tpch_q15_top_supplier(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        supp = _t(spark, sf, "supplier")
+        # The revenue "view" aggregates once; the scalar max broadcasts back
+        # over it — ties all surface (the spec's own semantics).
+        rev = (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01"))
+            )
+            .groupBy("l_suppkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        )
+        mx = rev.agg(F.max("total_revenue").alias("__mx"))
+        return (
+            rev.join(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("__mx"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+        )
+
+    q["tpch_q15_top_supplier"] = tpch_q15_top_supplier
+
+    def tpch_q16_supplier_count(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        supp = _t(spark, sf, "supplier")
+        # NOT IN (blacklist) ⇒ left-anti join; supplier diversity per
+        # (brand, size) via distinct count.
+        bad = supp.filter(F.col("s_name").contains("3")).select(
+            F.col("s_suppkey").alias("bad_key")
+        )
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .filter(F.col("p_size") <= 10)
+            .join(F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti")
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        )
+
+    q["tpch_q16_supplier_count"] = tpch_q16_supplier_count
+
+    def tpch_q17_small_qty_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        # Correlated scalar avg ⇒ aggregate-then-join on the correlation key;
+        # the brand filter prunes the part side BEFORE both joins.
+        brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+        lim = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("__lim"))
+        return (
+            li.join(F.broadcast(brand), li.l_partkey == F.col("p_partkey"))
+            .join(lim, "l_partkey")
+            .filter(F.col("l_quantity") < F.col("__lim"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        )
+
+    q["tpch_q17_small_qty_revenue"] = tpch_q17_small_qty_revenue
+
+    def tpch_q19_discounted_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        # Disjunction of brand/size/quantity brackets: the common partkey
+        # equi-key carries the join; the OR-of-conjuncts rides as a join
+        # filter (Catalyst pushes the shared part predicates to the scan).
+        j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        bracket = (
+            ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+        )
+        return j.filter(bracket).agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+
+    q["tpch_q19_discounted_revenue"] = tpch_q19_discounted_revenue
+
+    def tpch_q21_sole_returner(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        supp = _t(spark, sf, "supplier")
+        # Suppliers who were the ONLY supplier with a returned line on an
+        # order: EXISTS (own returned line) is the base set; NOT EXISTS
+        # (another supplier's returned line on the same order) is a
+        # self-anti-join with an inequality correlation — q21's core shape.
+        r = (
+            li.filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+        )
+        other = r.select(
+            F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+        )
+        sole = r.join(
+            other,
+            (r.l_orderkey == other.o2) & (r.l_suppkey != other.s2),
+            "left_anti",
+        )
+        return (
+            sole.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+            .select("s_name", "numwait")
+        )
+
+    q["tpch_q21_sole_returner"] = tpch_q21_sole_returner
 
     return q
 
@@ -1846,6 +2044,122 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '2000-01-01'
           )
         GROUP BY c_nationkey
+    """
+
+    # ---- text-pipeline selection ops -------------------------------------
+
+    o["text_quality_gate"] = """
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 least(1.0, len(string_split(text, ' ')) / 100.0)
+                 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                        / greatest(length(lower(text)), 1)) AS q
+          FROM documents
+        ),
+        thr AS (
+          SELECT lang, quantile_cont(q, 0.75) AS t FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, round(s.q, 6) AS quality
+        FROM scored s JOIN thr USING (lang)
+        WHERE s.q >= thr.t
+    """
+
+    o["text_token_budget"] = """
+        WITH t AS (
+          SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM t
+        QUALIFY cum_tokens <= 1000
+    """
+
+    # ---- TPC-H second wave -----------------------------------------------
+
+    o["tpch_q7_volume_shipping"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """
+
+    o["tpch_q11_important_stock"] = """
+        WITH rev AS (
+          SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS value
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l_suppkey, value FROM rev
+        WHERE value > (SELECT sum(value) FROM rev) * 0.001
+    """
+
+    o["tpch_q15_top_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """
+
+    o["tpch_q16_supplier_count"] = """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3%'
+          )
+        GROUP BY 1, 2
+    """
+
+    o["tpch_q17_small_qty_revenue"] = """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part ON l.l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+    """
+
+    o["tpch_q19_discounted_revenue"] = """
+        SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    o["tpch_q21_sole_returner"] = """
+        WITH r AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem WHERE l_returnflag = 'R'
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM r JOIN supplier ON r.l_suppkey = s_suppkey
+        WHERE NOT EXISTS (
+          SELECT 1 FROM r r2
+          WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey
+        )
+        GROUP BY s_name
     """
 
     return o
