@@ -1776,6 +1776,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
           ) GROUP BY 1
         ),
+        g AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                 ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+            END AS g2,
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+            END AS g3
+          FROM t
+        ),
         s AS (
           SELECT t.doc_id,
                  len(toks) AS n_words,
@@ -1784,8 +1794,10 @@ def oracle_sql() -> dict[str, str]:
                    / greatest(len(toks), 1) AS awf,
                  len(list_filter({_gstop}, s -> list_contains(toks, s))) AS stop_hits,
                  len(list_distinct(toks)) / greatest(len(toks), 1) AS ttr,
-                 mw.best / greatest(len(toks), 1) AS twf
-          FROM t JOIN mw ON t.doc_id = mw.doc_id
+                 mw.best / greatest(len(toks), 1) AS twf,
+                 1.0 - len(list_distinct(g.g2)) / len(g.g2) AS d2f,
+                 1.0 - len(list_distinct(g.g3)) / len(g.g3) AS d3f
+          FROM t JOIN mw ON t.doc_id = mw.doc_id JOIN g ON t.doc_id = g.doc_id
         )
         SELECT doc_id,
                n_words::BIGINT AS n_words,
@@ -1794,6 +1806,8 @@ def oracle_sql() -> dict[str, str]:
                stop_hits::BIGINT AS stop_hits,
                round(ttr, 6) AS type_token_ratio,
                round(twf, 6) AS top_word_frac,
+               round(d2f, 6) AS dup_2gram_frac,
+               round(d3f, 6) AS dup_3gram_frac,
                (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
                 AND awf >= 0.8 AND stop_hits >= 1 AND twf < 0.2) AS keep
         FROM s

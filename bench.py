@@ -31,9 +31,12 @@ HEADLINE = [
     "tpch_q5_local_suppliers",
     "tpch_q13_order_distribution",
     "tpch_q18_large_orders",
+    "tpch_q21_sole_returner",
     "a3_fk_join",
     "a4_comment_depth",
     "a7_top_n_per_group",
+    "temporal_asof_join",
+    "temporal_range_join",
     "w2_tumbling_window",
     "w6_sessionize",
     "x_window_rank",
@@ -49,6 +52,7 @@ HEADLINE = [
     "emb_near_dup",
     "text_profile",
     "text_quality_gopher",
+    "text_quality_gate",
     "text_decontaminate",
     "sem_dedup_pairs",
     "media_features",

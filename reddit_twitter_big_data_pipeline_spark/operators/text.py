@@ -398,6 +398,25 @@ def gopher_keep(
     )
 
 
+def ngram_dup_fraction(col: str = "text", n: int = 2) -> Column:
+    """Fraction of n-gram occurrences that repeat an earlier occurrence —
+    Gopher's duplicate-n-gram repetition signal (Rae et al. 2021 §A1.2;
+    their thresholds: drop if dup-2-gram frac > 0.2 … dup-4-gram > 0.16).
+    Computed as 1 − distinct/total over the doc's own n-grams: a pure array
+    expression per row, no explode, no shuffle — the repetition check runs
+    at scan speed even at 100 TB. Docs shorter than n tokens yield one
+    whole-text gram (fraction 0)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+    )
+
+
 def quality_signals(
     df: DataFrame,
     col: str = "text",
@@ -415,6 +434,8 @@ def quality_signals(
         stopword_hits(col).cast("long").alias("stop_hits"),
         F.round(type_token_ratio(col), 6).alias("type_token_ratio"),
         F.round(max_word_frac(col), 6).alias("top_word_frac"),
+        ngram_dup_fraction(col, 2).alias("dup_2gram_frac"),
+        ngram_dup_fraction(col, 3).alias("dup_3gram_frac"),
         gopher_keep(col, min_stop_hits=min_stop_hits).alias("keep"),
     )
 

@@ -48,6 +48,23 @@ def test_quality_signals_values(spark):
     assert s3["keep"] is False  # repetition + no stopwords
 
 
+def test_ngram_dup_fraction(spark):
+    sig = _signals(
+        spark,
+        [
+            (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab → 2 distinct of 5
+            (2, "w x y z"),        # all 2-grams distinct
+            (3, "solo"),           # shorter than n → one whole-text gram
+        ],
+    )
+    assert sig[1]["dup_2gram_frac"] == pytest.approx(1 - 2 / 5, abs=1e-6)
+    # 3-grams: aba bab aba bab → 2 distinct of 4
+    assert sig[1]["dup_3gram_frac"] == pytest.approx(1 - 2 / 4, abs=1e-6)
+    assert sig[2]["dup_2gram_frac"] == 0.0
+    assert sig[3]["dup_2gram_frac"] == 0.0
+    assert sig[3]["dup_3gram_frac"] == 0.0
+
+
 def test_quality_signals_mean_word_len_and_alpha(spark):
     sig = _signals(spark, [(1, "aa bbbb cc dddd"), (2, "12 34 56 78 90")])
     assert sig[1]["mean_word_len"] == pytest.approx(3.0)
