@@ -603,6 +603,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_rollup"] = x_rollup
 
+    def x_cube(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "sum_qty",
+                "n",
+            )
+        )
+
+    q["x_cube"] = x_cube
+
+    def x_grouping_sets(spark, sf):
+        # Explicit grouping sets — (returnflag), (linestatus), and grand
+        # total, skipping the cross combination cube would also emit.
+        li = _t(spark, sf, "lineitem")
+        li.createOrReplaceTempView("__li_gs")
+        return spark.sql(
+            """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM __li_gs
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            """
+        )
+
+    q["x_grouping_sets"] = x_grouping_sets
+
     def x_intersect(spark, sf):
         cust = _t(spark, sf, "customer")
         supp = _t(spark, sf, "supplier")
@@ -1469,6 +1501,21 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l_linestatus, 'ALL') AS l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["x_cube"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    o["x_grouping_sets"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """
 
     o["x_intersect"] = """

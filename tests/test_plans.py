@@ -32,6 +32,12 @@ CARTESIAN_FREE = [
     "dedup_simhash_pairs",
     "emb_near_dup",
     "w6_sessionize",
+    "tpch_q7_volume_shipping",
+    "tpch_q16_supplier_count",
+    "tpch_q21_sole_returner",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "text_quality_gate",
 ]
 
 
@@ -62,3 +68,20 @@ def test_text_profile_single_scan_no_shuffle(spark, sf_dir, entry):
     expected (the round-1 verdict called this plan 'excellent'; keep it so)."""
     df = entry.queries()["text_profile"](spark, sf_dir)
     audit.assert_max_shuffles(df, 0)
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir, entry):
+    """The 6-way volume-shipping join: customer, supplier, and both nation
+    lookups must broadcast — only the lineitem→orders join may shuffle."""
+    df = entry.queries()["tpch_q7_volume_shipping"](spark, sf_dir)
+    audit.assert_broadcasts(df, 4)
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir, entry):
+    """The as-of join is the union+window formulation: ZERO join operators
+    and one exchange for the window partition (plus the final agg-free
+    projection) — an inequality-join regression would appear as a
+    BroadcastNestedLoopJoin and fail assert_no_cartesian above; this pins
+    the shuffle count too."""
+    df = entry.queries()["temporal_asof_join"](spark, sf_dir)
+    audit.assert_max_shuffles(df, 2)
