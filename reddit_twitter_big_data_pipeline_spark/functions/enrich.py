@@ -315,8 +315,12 @@ def enrich(
 ) -> DataFrame:
     """U1→U2→U3 in one plan stage. `api_slots` bounds concurrent backend
     clients by repartitioning before the UDFs (rate-limit backpressure,
-    SURVEY §4 custom piece (a))."""
-    out = df.repartition(api_slots) if api_slots else df
+    SURVEY §4 custom piece (a)); with no explicit slot count, small scans
+    spread to the session's parallelism so the Arrow UDF stage never runs
+    on the 1-2 partitions a few-MB parquet file arrives as."""
+    from ..parallel import spread
+
+    out = df.repartition(api_slots) if api_slots else spread(df)
     if translate:
         out = out.withColumn(text_col, translate_udf()(F.col(text_col)))
     if sentiment:

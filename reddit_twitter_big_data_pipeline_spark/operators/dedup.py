@@ -57,20 +57,10 @@ def exact_dedupe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 # --- shingles --------------------------------------------------------------
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a low-partition-count input out to the session's parallelism
-    before a high-fan-out op (shingle/variant explode). Tiny corpora arrive
-    as 1-2 parquet splits (a few MB of text is one file), which would
-    serialize the entire shingle stage on 1-2 cores — measured 3.5× on the
-    sf0.1 bench. The repartition shuffles the COMPACT pre-explode rows
-    (bounded by corpus size, never shingle count); when the scan already has
-    at least `defaultParallelism` splits (the 100-TB case, where
-    maxPartitionBytes governs split count) it is a no-op costing only the
-    partition-count check."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Fan a low-partition-count input out to the session's parallelism before a
+# high-fan-out op (shingle/variant explode) — measured 3.5× on the sf0.1
+# bench; see parallel.spread for the full rationale.
+from ..parallel import spread as _spread  # noqa: E402
 
 
 def shingles(col: str = "text", k: int = 3) -> Column:

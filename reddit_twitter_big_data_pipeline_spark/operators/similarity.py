@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..parallel import spread as _spread
+
 # --- exact Column-expression primitives (deterministic fold; small-dim use) -
 
 
@@ -183,7 +185,7 @@ def brute_force_topk(
             if out is not None:
                 yield out
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, _TOPK_SCHEMA)
+    scored = _spread(corpus.select(id_col, vec_col)).mapInPandas(score, _TOPK_SCHEMA)
     return _global_topk(scored, k)
 
 
@@ -260,7 +262,7 @@ def ann_topk(
                 if out is not None:
                     yield out
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, _TOPK_SCHEMA)
+    scored = _spread(corpus.select(id_col, vec_col)).mapInPandas(score, _TOPK_SCHEMA)
     return _global_topk(scored, k)
 
 
@@ -340,7 +342,7 @@ def ivf_topk(
                 if out is not None:
                     yield out
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, _TOPK_SCHEMA)
+    scored = _spread(corpus.select(id_col, vec_col)).mapInPandas(score, _TOPK_SCHEMA)
     return _global_topk(scored, k)
 
 
@@ -385,7 +387,7 @@ def embedding_near_dup_pairs(
     still keyed on a long."""
     planes = hyperplanes(dim, n_planes, seed)
     bucket = lsh_bucket_udf(planes)
-    side = df.select(
+    side = _spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket(F.col(vec_col)).alias("bucket")
     )
     a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
@@ -452,7 +454,7 @@ def semantic_dedup_pairs(
     # persist the assigned frame: both self-join sides read it, and without
     # the pin each side re-runs the scan + assignment UDF (the same lesson
     # as the minhash shingle frame — r2 measured 2× on the unpinned plan)
-    assigned = df.select(
+    assigned = _spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         cells(F.col(vec_col)).alias("cells"),
