@@ -635,6 +635,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_grouping_sets"] = x_grouping_sets
 
+    def x_map_functions(spark, sf):
+        # Map construction + lookup as first-class columns: per-user counts
+        # by event type pivot into one map<string,long>, then element_at
+        # projects named lookups back out. The oracle reproduces the VALUES
+        # with conditional aggregation — the gate compares results, not
+        # mechanisms, so the map machinery itself is what's exercised here.
+        ev = _t(spark, sf, "events")
+        per_type = ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        mapped = per_type.groupBy("user_id").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("m")
+        )
+        return mapped.select(
+            "user_id",
+            F.size("m").alias("n_types"),
+            F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("clicks"),
+            F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias("purchases"),
+        )
+
+    q["x_map_functions"] = x_map_functions
+
     def x_intersect(spark, sf):
         cust = _t(spark, sf, "customer")
         supp = _t(spark, sf, "supplier")
@@ -1516,6 +1540,14 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+
+    o["x_map_functions"] = """
+        SELECT user_id,
+               count(DISTINCT event_type)::INTEGER AS n_types,
+               coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS clicks,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchases
+        FROM events GROUP BY user_id
     """
 
     o["x_intersect"] = """
