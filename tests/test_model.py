@@ -53,6 +53,37 @@ def test_a4_comment_depth_multilevel_and_orphan(spark):
     assert {r.id: r.depth for r in out.collect()} == {"c1": 0, "c2": 1, "c3": 2}
 
 
+def test_a4_doubling_matches_levels_on_random_forest(spark):
+    # pointer doubling must reproduce the level-synchronous answer exactly —
+    # including orphan-subtree exclusion — on a deterministic random forest
+    # with chains deep enough to need several doubling rounds
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for t in range(20):  # 20 threads
+        ids = [f"t{t}c{i}" for i in range(rng.randint(1, 30))]
+        for i, cid in enumerate(ids):
+            if i == 0:
+                rows.append((cid, f"p{t}", f"t3_p{t}"))
+            else:
+                # parent is a random earlier comment → varied depths;
+                # occasionally a missing parent → orphan subtree root
+                if rng.random() < 0.05:
+                    rows.append((cid, f"p{t}", "t1_missing"))
+                else:
+                    rows.append((cid, f"p{t}", f"t1_{ids[rng.randrange(i)]}"))
+    # one deep chain to force ≥5 doubling rounds (depth 24)
+    rows.append(("d0", "pd", "t3_pd"))
+    for i in range(1, 25):
+        rows.append((f"d{i}", "pd", f"t1_d{i-1}"))
+    comments = spark.createDataFrame(rows, ["id", "post_id", "parent_id"])
+    levels = {(r.id, r.post_id): r.depth for r in model.comment_depth(comments, max_depth=40).collect()}
+    doubling = {(r.id, r.post_id): r.depth for r in model.comment_depth_doubling(comments).collect()}
+    assert levels == doubling
+    assert doubling[("d24", "pd")] == 24
+
+
 def test_a5_argmax(spark):
     df = spark.createDataFrame(
         [("g1", 1, "a"), ("g1", 9, "b"), ("g2", 5, "c")], ["g", "v", "payload"]
