@@ -1265,6 +1265,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q21_sole_returner"] = tpch_q21_sole_returner
 
+    # Third TPC-H wave — the remaining spec shapes: correlated min over a
+    # grouped view (q2), market-share ratio (q8), multi-join profit rollup
+    # (q9), two-way conditional count (q12), nested IN chain (q20).
+
+    def tpch_q2_min_cost_supplier(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        # min() picks an actual data value (no float accumulation), so the
+        # cross-engine equality join on cost is exact.
+        sup_r0 = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).filter(
+            F.col("n_regionkey") == 0
+        )
+        pc = (
+            li.join(F.broadcast(sup_r0.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min("l_extendedprice").alias("cost"))
+        )
+        minc = pc.groupBy("l_partkey").agg(F.min("cost").alias("__min_cost"))
+        p1 = part.filter(F.col("p_size") == 1).select("p_partkey")
+        return (
+            pc.join(minc, "l_partkey")
+            .filter(F.col("cost") == F.col("__min_cost"))
+            .join(F.broadcast(p1), pc.l_partkey == F.col("p_partkey"))
+            .select("p_partkey", "l_suppkey", "cost")
+        )
+
+    q["tpch_q2_min_cost_supplier"] = tpch_q2_min_cost_supplier
+
+    def tpch_q8_market_share(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+        sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(F.col("c_rk") == 1)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                (
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                    / F.sum(rev)
+                ).alias("mkt_share")
+            )
+        )
+
+    q["tpch_q8_market_share"] = tpch_q8_market_share
+
+    def tpch_q9_product_profit(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        # the synthetic tables lack partsupp; supply cost is modeled as 10%
+        # of retail price — the join/agg SHAPE is the point
+        reds = part.filter(F.col("p_name").contains("red")).select("p_partkey", "p_retailprice")
+        amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+            "p_retailprice"
+        ) * F.col("l_quantity") * 0.1
+        return (
+            li.join(F.broadcast(reds), li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+            .agg(F.sum(amount).alias("sum_profit"))
+        )
+
+    q["tpch_q9_product_profit"] = tpch_q9_product_profit
+
+    def tpch_q12_priority_counts(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        orders = _t(spark, sf, "orders")
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            )
+        )
+
+    q["tpch_q12_priority_counts"] = tpch_q12_priority_counts
+
+    def tpch_q20_part_suppliers(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        # IN (SELECT … WHERE … IN (SELECT …) GROUP BY … HAVING) ⇒ the inner
+        # IN prunes lineitem via broadcast semi-join, the HAVING rollup
+        # becomes the outer semi-join's build side.
+        p1 = part.filter(F.col("p_size") == 1).select("p_partkey")
+        qty = (
+            li.join(F.broadcast(p1), li.l_partkey == F.col("p_partkey"), "left_semi")
+            .groupBy("l_suppkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("__qty"))
+            .filter(F.col("__qty") > 50)
+            .select("l_suppkey")
+        )
+        n2 = nation.filter(F.col("n_regionkey") == 2).select("n_nationkey")
+        return (
+            supp.join(qty, supp.s_suppkey == qty.l_suppkey, "left_semi")
+            .join(F.broadcast(n2), supp.s_nationkey == F.col("n_nationkey"), "left_semi")
+            .select("s_suppkey", "s_name")
+        )
+
+    q["tpch_q20_part_suppliers"] = tpch_q20_part_suppliers
+
     return q
 
 
@@ -2239,6 +2360,72 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+    """
+
+    o["tpch_q2_min_cost_supplier"] = """
+        WITH pc AS (
+          SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_regionkey = 0
+          GROUP BY 1, 2
+        )
+        SELECT p.p_partkey, pc.l_suppkey, pc.cost
+        FROM pc JOIN part p ON pc.l_partkey = p.p_partkey
+        WHERE p.p_size = 1
+          AND pc.cost = (SELECT min(c2.cost) FROM pc c2
+                         WHERE c2.l_partkey = pc.l_partkey)
+    """
+
+    o["tpch_q8_market_share"] = """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               sum(CASE WHEN sn.n_name = 'NATION_3'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+               / sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_regionkey = 1
+        GROUP BY 1
+    """
+
+    o["tpch_q9_product_profit"] = """
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+               sum(l_extendedprice * (1 - l_discount)
+                   - p_retailprice * l_quantity * 0.1) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """
+
+    o["tpch_q12_priority_counts"] = """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        GROUP BY 1
+    """
+
+    o["tpch_q20_part_suppliers"] = """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+            GROUP BY l_suppkey
+            HAVING round(sum(l_quantity), 2) > 50
+          )
+          AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
     """
 
     o["tpch_q21_sole_returner"] = """
