@@ -659,6 +659,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_map_functions"] = x_map_functions
 
+    def x_salted_join(spark, sf):
+        # Hot-key salting correctness through the gate: lineitem→supplier
+        # joined on (key, salt) with the supplier side replicated per salt
+        # must produce exactly the plain join's row multiset — verified via
+        # per-supplier counts (integers, engine-exact).
+        li = _t(spark, sf, "lineitem").select(F.col("l_suppkey").alias("suppkey"))
+        supp = _t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("suppkey"), "s_name"
+        )
+        joined = model.salted_join(li, supp, "suppkey", n_salts=8)
+        return joined.groupBy("s_name").agg(F.count(F.lit(1)).alias("n_lines"))
+
+    q["x_salted_join"] = x_salted_join
+
+    def x_salted_agg(spark, sf):
+        # Two-phase skew aggregation: partial sums on (key, salt), final on
+        # key. Quantities are integer-valued doubles, so the regrouped sum
+        # is bit-exact and the oracle is the plain GROUP BY.
+        li = _t(spark, sf, "lineitem")
+        return model.salted_agg(li, ["l_returnflag"], "l_quantity", n_salts=16)
+
+    q["x_salted_agg"] = x_salted_agg
+
     def x_intersect(spark, sf):
         cust = _t(spark, sf, "customer")
         supp = _t(spark, sf, "supplier")
@@ -1661,6 +1684,17 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+
+    o["x_salted_join"] = """
+        SELECT s_name, count(*) AS n_lines
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    """
+
+    o["x_salted_agg"] = """
+        SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """
 
     o["x_map_functions"] = """
