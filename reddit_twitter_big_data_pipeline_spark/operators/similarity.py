@@ -387,9 +387,12 @@ def embedding_near_dup_pairs(
     still keyed on a long."""
     planes = hyperplanes(dim, n_planes, seed)
     bucket = lsh_bucket_udf(planes)
+    # persist the bucketed frame: BOTH self-join sides read it, and without
+    # the pin each side re-runs the scan + bucket UDF (the same lesson as
+    # the minhash shingle frame and SemDeDup's assignment frame)
     side = _spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket(F.col(vec_col)).alias("bucket")
-    )
+    ).persist()
     a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     if multiprobe > 0:
         probes = F.array(
