@@ -911,6 +911,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_split_label"] = sample_split_label
 
+    def sample_source_mix(spark, sf):
+        # Epoch-weighted mix: 2.5 epochs of src1 (every doc twice + a
+        # deterministic half), a quarter of src2, src3 dropped, everything
+        # else one epoch. repeat_idx makes the copies distinct rows.
+        docs = _t(spark, sf, "documents").select("doc_id", "source")
+        return sampling.mix_sources(
+            docs,
+            {"src1": 2.5, "src2": 0.25, "src3": 0.0},
+            hash_fn="md5",
+        )
+
+    q["sample_source_mix"] = sample_source_mix
+
     # ---- text pipeline ops (chunking / TF-IDF / scrubbing) ----------------
 
     def text_chunks(spark, sf):
@@ -2144,6 +2157,26 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bk < {_c2} THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+    o["sample_source_mix"] = """
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src1' THEN 2.5 WHEN 'src2' THEN 0.25
+                             WHEN 'src3' THEN 0.0 ELSE 1.0 END AS wt,
+                 ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bk
+          FROM documents
+        ),
+        n AS (
+          SELECT doc_id, source,
+                 CAST(floor(wt) AS INTEGER)
+                 + CASE WHEN bk < CAST(floor((wt - floor(wt)) * 1000000) AS BIGINT)
+                        THEN 1 ELSE 0 END AS nc
+          FROM w
+        )
+        SELECT doc_id, source, CAST(unnest(generate_series(1, nc)) AS INTEGER) AS repeat_idx
+        FROM n WHERE nc > 0
     """
 
     # ---- text pipeline ops -----------------------------------------------

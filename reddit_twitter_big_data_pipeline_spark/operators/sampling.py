@@ -71,6 +71,44 @@ def stratified_sample(
     return df.filter(_bucket(id_col, salt, hash_fn) < (frac * _BUCKETS).cast("long"))
 
 
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Epoch-weighted source mixing — the "2 epochs of wiki, 0.25 epochs of
+    CC" primitive of training-mix assembly. Each row is emitted
+    ⌊w⌋ + Bernoulli(frac(w)) times, where w is its source's weight: whole
+    epochs replicate every row; the fractional epoch is the same
+    deterministic id-hash sample as ``hash_sample`` (so re-runs and
+    re-shards emit the IDENTICAL mix, and the fractional subset of epoch
+    k+1 is the standard "first frac(w) of the next pass" convention).
+
+    Output = input columns + ``repeat_idx`` (1-based copy number), so
+    downstream sequence packing treats copies as distinct examples. One
+    narrow projection + one explode — no shuffle; weights become a CASE
+    expression, never a join."""
+    if any(v < 0 for v in weights.values()) or default_weight < 0:
+        raise ValueError("mix_sources: weights must be non-negative")
+    w = F.lit(float(default_weight))
+    for s, v in weights.items():
+        w = F.when(F.col(source_col) == s, F.lit(float(v))).otherwise(w)
+    whole = F.floor(w).cast("int")
+    frac_cut = ((w - F.floor(w)) * _BUCKETS).cast("long")
+    b = _bucket(id_col, salt, hash_fn)
+    n_copies = whole + F.when(b < frac_cut, 1).otherwise(0)
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("repeat_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )
+
+
 def split_train_val_test(
     df: DataFrame,
     weights: tuple[float, float, float] = (0.98, 0.01, 0.01),

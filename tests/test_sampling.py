@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from reddit_twitter_big_data_pipeline_spark.operators import sampling
 
 
@@ -57,3 +60,35 @@ def test_split_disjoint_exhaustive_stable(spark):
     tr2, va2, te2 = sampling.split_train_val_test(bigger, (0.8, 0.1, 0.1))
     assert va_ids <= {r.doc_id for r in va2.collect()}
     assert te_ids <= {r.doc_id for r in te2.collect()}
+
+
+def test_mix_sources_epoch_weights(spark):
+    rows = [(i, ["wiki", "cc", "junk"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.mix_sources(df, {"wiki": 2.5, "cc": 0.25, "junk": 0.0})
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert "junk" not in counts                 # weight 0 drops the source
+    assert 2300 <= counts["wiki"] <= 2700       # 1000 docs x ~2.5
+    assert 150 <= counts["cc"] <= 350           # 1000 docs x ~0.25
+    # whole epochs replicate EVERY doc: each wiki doc appears >= 2x
+    per_doc = out.filter(out.source == "wiki").groupBy("doc_id").count()
+    assert per_doc.filter(per_doc["count"] < 2).count() == 0
+    # repeat_idx enumerates copies 1..n
+    top = out.filter(out.source == "wiki").groupBy("doc_id").agg(
+        F.max("repeat_idx").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert top.filter(F.col("mx") != F.col("n")).count() == 0
+
+
+def test_mix_sources_deterministic_and_validates(spark):
+    rows = [(i, "a") for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted((r.doc_id, r.repeat_idx) for r in sampling.mix_sources(df, {"a": 1.5}).collect())
+    b = sorted(
+        (r.doc_id, r.repeat_idx)
+        for r in sampling.mix_sources(df.repartition(13), {"a": 1.5}).collect()
+    )
+    assert a == b  # membership independent of partitioning
+    with pytest.raises(ValueError):
+        sampling.mix_sources(df, {"a": -1.0})
