@@ -682,6 +682,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_salted_agg"] = x_salted_agg
 
+    def x_pivot(spark, sf):
+        # PIVOT: per-user event counts spread into one column per event
+        # type. Explicit value list keeps the plan one-pass (no extra
+        # distinct scan for value discovery).
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("user_id")
+            .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0)
+        )
+
+    q["x_pivot"] = x_pivot
+
+    def x_unpivot(spark, sf):
+        # UNPIVOT (melt): the inverse — wide per-type counts back to long
+        # (user_id, event_type, n) rows, zero rows dropped like an
+        # exclude-nulls unpivot.
+        wide = x_pivot(spark, sf)
+        return wide.unpivot(
+            ["user_id"],
+            ["click", "view", "purchase", "signup", "error"],
+            "event_type",
+            "n",
+        ).filter(F.col("n") > 0)
+
+    q["x_unpivot"] = x_unpivot
+
     def x_intersect(spark, sf):
         cust = _t(spark, sf, "customer")
         supp = _t(spark, sf, "supplier")
@@ -1708,6 +1736,21 @@ def oracle_sql() -> dict[str, str]:
     o["x_salted_agg"] = """
         SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
         FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["x_pivot"] = """
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+               coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+               coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+               coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+        FROM events GROUP BY user_id
+    """
+
+    o["x_unpivot"] = """
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
     """
 
     o["x_map_functions"] = """
