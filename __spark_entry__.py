@@ -1740,11 +1740,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["x_pivot"] = """
         SELECT user_id,
-               coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-               coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
-               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-               coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-               coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+               coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)::BIGINT AS click,
+               coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0)::BIGINT AS view,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)::BIGINT AS purchase,
+               coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0)::BIGINT AS signup,
+               coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)::BIGINT AS error
         FROM events GROUP BY user_id
     """
 
@@ -1756,8 +1756,8 @@ def oracle_sql() -> dict[str, str]:
     o["x_map_functions"] = """
         SELECT user_id,
                count(DISTINCT event_type)::INTEGER AS n_types,
-               coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS clicks,
-               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchases
+               coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)::BIGINT AS clicks,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)::BIGINT AS purchases
         FROM events GROUP BY user_id
     """
 
@@ -2394,9 +2394,9 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, source, n_tokens,
-               sum(n_tokens) OVER (
+               (sum(n_tokens) OVER (
                  PARTITION BY source ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
         FROM t
         QUALIFY cum_tokens <= 1000
     """
@@ -2518,9 +2518,9 @@ def oracle_sql() -> dict[str, str]:
     o["tpch_q12_priority_counts"] = """
         SELECT l_linestatus,
                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         GROUP BY 1

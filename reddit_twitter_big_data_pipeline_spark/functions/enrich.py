@@ -194,16 +194,22 @@ def retrying_backend(
         return pd.Series([None] * n, index=index, dtype="object")
 
     def wrapped(texts: pd.Series):
+        # ValueError = malformed/mis-shaped response (e.g. an HTTP backend
+        # returning N-1 scores for N texts): not retryable as a batch, but
+        # per-item calls may still succeed for the well-formed rows — so it
+        # degrades to salvage exactly like an exhausted transient, and an
+        # item whose own response is malformed yields NULL. Anything else
+        # (a genuine bug) propagates.
         try:
             return _call_retry(texts)
-        except TransientEnrichError:
+        except (TransientEnrichError, ValueError):
             pass  # degrade to per-item salvage below
         parts = []
         for idx in texts.index:
             single = texts.loc[[idx]]
             try:
                 parts.append(_call_retry(single))
-            except TransientEnrichError:
+            except (TransientEnrichError, ValueError):
                 parts.append(idx)  # placeholder; shaped after the loop
         out = [
             p if isinstance(p, (pd.Series, pd.DataFrame)) else _null_like(pd.Index([p]))

@@ -25,6 +25,15 @@ Scale design notes (the point of each implementation):
 
 Hash function: xxhash64 (JVM built-in, whole-stage codegen) everywhere the
 result doesn't need a cross-engine oracle; md5-derived longs where it does.
+
+Cache lifetime: the pair generators persist compact intermediates (hashed
+shingles, signatures) that the returned LAZY DataFrame still depends on, so
+they cannot be unpersisted here. They evict under normal LRU storage
+pressure; a driver looping over many corpora should call
+`spark.catalog.clearCache()` (or `unpersist` the intermediates via the
+returned plan) between corpora to release them deterministically — the
+iterative operators (connected_components) instead checkpoint + release
+eagerly because their results are materialized before returning.
 """
 
 from __future__ import annotations

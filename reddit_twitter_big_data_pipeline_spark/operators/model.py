@@ -250,6 +250,11 @@ def with_batch_id(df: DataFrame, batch_size: int, order_col: str, partitions: in
     )
     ranged = ranged.persist()
     counts = {r["__pid"]: r["n"] for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        # empty input: createDataFrame([]) cannot infer a schema — return
+        # the empty frame with the __batch column instead of crashing
+        ranged.unpersist()
+        return df.withColumn("__batch", F.lit(0).cast("long"))
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

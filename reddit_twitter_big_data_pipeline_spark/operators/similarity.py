@@ -107,6 +107,11 @@ def _batch_topk_rows(
     order as the global window, so the pushdown is lossless. Self-matches
     (query_id == neighbor_id) are dropped here so they never count toward k.
     """
+    # NaN similarities (a NaN component in either vector) rank LAST here
+    # but FIRST under Spark's `sim DESC` window (Spark sorts NaN above all
+    # numbers), so they must never leave the batch stage: map them to -inf,
+    # which loses every comparison in both engines.
+    sims = np.nan_to_num(sims, nan=-np.inf, posinf=np.inf, neginf=-np.inf)
     out_q, out_n, out_s = [], [], []
     cols = range(sims.shape[1]) if q_subset is None else range(len(q_subset))
     for j in cols:
@@ -185,7 +190,9 @@ def brute_force_topk(
             if out is not None:
                 yield out
 
-    scored = _spread(corpus.select(id_col, vec_col)).mapInPandas(score, _TOPK_SCHEMA)
+    scored = _spread(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(score, _TOPK_SCHEMA)
     return _global_topk(scored, k)
 
 
@@ -262,7 +269,9 @@ def ann_topk(
                 if out is not None:
                     yield out
 
-    scored = _spread(corpus.select(id_col, vec_col)).mapInPandas(score, _TOPK_SCHEMA)
+    scored = _spread(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(score, _TOPK_SCHEMA)
     return _global_topk(scored, k)
 
 
@@ -342,7 +351,9 @@ def ivf_topk(
                 if out is not None:
                     yield out
 
-    scored = _spread(corpus.select(id_col, vec_col)).mapInPandas(score, _TOPK_SCHEMA)
+    scored = _spread(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(score, _TOPK_SCHEMA)
     return _global_topk(scored, k)
 
 
@@ -357,7 +368,10 @@ def cosine_pairs_udf():
         a = _to_matrix(va)
         b = _to_matrix(vb)
         num = np.einsum("ij,ij->i", a, b)
-        return pd.Series(num / (_safe_norms(a) * _safe_norms(b)))
+        # NaN -> -1 (below any cosine threshold): Spark treats NaN as
+        # LARGER than every number, so a NaN cosine would pass a
+        # `>= threshold` filter instead of failing it
+        return pd.Series(np.nan_to_num(num / (_safe_norms(a) * _safe_norms(b)), nan=-1.0))
 
     return _cos
 
@@ -390,7 +404,7 @@ def embedding_near_dup_pairs(
     # persist the bucketed frame: BOTH self-join sides read it, and without
     # the pin each side re-runs the scan + bucket UDF (the same lesson as
     # the minhash shingle frame and SemDeDup's assignment frame)
-    side = _spread(df).select(
+    side = _spread(df.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket(F.col(vec_col)).alias("bucket")
     ).persist()
     a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
@@ -457,7 +471,7 @@ def semantic_dedup_pairs(
     # persist the assigned frame: both self-join sides read it, and without
     # the pin each side re-runs the scan + assignment UDF (the same lesson
     # as the minhash shingle frame — r2 measured 2× on the unpinned plan)
-    assigned = _spread(df).select(
+    assigned = _spread(df.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         cells(F.col(vec_col)).alias("cells"),

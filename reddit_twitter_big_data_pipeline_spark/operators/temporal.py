@@ -43,10 +43,14 @@ def as_of_join(
     pandas merge_asof contract).
 
     Plan: union(tagged left, tagged right) → window partitionBy(keys)
-    orderBy(ts, side) → last(payload, ignorenulls) over rows-unbounded-
-    preceding → keep left rows. Right rows sort BEFORE left rows at equal
-    timestamps (side 0 < 1), so an exactly-simultaneous snapshot matches —
-    the ≤ semantics.
+    orderBy(ts, side) → last(right-row STRUCT, ignorenulls) over
+    rows-unbounded-preceding → keep left rows. The entire right payload
+    rides in ONE struct column, so the fill-forward is atomic per right
+    row: a legitimately-NULL field in the latest snapshot stays NULL
+    instead of back-filling from an older row (per-column last() would
+    compose a snapshot that never existed). Right rows sort BEFORE left
+    rows at equal timestamps (side 0 < 1), so an exactly-simultaneous
+    snapshot matches — the ≤ semantics.
     """
     right_payload = right_payload or [
         c for c in right.columns if c not in keys and c != right_ts
@@ -58,18 +62,22 @@ def as_of_join(
             "columns — rename them on the right side (or pass an explicit "
             "right_payload) so the output has unambiguous names"
         )
-    l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    for c in right_payload:
-        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    l_tagged = l_tagged.withColumn("__r_ts", F.lit(None).cast(right.schema[right_ts].dataType))
+    r_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
 
-    r_cols = [F.col(k) for k in keys]
+    l_tagged = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__ts", F.col(left_ts))
+        .withColumn("__r", F.lit(None).cast(r_struct_type))
+    )
     r_tagged = right.select(
-        *r_cols,
+        *[F.col(k) for k in keys],
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
-        F.col(right_ts).alias("__r_ts"),
+        r_struct.alias("__r"),
     )
     for c in left.columns:
         if c not in keys:
@@ -81,33 +89,23 @@ def as_of_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_payload
-        ],
-        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias("__f_ts"),
-    )
+    filled = u.select("*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__f"))
     out = filled.filter(F.col("__side") == 1)
     if tolerance_s is not None:
         from pyspark.sql import types as T
 
         def seconds(c):
-            col = F.col(c)
             if isinstance(left.schema[left_ts].dataType, (T.TimestampType, T.TimestampNTZType)):
-                return F.unix_timestamp(col)
-            return col.cast("double")  # numeric event-time axis
+                return F.unix_timestamp(c)
+            return c.cast("double")  # numeric event-time axis
 
-        in_tol = (
-            F.col("__f_ts").isNotNull()
-            & (seconds("__ts") - seconds("__f_ts") <= tolerance_s)
+        in_tol = F.col("__f").isNotNull() & (
+            seconds(F.col("__ts")) - seconds(F.col("__f.__rts")) <= tolerance_s
         )
-        for c in right_payload:
-            out = out.withColumn(f"__f_{c}", F.when(in_tol, F.col(f"__f_{c}")))
+        out = out.withColumn("__f", F.when(in_tol, F.col("__f")))
     return out.select(
         *left.columns,
-        *[F.col(f"__f_{c}").alias(c) for c in right_payload],
+        *[F.col(f"__f.{c}").alias(c) for c in right_payload],
     )
 
 
@@ -148,7 +146,15 @@ def range_join(
         "__bucket", F.floor(F.col(point_col).cast("double") / bucket_width).cast("long")
     )
     if how == "left":
-        p = p.withColumn("__pid", F.monotonically_increasing_id())
+        # __pid is consumed by TWO subtrees (matched + left-anti); without a
+        # materialization barrier each would re-evaluate
+        # monotonically_increasing_id under its own (nondeterministic
+        # post-shuffle) row order, so a point could appear in both or
+        # neither. The checkpoint pins one assignment; it materializes only
+        # the compact point rows, never the join fan-out.
+        p = p.withColumn("__pid", F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
+        )
     i = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(

@@ -29,6 +29,7 @@ the same landing contract as the reference's raw JSON files.
 from __future__ import annotations
 
 import json
+import uuid
 import time
 from typing import Callable, Iterator
 
@@ -38,6 +39,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .._serde import register_self
 
 RAW_SCHEMA = "topic string, payload string"
+
+
+def _process_limiter(key: str, rate: int, per_s: float) -> "RateLimiter":
+    """Process-global limiter registry (same mechanism as
+    enrich.rate_limited_backend): mapInPandas closures are re-deserialized
+    per TASK, and a fresh (empty) sliding window per task would let
+    back-to-back short tasks double the rate inside one wall-clock window.
+    The key is minted once on the driver at plan-build time; every task
+    that runs on the same worker process shares the keyed limiter."""
+    import builtins
+
+    reg = getattr(builtins, "__engine_rate_limiters__", None)
+    if reg is None:
+        reg = {}
+        builtins.__engine_rate_limiters__ = reg
+    if key not in reg:
+        reg[key] = RateLimiter(rate, per_s)
+    return reg[key]
 
 
 class RateLimiter:
@@ -95,10 +114,11 @@ def fetch_topics(
     up, or parse inline with from_json.
     """
     tdf = spark.createDataFrame([(t,) for t in topics], ["topic"]).repartition(api_slots)
+    limiter_key = f"ingest-{uuid.uuid4().hex}"  # minted once on the driver
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch = transport_factory()
-        limiter = RateLimiter(rate, per_s)
+        limiter = _process_limiter(limiter_key, rate, per_s)
         for pdf in batches:
             for topic in pdf["topic"]:
                 limiter.acquire()
@@ -128,9 +148,11 @@ def refetch_by_ids(
     (topic='refetch', payload) frame to merge with
     sinks.writers.merge_upsert after parsing."""
 
+    limiter_key = f"refetch-{uuid.uuid4().hex}"  # minted once on the driver
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch_ids = transport_factory()
-        limiter = RateLimiter(rate, per_s)
+        limiter = _process_limiter(limiter_key, rate, per_s)
         for pdf in batches:
             vals = list(pdf[id_col])
             for i in range(0, len(vals), batch_size):

@@ -135,3 +135,29 @@ def test_range_join_rejects_outer_hows(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="inner.*left"):
             temporal.range_join(pts, iv, ["k"], "t", "s", "e", 100, how=how)
+
+
+def test_as_of_join_null_in_latest_snapshot_stays_null(spark):
+    # The fill-forward is atomic per right ROW: a legitimately-NULL field in
+    # the newest snapshot must NOT back-fill from an older snapshot (that
+    # would emit a composite row that never existed — pandas merge_asof
+    # returns the NULL).
+    left = spark.createDataFrame([(1, 3)], ["k", "lt"])
+    right = spark.createDataFrame(
+        [(1, 1, 10.0, 5.0), (1, 2, 20.0, None)], ["k", "rt", "price", "qty"]
+    )
+    out = temporal.as_of_join(left, right, ["k"], "lt", "rt").collect()[0]
+    assert out.price == 20.0 and out.qty is None
+
+
+def test_as_of_join_tolerance_masks_whole_stale_row(spark):
+    # With tolerance, an out-of-window snapshot contributes NOTHING — no
+    # field survives from any older row either.
+    left = spark.createDataFrame([(1, 100)], ["k", "lt"])
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 2.0), (1, 90, 3.0, None)], ["k", "rt", "a", "b"]
+    )
+    out = temporal.as_of_join(left, right, ["k"], "lt", "rt", tolerance_s=20).collect()[0]
+    assert out.a == 3.0 and out.b is None  # in-tolerance row, its own NULL kept
+    out2 = temporal.as_of_join(left, right, ["k"], "lt", "rt", tolerance_s=5).collect()[0]
+    assert out2.a is None and out2.b is None  # everything stale ⇒ all NULL

@@ -32,8 +32,16 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     df.columns = [str(c) for c in df.columns]
     df = df[sorted(df.columns)]
     norm = {}
+    kinds = []
     for c in df.columns:
         s = df[c]
+        # dtype KIND (float vs int vs other) is part of the hash: the
+        # driver's gate is dtype-sensitive (CORRECTNESS_r01 failed
+        # x_json_path on int64-vs-HUGEINT→float64 with equal values), so a
+        # value-only hash here would pass locally and fail the driver.
+        # int32-vs-int64 stays equivalent (same kind), as the driver's
+        # str()-canonicalization treats them identically.
+        kinds.append("f" if s.dtype.kind == "f" else ("i" if s.dtype.kind in "iu" else "o"))
         if s.dtype.kind == "f":
             norm[c] = s.map(lambda v: "null" if pd.isna(v) else f"{v:.9g}")
         elif s.dtype.kind in "iu":
@@ -41,9 +49,11 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
         else:
             norm[c] = s.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
     nd = pd.DataFrame(norm) if norm else pd.DataFrame(index=df.index)
+    nd.attrs["kinds"] = kinds
     if len(nd.columns):
         nd = nd.sort_values(by=list(nd.columns), kind="mergesort").reset_index(drop=True)
     h = hashlib.md5()
+    h.update(("|".join(nd.attrs.get("kinds", [])) + "\x1d").encode())
     for row in nd.itertuples(index=False):
         h.update("\x1f".join(row).encode())
         h.update(b"\x1e")
