@@ -324,6 +324,27 @@ def test_brute_force_topk_zero_norm_vector_scores_zero_not_nan(spark):
     assert all(s == s for s in sims)  # no NaN anywhere
 
 
+def test_similarity_nan_and_null_embeddings_never_poison(spark):
+    """A NaN component or a NULL embedding in the corpus must not crash
+    scoring or displace real neighbors — Spark's window ranks NaN ABOVE
+    every number, so a leaked NaN sim would win the global top-k."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [float("nan"), 1.0, 0.0, 0.0]),  # NaN component
+        (4, None),                            # NULL embedding
+        (5, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.brute_force_topk(emb.filter(F.col("vec_id") == 1), emb, k=2)
+    got = [(r.neighbor_id, r.sim) for r in out.orderBy(F.desc("sim"), "neighbor_id").collect()]
+    assert got[0] == (5, 1.0) and got[1][0] == 2  # 3 and 4 excluded
+    # pair path: NaN cosine must fail a >= threshold filter, not pass it
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.5, dim=4)
+    ids = {x for r in pairs.collect() for x in (r.a, r.b)}
+    assert 3 not in ids and 4 not in ids
+
+
 def test_scrub_pii_masks_typed_spans(spark):
     df = spark.createDataFrame(
         [
