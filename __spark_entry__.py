@@ -710,6 +710,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_unpivot"] = x_unpivot
 
+    def x_array_hof(spark, sf):
+        # Higher-order array functions as first-class row logic: tokenize,
+        # filter short tokens, uppercase, and fold token lengths — one
+        # narrow projection, no explode, no UDF.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        toks = F.split("text", " ")
+        longs = F.filter(toks, lambda t: F.length(t) > 3)
+        return docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(longs).alias("n_long_tokens"),
+            F.array_join(
+                F.slice(F.transform(longs, lambda t: F.upper(t)), 1, 3), ","
+            ).alias("first3_upper"),
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ).alias("total_chars"),
+        )
+
+    q["x_array_hof"] = x_array_hof
+
     def x_intersect(spark, sf):
         cust = _t(spark, sf, "customer")
         supp = _t(spark, sf, "supplier")
@@ -1736,6 +1757,21 @@ def oracle_sql() -> dict[str, str]:
     o["x_salted_agg"] = """
         SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS n
         FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["x_array_hof"] = """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 list_filter(string_split(text, ' '), x -> length(x) > 3) AS longs
+          FROM documents
+        )
+        SELECT doc_id,
+               len(toks)::INTEGER AS n_tokens,
+               len(longs)::INTEGER AS n_long_tokens,
+               array_to_string(list_transform(longs[1:3], x -> upper(x)), ',')
+                 AS first3_upper,
+               list_sum(list_transform(toks, x -> length(x)))::INTEGER AS total_chars
+        FROM t
     """
 
     o["x_pivot"] = """
