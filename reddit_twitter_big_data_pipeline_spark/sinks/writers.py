@@ -160,6 +160,171 @@ def merge_upsert(
     return spark.read.parquet(target_path)
 
 
+def _list_partition_dirs(fs, jvm, root, depth: int) -> list[str]:
+    """Relative paths (e.g. 'topic=a/dataload=2021-01-01') of the leaf
+    partition directories exactly `depth` levels under `root`. Reads the
+    names Spark itself wrote, so Hive value-escaping is never re-derived
+    here."""
+    rels: list[str] = []
+    # listStatus returns fully-qualified paths (file:/…, hdfs://…); qualify
+    # the root the same way or the prefix strip misaligns
+    root = fs.makeQualified(root)
+    base = root.toString().rstrip("/")
+
+    def _walk(path, level):
+        for st in fs.listStatus(path):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if "=" not in name:
+                continue  # _temporary etc.
+            if level == depth:
+                rels.append(st.getPath().toString()[len(base) + 1 :])
+            else:
+                _walk(st.getPath(), level + 1)
+
+    _walk(root, 1)
+    return rels
+
+
+def recover_partition_swaps(spark: SparkSession, target_path: str, n_partition_cols: int) -> int:
+    """Heal a crashed `merge_upsert_partitioned`: any partition dir that
+    exists under `<target>.__pbackup__` but is missing from the target is
+    restored; stale backups (partition present in both) are dropped. Called
+    before every partitioned merge, so a crash between a partition's two
+    renames can never surface as a missing partition. Returns the number of
+    partitions restored."""
+    jvm = spark._jvm
+    fs, tgt = _hadoop_fs(spark, target_path)
+    broot = jvm.org.apache.hadoop.fs.Path(target_path + ".__pbackup__")
+    if not fs.exists(broot):
+        return 0
+    restored = 0
+    for rel in _list_partition_dirs(fs, jvm, broot, n_partition_cols):
+        bdir = jvm.org.apache.hadoop.fs.Path(target_path + ".__pbackup__/" + rel)
+        tdir = jvm.org.apache.hadoop.fs.Path(target_path + "/" + rel)
+        if fs.exists(tdir):
+            fs.delete(bdir, True)  # swap completed; backup is stale
+        else:
+            fs.mkdirs(tdir.getParent())
+            if not fs.rename(bdir, tdir):
+                raise IOError(f"could not restore partition {rel} of {target_path}")
+            restored += 1
+    fs.delete(broot, True)
+    return restored
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Partition-scoped MERGE: upsert `updates` into the partitioned parquet
+    table at `target_path`, rewriting ONLY the partitions that contain
+    updated keys. Untouched partitions' files are never read, rewritten, or
+    moved — their bytes are untouched on disk.
+
+    This is the 100-TB form of `merge_upsert` (VERDICT r2 item 1): the
+    reference's T+2/T+3 late score refresh
+    (reference: reddit/lambda_function_aggregate.py:38,59-71) updates a few
+    thousand rows in 2-3 dataload partitions; a full-table MERGE would
+    rewrite every byte ever ingested, while this costs O(touched
+    partitions). Requires `partition_cols` to be part of the row identity in
+    the usual late-refresh sense: an update lands in the same partition as
+    the row it replaces (true for dataload/topic keys, where the re-crawl
+    re-fetches the same day). Keys that MOVE across partitions would leave
+    the old row in its old partition — use plain `merge_upsert` for those.
+
+    Semantics match `merge_upsert` per touched partition: last-writer-wins
+    on `order_col`, ties broken update-over-existing. Crash safety: merged
+    partitions are fully staged, then each touched partition dir is swapped
+    in via two renames with the displaced original parked OUTSIDE the table
+    root (under `<target>.__pbackup__/` — an in-table backup name would be
+    read back as a bogus partition value). A crash mid-swap leaves each
+    partition either old or new — never missing beyond the window that
+    `recover_partition_swaps` heals on the next call — and never corrupts
+    an untouched partition.
+    """
+    jvm = spark._jvm
+    recover_partition_swaps(spark, target_path, len(partition_cols))
+    fs, tgt = _hadoop_fs(spark, target_path)
+    w_order = [F.col("__src").desc()]
+    if order_col is not None:
+        w_order = [F.col(order_col).desc(), F.col("__src").desc()]
+
+    if not fs.exists(tgt):
+        # first write: dedupe among the updates themselves, plain write
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*w_order)
+        first = (
+            updates.withColumn("__src", F.lit(1))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        first.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
+        return spark.read.parquet(target_path)
+
+    # 1. the touched partition values — bounded by contract (one update
+    #    batch touches few partitions; this is the whole point of the op)
+    touched = [r.asDict() for r in updates.select(*partition_cols).distinct().collect()]
+    if not touched:
+        return spark.read.parquet(target_path)
+
+    # 2. read the existing table pruned to ONLY the touched partitions —
+    #    partition pruning keeps every other partition's files unread
+    existing = spark.read.parquet(target_path)
+    pred = F.lit(False)
+    for part in touched:
+        clause = F.lit(True)
+        for c in partition_cols:
+            v = part[c]
+            clause = clause & (F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
+        pred = pred | clause
+    base = existing.filter(pred).withColumn("__src", F.lit(0))
+
+    # 3. merge just that slice (same window as merge_upsert)
+    upd = updates.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*w_order)
+    result = (
+        base.unionByName(upd)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+    # 4. stage the merged slice fully (old files still intact → the plan can
+    #    read them to the end), then swap each touched partition dir
+    staging = target_path + ".__pstaging__"
+    result.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    sroot = jvm.org.apache.hadoop.fs.Path(staging)
+    broot_str = target_path + ".__pbackup__"
+    for rel in _list_partition_dirs(fs, jvm, sroot, len(partition_cols)):
+        sdir = jvm.org.apache.hadoop.fs.Path(staging + "/" + rel)
+        tdir = jvm.org.apache.hadoop.fs.Path(target_path + "/" + rel)
+        bdir = jvm.org.apache.hadoop.fs.Path(broot_str + "/" + rel)
+        had_target = fs.exists(tdir)
+        if had_target:
+            fs.mkdirs(bdir.getParent())
+            if not fs.rename(tdir, bdir):
+                raise IOError(f"could not move partition {rel} aside for swap")
+        else:
+            fs.mkdirs(tdir.getParent())
+        if not fs.rename(sdir, tdir):
+            if had_target:
+                fs.rename(bdir, tdir)  # put the old partition back
+            raise IOError(f"could not promote staged partition {rel}")
+        if had_target:
+            fs.delete(bdir, True)
+    broot = jvm.org.apache.hadoop.fs.Path(broot_str)
+    if fs.exists(broot):
+        fs.delete(broot, True)
+    fs.delete(sroot, True)
+    return spark.read.parquet(target_path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

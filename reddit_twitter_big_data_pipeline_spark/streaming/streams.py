@@ -216,18 +216,30 @@ def upsert_stream(
     keys: list[str],
     order_col: str | None = None,
     available_now: bool = True,
+    partition_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """W4: late-data refresh as a streaming MERGE. Each micro-batch upserts
     into the target keyed on `keys` (last-writer-wins on `order_col`) — the
     reference's T+2/T+3-day re-crawl of Reddit scores (reference:
     reddit/lambda_function_aggregate.py:38,59-71) replayed through
     `foreachBatch`. Checkpointing makes the refresh itself exactly-once;
-    merge_upsert makes it idempotent even on replay."""
+    merge_upsert makes it idempotent even on replay.
+
+    With `partition_cols` set, each micro-batch uses the partition-scoped
+    merge: only the partitions a batch's keys live in are rewritten, so a
+    steady stream of small late updates costs O(touched partitions) per
+    batch instead of one full-table rewrite per batch — the difference
+    between a viable and a pathological continuous refresh at 100 TB."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        writers.merge_upsert(batch.sparkSession, target_path, batch, keys, order_col)
+        if partition_cols:
+            writers.merge_upsert_partitioned(
+                batch.sparkSession, target_path, batch, keys, partition_cols, order_col
+            )
+        else:
+            writers.merge_upsert(batch.sparkSession, target_path, batch, keys, order_col)
 
     writer = df.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
     if available_now:

@@ -113,6 +113,94 @@ def test_merge_upsert_late_refresh(spark, tmp_path):
     assert {r.id: r.score for r in again.collect()} == got
 
 
+def _file_state(root):
+    """(relative path → (size, md5)) for every data file under a table —
+    byte-level identity proof for the untouched-partition guarantee."""
+    import hashlib
+
+    out = {}
+    for p in sorted(root.rglob("*")):
+        if p.is_file() and not p.name.startswith(("_", ".")):
+            out[str(p.relative_to(root))] = (p.stat().st_size, hashlib.md5(p.read_bytes()).hexdigest())
+    return out
+
+
+def test_merge_upsert_partitioned_touches_only_hit_partitions(spark, tmp_path):
+    """VERDICT r2 item 1: a late refresh of a few keys must cost O(touched
+    partitions), and untouched partitions' files must be byte-identical."""
+    target = str(tmp_path / "tbl")
+    initial = spark.createDataFrame(
+        [("p1", 1, "d1"), ("p2", 2, "d1"), ("p3", 3, "d2"), ("p4", 4, "d3")],
+        ["id", "score", "dataload"],
+    )
+    writers.merge_upsert_partitioned(spark, target, initial, ["id"], ["dataload"], order_col="score")
+    before = _file_state(tmp_path / "tbl")
+    untouched_before = {k: v for k, v in before.items() if "dataload=d1" in k or "dataload=d3" in k}
+    assert untouched_before  # sanity: partitioned layout exists
+
+    refresh = spark.createDataFrame([("p3", 99, "d2"), ("p9", 7, "d2")], ["id", "score", "dataload"])
+    merged = writers.merge_upsert_partitioned(
+        spark, target, refresh, ["id"], ["dataload"], order_col="score"
+    )
+    got = {r.id: r.score for r in merged.collect()}
+    assert got == {"p1": 1, "p2": 2, "p3": 99, "p4": 4, "p9": 7}
+
+    after = _file_state(tmp_path / "tbl")
+    untouched_after = {k: v for k, v in after.items() if "dataload=d1" in k or "dataload=d3" in k}
+    assert untouched_after == untouched_before  # same paths, sizes, bytes
+    # no staging/backup residue inside or beside the table
+    assert not (tmp_path / "tbl.__pstaging__").exists()
+    assert not (tmp_path / "tbl.__pbackup__").exists()
+
+    # idempotent replay
+    again = writers.merge_upsert_partitioned(
+        spark, target, refresh, ["id"], ["dataload"], order_col="score"
+    )
+    assert {r.id: r.score for r in again.collect()} == got
+
+
+def test_merge_upsert_partitioned_matches_full_merge(spark, tmp_path):
+    """Partition-scoped merge ≡ full-table merge when keys stay in their
+    partitions (the late-refresh contract)."""
+    rows = [(f"k{i}", i, f"d{i % 3}") for i in range(30)]
+    upd = [(f"k{i}", 1000 + i, f"d{i % 3}") for i in range(0, 30, 7)] + [("new1", 1, "d0")]
+    cols = ["id", "v", "day"]
+    t_full, t_part = str(tmp_path / "full"), str(tmp_path / "part")
+    writers.merge_upsert(spark, t_full, spark.createDataFrame(rows, cols), ["id"], order_col="v")
+    writers.merge_upsert_partitioned(
+        spark, t_part, spark.createDataFrame(rows, cols), ["id"], ["day"], order_col="v"
+    )
+    a = writers.merge_upsert(spark, t_full, spark.createDataFrame(upd, cols), ["id"], order_col="v")
+    b = writers.merge_upsert_partitioned(
+        spark, t_part, spark.createDataFrame(upd, cols), ["id"], ["day"], order_col="v"
+    )
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )
+
+
+def test_merge_upsert_partitioned_crash_recovery(spark, tmp_path):
+    """A partition parked under .__pbackup__ with no target copy (= crash
+    between the two renames) is restored before the next merge reads."""
+    import shutil
+
+    target = str(tmp_path / "tbl")
+    initial = spark.createDataFrame([("a", 1, "d1"), ("b", 2, "d2")], ["id", "v", "day"])
+    writers.merge_upsert_partitioned(spark, target, initial, ["id"], ["day"], order_col="v")
+    # simulate the crash window: partition moved aside, promotion never ran
+    (tmp_path / "tbl.__pbackup__").mkdir()
+    shutil.move(str(tmp_path / "tbl" / "day=d2"), str(tmp_path / "tbl.__pbackup__" / "day=d2"))
+    assert writers.recover_partition_swaps(spark, target, 1) == 1
+    got = {r.id: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1, "b": 2}
+    # merge after recovery behaves normally
+    merged = writers.merge_upsert_partitioned(
+        spark, target, spark.createDataFrame([("b", 9, "d2")], ["id", "v", "day"]), ["id"], ["day"],
+        order_col="v",
+    )
+    assert {r.id: r.v for r in merged.collect()} == {"a": 1, "b": 9}
+
+
 def test_dedupe_last_writer(spark):
     df = spark.createDataFrame(
         [("k", "2024-01-01", 1), ("k", "2024-01-02", 2)], ["id", "ts", "v"]

@@ -116,6 +116,42 @@ def test_w4_upsert_stream_late_refresh(spark, tmp_path):
     assert spark.read.parquet(tgt).count() == 2
 
 
+def test_w4_upsert_stream_partition_scoped(spark, tmp_path):
+    """VERDICT r2 item 8: with partition_cols, each micro-batch rewrites only
+    the partitions its keys live in — untouched partition files stay
+    byte-identical across batches."""
+    import hashlib
+
+    land, tgt, ckpt = tmp_path / "land", str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    _write_batch(
+        land,
+        "day1.json",
+        [{"id": 10, "date": "2023-03-25 12:00:00", "username": "a"},
+         {"id": 11, "date": "2023-03-26 12:01:00", "username": "b"}],
+    )
+    run = lambda: streams.run_to_completion(  # noqa: E731
+        streams.upsert_stream(
+            _with_ts(streams.read_json_stream(spark, str(land), SCHEMA))
+            .withColumn("day", F.to_date("ts")),
+            tgt, ckpt, keys=["id"], order_col="ts", partition_cols=["day"],
+        )
+    )
+    run()
+    files = lambda: {  # noqa: E731
+        str(p.relative_to(tmp_path / "tgt")): hashlib.md5(p.read_bytes()).hexdigest()
+        for p in (tmp_path / "tgt").rglob("*")
+        if p.is_file() and not p.name.startswith(("_", "."))
+    }
+    before = {k: v for k, v in files().items() if "day=2023-03-25" in k}
+    assert before
+    # late refresh hits only the 03-26 partition
+    _write_batch(land, "day3.json", [{"id": 11, "date": "2023-03-26 23:00:00", "username": "b2"}])
+    run()
+    got = {r.id: r.username for r in spark.read.parquet(tgt).collect()}
+    assert got == {10: "a", 11: "b2"}
+    assert {k: v for k, v in files().items() if "day=2023-03-25" in k} == before
+
+
 def test_w6_sessionized_counts(spark, tmp_path):
     land = tmp_path / "land"
     _write_batch(
