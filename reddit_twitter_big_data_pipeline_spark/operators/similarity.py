@@ -413,13 +413,17 @@ def embedding_near_dup_pairs(
         n_planes = min(24, max(8, int(np.ceil(np.log2(max(n, 1) / 8.0)))))
     planes = hyperplanes(dim, n_planes, seed)
     bucket = lsh_bucket_udf(planes)
-    # persist the bucketed frame: BOTH self-join sides read it, and without
-    # the pin each side re-runs the scan + bucket UDF (the same lesson as
-    # the minhash shingle frame and SemDeDup's assignment frame)
+    # persist the bucketed frame: BOTH self-join sides and both vector
+    # re-attach joins read it, and without the pin each consumer re-runs
+    # the scan + bucket UDF (the same lesson as the minhash shingle frame
+    # and SemDeDup's assignment frame)
     side = _spread(df.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket(F.col(vec_col)).alias("bucket")
     ).persist()
-    a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    # SLIM self-join (VERDICT r2 item 2): only (id, bucket) rides the
+    # bucket-keyed exchange — 16 bytes/row instead of 2×dim×8. The
+    # multiprobe fan-out multiplies 16-byte rows, not vectors.
+    a = side.select(F.col("id").alias("a"), "bucket")
     if multiprobe > 0:
         probes = F.array(
             F.col("bucket"),
@@ -428,15 +432,22 @@ def embedding_near_dup_pairs(
                 for i in range(min(multiprobe, n_planes))
             ],
         )
-        a = a.select("a", "va", F.explode(probes).alias("bucket"))
-    b = side.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+        a = a.select("a", F.explode(probes).alias("bucket"))
+    b = side.select(F.col("id").alias("b"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+    if multiprobe > 0:
+        # a pair can collide via its home bucket AND several probe buckets;
+        # dedupe while rows are still 16 bytes
+        cand = cand.distinct()
+    # re-attach vectors to the surviving candidates only — post-bucketing
+    # the candidate set is small, so AQE turns these into broadcast joins
+    # and the full vector column never enters an exchange
     cos = cosine_pairs_udf()
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(side.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(side.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
         .select("a", "b", F.round(cos(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )
 
 
@@ -495,18 +506,28 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("v"),
         cells(F.col(vec_col)).alias("cells"),
     ).persist()
-    side = assigned.withColumn("cell", F.explode("cells"))
-    a = side.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("cells").alias("ca"), "cell")
-    b = side.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("cells").alias("cb"), "cell")
-    cos = cosine_pairs_udf()
-    return (
+    # SLIM self-join (VERDICT r2 item 2): the cell-keyed exchange carries
+    # (id, cells) — n_assign ints per row, not the embedding. Vectors
+    # re-attach to the surviving candidates afterwards.
+    side = assigned.select("id", "cells").withColumn("cell", F.explode("cells"))
+    a = side.select(F.col("id").alias("a"), F.col("cells").alias("ca"), "cell")
+    b = side.select(F.col("id").alias("b"), F.col("cells").alias("cb"), "cell")
+    cand = (
         a.join(b, "cell")
         .filter(F.col("a") < F.col("b"))
         # multi-assignment makes a pair collide in up to n_assign shared
         # cells; keep it only where cell = min(shared cells) — an exact,
         # shuffle-free dedupe (the assignment arrays ride along as
-        # n_assign ints) instead of a dropDuplicates over vector-laden rows
+        # n_assign ints) instead of a dropDuplicates
         .filter(F.col("cell") == F.array_min(F.array_intersect("ca", "cb")))
+        .select("a", "b")
+    )
+    # post-clustering the candidate set is small → AQE broadcasts it; the
+    # embedding column never enters an exchange
+    cos = cosine_pairs_udf()
+    return (
+        cand.join(assigned.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(assigned.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
         .select("a", "b", F.round(cos(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
