@@ -58,9 +58,24 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def exact_dedupe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep exactly the min-id row per duplicate group, preserving all
-    columns. Window on the fingerprint: one shuffle."""
-    w = Window.partitionBy(text_ops.fingerprint(text_col)).orderBy(F.col(id_col).asc())
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    columns. Requires `id_col` unique (it is the row identity).
+
+    Anti-join formulation (VERDICT r2 item 3): the fingerprint window runs
+    over a slim (id, fp) projection — a 24-byte exchange — and reduces to
+    the LOSER id set, which is then `left_anti`-joined against the corpus.
+    The loser set is tiny whenever duplication is the exception, so AQE
+    turns the anti-join into a broadcast and the documents themselves never
+    enter an exchange. (The previous form windowed the full rows: every
+    document rode the fingerprint shuffle — at 100 TB the shuffle IS the
+    table.)"""
+    slim = df.select(F.col(id_col), text_ops.fingerprint(text_col).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    losers = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 # --- shingles --------------------------------------------------------------
