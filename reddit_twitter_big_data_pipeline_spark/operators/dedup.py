@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from . import text as text_ops
+from ..checkpointing import truncate_lineage as _truncate
 
 # --- exact dedup -----------------------------------------------------------
 
@@ -487,6 +488,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Group near-dup PAIRS (from minhash/simhash/embedding/jaccard) into
     clusters: returns (node, component) where component = the smallest node
@@ -498,20 +500,25 @@ def connected_components(
 
     Scale shape: each round is one edge-join + one groupBy-min on node id —
     all shuffles keyed the same way; lineage is truncated per round
-    (localCheckpoint) exactly as in comment_depth, so plan size stays flat.
+    exactly as in comment_depth, so plan size stays flat.
     Stops early when a round changes no label (count of changed rows — one
-    scan over labels, cheap next to the join)."""
-    edges = (
+    scan over labels, cheap next to the join).
+
+    `checkpoint_dir` (cluster runs): per-round truncation uses a RELIABLE
+    checkpoint under that dir instead of executor-block localCheckpoint,
+    so an executor loss mid-propagation recovers instead of killing the
+    job (see checkpointing.truncate_lineage)."""
+    edges = _truncate(
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
-    labels = (
+    labels = _truncate(
         edges.select(F.col("s").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        checkpoint_dir,
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -520,7 +527,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("__nmin"))
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -528,8 +535,9 @@ def connected_components(
                     "component"
                 ),
                 (F.col("__nmin") < F.col("component")).alias("__changed"),
-            )
-        ).localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
+        )
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         old = labels
         labels = new_labels.drop("__changed")
@@ -633,6 +641,7 @@ def dedup_keep_canonical(
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one document per near-dup cluster (the min-id member — the same
     keep-min rule as exact_dedupe) and every document in no cluster.
@@ -641,8 +650,9 @@ def dedup_keep_canonical(
 
     Only CLUSTERED ids flow through connected_components (near-dup pairs are
     a tiny fraction of the corpus); the corpus itself is touched by exactly
-    one anti-join against the non-canonical member set."""
-    comp = connected_components(pairs, a_col, b_col)
+    one anti-join against the non-canonical member set. `checkpoint_dir`
+    passes through to connected_components for cluster-durable rounds."""
+    comp = connected_components(pairs, a_col, b_col, checkpoint_dir=checkpoint_dir)
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

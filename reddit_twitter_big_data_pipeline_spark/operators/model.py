@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..checkpointing import truncate_lineage as _truncate
+
 
 def distinct_dim(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """A1: dimension extraction — `MERGE (u:User {username})` creates one
@@ -63,8 +65,15 @@ def parent_join(comments: DataFrame) -> DataFrame:
     ).select("c.*", F.col("p.p_id").alias("parent_comment_id"))
 
 
-def comment_depth(comments: DataFrame, max_depth: int = 32) -> DataFrame:
+def comment_depth(
+    comments: DataFrame, max_depth: int = 32, checkpoint_dir: str | None = None
+) -> DataFrame:
     """A4 (full traversal): depth of each comment in its thread.
+
+    `checkpoint_dir` (cluster runs): lineage truncations use a RELIABLE
+    checkpoint under that dir instead of executor-block localCheckpoint —
+    executor loss mid-traversal recovers instead of failing the job
+    (checkpointing.truncate_lineage).
 
     Spark has no recursive CTE; this is a level-synchronous iterative join.
     The key structural fact: the parent of a depth-d comment sits at depth
@@ -119,19 +128,21 @@ def comment_depth(comments: DataFrame, max_depth: int = 32) -> DataFrame:
         if step.count() == 0:
             break
         if d % 8 == 0:
-            step = step.localCheckpoint(eager=True)
+            step = _truncate(step, checkpoint_dir)
         levels.append(step)
         prev = step
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    out = out.localCheckpoint(eager=True)
+    out = _truncate(out, checkpoint_dir)
     for c in caches:
         c.unpersist()
     return out
 
 
-def comment_depth_doubling(comments: DataFrame, max_rounds: int = 8) -> DataFrame:
+def comment_depth_doubling(
+    comments: DataFrame, max_rounds: int = 8, checkpoint_dir: str | None = None
+) -> DataFrame:
     """A4 via pointer doubling: same output as ``comment_depth``
     (property-tested equal), in ⌈log₂ depth⌉ join rounds instead of one
     round per level — ``max_rounds=8`` covers trees 2⁸ = 256 deep.
@@ -162,12 +173,14 @@ def comment_depth_doubling(comments: DataFrame, max_rounds: int = 8) -> DataFram
     # plan growing — Catalyst analysis cost compounds per round — and
     # isEmpty/take materializes only one partition, silently rebuilding the
     # whole chain next round: the two classic iterative-Spark traps).
-    resolved = base.filter(F.col("top_level")).select(
-        "id", "post_id", F.lit(0).alias("depth")
-    ).localCheckpoint(eager=True)
-    ptr = base.filter(~F.col("top_level")).select(
-        "id", "post_id", "anc", F.lit(1).alias("d")
-    ).localCheckpoint(eager=True)
+    resolved = _truncate(
+        base.filter(F.col("top_level")).select("id", "post_id", F.lit(0).alias("depth")),
+        checkpoint_dir,
+    )
+    ptr = _truncate(
+        base.filter(~F.col("top_level")).select("id", "post_id", "anc", F.lit(1).alias("d")),
+        checkpoint_dir,
+    )
     for _ in range(max_rounds):
         if ptr.isEmpty():  # safe: ptr is checkpointed, not lazy lineage
             break
@@ -183,10 +196,13 @@ def comment_depth_doubling(comments: DataFrame, max_rounds: int = 8) -> DataFram
         newly = j.filter(F.col("adepth").isNotNull()).select(
             "id", "post_id", (F.col("d") + F.col("adepth")).alias("depth")
         )
-        resolved = resolved.unionByName(newly).localCheckpoint(eager=True)
-        ptr = j.filter(F.col("adepth").isNull() & F.col("anc2").isNotNull()).select(
-            "id", "post_id", F.col("anc2").alias("anc"), (F.col("d") + F.col("d2")).alias("d")
-        ).localCheckpoint(eager=True)
+        resolved = _truncate(resolved.unionByName(newly), checkpoint_dir)
+        ptr = _truncate(
+            j.filter(F.col("adepth").isNull() & F.col("anc2").isNotNull()).select(
+                "id", "post_id", F.col("anc2").alias("anc"), (F.col("d") + F.col("d2")).alias("d")
+            ),
+            checkpoint_dir,
+        )
     return resolved
 
 
