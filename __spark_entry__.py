@@ -1147,10 +1147,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IN (SELECT … HAVING) ⇒ aggregate-then-join: the qty rollup both
         # filters (HAVING) and supplies the sum column, so one groupBy
         # serves subquery and projection — no second scan of lineitem.
+        # HAVING filters the UNROUNDED sum (matching the oracle); rounding
+        # happens only in the projection — a filter on the rounded value
+        # flips on .xx5 boundaries for non-integer quantities
         big = (
             li.groupBy("l_orderkey")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-            .filter(F.col("sum_qty") > 300)
+            .agg(F.sum("l_quantity").alias("__raw_qty"))
+            .filter(F.col("__raw_qty") > 300)
+            .select("l_orderkey", F.round("__raw_qty", 2).alias("sum_qty"))
         )
         return (
             big.join(orders, big.l_orderkey == orders.o_orderkey)

@@ -142,6 +142,14 @@ class TransientEnrichError(Exception):
     partition — safe because enrichment is a pure function of the text)."""
 
 
+class MalformedResponseError(ValueError):
+    """Raise from a backend when the SERVICE's response is unusable (wrong
+    count, missing field): not batch-retryable, but per-item salvage may
+    still succeed for well-formed rows, so retrying_backend degrades on it.
+    A bare ValueError from backend CODE (a genuine bug) propagates and
+    fails the task loudly instead of silently nulling the output."""
+
+
 def retrying_backend(
     fn: Callable,
     max_retries: int = 3,
@@ -194,22 +202,22 @@ def retrying_backend(
         return pd.Series([None] * n, index=index, dtype="object")
 
     def wrapped(texts: pd.Series):
-        # ValueError = malformed/mis-shaped response (e.g. an HTTP backend
-        # returning N-1 scores for N texts): not retryable as a batch, but
+        # MalformedResponseError = the SERVICE returned something unusable
+        # (e.g. N-1 scores for N texts): not retryable as a batch, but
         # per-item calls may still succeed for the well-formed rows — so it
         # degrades to salvage exactly like an exhausted transient, and an
-        # item whose own response is malformed yields NULL. Anything else
-        # (a genuine bug) propagates.
+        # item whose own response is malformed yields NULL. A bare
+        # ValueError (a genuine backend bug) propagates and fails the task.
         try:
             return _call_retry(texts)
-        except (TransientEnrichError, ValueError):
+        except (TransientEnrichError, MalformedResponseError):
             pass  # degrade to per-item salvage below
         parts = []
         for idx in texts.index:
             single = texts.loc[[idx]]
             try:
                 parts.append(_call_retry(single))
-            except (TransientEnrichError, ValueError):
+            except (TransientEnrichError, MalformedResponseError):
                 parts.append(idx)  # placeholder; shaped after the loop
         out = [
             p if isinstance(p, (pd.Series, pd.DataFrame)) else _null_like(pd.Index([p]))

@@ -18,9 +18,10 @@ nothing here imports beyond the stdlib.
 
 Error contract: HTTP 429 and 5xx (and socket timeouts) raise
 ``TransientEnrichError`` so the retry layer backs off and salvages;
-malformed responses raise ``ValueError`` → the retry layer's null-on-error
-path (the reference instead silently wrote '' / 0.0 — we keep nulls so the
-scrub stage F3 can drop them explicitly).
+malformed responses raise ``MalformedResponseError`` → the retry layer's
+null-on-error path (the reference instead silently wrote '' / 0.0 — we
+keep nulls so the scrub stage F3 can drop them explicitly). A bare
+ValueError from backend code propagates and fails the task loudly.
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ from collections.abc import Callable
 
 import pandas as pd
 
-from .enrich import TransientEnrichError
+from .enrich import SENTIMENT_BATCH, MalformedResponseError, TransientEnrichError
 
 Transport = Callable[[str, dict | None], dict]
 
@@ -79,7 +80,7 @@ def http_translate_backend(
         )
         out = resp["translations"]
         if len(out) != len(texts):
-            raise ValueError(
+            raise MalformedResponseError(
                 f"translate: {len(out)} translations for {len(texts)} texts"
             )
         return pd.Series(out, index=texts.index)
@@ -103,20 +104,33 @@ def http_sentiment_backend(
             return pd.DataFrame(
                 {"Positive": [], "Negative": [], "Neutral": [], "Mixed": []}
             )
-        resp = tr(
-            f"{base_url.rstrip('/')}/sentiment",
-            {"texts": [t if t is not None else "" for t in texts]},
-        )
-        scores = resp["scores"]
-        if len(scores) != len(texts):
-            raise ValueError(f"sentiment: {len(scores)} scores for {len(texts)} texts")
-        return pd.DataFrame(
-            {
-                k: [s[k] for s in scores]
-                for k in ("Positive", "Negative", "Neutral", "Mixed")
-            },
-            index=texts.index,
-        )
+        # one POST per ≤25-text chunk: an Arrow batch is thousands of rows,
+        # and a real API enforcing the limit would reject the whole batch
+        # (sentiment_udf also chunks, but the backend must honor its own
+        # contract when driven directly or through retrying_backend's
+        # full-batch path)
+        parts = []
+        for i in range(0, len(texts), SENTIMENT_BATCH):
+            chunk = texts.iloc[i : i + SENTIMENT_BATCH]
+            resp = tr(
+                f"{base_url.rstrip('/')}/sentiment",
+                {"texts": [t if t is not None else "" for t in chunk]},
+            )
+            scores = resp["scores"]
+            if len(scores) != len(chunk):
+                raise MalformedResponseError(
+                    f"sentiment: {len(scores)} scores for {len(chunk)} texts"
+                )
+            parts.append(
+                pd.DataFrame(
+                    {
+                        k: [s[k] for s in scores]
+                        for k in ("Positive", "Negative", "Neutral", "Mixed")
+                    },
+                    index=chunk.index,
+                )
+            )
+        return pd.concat(parts)
 
     return sentiment
 

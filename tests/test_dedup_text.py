@@ -187,10 +187,46 @@ def test_media_features_deterministic(spark):
     assert out[1].checksum == hashlib.md5(b"payload-bytes").hexdigest()
 
 
-def test_real_backend_raises_at_seam(spark):
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="Pillow installed: the seam decodes instead of raising")
+def test_real_backend_raises_at_seam_without_codec(spark):
     media = spark.createDataFrame([(1, "image", bytearray(b"x"))], ["media_id", "kind", "payload"])
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|requires Pillow"):
         multimodal.extract_features(media, backend="real").collect()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="Pillow not in this container")
+def test_real_backend_decodes_with_pil(spark):
+    """With Pillow present the same seam decodes a real PNG and features
+    come from pixel values, not payload bytes (skip-marked here; runs on a
+    cluster image with codecs installed)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()))], ["media_id", "kind", "payload"]
+    )
+    row = multimodal.extract_features(media, backend="real").first()
+    assert len(row.feature) == multimodal.FEATURE_DIM
+    assert abs(sum(row.feature) - 1.0) < 1e-6
+    # a constant image lands every sample in one histogram bucket
+    assert max(row.feature) == 1.0
+
+
+def test_real_decode_unknown_kind_raises():
+    with pytest.raises(NotImplementedError, match="no codec"):
+        multimodal._real_decode(b"x", "hologram")
 
 
 def test_frame_sample_fanout(spark):

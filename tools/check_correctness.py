@@ -49,11 +49,13 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
         else:
             norm[c] = s.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
     nd = pd.DataFrame(norm) if norm else pd.DataFrame(index=df.index)
-    nd.attrs["kinds"] = kinds
     if len(nd.columns):
         nd = nd.sort_values(by=list(nd.columns), kind="mergesort").reset_index(drop=True)
     h = hashlib.md5()
-    h.update(("|".join(nd.attrs.get("kinds", [])) + "\x1d").encode())
+    # hash the local kinds list directly — attrs propagation through
+    # sort_values/reset_index is not contractually guaranteed in pandas,
+    # and a silent drop would reduce the dtype gate to a no-op
+    h.update(("|".join(kinds) + "\x1d").encode())
     for row in nd.itertuples(index=False):
         h.update("\x1f".join(row).encode())
         h.update(b"\x1e")
