@@ -5,6 +5,13 @@
 SURVEY.md §2 (+ the BASELINE.json north-star extensions); ``oracle_sql()``
 gives the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
 
+REGISTRATION ORDER IS FROZEN: the driver grades only the FIRST 50
+registered queries per round; the remaining 44 are verified every round by
+``tools/check_correctness.py`` (the same hash gate, run locally). The r3
+rotation swapping x_json_path into the window (see the end of queries())
+is deliberate and one-time — do not reorder registrations casually, and
+rotate only with a note like that one.
+
 Parity rules used throughout (so Spark and DuckDB hash-match):
 - timestamps leave queries as formatted strings (yyyy-MM-dd HH:mm:ss);
 - double↔int casts are explicit trunc/floor (DuckDB CAST rounds, Spark
@@ -1475,7 +1482,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tpch_q20_part_suppliers"] = tpch_q20_part_suppliers
 
-    return q
+    # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
+    # the driver grades only the FIRST 50 registered queries. Swap
+    # x_json_path (r1's single failed row — oracle fixed with CAST…AS
+    # BIGINT, passing locally ever since) into the window in place of
+    # x_salted_agg (driver-confirmed green in r2), so the driver finally
+    # re-confirms the r1 failure fixed. Everything else keeps its r2
+    # position; keep this order FROZEN from here on.
+    names = list(q)
+    i, j = names.index("x_salted_agg"), names.index("x_json_path")
+    names[i], names[j] = names[j], names[i]
+    return {n: q[n] for n in names}
 
 
 # ---------------------------------------------------------------------------
