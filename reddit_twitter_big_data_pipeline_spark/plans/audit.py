@@ -56,6 +56,57 @@ def assert_broadcasts(df: DataFrame, at_least: int = 1) -> None:
         )
 
 
+def _scala_seq(seq):
+    for i in range(seq.size()):
+        yield seq.apply(i)
+
+
+def shuffle_exchanges(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """(partitioning_description, output_column_names) for every shuffle
+    Exchange in the planned tree (initial plan — pre-AQE). The output list
+    is the exchange's PAYLOAD: what actually crosses the wire. This is how
+    the r2 'vector payloads ride the self-join shuffles' regression gets a
+    permanent test — assert the bucket-keyed exchange outputs ids, not
+    embeddings."""
+    out: list[tuple[str, list[str]]] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if cls in ("ShuffleExchangeExec", "ShuffleExchangeLike"):
+            part = node.outputPartitioning().toString()
+            cols = [a.name() for a in _scala_seq(node.output())]
+            out.append((part, cols))
+        for child in _scala_seq(node.children()):
+            walk(child)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def assert_keyed_exchanges_exclude(df: DataFrame, key_substring: str, banned_cols: set[str]) -> None:
+    """Every shuffle Exchange whose partitioning mentions `key_substring`
+    (e.g. 'bucket', 'cell', 'fp') must NOT carry any of `banned_cols` in its
+    payload — the slim-self-join invariant (VERDICT r2 items 2/3)."""
+    found_keyed = False
+    for part, cols in shuffle_exchanges(df):
+        if key_substring in part:
+            found_keyed = True
+            riding = banned_cols.intersection(cols)
+            if riding:
+                raise AssertionError(
+                    f"exchange keyed on '{key_substring}' carries payload "
+                    f"columns {sorted(riding)} (all columns: {cols})"
+                )
+    if not found_keyed:
+        raise AssertionError(
+            f"no shuffle exchange keyed on '{key_substring}' found — the "
+            "plan changed shape; update the test's expectations"
+        )
+
+
 def summarize(df: DataFrame) -> dict[str, int]:
     """Operator histogram of the executed plan (for interactive tuning)."""
     plan = _physical_plan(df)

@@ -85,3 +85,29 @@ def test_asof_join_single_shuffle_no_join(spark, sf_dir, entry):
     the shuffle count too."""
     df = entry.queries()["temporal_asof_join"](spark, sf_dir)
     audit.assert_max_shuffles(df, 2)
+
+
+def test_embedding_self_joins_shuffle_ids_not_vectors(spark, sf_dir, entry):
+    """VERDICT r2 item 2, pinned: the bucket/cell-keyed self-join exchanges
+    of the embedding dedup ops must carry ids only — an embedding column
+    riding that exchange multiplies the wire payload ~dim× and at 100 TB
+    the shuffle becomes the job. At test scale every join broadcasts (no
+    shuffle to inspect), so auto-broadcast is disabled to expose the
+    at-scale shuffle plan this test exists to pin."""
+    banned = {"v", "va", "vb", "embedding"}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entry.queries()["emb_near_dup"](spark, sf_dir)
+        audit.assert_keyed_exchanges_exclude(df, "bucket", banned)
+        df = entry.queries()["sem_dedup_pairs"](spark, sf_dir)
+        audit.assert_keyed_exchanges_exclude(df, "cell", banned)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_exact_dedupe_window_shuffles_fingerprints_not_documents(spark, sf_dir, entry):
+    """VERDICT r2 item 3, pinned: the fingerprint window runs over (id, fp)
+    — the document text must not ride the fp-keyed exchange."""
+    df = entry.queries()["dedup_exact_keep"](spark, sf_dir)
+    audit.assert_keyed_exchanges_exclude(df, "fp", {"text", "url", "lang"})
