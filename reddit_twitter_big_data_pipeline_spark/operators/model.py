@@ -290,6 +290,58 @@ def with_batch_id(df: DataFrame, batch_size: int, order_col: str, partitions: in
     return out
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style snapshot diff: one row per key whose state changed between
+    two table versions, with change_type ∈ ('insert', 'update', 'delete')
+    and the surviving payload (new values for insert/update, old values for
+    delete). The batch analog of the reference's point re-fetch / late
+    refresh (S8/W4 — reference: reddit/lambda_function_aggregate.py:59-71):
+    diff the re-crawled snapshot against the stored one and feed the result
+    straight into merge_upsert_partitioned.
+
+    Scale shape (the slim-join discipline again): each side first reduces
+    to (keys, xxhash64(compare_cols)) — the full-outer join shuffles 8-byte
+    hashes, never payloads. Payload columns re-attach only to the changed
+    key set (typically a tiny fraction of either snapshot; AQE broadcasts
+    it), so at 100 TB the wire cost is two slim scans + the changes.
+    Hash-collision risk: a changed row whose old/new payloads collide in
+    xxhash64 is missed with p≈2⁻⁶⁴ per row.
+    """
+    cc = compare_cols or [c for c in new.columns if c not in keys]
+
+    # hash a JSON struct encoding, NOT xxhash64(cols...): multi-arg xxhash64
+    # SKIPS null arguments, so (null, 'x') and ('x', null) would collide and
+    # a real change could read as unchanged; ignoreNullFields=false keeps
+    # nulls explicit in the encoding
+    def _h(alias):
+        return F.xxhash64(
+            F.to_json(F.struct(*[F.col(c) for c in cc]), {"ignoreNullFields": "false"})
+        ).alias(alias)
+
+    o = old.select(*keys, _h("__ho"))
+    n = new.select(*keys, _h("__hn"))
+    j = o.join(n, keys, "full_outer")
+    changed = j.select(
+        *keys,
+        F.when(F.col("__ho").isNull(), F.lit("insert"))
+        .when(F.col("__hn").isNull(), F.lit("delete"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("update"))
+        .alias("change_type"),
+    ).filter(F.col("change_type").isNotNull())
+    new_payload = changed.filter(F.col("change_type") != "delete").join(
+        new.select(*keys, *cc), keys
+    )
+    old_payload = changed.filter(F.col("change_type") == "delete").join(
+        old.select(*keys, *cc), keys
+    )
+    return new_payload.unionByName(old_payload)
+
+
 # --- skew handling (scale helpers) -----------------------------------------
 
 
@@ -348,3 +400,47 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         F.sum("__t").alias("total"), F.sum("__n").alias("n")
     )
+
+
+def bloom_prefiltered_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_buckets: int = 1 << 22,
+) -> DataFrame:
+    """Exact equi-join with an approximate-membership pre-filter: the small
+    side's keys hash into buckets mod `n_buckets`, the DISTINCT bucket set
+    broadcasts, and a broadcast semi-join drops large-side rows whose
+    bucket misses — BEFORE the large side's exchange. This is a Bloom
+    filter with k=1 expressed relationally (Spark's own injectRuntimeFilter
+    builds the same thing with the internal `bloom_filter_agg` expression,
+    which is not SQL-registered, and only under shuffle-stage heuristics —
+    this operator makes the decision explicit and tunable).
+
+    Why it matters at 100 TB: when the join is selective (few large-side
+    rows match), the large side's shuffle — the dominant cost — shrinks to
+    the matching fraction plus the false-positive rate ≈
+    distinct_small_keys / n_buckets. The broadcast is ≤
+    min(distinct_keys, n_buckets) longs, so `n_buckets` caps the broadcast
+    size at the price of FP rate. False positives are removed by the exact
+    join that follows, so the result is IDENTICAL to the plain join (the
+    bucket set can only over-approximate the match set).
+
+    `how` is restricted to joins where pre-filtering the LARGE side cannot
+    drop result rows: inner / left_semi — a left-outer pre-filter would
+    turn unmatched rows into missing rows instead of null-extended ones.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prefiltered_join: how={how!r} unsupported — pre-filtering "
+            "the large side is only sound for inner/left_semi"
+        )
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    buckets = small.select(bucket.alias("__bk")).distinct()
+    pre = (
+        large.withColumn("__bk", bucket)
+        .join(F.broadcast(buckets), "__bk", "left_semi")
+        .drop("__bk")
+    )
+    return pre.join(small, key, how)

@@ -247,6 +247,23 @@ def upsert_stream(
     return writer.start()
 
 
+def dedup_stream(df: DataFrame, keys: list[str], event_time_col: str, delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key, dropping any
+    replay that lands within the watermark horizon — the streaming form of
+    A2/exact_dedupe. The reference re-scrapes overlapping 15-minute windows
+    (reference: twitter/lambda_function.py:27-29 queries `since:` the last
+    window), so the same tweet arrives in consecutive micro-batches; this
+    drops the re-arrivals inside the stream instead of relying on the sink
+    MERGE to absorb them.
+
+    Scale shape: `dropDuplicatesWithinWatermark` keeps one state entry per
+    key seen within `delay` of the watermark — state is BOUNDED by the
+    duplicate-arrival horizon (here: a couple of scrape windows), not by
+    stream history, which is what makes per-key dedup state viable on an
+    unbounded stream. Compose before windowed aggregation or upsert_stream."""
+    return df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def graph_stream(
     tweets: DataFrame,
     transport_factory,

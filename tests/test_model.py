@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from reddit_twitter_big_data_pipeline_spark.operators import model
@@ -82,6 +83,42 @@ def test_a4_doubling_matches_levels_on_random_forest(spark):
     doubling = {(r.id, r.post_id): r.depth for r in model.comment_depth_doubling(comments).collect()}
     assert levels == doubling
     assert doubling[("d24", "pd")] == 24
+
+
+def test_snapshot_diff_classifies_and_handles_nulls(spark):
+    """insert/update/delete classification, unchanged rows excluded, and
+    null↔value transitions detected (the xxhash64-skips-nulls trap the JSON
+    encoding exists for)."""
+    schema = "id long, a string, b string"
+    old = spark.createDataFrame(
+        [(1, "x", "y"), (2, "keep", "same"), (3, "gone", "z"), (4, None, "v")], schema
+    )
+    new = spark.createDataFrame(
+        [(1, "x2", "y"), (2, "keep", "same"), (5, "born", "w"), (4, "v", None)], schema
+    )
+    out = {r.id: r for r in model.snapshot_diff(old, new, ["id"]).collect()}
+    assert {i: r.change_type for i, r in out.items()} == {
+        1: "update", 3: "delete", 5: "insert", 4: "update"
+    }
+    assert (out[1].a, out[1].b) == ("x2", "y")  # update carries NEW payload
+    assert (out[3].a, out[3].b) == ("gone", "z")  # delete carries OLD payload
+    assert (out[4].a, out[4].b) == ("v", None)  # null swap detected as change
+
+
+def test_bloom_prefiltered_join_exact_vs_plain(spark):
+    """The bloom pre-filter may pass false positives but the exact join
+    removes them — results identical to the plain join even with a
+    deliberately tiny (collision-heavy) sketch."""
+    large = spark.createDataFrame([(i % 50, i) for i in range(2000)], "k long, v long")
+    small = spark.createDataFrame([(3, "a"), (7, "b"), (49, "c")], "k long, name string")
+    plain = sorted(map(tuple, large.join(small, "k").collect()))
+    for buckets in (4, 1 << 22):  # 4 buckets force heavy false positives
+        got = sorted(
+            map(tuple, model.bloom_prefiltered_join(large, small, "k", n_buckets=buckets).collect())
+        )
+        assert got == plain
+    with pytest.raises(ValueError, match="unsupported"):
+        model.bloom_prefiltered_join(large, small, "k", how="left")
 
 
 def test_reliable_checkpoint_dir_identical_results(spark, tmp_path):

@@ -179,6 +179,27 @@ def test_merge_upsert_partitioned_matches_full_merge(spark, tmp_path):
     )
 
 
+def test_merge_upsert_partitioned_null_partition_value(spark, tmp_path):
+    """Null partition values land in __HIVE_DEFAULT_PARTITION__; the prune
+    filter (isNull) and the staging-dir-name-driven swap must both handle
+    them."""
+    target = str(tmp_path / "tbl")
+    schema = "id string, v int, day string"
+    writers.merge_upsert_partitioned(
+        spark,
+        target,
+        spark.createDataFrame([("a", 1, "d1"), ("b", 2, None)], schema),
+        ["id"],
+        ["day"],
+        order_col="v",
+    )
+    out = writers.merge_upsert_partitioned(
+        spark, target, spark.createDataFrame([("b", 9, None)], schema), ["id"], ["day"],
+        order_col="v",
+    )
+    assert sorted((r.id, r.v, r.day) for r in out.collect()) == [("a", 1, "d1"), ("b", 9, None)]
+
+
 def test_merge_upsert_partitioned_crash_recovery(spark, tmp_path):
     """A partition parked under .__pbackup__ with no target copy (= crash
     between the two renames) is restored before the next merge reads."""

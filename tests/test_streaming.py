@@ -152,6 +152,23 @@ def test_w4_upsert_stream_partition_scoped(spark, tmp_path):
     assert {k: v for k, v in files().items() if "day=2023-03-25" in k} == before
 
 
+def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
+    """The re-scrape overlap case: the same ids arrive again in a later
+    micro-batch; dropDuplicatesWithinWatermark state keeps first arrivals
+    only."""
+    land, out, ckpt = tmp_path / "land", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_batch(land, "b1.json", _rows([(1, "2023-03-25 12:00:00"), (2, "2023-03-25 12:01:00")]))
+    # overlap replay of id=2 plus a new id=3, inside the 1-hour horizon
+    _write_batch(land, "b2.json", _rows([(2, "2023-03-25 12:05:00"), (3, "2023-03-25 12:06:00")]))
+    src = streams.dedup_stream(
+        _with_ts(streams.read_json_stream(spark, str(land), SCHEMA)), ["id"], "ts", "1 hour"
+    )
+    streams.run_to_completion(streams.write_stream(src, out, ckpt))
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.select(F.countDistinct("id")).first()[0] == 3
+
+
 def test_w6_sessionized_counts(spark, tmp_path):
     land = tmp_path / "land"
     _write_batch(
