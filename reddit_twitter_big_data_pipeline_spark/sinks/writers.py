@@ -248,22 +248,45 @@ def merge_upsert_partitioned(
     `recover_partition_swaps` heals on the next call — and never corrupts
     an untouched partition.
     """
-    jvm = spark._jvm
-    recover_partition_swaps(spark, target_path, len(partition_cols))
-    fs, tgt = _hadoop_fs(spark, target_path)
     w_order = [F.col("__src").desc()]
     if order_col is not None:
         w_order = [F.col(order_col).desc(), F.col("__src").desc()]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*w_order)
 
-    if not fs.exists(tgt):
-        # first write: dedupe among the updates themselves, plain write
-        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*w_order)
-        first = (
-            updates.withColumn("__src", F.lit(1))
-            .withColumn("__rn", F.row_number().over(w))
+    def combine(base, upd):
+        merged = upd if base is None else base.withColumn("__src", F.lit(0)).unionByName(
+            upd.withColumn("__src", F.lit(1))
+        )
+        if base is None:
+            merged = merged.withColumn("__src", F.lit(1))
+        return (
+            merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
+
+    return _merge_partition_scoped(spark, target_path, updates, partition_cols, combine)
+
+
+def _merge_partition_scoped(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    partition_cols: list[str],
+    combine,
+) -> DataFrame:
+    """Shared core of the partition-scoped writers: heal prior crashes, find
+    the partitions `updates` touches, read ONLY those (partition pruning),
+    hand (base_slice | None, updates) to `combine`, stage its result, and
+    swap each touched partition dir in via two renames (displaced originals
+    parked under `<target>.__pbackup__`, outside the table root). Untouched
+    partitions are never read, rewritten, or moved."""
+    jvm = spark._jvm
+    recover_partition_swaps(spark, target_path, len(partition_cols))
+    fs, tgt = _hadoop_fs(spark, target_path)
+
+    if not fs.exists(tgt):
+        first = combine(None, updates)
         first.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
         return spark.read.parquet(target_path)
 
@@ -283,19 +306,9 @@ def merge_upsert_partitioned(
             v = part[c]
             clause = clause & (F.col(c).isNull() if v is None else (F.col(c) == F.lit(v)))
         pred = pred | clause
-    base = existing.filter(pred).withColumn("__src", F.lit(0))
+    result = combine(existing.filter(pred), updates)
 
-    # 3. merge just that slice (same window as merge_upsert)
-    upd = updates.withColumn("__src", F.lit(1))
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*w_order)
-    result = (
-        base.unionByName(upd)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
-
-    # 4. stage the merged slice fully (old files still intact → the plan can
+    # 3. stage the merged slice fully (old files still intact → the plan can
     #    read them to the end), then swap each touched partition dir
     staging = target_path + ".__pstaging__"
     result.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
@@ -323,6 +336,52 @@ def merge_upsert_partitioned(
         fs.delete(broot, True)
     fs.delete(sroot, True)
     return spark.read.parquet(target_path)
+
+
+def merge_aggregate_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    partials: DataFrame,
+    group_keys: list[str],
+    sum_cols: list[str],
+    partition_cols: list[str],
+) -> DataFrame:
+    """Incremental rollup maintenance (continuous-aggregate refresh): fold a
+    batch of PARTIAL aggregates into a stored aggregate table, rewriting
+    only the partitions the batch touches — the incremental form of the
+    reference's daily T+1 analytics rollup (reference: the daily Glue
+    aggregation jobs, terraform/main.tf:423,433): instead of recomputing
+    the day's aggregates from all events, each batch folds its partial
+    sums into the stored table at a cost proportional to the batch.
+
+    Contract: `sum_cols` must be ADDITIVE partials (sums/counts — the
+    decomposable-aggregate property). Non-additive measures derive
+    downstream (avg = sum/count; distinct via the HLL sketches in
+    operators.sketches). `partials` must already be aggregated by
+    `group_keys` (one row per key); `partition_cols ⊆ group_keys` so a
+    group never straddles partitions.
+
+    Shares the staged, per-partition two-rename crash safety of
+    `merge_upsert_partitioned` (heals via recover_partition_swaps). NOTE:
+    the fold itself is NOT idempotent (re-folding the same batch
+    double-counts) — exactly-once replay must come from the streaming
+    checkpoint, which is precisely what `foreachBatch` + this function
+    provides.
+    """
+    missing = [c for c in partition_cols if c not in group_keys]
+    if missing:
+        raise ValueError(
+            f"partition_cols {missing} not in group_keys — a group would "
+            "straddle partitions and the fold would split it"
+        )
+
+    def combine(base, upd):
+        merged = upd if base is None else base.unionByName(upd)
+        return merged.groupBy(*group_keys).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+
+    return _merge_partition_scoped(spark, target_path, partials, partition_cols, combine)
 
 
 def write_bucketed(

@@ -247,6 +247,84 @@ def upsert_stream(
     return writer.start()
 
 
+def rollup_stream(
+    df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    group_keys: list[str],
+    sum_cols: list[str],
+    partition_cols: list[str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous aggregate (the W2/W3 rollup, maintained incrementally):
+    each micro-batch reduces to partial sums by `group_keys` and folds into
+    the stored rollup via `merge_aggregate_partitioned` — only the
+    partitions the batch touches are rewritten, so maintaining a year-long
+    daily rollup costs O(today), not O(history), per batch. The incremental
+    form of the reference's recompute-the-day T+1 Glue aggregation
+    (terraform/main.tf:423,433).
+
+    `sum_cols` must be additive (pre-create a `lit(1)` column upstream for
+    counts; avg = sum/count downstream). Replay safety: the fold is NOT
+    idempotent, so a `.__last_batch__` marker records the highest folded
+    batch id and replayed batches skip — the remaining double-fold window
+    is a crash between the partition swap and the marker write (the same
+    gap a non-transactional table format leaves any incremental system;
+    Delta/Iceberg close it with a transactional commit)."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fs, marker = writers._hadoop_fs(spark, target_path + ".__last_batch__")
+        if fs.exists(marker):
+            with _jvm_open(spark, fs, marker) as data:
+                if batch_id <= int(data):
+                    return  # replayed batch: already folded
+        partial = batch.groupBy(*group_keys).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        writers.merge_aggregate_partitioned(
+            spark, target_path, partial, group_keys, sum_cols, partition_cols
+        )
+        tmp = target_path + ".__last_batch_tmp__"
+        fs2, tmp_path = writers._hadoop_fs(spark, tmp)
+        out = fs2.create(tmp_path, True)
+        out.write(str(batch_id).encode("ascii"))
+        out.close()
+        if fs2.exists(marker):
+            fs2.delete(marker, False)
+        fs2.rename(tmp_path, marker)
+
+    writer = df.writeStream.foreachBatch(_fold).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class _jvm_open:
+    """Context manager reading a small HDFS-API file's bytes as str."""
+
+    def __init__(self, spark, fs, path):
+        self.fs, self.path = fs, path
+
+    def __enter__(self) -> str:
+        stream = self.fs.open(self.path)
+        try:
+            chunks = []
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                chunks.append(chr(b))
+            return "".join(chunks)
+        finally:
+            stream.close()
+
+    def __exit__(self, *exc):
+        return False
+
+
 def dedup_stream(df: DataFrame, keys: list[str], event_time_col: str, delay: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup: keep the FIRST arrival per key, dropping any
     replay that lands within the watermark horizon — the streaming form of

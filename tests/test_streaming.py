@@ -152,6 +152,35 @@ def test_w4_upsert_stream_partition_scoped(spark, tmp_path):
     assert {k: v for k, v in files().items() if "day=2023-03-25" in k} == before
 
 
+def test_rollup_stream_incremental_and_replay_safe(spark, tmp_path):
+    """Continuous aggregate: micro-batches fold partial sums into the stored
+    rollup; a replay with the same checkpoint must not double-count."""
+    land, tgt, ckpt = tmp_path / "land", str(tmp_path / "roll"), str(tmp_path / "ckpt")
+    _write_batch(land, "b1.json", _rows([(1, "2023-03-25 12:00:00"), (2, "2023-03-25 12:10:00")]))
+    src = lambda: (  # noqa: E731
+        _with_ts(streams.read_json_stream(spark, str(land), SCHEMA))
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .withColumn("n", F.lit(1))
+    )
+    run = lambda: streams.run_to_completion(  # noqa: E731
+        streams.rollup_stream(src(), tgt, ckpt, ["day"], ["n"], ["day"])
+    )
+    run()
+    assert {str(r.day): r.n for r in spark.read.parquet(tgt).collect()} == {"2023-03-25": 2}
+    # replay with nothing new: no double count
+    run()
+    assert {str(r.day): r.n for r in spark.read.parquet(tgt).collect()} == {"2023-03-25": 2}
+    # a second batch spanning two days folds incrementally
+    _write_batch(
+        land, "b2.json", _rows([(3, "2023-03-25 13:00:00"), (4, "2023-03-26 09:00:00")])
+    )
+    run()
+    assert {str(r.day): r.n for r in spark.read.parquet(tgt).collect()} == {
+        "2023-03-25": 3,
+        "2023-03-26": 1,
+    }
+
+
 def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
     """The re-scrape overlap case: the same ids arrive again in a later
     micro-batch; dropDuplicatesWithinWatermark state keeps first arrivals
