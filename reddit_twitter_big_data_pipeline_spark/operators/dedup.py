@@ -657,3 +657,77 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+# --- segment-level dedup (duplicated-span removal) --------------------------
+
+
+def segment_dedupe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Remove DUPLICATED SPANS rather than duplicated documents: split every
+    document into consecutive `seg_tokens`-token segments, keep only the
+    corpus-first occurrence of each distinct segment (min (doc_id, seg_idx)),
+    and reconstruct each document from its surviving segments. This is the
+    fixed-granularity form of exact-substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array pass removes 50-token repeats; fixed windows trade a little
+    recall at span boundaries for a fully relational plan). The reference has
+    no substring dedup (SURVEY §2.4 extension).
+
+    Scale shape (the same slim-shuffle discipline as ``exact_dedupe``):
+      1. one narrow projection + explode fans documents into segments —
+         no shuffle;
+      2. the first-owner reduction groups by a 128-bit md5 of the segment,
+         shuffling (16-byte fp, id, int) — never segment text — with
+         map-side partial min;
+      3. the surviving (id, seg_idx) set joins back against the segments on
+         the ids alone, so segment text crosses the wire exactly once, on
+         one side of one join;
+      4. per-document reassembly groups by doc id (text of KEPT segments
+         only — post-dedup, strictly smaller than the corpus).
+    Output: (doc_id, clean_text, n_segments, n_kept). Documents whose every
+    segment appeared earlier in the corpus survive with clean_text = ''.
+    """
+    segs = text_ops.chunk_documents(
+        df, col=text_col, id_col=id_col, window=seg_tokens, overlap=0
+    ).select(
+        F.col("id"),
+        F.col("chunk_idx").alias("seg_idx"),
+        F.col("chunk_text").alias("seg"),
+    )
+    owners = (
+        segs.select(F.md5("seg").alias("fp"), "id", "seg_idx")
+        .groupBy("fp")
+        .agg(F.min(F.struct("id", "seg_idx")).alias("o"))
+        .select(F.col("o.id").alias("id"), F.col("o.seg_idx").alias("seg_idx"))
+    )
+    kept = segs.join(owners, ["id", "seg_idx"])
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(seg_tokens))
+        .cast("long")
+        .alias("n_segments"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

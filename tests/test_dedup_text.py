@@ -533,3 +533,35 @@ def test_pack_sequences_deterministic_and_partition_local(spark):
     assert pd_a.equals(pd_b)  # same partitioning + id order -> same packs
     # every pack holds <= 3 docs of 100 tokens under the 300 budget
     assert a.groupby("pack_id").size().max() <= 3
+
+
+def test_segment_dedupe_removes_duplicated_spans(spark):
+    # doc 1 owns both 2-token segments; doc 2 repeats one of them and adds
+    # a fresh tail; doc 3 is entirely doc-1 material (survives empty)
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),
+            (2, "aa bb ee ff"),
+            (3, "cc dd aa bb"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.segment_dedupe(df, seg_tokens=2).collect()
+    }
+    assert out[1]["clean_text"] == "aa bb cc dd"
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["clean_text"] == "ee ff"          # "aa bb" seen in doc 1
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["clean_text"] == ""               # every segment seen earlier
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_segment_dedupe_first_occurrence_within_doc_wins(spark):
+    # a segment repeated INSIDE one document keeps only its first occurrence
+    df = spark.createDataFrame([(7, "xx yy xx yy zz")], ["doc_id", "text"])
+    row = dedup.segment_dedupe(df, seg_tokens=2).collect()[0]
+    # segments: ["xx yy", "xx yy", "zz"] -> first "xx yy" + "zz"
+    assert row["clean_text"] == "xx yy zz"
+    assert (row["n_segments"], row["n_kept"]) == (3, 2)
