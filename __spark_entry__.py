@@ -1538,6 +1538,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_segment_dedup"] = text_segment_dedup
 
+    def x_scd2_apply(spark, sf):
+        # SCD2 dimension merge over a synthesized customer dimension:
+        # %10==0 keys change acctbal (close + new version), %10==1 keys
+        # arrive unchanged (no-op), %10==2 keys are remapped to brand-new
+        # ids (insert). Affected-key detection joins hashes, not payloads
+        # (operators/model.py:scd2_apply); the oracle compares values.
+        cust = _t(spark, sf, "customer")
+        dim = cust.select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit("2019-01-01").alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        changes = cust.filter(F.col("c_custkey") % 10 <= 2).select(
+            F.when(
+                F.col("c_custkey") % 10 == 2, F.col("c_custkey") + 1_000_000
+            )
+            .otherwise(F.col("c_custkey"))
+            .alias("c_custkey"),
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100, 2)
+            )
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("acctbal"),
+        )
+        return model.scd2_apply(
+            dim, changes, ["c_custkey"], ["c_name", "acctbal"], "2020-06-01"
+        )
+
+    q["x_scd2_apply"] = x_scd2_apply
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2699,6 +2733,47 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         WHERE s_nationkey = 3
         GROUP BY s_name
+    """
+
+    o["x_scd2_apply"] = """
+        WITH dim AS (
+          SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+                 '2019-01-01' AS valid_from,
+                 CAST(NULL AS VARCHAR) AS valid_to,
+                 TRUE AS is_current
+          FROM customer
+        ),
+        changes AS (
+          SELECT CASE WHEN k % 10 = 2 THEN k + 1000000 ELSE k END AS c_custkey,
+                 c_name,
+                 CASE WHEN k % 10 = 0 THEN round(b + 100, 2)
+                      ELSE round(b, 2) END AS acctbal
+          FROM (
+            SELECT c_custkey AS k, c_name, c_acctbal AS b
+            FROM customer WHERE c_custkey % 10 <= 2
+          )
+        ),
+        affected AS (
+          SELECT ch.c_custkey, ch.c_name, ch.acctbal
+          FROM changes ch
+          LEFT JOIN dim d ON ch.c_custkey = d.c_custkey AND d.is_current
+          WHERE d.c_custkey IS NULL
+             OR (d.c_name IS DISTINCT FROM ch.c_name)
+             OR (d.acctbal IS DISTINCT FROM ch.acctbal)
+        )
+        SELECT d.c_custkey, d.c_name, d.acctbal, d.valid_from,
+               CASE WHEN a.c_custkey IS NULL THEN d.valid_to
+                    ELSE '2020-06-01' END AS valid_to,
+               CASE WHEN a.c_custkey IS NULL THEN d.is_current
+                    ELSE FALSE END AS is_current
+        FROM dim d
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM affected) a USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, acctbal,
+               '2020-06-01' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to,
+               TRUE AS is_current
+        FROM affected
     """
 
     o["text_segment_dedup"] = """

@@ -342,6 +342,71 @@ def snapshot_diff(
     return new_payload.unionByName(old_payload)
 
 
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    batch_ts,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    cur_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply a change batch to a
+    versioned dimension, closing the current version of every key whose
+    tracked attributes changed (``valid_to`` = `batch_ts`, current → false)
+    and inserting a new open version; brand-new keys insert directly; no-op
+    changes (same tracked values) touch nothing. The dimension-history
+    analog of the reference's graph upsert (K3-K5 —
+    reference: reddit/glue_neptune.py keeps only latest state; SCD2 keeps
+    the full history a warehouse needs for as-of joins).
+
+    Scale shape: the change batch is small relative to the dimension, so
+    the affected-key determination joins the batch against a slim
+    (keys, xxhash64) projection of the CURRENT rows — payloads never ride
+    that exchange (same null-safe JSON-struct hashing as
+    ``snapshot_diff``). The dimension itself is touched by one left_anti +
+    one left_semi against the affected key set (AQE broadcasts it), and
+    history rows pass through untouched — composes with
+    ``merge_upsert_partitioned`` so only the partitions holding affected
+    keys rewrite. Returns the full post-batch dimension snapshot.
+    """
+    def _h(alias):
+        return F.xxhash64(
+            F.to_json(
+                F.struct(*[F.col(c) for c in tracked]), {"ignoreNullFields": "false"}
+            )
+        ).alias(alias)
+
+    cur = dim.filter(F.col(cur_col))
+    cur_slim = cur.select(*keys, _h("__ho"))
+    affected = (
+        changes.select(*keys, *tracked, _h("__hn"))
+        .join(cur_slim, keys, "left")
+        .filter(F.col("__ho").isNull() | (F.col("__ho") != F.col("__hn")))
+        .select(*keys, *tracked)
+    )
+    akeys = affected.select(*keys)
+    to_type = dim.schema[to_col].dataType
+    closed = (
+        cur.join(akeys, keys, "left_semi")
+        .withColumn(to_col, F.lit(batch_ts).cast(to_type))
+        .withColumn(cur_col, F.lit(False))
+    )
+    untouched_cur = cur.join(akeys, keys, "left_anti")
+    history = dim.filter(~F.col(cur_col))
+    new_rows = (
+        affected.withColumn(from_col, F.lit(batch_ts).cast(dim.schema[from_col].dataType))
+        .withColumn(to_col, F.lit(None).cast(to_type))
+        .withColumn(cur_col, F.lit(True))
+    )
+    return (
+        history.unionByName(untouched_cur)
+        .unionByName(closed)
+        .unionByName(new_rows.select(*dim.columns))
+    )
+
+
 # --- skew handling (scale helpers) -----------------------------------------
 
 

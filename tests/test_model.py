@@ -237,3 +237,40 @@ def test_salted_join_rejects_outer_hows(spark):
     for how in ("right", "full", "right_outer", "full_outer"):
         with pytest.raises(ValueError, match="n_salts times"):
             model.salted_join(a, b, "k", how=how)
+
+
+def test_scd2_apply_versions_and_noops(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "alice", 10.0, "2019-01-01", None, True),
+            (2, "bob", 20.0, "2019-01-01", None, True),
+            # key 2 already has a closed version — history must pass through
+            (2, "bob", 15.0, "2018-01-01", "2019-01-01", False),
+        ],
+        ["k", "name", "bal", "valid_from", "valid_to", "is_current"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "alice", 11.0),   # changed -> close + new version
+            (2, "bob", 20.0),     # identical -> no-op
+            (3, "carol", 30.0),   # new key -> insert
+        ],
+        ["k", "name", "bal"],
+    )
+    out = model.scd2_apply(dim, changes, ["k"], ["name", "bal"], "2020-06-01")
+    rows = {(r.k, r.valid_from): r for r in out.collect()}
+    assert len(rows) == 5
+    closed = rows[(1, "2019-01-01")]
+    assert (closed.valid_to, closed.is_current, closed.bal) == ("2020-06-01", False, 10.0)
+    opened = rows[(1, "2020-06-01")]
+    assert (opened.valid_to, opened.is_current, opened.bal) == (None, True, 11.0)
+    untouched = rows[(2, "2019-01-01")]
+    assert (untouched.valid_to, untouched.is_current) == (None, True)
+    assert rows[(2, "2018-01-01")].is_current is False
+    inserted = rows[(3, "2020-06-01")]
+    assert (inserted.valid_to, inserted.is_current, inserted.bal) == (None, True, 30.0)
+
+    # idempotency: re-applying the SAME batch at a later ts is a no-op
+    again = model.scd2_apply(out, changes, ["k"], ["name", "bal"], "2021-01-01")
+    assert again.count() == 5
+    assert again.filter(F.col("valid_from") == "2021-01-01").count() == 0
