@@ -1572,6 +1572,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_scd2_apply"] = x_scd2_apply
 
+    def sim_self_knn(spark, sf):
+        # kNN-graph over the whole embeddings table (every row a query):
+        # one bucket-keyed shuffle of the vectors, per-bucket matmul
+        # scoring, lossless partial top-k (operators/similarity.py:
+        # self_knn). n_planes pinned to 8 so the oracle's inlined plane
+        # literals match at any sf.
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        return similarity.self_knn(emb, k=3, n_planes=8)
+
+    q["sim_self_knn"] = sim_self_knn
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2733,6 +2744,29 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         WHERE s_nationkey = 3
         GROUP BY s_name
+    """
+
+    # Same bucket-equality restriction as sim_ann_topk's oracle (identical
+    # inlined plane literals), but EVERY row is a query: reproduces
+    # self_knn's semantics end-to-end — bucketing, self-exclusion, cosine
+    # ranking, top-3.
+    o["sim_self_knn"] = f"""
+        WITH b AS (
+          SELECT vec_id, embedding, ({_bucket_expr}) AS bucket,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                   / (q.nrm * c.nrm) AS s
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, round(s, 6) AS sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 3
     """
 
     o["x_scd2_apply"] = """

@@ -357,6 +357,89 @@ def ivf_topk(
     return _global_topk(scored, k)
 
 
+def self_knn(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """All-pairs approximate kNN: every corpus row's top-k cosine neighbors
+    WITHIN the corpus (the kNN-graph builder behind SemDeDup-style pruning
+    and embedding-cluster exploration). Neither side is a small probe set,
+    so nothing broadcasts and no candidate pair-list is ever materialized:
+
+    1. each row gets its hyperplane-sign bucket (Arrow-batched, no shuffle);
+    2. ONE bucket-keyed exchange moves each (id, vector) to its bucket
+       group — the vector crosses the wire exactly once (multiprobe adds
+       m replicas), versus twice per CANDIDATE for a join-based plan;
+    3. each group scores its members against each other with a single
+       matmul and keeps a per-group partial top-k under the same
+       (sim desc, neighbor_id asc) order as the final window — lossless;
+    4. the global window merges ≤ (m+1) × k rows per query.
+
+    Per-group cost is quadratic in bucket occupancy, so `n_planes` must
+    grow with the corpus: the default auto-sizes to ~8 rows/bucket
+    (⌈log₂(n/8)⌉ clamped to [8, 24], one count() job) — the same occupancy
+    contract as ``embedding_near_dup_pairs``. A skewed (dense) region of
+    embedding space concentrates in one bucket; AQE's skew split cannot
+    divide a single group, so pathological corpora want more planes plus
+    `multiprobe` to recover the recall the extra planes cost.
+
+    `multiprobe` = m > 0 re-files each row as a QUERY (not a neighbor) into
+    its m single-bit-flip neighbor buckets: a near-miss pair differing in
+    one plane sign is recovered there. Queries appearing in several groups
+    are merged by the global window.
+    """
+    if n_planes is None:
+        n = df.count()
+        n_planes = min(24, max(8, int(np.ceil(np.log2(max(n, 1) / 8.0)))))
+    planes = hyperplanes(dim, n_planes, seed)
+    bucket = lsh_bucket_udf(planes)
+    side = _spread(df.filter(F.col(vec_col).isNotNull())).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    exploded = side.withColumn("is_home", F.lit(True))
+    if multiprobe > 0:
+        probes = F.array(
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(min(multiprobe, n_planes))
+            ]
+        )
+        exploded = exploded.unionByName(
+            side.select(
+                "id",
+                "v",
+                F.explode(probes).alias("bucket"),
+                F.lit(False).alias("is_home"),
+            )
+        )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        mem = pdf[pdf["is_home"].to_numpy()]
+        if len(mem) == 0:
+            return empty
+        m_mat = _to_matrix(mem["v"])
+        m_ids = mem["id"].to_numpy(dtype=np.int64)
+        m_norm = _safe_norms(m_mat)
+        q_mat = _to_matrix(pdf["v"])
+        q_ids = pdf["id"].to_numpy(dtype=np.int64)
+        q_norm = _safe_norms(q_mat)
+        sims = (m_mat @ q_mat.T) / (m_norm[:, None] * q_norm[None, :])
+        out = _batch_topk_rows(q_ids, m_ids, sims, k)
+        return out if out is not None else empty
+
+    scored = exploded.groupBy("bucket").applyInPandas(score_group, _TOPK_SCHEMA)
+    return _global_topk(scored, k)
+
+
 def cosine_pairs_udf():
     """Vectorized exact cosine over candidate pairs (va, vb) — runs only on
     the post-bucketing candidate set, one Arrow batch = one fused op."""

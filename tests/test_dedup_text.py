@@ -565,3 +565,63 @@ def test_segment_dedupe_first_occurrence_within_doc_wins(spark):
     # segments: ["xx yy", "xx yy", "zz"] -> first "xx yy" + "zz"
     assert row["clean_text"] == "xx yy zz"
     assert (row["n_segments"], row["n_kept"]) == (3, 2)
+
+
+def test_self_knn_matches_numpy_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((24, 8)).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.self_knn(df, k=2, n_planes=3, dim=8).collect()
+    }
+
+    # independent reference: sign-bit buckets + per-bucket cosine top-2
+    planes = np.array(similarity.hyperplanes(8, 3, seed=42))
+    m = np.array(vecs)
+    bits = (m @ planes.T) > 0
+    buckets = (bits * (1 << np.arange(3))).sum(axis=1)
+    norms = np.linalg.norm(m, axis=1)
+    expected = set()
+    for qi in range(len(m)):
+        cands = [
+            (float(m[qi] @ m[ci] / (norms[qi] * norms[ci])), ci)
+            for ci in range(len(m))
+            if ci != qi and buckets[ci] == buckets[qi]
+        ]
+        for s, ci in sorted(cands, key=lambda t: (-t[0], t[1]))[:2]:
+            expected.add((qi, ci))
+    assert got == expected
+
+
+def test_self_knn_multiprobe_recall_monotone(spark, sf_dir):
+    from reddit_twitter_big_data_pipeline_spark import schemas
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, emb, k=3).collect()
+    }
+    base = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.self_knn(emb, k=3, n_planes=4).collect()
+    }
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.self_knn(emb, k=3, n_planes=4, multiprobe=3).collect()
+    }
+    # near-orthogonal gaussian test vectors are LSH's worst case; the floor
+    # just proves buckets surface SOME true neighbors
+    assert len(base & exact) / len(exact) > 0.05
+    assert len(probed & exact) >= len(base & exact)  # multiprobe only helps
+    # no query ever exceeds k rows
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in probed)
+    assert max(per_q.values()) <= 3
