@@ -1583,6 +1583,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_self_knn"] = sim_self_knn
 
+    def text_quality_classifier(spark, sf):
+        # fasttext-style linear quality model as a pure projection: the
+        # weight vector is plan literals, scoring runs at scan speed
+        # (operators/text.py:quality_classifier_score). Score stays an
+        # unrounded double — sig-digit canonicalization absorbs cross-
+        # engine exp() ulps.
+        docs = _t(spark, sf, "documents")
+        return text_ops.classifier_scores(docs)
+
+    q["text_quality_classifier"] = text_quality_classifier
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2767,6 +2778,33 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY s DESC, neighbor_id ASC) AS rn
           FROM scored
         ) WHERE rn <= 3
+    """
+
+    o["text_quality_classifier"] = """
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+                 least(1.0, len(toks) / 100.0) AS len_sat,
+                 len(list_filter(toks, x -> regexp_matches(lower(x), '[a-z]')))
+                   / greatest(len(toks), 1) AS awf,
+                 len(list_filter(toks, x -> list_contains(
+                       ['the', 'a', 'of', 'and', 'is', 'to', 'in'], lower(x))))
+                   / greatest(len(toks), 1) AS swr,
+                 len(list_distinct(toks)) / greatest(len(toks), 1) AS ttr,
+                 length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   / greatest(length(lower(text)), 1) AS pr
+          FROM t
+        )
+        SELECT doc_id,
+               1.0 / (1.0 + exp(-(-2.0 + 2.5 * len_sat + 2.0 * awf
+                                  + 3.0 * swr + 1.0 * ttr + (-4.0) * pr)))
+                 AS score,
+               (1.0 / (1.0 + exp(-(-2.0 + 2.5 * len_sat + 2.0 * awf
+                                   + 3.0 * swr + 1.0 * ttr + (-4.0) * pr)))
+                >= 0.5) AS keep
+        FROM f
     """
 
     o["x_scd2_apply"] = """

@@ -440,6 +440,71 @@ def quality_signals(
     )
 
 
+# --- linear quality classifier (fasttext-style scoring hook) ----------------
+
+# Named feature expressions the classifier scores over. Each is a pure
+# Column in [0, 1]-ish range, already used (and oracle-verified) by the
+# quality-signal operators above.
+QUALITY_FEATURES = {
+    "len_sat": lambda col: F.least(F.lit(1.0), token_count(col) / F.lit(100.0)),
+    "alpha_word_frac": alpha_word_frac,
+    "stopword_ratio": stopword_ratio,
+    "type_token_ratio": type_token_ratio,
+    "punct_ratio": punct_ratio,
+}
+
+# Heuristic default weights (hand-set to prefer long, alphabetic, stopword-
+# bearing, low-punctuation prose). A production pipeline swaps in weights
+# trained offline (fasttext quality classifier, DSIR importance weights, a
+# sklearn logistic fit) — the scoring plan is identical either way.
+DEFAULT_QUALITY_WEIGHTS = {
+    "bias": -2.0,
+    "len_sat": 2.5,
+    "alpha_word_frac": 2.0,
+    "stopword_ratio": 3.0,
+    "type_token_ratio": 1.0,
+    "punct_ratio": -4.0,
+}
+
+
+def quality_classifier_score(
+    col: str = "text", weights: dict[str, float] | None = None
+) -> Column:
+    """σ(w₀ + Σ wᵢ·featureᵢ(text)) — a linear (logistic) text-quality
+    classifier whose weights are plan literals. This is how a trained
+    fasttext/logistic quality model runs at 100 TB: the model IS the
+    (tiny) weight vector, baked into a whole-stage-codegen'd projection —
+    no UDF, no model server, no shuffle; scoring rides whatever scan
+    already reads the text. (CCNet/GPT-3-style quality filtering, Wenzek
+    et al. 2020 §4.3, re-expressed relationally; the reference has no
+    quality model at all.)"""
+    w = weights or DEFAULT_QUALITY_WEIGHTS
+    z: Column = F.lit(float(w.get("bias", 0.0)))
+    for name, feat in QUALITY_FEATURES.items():
+        if name in w:
+            z = z + F.lit(float(w[name])) * feat(col)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def classifier_scores(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id, score, keep) for the whole corpus in one projection. The score
+    stays an unrounded double (ulp-level exp() differences between engines
+    are absorbed by significant-digit canonicalization, where a fixed
+    decimal rounding would flip on .…5 boundaries)."""
+    s = quality_classifier_score(col, weights)
+    return df.select(
+        F.col(id_col),
+        s.alias("score"),
+        (s >= F.lit(threshold)).alias("keep"),
+    )
+
+
 # --- sequence packing (training-example assembly) ---------------------------
 
 

@@ -625,3 +625,24 @@ def test_self_knn_multiprobe_recall_monotone(spark, sf_dir):
 
     per_q = Counter(q for q, _ in probed)
     assert max(per_q.values()) <= 3
+
+
+def test_quality_classifier_orders_prose_over_junk(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is one of the best animals and it is known to nap in the sun all day"),
+            (2, "$$$ !!! ### @@@ %% ^^ && ** (( ))"),
+            (3, "aaa aaa aaa aaa aaa aaa aaa aaa"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text_ops.classifier_scores(df).collect()}
+    assert rows[1].score > rows[2].score
+    assert rows[1].score > rows[3].score
+    assert rows[1].keep and not rows[2].keep
+    # custom weights change the verdict: punctuation-loving model
+    inv = text_ops.classifier_scores(
+        df, weights={"bias": 0.0, "punct_ratio": 5.0}
+    ).collect()
+    inv_rows = {r.doc_id: r for r in inv}
+    assert inv_rows[2].score > inv_rows[1].score
