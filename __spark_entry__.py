@@ -1594,6 +1594,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality_classifier"] = text_quality_classifier
 
+    def text_bpe_tokens(spark, sf):
+        # Distributed BPE: train 30 merges on the corpus's word-count
+        # table (the only corpus-sized shuffle), tokenize with the learned
+        # ranks (operators/bpe.py). Iterative + driver-scheduled — not
+        # SQL-expressible, so no oracle entry: the driver records the
+        # weaker rows-only check; the algorithm is property-tested against
+        # an independent single-node reference in tests/test_dedup_text.py.
+        from reddit_twitter_big_data_pipeline_spark.operators import bpe
+
+        docs = _t(spark, sf, "documents")
+        merges = bpe.bpe_train(docs, n_merges=30)
+        return bpe.bpe_tokenize(docs, merges).select("doc_id", "n_bpe")
+
+    q["text_bpe_tokens"] = text_bpe_tokens
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS

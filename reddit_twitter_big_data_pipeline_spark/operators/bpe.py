@@ -1,0 +1,187 @@
+"""Distributed BPE (byte-pair encoding) vocabulary training + tokenization —
+the tokenizer-construction step of an LLM training-data pipeline, run
+against the corpus itself (Sennrich et al. 2016; the reference has no
+tokenizer training — SURVEY §2.4 extension).
+
+Scale shape:
+- The corpus is touched ONCE: ``word_counts`` reduces 100 TB of text to a
+  (word, count) table — the only corpus-sized shuffle, keyed on the word
+  with map-side combine. Everything after operates on the vocabulary
+  table, which is orders of magnitude smaller than the corpus.
+- Each training round is two small jobs over the vocab frame: an adjacent-
+  pair count (explode → sum, shuffling (symbol, symbol, long) triples) and
+  a driver-side take(1) of the argmax pair — the single collected row per
+  round. The merge application is a pure Column array fold (no Python).
+- Rounds follow the iterative-loop discipline of ``comment_depth``:
+  cache + full count() per round, lineage truncated every 4th round
+  (reliable checkpoint when `checkpoint_dir` is set).
+- The trained model is a KB-scale ordered merge list (the same "model =
+  broadcast literal" stance as the IVF codebook); tokenization broadcasts
+  it and runs rank-priority merging per word inside an Arrow-batched UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from . import text as text_ops
+from ..checkpointing import truncate_lineage as _truncate
+
+END = "</w>"
+
+
+def word_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """(word, cnt) over normalized whitespace tokens — the one corpus-sized
+    reduction; all BPE rounds run against this table."""
+    return (
+        df.select(
+            F.explode(F.split(text_ops.normalize_text(col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _symbols(word: Column) -> Column:
+    """Initial segmentation: characters + end-of-word marker."""
+    return F.concat(F.split(word, ""), F.array(F.lit(END)))
+
+
+def _apply_merge(sym: Column, x: str, y: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (x, y) → xy,
+    as a single array fold: append each symbol, except when the previous
+    emitted symbol is x and the current is y — then the pair collapses.
+    (F.get, not element_at: ANSI-safe NULL on the empty accumulator.)
+    Equivalent to the classic scan because a collapse rewrites the tail to
+    x+y, which can only re-trigger if x+y itself equals x — impossible
+    with a non-empty y."""
+    merged = x + y
+
+    def step(acc: Column, t: Column) -> Column:
+        hit = (F.get(acc, F.size(acc) - 1) == F.lit(x)) & (t == F.lit(y))
+        return (
+            F.when(
+                F.coalesce(hit, F.lit(False)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(t)))
+        )
+
+    return F.aggregate(sym, F.slice(sym, 1, 0), step)
+
+
+def bpe_train(
+    df: DataFrame,
+    col: str = "text",
+    n_merges: int = 50,
+    min_count: int = 2,
+    checkpoint_dir: str | None = None,
+) -> list[tuple[str, str]]:
+    """Learn up to `n_merges` BPE merges from the corpus; stops early when
+    the best pair's weighted count falls under `min_count`. Returns the
+    ordered merge list (the model)."""
+    vocab = (
+        word_counts(df, col)
+        .select(_symbols(F.col("word")).alias("s"), "cnt")
+        .cache()
+    )
+    vocab.count()
+    caches = [vocab]
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("s", 1, F.size("s") - 1),
+                        F.slice("s", 2, F.size("s") - 1),
+                        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = pairs.orderBy(F.desc("total"), "x", "y").limit(1).collect()
+        if not best or best[0]["total"] < min_count:
+            break
+        x, y = best[0]["x"], best[0]["y"]
+        merges.append((x, y))
+        nxt = vocab.select(_apply_merge(F.col("s"), x, y).alias("s"), "cnt").cache()
+        if (r + 1) % 4 == 0:
+            nxt = _truncate(nxt, checkpoint_dir)
+        nxt.count()
+        caches.append(nxt)
+        vocab = nxt
+    for c in caches:
+        c.unpersist()
+    return merges
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained merge list: per word, repeatedly apply the
+    LOWEST-RANK applicable merge (the standard BPE inference rule — for
+    words seen in training this reproduces the training segmentation
+    exactly). The merge table broadcasts; the loop runs in an
+    Arrow-batched UDF (per-row sequential merging is inherently
+    imperative — this is the legitimate Python seam, one batch at a
+    time). Output: (id, bpe_tokens array<string>, n_bpe)."""
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast(
+        (list(merges), {pair: i for i, pair in enumerate(merges)})
+    )
+
+    @F.pandas_udf("array<string>")
+    def tok(texts: pd.Series) -> pd.Series:
+        mlist, ranks = b.value
+        out = []
+        for t in texts:
+            norm = re.sub(r"\s+", " ", (t or "").strip().lower())
+            syms_all: list[str] = []
+            for w in norm.split(" "):
+                if not w:
+                    continue
+                syms = list(w) + [END]
+                while len(syms) > 1:
+                    best_rank = None
+                    for i in range(len(syms) - 1):
+                        rk = ranks.get((syms[i], syms[i + 1]))
+                        if rk is not None and (best_rank is None or rk < best_rank):
+                            best_rank = rk
+                    if best_rank is None:
+                        break
+                    x, y = mlist[best_rank]
+                    nxt: list[str] = []
+                    i = 0
+                    while i < len(syms):
+                        if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                            nxt.append(x + y)
+                            i += 2
+                        else:
+                            nxt.append(syms[i])
+                            i += 1
+                    syms = nxt
+                syms_all.extend(syms)
+            out.append(syms_all)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        tok(F.col(col)).alias("bpe_tokens"),
+    ).withColumn("n_bpe", F.size("bpe_tokens"))
+
+
+from .._serde import register_self as _register_self  # noqa: E402
+
+_register_self(__name__)

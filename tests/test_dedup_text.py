@@ -646,3 +646,82 @@ def test_quality_classifier_orders_prose_over_junk(spark):
     ).collect()
     inv_rows = {r.doc_id: r for r in inv}
     assert inv_rows[2].score > inv_rows[1].score
+
+
+# --- BPE -------------------------------------------------------------------
+
+
+def _ref_bpe_train(word_freqs, n_merges, min_count=2):
+    """Independent single-node reference: classic dict-based BPE."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (x, y) = best[0]
+        merges.append((x, y))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from reddit_twitter_big_data_pipeline_spark.operators import bpe
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "wide wider widest low newest"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = bpe.bpe_train(df, n_merges=12)
+
+    words = Counter(w for _, t in corpus for w in t.split())
+    expected, ref_vocab = _ref_bpe_train(dict(words), 12)
+    assert got == expected
+
+    # rank-priority tokenization reproduces the training segmentation for
+    # every trained word
+    toks = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe.bpe_tokenize(df, got).collect()
+    }
+    for doc_id, text in corpus:
+        flat = []
+        for w in text.split():
+            key = w
+            match = [list(s) for s in ref_vocab if "".join(s) == w + "</w>"]
+            assert match, f"word {key} missing from reference vocab"
+            flat.extend(match[0])
+        assert toks[doc_id] == flat, f"doc {doc_id}"
+
+
+def test_bpe_tokenize_unseen_words_fall_back(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import bpe
+
+    train = spark.createDataFrame([(1, "aaa aaa aab")], ["doc_id", "text"])
+    merges = bpe.bpe_train(train, n_merges=5)
+    unseen = spark.createDataFrame([(9, "zzz")], ["doc_id", "text"])
+    row = bpe.bpe_tokenize(unseen, merges).collect()[0]
+    # no merge applies: pure char + end-marker fallback
+    assert row.bpe_tokens == ["z", "z", "z", "</w>"]
+    assert row.n_bpe == 4
