@@ -60,6 +60,11 @@ HEADLINE = [
     "sem_dedup_pairs",
     "media_features",
     "media_frame_sample",
+    # round-3 additions
+    "text_segment_dedup",
+    "sim_self_knn",
+    "text_quality_classifier",
+    "x_scd2_apply",
 ]
 
 

@@ -111,3 +111,68 @@ def test_exact_dedupe_window_shuffles_fingerprints_not_documents(spark, sf_dir, 
     — the document text must not ride the fp-keyed exchange."""
     df = entry.queries()["dedup_exact_keep"](spark, sf_dir)
     audit.assert_keyed_exchanges_exclude(df, "fp", {"text", "url", "lang"})
+
+
+def test_bucketed_join_zero_exchanges(spark, tmp_path):
+    """bucket_table's contract: two tables bucketed (and sorted) on the same
+    key join with ZERO shuffle exchanges — the pre-shuffle that lets every
+    downstream FK join at 100 TB skip its exchange. Broadcast is disabled so
+    the sort-merge path (what a big-big join uses at scale) is what's
+    planned."""
+    from pyspark.sql import functions as F
+
+    from reddit_twitter_big_data_pipeline_spark.sinks import writers
+
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("amount")
+    )
+    dims = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("name-"), F.col("id")).alias("name")
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_facts")
+    spark.sql("DROP TABLE IF EXISTS bt_dims")
+    writers.write_bucketed(
+        facts, "bt_facts", ["k"], n_buckets=4, sort_cols=["k"],
+        path=str(tmp_path / "bt_facts"),
+    )
+    writers.write_bucketed(
+        dims, "bt_dims", ["k"], n_buckets=4, sort_cols=["k"],
+        path=str(tmp_path / "bt_dims"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_facts").join(spark.table("bt_dims"), "k")
+        from reddit_twitter_big_data_pipeline_spark.plans import audit
+
+        assert audit.count_operator(joined, "Exchange") == 0
+        assert audit.count_operator(joined, "SortMergeJoin") == 1
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_facts")
+        spark.sql("DROP TABLE IF EXISTS bt_dims")
+
+
+def test_round3_queries_cartesian_free(spark, sf_dir, entry):
+    """The round-3 operators must plan without cartesian/nested-loop joins."""
+    for name in (
+        "text_segment_dedup",
+        "sim_self_knn",
+        "x_scd2_apply",
+        "text_quality_classifier",
+    ):
+        audit.assert_no_cartesian(entry.queries()[name](spark, sf_dir))
+
+
+def test_segment_dedup_owner_shuffle_excludes_text(spark, sf_dir, entry):
+    """segment_dedupe's first-owner reduction groups on the 16-byte md5 —
+    neither the segment text nor the document text may ride that exchange
+    (the slim-shuffle discipline; at 100 TB the fp exchange IS the dedup)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entry.queries()["text_segment_dedup"](spark, sf_dir)
+        audit.assert_keyed_exchanges_exclude(df, "fp", {"seg", "text", "chunk_text"})
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
