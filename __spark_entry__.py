@@ -1609,6 +1609,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bpe_tokens"] = text_bpe_tokens
 
+    def text_unigram_logprob(spark, sf):
+        # CCNet-style perplexity-proxy scoring under the corpus's own
+        # unigram LM (operators/text.py:unigram_logprob): one word-count
+        # reduction + one word-keyed model join; documents never shuffle.
+        docs = _t(spark, sf, "documents")
+        return text_ops.unigram_logprob(docs)
+
+    q["text_unigram_logprob"] = text_unigram_logprob
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2793,6 +2802,23 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY s DESC, neighbor_id ASC) AS rn
           FROM scored
         ) WHERE rn <= 3
+    """
+
+    o["text_unigram_logprob"] = """
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+          FROM documents
+        ),
+        t2 AS (SELECT id, word FROM toks WHERE word != ''),
+        counts AS (SELECT word, count(*) AS cnt FROM t2 GROUP BY word),
+        total AS (SELECT sum(cnt) AS tt FROM counts),
+        model AS (SELECT word, ln(cnt / tt) AS lp FROM counts, total)
+        SELECT id, count(*)::BIGINT AS n_tokens, avg(lp) AS avg_logprob,
+               exp(-avg(lp)) AS ppl
+        FROM t2 JOIN model USING (word)
+        GROUP BY id
     """
 
     o["text_quality_classifier"] = """

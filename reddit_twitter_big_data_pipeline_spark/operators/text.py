@@ -440,6 +440,47 @@ def quality_signals(
     )
 
 
+# --- unigram LM scoring (perplexity-proxy quality signal) -------------------
+
+
+def unigram_logprob(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document by its mean token log-probability under the
+    corpus's own unigram language model — the relational core of
+    CCNet-style perplexity filtering (Wenzek et al. 2020 §4.2: documents
+    far from the corpus distribution are boilerplate or noise; CCNet uses
+    a KenLM 5-gram, this is the 1-gram special case that needs no external
+    model). Output: (id, n_tokens, avg_logprob, ppl) with
+    ppl = exp(−avg_logprob); higher ppl = less typical.
+
+    Scale shape: one corpus-sized word-count reduction (word-keyed, map-
+    side combined — the SAME table ``bpe_train`` reduces to), one join of
+    the exploded tokens against the (word, logprob) model keyed on the
+    word (AQE broadcasts it when the vocabulary is small; at web scale it
+    shuffles 8-byte-ish rows, never documents), one per-doc aggregation.
+    The corpus total rides as a 1-row broadcast cross join, not a plan
+    literal (same stance as ``tf_idf``)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "word", F.log(F.col("cnt") / F.col("__total")).alias("lp")
+    )
+    return (
+        toks.join(model, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logprob")))
+    )
+
+
 # --- linear quality classifier (fasttext-style scoring hook) ----------------
 
 # Named feature expressions the classifier scores over. Each is a pure

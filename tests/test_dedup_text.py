@@ -725,3 +725,23 @@ def test_bpe_tokenize_unseen_words_fall_back(spark):
     # no merge applies: pure char + end-marker fallback
     assert row.bpe_tokens == ["z", "z", "z", "</w>"]
     assert row.n_bpe == 4
+
+
+def test_unigram_logprob_flags_atypical_docs(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare common"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.id: r for r in text_ops.unigram_logprob(df).collect()}
+    # corpus: common×7, rare×1, total 8
+    lp_c, lp_r = math.log(7 / 8), math.log(1 / 8)
+    assert abs(rows[1].avg_logprob - lp_c) < 1e-12
+    assert abs(rows[2].avg_logprob - (3 * lp_c + lp_r) / 4) < 1e-12
+    # the doc containing the rare token is LESS typical: higher perplexity
+    assert rows[2].ppl > rows[1].ppl
+    assert rows[1].n_tokens == 4 and rows[2].n_tokens == 4
