@@ -1618,6 +1618,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_unigram_logprob"] = text_unigram_logprob
 
+    def x_pagerank(spark, sf):
+        # Damped PageRank over the supplier→customer fulfillment graph
+        # (distinct supplier-supplied-customer edges; customer ids offset
+        # into their own node space). Iterative — no SQL oracle; the
+        # algorithm is pinned against a numpy power-iteration reference in
+        # tests/test_model.py (1e-12 agreement).
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(
+                F.col("l_suppkey").alias("src"),
+                (F.col("o_custkey") + 1_000_000).alias("dst"),
+            )
+            .distinct()
+        )
+        return model.pagerank(edges, n_iter=8)
+
+    q["x_pagerank"] = x_pagerank
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS

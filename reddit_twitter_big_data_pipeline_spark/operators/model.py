@@ -342,6 +342,82 @@ def snapshot_diff(
     return new_payload.unionByName(old_payload)
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Damped PageRank over an edge list — the canonical iterative graph
+    ranking (Brin & Page 1998), the influence-scoring step a social graph
+    (K3-K5's node/edge tables) feeds into. Fixed iteration count keeps the
+    result deterministic; dangling-node mass (nodes with no out-edges) is
+    redistributed uniformly each round, so total rank stays 1.
+
+    Scale shape (same iterative discipline as ``comment_depth``):
+    - nodes/out-degrees/degree-joined edges are computed ONCE, cached, and
+      reused every round — per-round work is one rank join keyed on the
+      source id, one sum keyed on the destination id, payloads of
+      (id, double) only;
+    - the dangling mass is a 1-row aggregate collected per round (a
+      bounded scalar, like the IVF codebook — never the rank table);
+    - per-round frames are cached + counted; lineage truncates every 4th
+      round (reliable checkpoint when `checkpoint_dir` is set).
+    Returns (node, rank) summing to ~1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(out_deg, "src").cache()
+    ed.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).cache()
+    ranks.count()
+    caches = [nodes, ed, ranks]
+    base = (1.0 - damping) / n
+    for it in range(n_iter):
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        sums = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .cache()
+        )
+        caches.append(nxt)
+        if (it + 1) % 4 == 0:
+            nxt = _truncate(nxt, checkpoint_dir)
+        nxt.count()
+        ranks = nxt
+    out = _truncate(ranks, checkpoint_dir)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,

@@ -274,3 +274,29 @@ def test_scd2_apply_versions_and_noops(spark):
     again = model.scd2_apply(out, changes, ["k"], ["name", "bal"], "2021-01-01")
     assert again.count() == 5
     assert again.filter(F.col("valid_from") == "2021-01-01").count() == 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2),  # 4 has no out-edges via 2->4
+        (2, 4),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in model.pagerank(df, n_iter=12).collect()}
+
+    # independent reference: dense power iteration with uniform dangling
+    # redistribution, same damping and iteration count
+    n, d = 5, 0.85
+    out_deg = {u: sum(1 for s, _ in edges if s == u) for u in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = sum(r[u] for u in range(n) if out_deg[u] == 0)
+        nxt = np.full(n, (1.0 - d) / n) + d * dangling / n
+        for s, t in edges:
+            nxt[t] += d * r[s] / out_deg[s]
+        r = nxt
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
