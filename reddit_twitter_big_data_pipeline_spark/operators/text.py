@@ -481,6 +481,73 @@ def unigram_logprob(
     )
 
 
+# --- DSIR-style importance weighting (target-distribution selection) --------
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score every RAW document by how target-like it is: the mean per-token
+    log ratio of a target-corpus unigram model over the raw-corpus model,
+    with Laplace smoothing `alpha` over the union vocabulary — the unigram
+    instance of DSIR importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling": weights feed importance
+    resampling to select raw data that matches a high-quality target like
+    Wikipedia). Output: (id, n_tokens, avg_logratio, weight=e^avg_logratio);
+    weight > 1 ⇒ more target-like than raw-typical.
+
+    Scale shape: BOTH corpora reduce once to word counts (the same reduction
+    as ``unigram_logprob``/``bpe_train``); the smoothed log-ratio model is a
+    full-outer join of the two count tables keyed on the word; raw tokens
+    join the model on the word (vocabulary-sized, AQE broadcasts when
+    small) and aggregate per doc. Documents never shuffle; the corpus-total
+    scalars ride as a broadcast 1-row cross join."""
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(col), " ")).alias("word"),
+        ).filter(F.col("word") != "")
+
+    rt = toks(raw)
+    rc = rt.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    tc = toks(target).groupBy("word").agg(F.count(F.lit(1)).alias("ct"))
+    m = (
+        rc.join(tc, ["word"], "full")
+        .select(
+            "word",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = m.agg(
+        F.sum("cr").alias("__r"),
+        F.sum("ct").alias("__t"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    a = float(alpha)
+    model = m.crossJoin(F.broadcast(tot)).select(
+        "word",
+        (
+            F.log((F.col("ct") + a) / (F.col("__t") + a * F.col("__v")))
+            - F.log((F.col("cr") + a) / (F.col("__r") + a * F.col("__v")))
+        ).alias("lr"),
+    )
+    return (
+        rt.join(model, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("lr").alias("avg_logratio"),
+        )
+        .withColumn("weight", F.exp(F.col("avg_logratio")))
+    )
+
+
 # --- linear quality classifier (fasttext-style scoring hook) ----------------
 
 # Named feature expressions the classifier scores over. Each is a pure

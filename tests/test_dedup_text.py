@@ -745,3 +745,22 @@ def test_unigram_logprob_flags_atypical_docs(spark):
     # the doc containing the rare token is LESS typical: higher perplexity
     assert rows[2].ppl > rows[1].ppl
     assert rows[1].n_tokens == 4 and rows[2].n_tokens == 4
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),     # target-like
+            (2, "gamma delta gamma delta"),   # raw-only vocabulary
+            (3, "alpha beta gamma delta"),    # mixed
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha beta alpha beta alpha beta")], ["doc_id", "text"]
+    )
+    rows = {r.id: r for r in text_ops.importance_weights(raw, target).collect()}
+    assert rows[1].weight > rows[3].weight > rows[2].weight
+    assert rows[1].weight > 1.0      # more target-typical than raw-typical
+    assert rows[2].weight < 1.0      # never seen in target
+    assert rows[3].n_tokens == 4
