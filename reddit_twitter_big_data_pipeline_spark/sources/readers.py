@@ -102,6 +102,36 @@ def read_topics(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_csv_table(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """Schema-enforced CSV scan with the same PERMISSIVE + corrupt-record
+    posture as the JSON reader (the return leg of K2's CSV snapshots —
+    reference: glue/reddit_glue.py:225-226 writes CSV, never reads it back;
+    a complete engine round-trips). Feed the result through
+    ``quarantine_split`` to separate drifted rows. Never schema-inference:
+    inference costs an extra full scan and silently re-types columns
+    between runs — at 100 TB both are incidents."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .csv(path)
+    )
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan — same pushdown/pruning behavior as parquet
+    (predicate pushdown via ORC row-group stats; verify with .explain() →
+    PushedFilters). Exists so a lake standardized on ORC plugs in without
+    touching any operator."""
+    return spark.read.orc(path)
+
+
 def table_columns(spark: SparkSession, table: str) -> list[str]:
     """S9: runtime schema lookup (reference: translate/translate.py:26-38),
     against the Spark catalog instead of a Glue API call."""

@@ -285,3 +285,42 @@ def test_load_table_timestamps(spark, sf_dir):
         for c in cols:
             assert dict(df.dtypes)[c].startswith("timestamp"), (t, c)
         assert df.limit(1).count() == 1
+
+
+def test_csv_read_schema_enforced_with_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "csv_in")
+    (tmp_path / "csv_in").mkdir()
+    (tmp_path / "csv_in" / "part.csv").write_text(
+        "id,score\n1,10\n2,twenty\n3,30\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    df = readers.read_csv_table(spark, p, schema)
+    clean, corrupt = readers.quarantine_split(df)
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    assert corrupt.count() == 1  # 'twenty' fails the LongType contract
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "orc_t")
+    src = spark.range(0, 50).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    src.write.mode("overwrite").orc(p)
+    back = readers.read_orc_table(spark, p)
+    # ORC read-back marks columns nullable; names and types must round-trip
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in src.schema
+    ]
+    assert back.count() == 50
+    assert back.filter(F.col("id") == 7).first().v == 10.5
