@@ -35,15 +35,10 @@ END = "</w>"
 
 def word_counts(df: DataFrame, col: str = "text") -> DataFrame:
     """(word, cnt) over normalized whitespace tokens — the one corpus-sized
-    reduction; all BPE rounds run against this table."""
-    return (
-        df.select(
-            F.explode(F.split(text_ops.normalize_text(col), " ")).alias("word")
-        )
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    reduction; all BPE rounds run against this table. Delegates to
+    ``text.corpus_word_counts`` so the normalization contract is shared
+    with the unigram-LM and importance-weighting reductions."""
+    return text_ops.corpus_word_counts(df, col)
 
 
 def _symbols(word: Column) -> Column:
@@ -114,10 +109,12 @@ def bpe_train(
         x, y = best[0]["x"], best[0]["y"]
         merges.append((x, y))
         nxt = vocab.select(_apply_merge(F.col("s"), x, y).alias("s"), "cnt").cache()
+        # register the CACHED frame before any truncate rebinds nxt —
+        # appending afterwards would leak the pre-checkpoint cache blocks
+        caches.append(nxt)
         if (r + 1) % 4 == 0:
             nxt = _truncate(nxt, checkpoint_dir)
         nxt.count()
-        caches.append(nxt)
         vocab = nxt
     for c in caches:
         c.unpersist()
@@ -146,8 +143,15 @@ def bpe_tokenize(
     def tok(texts: pd.Series) -> pd.Series:
         mlist, ranks = b.value
         out = []
+        # ASCII-only whitespace semantics, matching the Spark side exactly:
+        # normalize_text uses Java \s+ (ASCII [ \t\n\x0B\f\r]) and trim()
+        # (chars <= U+0020), while Python's \s and str.strip() are
+        # Unicode-aware — an NBSP would split into two words here but count
+        # as one during training, silently desynchronizing the two.
+        _ws = " \t\n\x0b\f\r"                      # Java \s
+        _trim = "".join(chr(c) for c in range(0x21))  # Java trim(): <= U+0020
         for t in texts:
-            norm = re.sub(r"\s+", " ", (t or "").strip().lower())
+            norm = re.sub(rf"[{_ws}]+", " ", (t or "").strip(_trim).lower())
             syms_all: list[str] = []
             for w in norm.split(" "):
                 if not w:

@@ -290,6 +290,19 @@ def with_batch_id(df: DataFrame, batch_size: int, order_col: str, partitions: in
     return out
 
 
+def _payload_hash(cols: list[str], alias: str, raw: bool = False):
+    """Null-safe slim-join encoding shared by snapshot_diff/scd2_apply:
+    xxhash64 of a JSON struct of `cols` (or the raw JSON string with
+    raw=True, for use as a null-safe join key). JSON struct with
+    ignoreNullFields=false, NOT multi-arg xxhash64: multi-arg xxhash64
+    SKIPS null arguments, so (null, 'x') and ('x', null) would collide and
+    a real change could read as unchanged."""
+    enc = F.to_json(
+        F.struct(*[F.col(c) for c in cols]), {"ignoreNullFields": "false"}
+    )
+    return (enc if raw else F.xxhash64(enc)).alias(alias)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -314,30 +327,36 @@ def snapshot_diff(
     """
     cc = compare_cols or [c for c in new.columns if c not in keys]
 
-    # hash a JSON struct encoding, NOT xxhash64(cols...): multi-arg xxhash64
-    # SKIPS null arguments, so (null, 'x') and ('x', null) would collide and
-    # a real change could read as unchanged; ignoreNullFields=false keeps
-    # nulls explicit in the encoding
-    def _h(alias):
-        return F.xxhash64(
-            F.to_json(F.struct(*[F.col(c) for c in cc]), {"ignoreNullFields": "false"})
-        ).alias(alias)
+    # NULL-safe key handling: plain equi-joins never match NULL keys, so a
+    # changed row with a NULL key component would classify correctly in the
+    # full-outer but then VANISH at the payload re-attach join. Every join
+    # here runs on a JSON surrogate of the key struct instead
+    # (ignoreNullFields=false keeps nulls explicit), which compares
+    # null-safely as a plain string.
+    k_enc = _payload_hash(keys, "__k", raw=True)
 
-    o = old.select(*keys, _h("__ho"))
-    n = new.select(*keys, _h("__hn"))
-    j = o.join(n, keys, "full_outer")
+    o = old.select(*keys, _payload_hash(cc, "__ho"), k_enc)
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in keys], _payload_hash(cc, "__hn"), k_enc
+    )
+    j = o.join(n, "__k", "full_outer")
     changed = j.select(
-        *keys,
+        *[F.coalesce(F.col(k), F.col(f"__n_{k}")).alias(k) for k in keys],
+        "__k",
         F.when(F.col("__ho").isNull(), F.lit("insert"))
         .when(F.col("__hn").isNull(), F.lit("delete"))
         .when(F.col("__ho") != F.col("__hn"), F.lit("update"))
         .alias("change_type"),
     ).filter(F.col("change_type").isNotNull())
-    new_payload = changed.filter(F.col("change_type") != "delete").join(
-        new.select(*keys, *cc), keys
+    new_payload = (
+        changed.filter(F.col("change_type") != "delete")
+        .join(new.select(*cc, k_enc), "__k")
+        .drop("__k")
     )
-    old_payload = changed.filter(F.col("change_type") == "delete").join(
-        old.select(*keys, *cc), keys
+    old_payload = (
+        changed.filter(F.col("change_type") == "delete")
+        .join(old.select(*cc, k_enc), "__k")
+        .drop("__k")
     )
     return new_payload.unionByName(old_payload)
 
@@ -375,12 +394,15 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # cached: the per-round dangling-mass anti-join reads it every
+    # iteration — uncached it would rebuild the edge-list aggregation
+    # (a corpus-scale scan + shuffle) once per round
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     ed = e.join(out_deg, "src").cache()
     ed.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).cache()
     ranks.count()
-    caches = [nodes, ed, ranks]
+    caches = [nodes, out_deg, ed, ranks]
     base = (1.0 - damping) / n
     for it in range(n_iter):
         dangling = (
@@ -447,12 +469,16 @@ def scd2_apply(
     ``merge_upsert_partitioned`` so only the partitions holding affected
     keys rewrite. Returns the full post-batch dimension snapshot.
     """
+    extras = set(dim.columns) - set(keys) - set(tracked) - {from_col, to_col, cur_col}
+    if extras:
+        raise ValueError(
+            f"scd2_apply: dimension columns {sorted(extras)} are neither keys, "
+            "tracked attributes, nor SCD bookkeeping — new versions could not "
+            "populate them. Track them, or project them out before the merge."
+        )
+
     def _h(alias):
-        return F.xxhash64(
-            F.to_json(
-                F.struct(*[F.col(c) for c in tracked]), {"ignoreNullFields": "false"}
-            )
-        ).alias(alias)
+        return _payload_hash(tracked, alias)
 
     cur = dim.filter(F.col(cur_col))
     cur_slim = cur.select(*keys, _h("__ho"))

@@ -404,6 +404,11 @@ def self_knn(
         F.col(vec_col).alias("v"),
         bucket(F.col(vec_col)).alias("bucket"),
     )
+    if multiprobe > 0:
+        # two union branches (home + probe replicas) read `side`; without
+        # the pin each re-runs the corpus scan + bucket UDF matmul — the
+        # most expensive narrow stage — once per branch
+        side = side.persist()
     exploded = side.withColumn("is_home", F.lit(True))
     if multiprobe > 0:
         probes = F.array(

@@ -440,6 +440,30 @@ def quality_signals(
     )
 
 
+# --- shared word tokenization (one normalization contract) ------------------
+
+
+def word_tokens(df: DataFrame, col: str = "text", id_col: str | None = None) -> DataFrame:
+    """Exploded (id?, word) rows over normalized whitespace tokens, empties
+    dropped — THE word-level tokenize every corpus reduction shares
+    (unigram_logprob, importance_weights, bpe.word_counts). One definition
+    so the normalization contract (``normalize_text``: lower, trim,
+    collapse ASCII whitespace) cannot drift between operators that claim
+    to reduce 'the SAME table'."""
+    cols = ([F.col(id_col).alias("id")] if id_col else []) + [
+        F.explode(F.split(normalize_text(col), " ")).alias("word")
+    ]
+    return df.select(*cols).filter(F.col("word") != "")
+
+
+def corpus_word_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """(word, cnt) — the corpus-sized reduction behind the unigram LM,
+    importance weighting, and BPE training."""
+    return word_tokens(df, col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 # --- unigram LM scoring (perplexity-proxy quality signal) -------------------
 
 
@@ -461,10 +485,7 @@ def unigram_logprob(
     shuffles 8-byte-ish rows, never documents), one per-doc aggregation.
     The corpus total rides as a 1-row broadcast cross join, not a plan
     literal (same stance as ``tf_idf``)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(col), " ")).alias("word"),
-    ).filter(F.col("word") != "")
+    toks = word_tokens(df, col, id_col)
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("__total"))
     model = counts.crossJoin(F.broadcast(total)).select(
@@ -507,15 +528,11 @@ def importance_weights(
     small) and aggregate per doc. Documents never shuffle; the corpus-total
     scalars ride as a broadcast 1-row cross join."""
 
-    def toks(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(normalize_text(col), " ")).alias("word"),
-        ).filter(F.col("word") != "")
-
-    rt = toks(raw)
+    rt = word_tokens(raw, col, id_col)
     rc = rt.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
-    tc = toks(target).groupBy("word").agg(F.count(F.lit(1)).alias("ct"))
+    tc = word_tokens(target, col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
     m = (
         rc.join(tc, ["word"], "full")
         .select(
@@ -587,6 +604,13 @@ def quality_classifier_score(
     et al. 2020 §4.3, re-expressed relationally; the reference has no
     quality model at all.)"""
     w = weights or DEFAULT_QUALITY_WEIGHTS
+    unknown = set(w) - set(QUALITY_FEATURES) - {"bias"}
+    if unknown:
+        raise ValueError(
+            f"quality_classifier_score: unknown weight keys {sorted(unknown)} "
+            f"(known features: {sorted(QUALITY_FEATURES)}) — a typo here "
+            "would silently change the model"
+        )
     z: Column = F.lit(float(w.get("bias", 0.0)))
     for name, feat in QUALITY_FEATURES.items():
         if name in w:

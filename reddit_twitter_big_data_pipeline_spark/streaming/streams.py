@@ -272,15 +272,37 @@ def rollup_stream(
     gap a non-transactional table format leaves any incremental system;
     Delta/Iceberg close it with a transactional commit)."""
 
+    def _incarnation(spark) -> str:
+        """A uuid minted once per CHECKPOINT lifetime (stored inside the
+        checkpoint dir, so deleting the checkpoint mints a new one). Batch
+        ids restart at 0 for a fresh checkpoint; comparing them against a
+        marker left by a previous incarnation would silently DROP every
+        initial batch as a 'replay'. The marker is only trusted when its
+        incarnation matches — a reprocessing run folds everything (pair it
+        with a fresh target, as any non-idempotent fold requires)."""
+        import uuid
+
+        fs, inc_path = writers._hadoop_fs(spark, checkpoint + "/__rollup_incarnation__")
+        if fs.exists(inc_path):
+            with _jvm_open(spark, fs, inc_path) as data:
+                return data
+        inc = uuid.uuid4().hex
+        out = fs.create(inc_path, True)
+        out.write(inc.encode("ascii"))
+        out.close()
+        return inc
+
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        inc = _incarnation(spark)
         fs, marker = writers._hadoop_fs(spark, target_path + ".__last_batch__")
         if fs.exists(marker):
             with _jvm_open(spark, fs, marker) as data:
-                if batch_id <= int(data):
-                    return  # replayed batch: already folded
+                m_inc, _, m_id = data.rpartition(":")
+                if m_inc == inc and batch_id <= int(m_id):
+                    return  # replayed batch of THIS incarnation: already folded
         partial = batch.groupBy(*group_keys).agg(
             *[F.sum(c).alias(c) for c in sum_cols]
         )
@@ -290,7 +312,7 @@ def rollup_stream(
         tmp = target_path + ".__last_batch_tmp__"
         fs2, tmp_path = writers._hadoop_fs(spark, tmp)
         out = fs2.create(tmp_path, True)
-        out.write(str(batch_id).encode("ascii"))
+        out.write(f"{inc}:{batch_id}".encode("ascii"))
         out.close()
         if fs2.exists(marker):
             fs2.delete(marker, False)

@@ -764,3 +764,20 @@ def test_importance_weights_prefer_target_like_docs(spark):
     assert rows[1].weight > 1.0      # more target-typical than raw-typical
     assert rows[2].weight < 1.0      # never seen in target
     assert rows[3].n_tokens == 4
+
+
+def test_quality_classifier_rejects_unknown_weight_keys(spark):
+    df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="stopword_ration"):
+        text_ops.classifier_scores(df, weights={"bias": 0.0, "stopword_ration": 3.0})
+
+
+def test_bpe_tokenize_unicode_whitespace_matches_training_semantics(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import bpe
+
+    # NBSP is NOT whitespace to the Spark-side normalize_text (Java \s is
+    # ASCII-only) — the word survives as one token at training time, so the
+    # tokenizer must treat it as ONE word too
+    df = spark.createDataFrame([(1, "a\xa0b")], ["doc_id", "text"])
+    row = bpe.bpe_tokenize(df, merges=[]).collect()[0]
+    assert row.bpe_tokens == ["a", "\xa0", "b", "</w>"]

@@ -300,3 +300,29 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for u in range(n):
         assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_snapshot_diff_null_keys_survive(spark):
+    # a NULL key component must classify AND keep its payload — plain
+    # equi-joins would drop it at the re-attach step
+    old = spark.createDataFrame(
+        [(None, "a"), (1, "x")], "k int, payload string"
+    )
+    new = spark.createDataFrame(
+        [(None, "b"), (1, "x")], "k int, payload string"
+    )
+    rows = {(r.k, r.change_type): r.payload for r in model.snapshot_diff(old, new, ["k"]).collect()}
+    assert rows == {(None, "update"): "b"}
+
+
+def test_scd2_apply_rejects_untracked_columns(spark):
+    import pytest
+
+    dim = spark.createDataFrame(
+        [(1, "alice", "ops", "2019-01-01", None, True)],
+        "k int, name string, created_by string, valid_from string, "
+        "valid_to string, is_current boolean",
+    )
+    changes = spark.createDataFrame([(1, "alicia")], ["k", "name"])
+    with pytest.raises(ValueError, match="created_by"):
+        model.scd2_apply(dim, changes, ["k"], ["name"], "2020-01-01")

@@ -407,3 +407,30 @@ def test_graph_stream_end_to_end_idempotent(spark, tmp_path):
     # so assert cardinalities match a single logical graph
     assert len([k for k in nodes if k[0] == "Tweet"]) == 2
     assert len(edges) == 4  # 2 POSTED_BY + 2 MENTIONS
+
+
+def test_rollup_stream_fresh_checkpoint_reprocesses(spark, tmp_path):
+    """Reprocessing with a NEW checkpoint against a fresh target must fold
+    every batch — batch ids restart at 0, and a marker left by the previous
+    incarnation (stored next to the TARGET) must not silently classify them
+    as replays (the incarnation id scoping the marker pins this)."""
+    import shutil
+
+    land, tgt = tmp_path / "land", str(tmp_path / "roll")
+    _write_batch(land, "b1.json", _rows([(1, "2023-03-25 12:00:00"), (2, "2023-03-25 12:10:00")]))
+    src = lambda: (  # noqa: E731
+        _with_ts(streams.read_json_stream(spark, str(land), SCHEMA))
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .withColumn("n", F.lit(1))
+    )
+    streams.run_to_completion(
+        streams.rollup_stream(src(), tgt, str(tmp_path / "ckpt1"), ["day"], ["n"], ["day"])
+    )
+    assert {str(r.day): r.n for r in spark.read.parquet(tgt).collect()} == {"2023-03-25": 2}
+    # operator reprocesses: fresh target, fresh checkpoint — but the old
+    # marker file (<target>.__last_batch__) is still on disk
+    shutil.rmtree(tgt)
+    streams.run_to_completion(
+        streams.rollup_stream(src(), tgt, str(tmp_path / "ckpt2"), ["day"], ["n"], ["day"])
+    )
+    assert {str(r.day): r.n for r in spark.read.parquet(tgt).collect()} == {"2023-03-25": 2}
