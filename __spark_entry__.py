@@ -36,6 +36,7 @@ if _REPO not in sys.path:
 from reddit_twitter_big_data_pipeline_spark import schemas  # noqa: E402
 from reddit_twitter_big_data_pipeline_spark.functions import enrich  # noqa: E402
 from reddit_twitter_big_data_pipeline_spark.operators import (  # noqa: E402
+    analytics,
     cleanse,
     dedup,
     model,
@@ -1650,6 +1651,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_importance_weights"] = text_importance_weights
 
+    def x_funnel(spark, sf):
+        # Ordered view→click→purchase funnel over the events stream: each
+        # stage is one user-keyed conditional-min aggregation; stages only
+        # narrow (operators/analytics.py:funnel_stage_times).
+        ev = _t(spark, sf, "events")
+        return analytics.funnel_counts(ev, ["view", "click", "purchase"])
+
+    q["x_funnel"] = x_funnel
+
+    def x_cohort_retention(spark, sf):
+        # first-active-day cohorts × day offsets ≤ 7: one min-per-user, one
+        # user-keyed join, one (cohort, offset)-keyed count.
+        ev = _t(spark, sf, "events")
+        return analytics.cohort_retention(ev, max_offset=7)
+
+    q["x_cohort_retention"] = x_cohort_retention
+
+    def sample_gumbel_topk(spark, sf):
+        # DSIR's selection step: weighted sampling WITHOUT replacement via
+        # the Gumbel-top-k trick, deterministic through the md5 hash seam
+        # (operators/sampling.py:gumbel_topk_sample). Global top-k plans as
+        # TakeOrderedAndProject — no full sort at any scale.
+        docs = _t(spark, sf, "documents")
+        scored = docs.select(
+            "doc_id", F.round(text_ops.quality_score("text"), 6).alias("w")
+        )
+        return sampling.gumbel_topk_sample(
+            scored, "w", 50, hash_fn="md5", salt="dsir"
+        )
+
+    q["sample_gumbel_topk"] = sample_gumbel_topk
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2851,6 +2884,56 @@ def oracle_sql() -> dict[str, str]:
                exp(-avg(lp)) AS ppl
         FROM t2 JOIN model USING (word)
         GROUP BY id
+    """
+
+    o["x_funnel"] = """
+        WITH ev AS (SELECT user_id AS u, ts, event_type AS et FROM events),
+        s0 AS (SELECT u, min(ts) AS t0 FROM ev WHERE et = 'view' GROUP BY u),
+        s1 AS (
+          SELECT e.u, min(e.ts) AS t1 FROM ev e JOIN s0 ON e.u = s0.u
+          WHERE e.et = 'click' AND e.ts > s0.t0 GROUP BY e.u
+        ),
+        s2 AS (
+          SELECT e.u, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.u = s1.u
+          WHERE e.et = 'purchase' AND e.ts > s1.t1 GROUP BY e.u
+        )
+        SELECT 'view' AS stage, 0 AS stage_idx,
+               (SELECT count(*) FROM s0)::BIGINT AS n_users
+        UNION ALL
+        SELECT 'click', 1, (SELECT count(*) FROM s1)::BIGINT
+        UNION ALL
+        SELECT 'purchase', 2, (SELECT count(*) FROM s2)::BIGINT
+    """
+
+    o["x_cohort_retention"] = """
+        WITH ev AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+        ),
+        c AS (SELECT u, min(day) AS cohort_day FROM ev GROUP BY u)
+        SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+               CAST(ev.day - c.cohort_day AS INT) AS day_offset,
+               count(DISTINCT ev.u)::BIGINT AS n_users
+        FROM ev JOIN c ON ev.u = c.u
+        WHERE (ev.day - c.cohort_day) <= 7
+        GROUP BY 1, 2
+    """
+
+    o["sample_gumbel_topk"] = """
+        WITH scored AS (
+          SELECT doc_id,
+                 round(least(1.0, len(string_split(text, ' ')) / 100.0)
+                       * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                              / greatest(length(lower(text)), 1)), 6) AS w
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id, w,
+                 ln(w) + (-ln(-ln(
+                   ((('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000000) + 0.5) / 1000000.0))) AS gk
+          FROM scored WHERE w > 0
+        )
+        SELECT doc_id, w FROM keyed ORDER BY gk DESC, doc_id ASC LIMIT 50
     """
 
     o["text_importance_weights"] = """

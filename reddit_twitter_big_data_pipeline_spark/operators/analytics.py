@@ -1,0 +1,125 @@
+"""Event-stream analytics — funnel conversion and cohort retention over the
+`events` table (user_id, ts, event_type). The batch form of the product
+analytics the reference's daily aggregation jobs feed (SURVEY §2.5/§2.6
+extension; the reference computes only per-day counts —
+reference: glue/twitter_glue.py aggregates, no sequencing).
+
+Both operators are pure joins/aggregations keyed on the user id or the
+(cohort, offset) pair — payloads are (id, timestamp) rows, documents/props
+never ride a shuffle, and every aggregation combines map-side. At 100 TB of
+events the plans are a fixed number of user-keyed exchanges regardless of
+funnel depth (one per stage) or retention horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ORDERED funnel: t_i = the earliest `stages[i]` event that
+    happens STRICTLY AFTER the user's t_{i-1} (order matters — a purchase
+    before the first view does not convert). Output: one row per user who
+    completed stage 0, with one nullable timestamp column per stage
+    (t_<stage>); a null marks the first uncompleted stage.
+
+    Plan: stage 0 is a filtered min per user; each later stage is one
+    conditional-min aggregation of that stage's events joined against the
+    accumulating per-user frame — `len(stages)` user-keyed aggregations
+    and joins total, each carrying (user, timestamp) only. The per-user
+    frame shrinks at every stage (funnels only narrow), so AQE broadcasts
+    the tail stages."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("ts"), F.col(type_col).alias("et")
+    )
+    out = (
+        ev.filter(F.col("et") == stages[0])
+        .groupBy("user")
+        .agg(F.min("ts").alias(f"t_{stages[0]}"))
+    )
+    prev = f"t_{stages[0]}"
+    for st in stages[1:]:
+        nxt = (
+            ev.filter(F.col("et") == st)
+            .join(out.select("user", prev), "user")
+            .filter(F.col("ts") > F.col(prev))
+            .groupBy("user")
+            .agg(F.min("ts").alias(f"t_{st}"))
+        )
+        out = out.join(nxt, "user", "left")
+        prev = f"t_{st}"
+    return out
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(stage, stage_idx, n_users) — how many users reached each ordered
+    stage. One count over ``funnel_stage_times``'s per-user frame."""
+    times = funnel_stage_times(events, stages, user_col, ts_col, type_col)
+    counts = times.agg(
+        *[
+            F.count(F.col(f"t_{st}")).cast("long").alias(f"__n_{i}")
+            for i, st in enumerate(stages)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(st).alias("stage"),
+                F.lit(i).alias("stage_idx"),
+                F.col(f"__n_{i}").alias("n_users"),
+            )
+            for i, st in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(pairs).alias("s")).select(
+        "s.stage", "s.stage_idx", "s.n_users"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Classic cohort-retention matrix: cohort = the user's first active
+    day; a (cohort_day, day_offset) cell counts the cohort's users active
+    `day_offset` days later. Output: (cohort_day string, day_offset int,
+    n_users) with offset 0 = the cohort size.
+
+    Plan: one min-per-user aggregation (the cohort assignment), one join
+    of the (user, day) distinct-activity frame against it (user-keyed,
+    (id, date) payloads), one count keyed on (cohort, offset). AQE
+    broadcasts the cohort frame when it is small relative to activity."""
+    ev = events.select(
+        F.col(user_col).alias("user"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    cohorts = ev.groupBy("user").agg(F.min("day").alias("cohort_day"))
+    j = ev.join(cohorts, "user").withColumn(
+        "day_offset", F.datediff("day", "cohort_day")
+    )
+    if max_offset is not None:
+        j = j.filter(F.col("day_offset") <= max_offset)
+    return (
+        j.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user").cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_users",
+        )
+    )

@@ -129,3 +129,38 @@ def split_train_val_test(
         df.filter((b >= c1) & (b < c2)),
         df.filter(b >= c2),
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gumbel",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the k rows
+    maximizing log(w) + Gumbel noise — the Gumbel-top-k trick (sampling k
+    items with probability proportional to their weights), which is exactly
+    how DSIR draws its importance-resampled training subset
+    (Xie et al. 2023 §3: weights from ``text.importance_weights``, then
+    weighted sampling without replacement). The 'noise' is a deterministic
+    hash-uniform of (salt, id) — same rows every run, any partitioning,
+    and cross-engine reproducible with hash_fn='md5' (the same seam as
+    ``hash_sample``).
+
+    Scale shape: one narrow projection computes the key; the global top-k
+    is orderBy+limit, which Spark plans as TakeOrderedAndProject — every
+    partition keeps its local top-k and only k rows per partition reach
+    the driver-side merge. No full sort, no full shuffle. Ties break on
+    the id for determinism. Rows with weight <= 0 can never win (-inf key)
+    but are filtered explicitly to keep NaN out of the ordering."""
+    u = (_bucket(id_col, salt, hash_fn) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    key = F.log(F.col(weight_col)) + (-F.log(-F.log(u)))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__gumbel_key", key)
+        .orderBy(F.col("__gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__gumbel_key")
+    )

@@ -326,3 +326,79 @@ def test_scd2_apply_rejects_untracked_columns(spark):
     changes = spark.createDataFrame([(1, "alicia")], ["k", "name"])
     with pytest.raises(ValueError, match="created_by"):
         model.scd2_apply(dim, changes, ["k"], ["name"], "2020-01-01")
+
+
+def test_funnel_requires_stage_order(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = [
+        # u1 converts fully in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2 purchases BEFORE viewing: purchase must not count
+        (2, "2024-01-01 09:00:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:30:00", "click"),
+        # u3 views only
+        (3, "2024-01-01 11:00:00", "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    counts = {
+        r.stage: r.n_users
+        for r in analytics.funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert counts == {"view": 3, "click": 2, "purchase": 1}
+
+    times = {r.user: r for r in analytics.funnel_stage_times(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert times[2].t_click is not None and times[2].t_purchase is None
+    assert times[3].t_click is None
+
+
+def test_cohort_retention_offsets(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # cohort 01-01
+        (1, "2024-01-02 10:00:00"),  # offset 1
+        (1, "2024-01-02 15:00:00"),  # same day: countDistinct keeps one
+        (2, "2024-01-01 09:00:00"),  # cohort 01-01
+        (3, "2024-01-03 09:00:00"),  # cohort 01-03
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in analytics.cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-03", 0): 1,
+    }
+
+
+def test_gumbel_topk_sample_weighted_and_deterministic(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import sampling
+
+    # 200 rows: ids < 100 carry 50x the weight of the rest
+    df = spark.createDataFrame(
+        [(i, 50.0 if i < 100 else 1.0) for i in range(200)], ["doc_id", "w"]
+    )
+    a = sorted(r.doc_id for r in sampling.gumbel_topk_sample(df, "w", 40).collect())
+    b = sorted(r.doc_id for r in sampling.gumbel_topk_sample(df, "w", 40).collect())
+    assert a == b and len(a) == 40                      # deterministic, exact k
+    assert sum(1 for i in a if i < 100) >= 30           # heavy ids dominate
+    # zero/negative weights can never be drawn
+    z = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], ["doc_id", "w"])
+    assert [r.doc_id for r in sampling.gumbel_topk_sample(z, "w", 3).collect()] == [3]
+    # different salt = different (but still deterministic) draw
+    c = sorted(
+        r.doc_id
+        for r in sampling.gumbel_topk_sample(df, "w", 40, salt="other").collect()
+    )
+    assert c != a
