@@ -1683,6 +1683,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_gumbel_topk"] = sample_gumbel_topk
 
+    def train_curation(spark, sf):
+        # The composed curation pipeline: scrub → length guard → exact
+        # dedupe → split label, planned as ONE lazy DataFrame
+        # (plans/training.py:curate_corpus). md5 split seam so the oracle
+        # mirrors membership exactly.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        from reddit_twitter_big_data_pipeline_spark.plans import training
+
+        return training.curate_corpus(docs, hash_fn="md5")
+
+    q["train_curation"] = train_curation
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2885,6 +2897,54 @@ def oracle_sql() -> dict[str, str]:
         FROM t2 JOIN model USING (word)
         GROUP BY id
     """
+
+    # Composed curation oracle: the text_clean_training scrub chain, then
+    # length guard, min-id dedupe on the cleaned fingerprint, split label
+    # (the same bucket math as sample_split_label). Built by placeholder
+    # substitution — the regex chain's {0,255} braces forbid an f-string.
+    o["train_curation"] = """
+        WITH cleaned AS (
+          SELECT doc_id,
+            regexp_replace(
+              regexp_replace(
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '</?[A-Za-z!][^>]{0,255}>', ' ', 'g'),
+                    'https?://[^\\s<>"]+|www\\.[^\\s<>"]+', ' ', 'g'),
+                  '\\s+', ' ', 'g')),
+                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}\\x{200c}\\x{200d}\\x{feff}]',
+                '', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+              AS text
+          FROM documents
+        ),
+        guarded AS (
+          SELECT doc_id, text FROM cleaned
+          WHERE len(string_split(text, ' ')) >= 10
+        ),
+        deduped AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (
+                     PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id ASC) AS rn
+            FROM guarded
+          ) WHERE rn = 1
+        )
+        SELECT doc_id,
+               CASE WHEN bk < __C1__ THEN 'train'
+                    WHEN bk < __C2__ THEN 'val'
+                    ELSE 'test' END AS split,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM (
+          SELECT doc_id, text,
+                 ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bk
+          FROM deduped
+        )
+    """.replace("__C1__", str(int(0.98 * 1_000_000))).replace(
+        "__C2__", str(int(0.99 * 1_000_000))
+    )
 
     o["x_funnel"] = """
         WITH ev AS (SELECT user_id AS u, ts, event_type AS et FROM events),

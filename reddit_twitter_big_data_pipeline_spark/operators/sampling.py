@@ -109,6 +109,14 @@ def mix_sources(
     )
 
 
+def _split_cutoffs(weights: tuple[float, float, float]) -> tuple[int, int]:
+    total = sum(weights)
+    return (
+        int(weights[0] / total * _BUCKETS),
+        int((weights[0] + weights[1]) / total * _BUCKETS),
+    )
+
+
 def split_train_val_test(
     df: DataFrame,
     weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
@@ -120,14 +128,31 @@ def split_train_val_test(
     Membership depends only on (salt, id) — growing the corpus later keeps
     every existing row in its original split (no train/val leakage across
     dataset versions), the property random splits lose."""
-    total = sum(weights)
     b = _bucket(id_col, salt, hash_fn)
-    c1 = int(weights[0] / total * _BUCKETS)
-    c2 = int((weights[0] + weights[1]) / total * _BUCKETS)
+    c1, c2 = _split_cutoffs(weights)
     return (
         df.filter(b < c1),
         df.filter((b >= c1) & (b < c2)),
         df.filter(b >= c2),
+    )
+
+
+def split_label(
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    salt: str = "split",
+    hash_fn: str = "xxhash64",
+) -> F.Column:
+    """The same 3-way membership as ``split_train_val_test``, as a LABEL
+    column ('train'/'val'/'test') — for pipelines that carry the split as
+    an attribute instead of three frames. Identical cutoffs, so the two
+    forms never disagree."""
+    b = _bucket(id_col, salt, hash_fn)
+    c1, c2 = _split_cutoffs(weights)
+    return (
+        F.when(b < c1, F.lit("train"))
+        .when(b < c2, F.lit("val"))
+        .otherwise(F.lit("test"))
     )
 
 

@@ -1,0 +1,50 @@
+"""The composed training-data curation pipeline — the end-to-end plan a
+corpus runs before tokenization: scrub → length-guard → exact-dedupe →
+split assignment, each stage an operator this engine already oracle-gates
+individually, composed here into ONE lazy DataFrame so Catalyst plans the
+whole pipeline together (the scrub projection fuses into the scan, the
+guard pushes under the dedup window's exchange, and nothing materializes
+between stages).
+
+This is the composition story the reference's per-job Glue scripts lack
+(each stage there is a separate job landing to S3 — reference:
+glue/reddit_glue.py end-to-end writes between every stage); at 100 TB the
+difference is N full materializations versus one pipelined pass plus the
+one fingerprint-keyed dedup exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import dedup as dedup_ops, sampling, text as text_ops
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    split_weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, split, n_tokens) for every SURVIVING document:
+
+    1. ``clean_for_training`` — markup/control/PII scrub (one projection);
+    2. length guard on the CLEANED text (scrubbing can empty a doc);
+    3. ``exact_dedupe`` on the cleaned text (min-id keeps, documents never
+       ride the fingerprint exchange);
+    4. deterministic split label (hash membership — reproducible on any
+       partitioning, any engine via hash_fn='md5').
+
+    Order matters and is the curation-standard one: dedup AFTER cleaning
+    (two docs differing only in boilerplate are duplicates), split LAST
+    (so losers don't consume split capacity)."""
+    cleaned = text_ops.clean_for_training(docs.select(id_col, text_col), col=text_col)
+    guarded = cleaned.filter(text_ops.token_count(text_col) >= min_words)
+    deduped = dedup_ops.exact_dedupe(guarded, id_col=id_col, text_col=text_col)
+    return deduped.select(
+        F.col(id_col),
+        sampling.split_label(id_col, split_weights, hash_fn=hash_fn).alias("split"),
+        text_ops.token_count(text_col).cast("long").alias("n_tokens"),
+    )

@@ -781,3 +781,35 @@ def test_bpe_tokenize_unicode_whitespace_matches_training_semantics(spark):
     df = spark.createDataFrame([(1, "a\xa0b")], ["doc_id", "text"])
     row = bpe.bpe_tokenize(df, merges=[]).collect()[0]
     assert row.bpe_tokens == ["a", "\xa0", "b", "</w>"]
+
+
+def test_curate_corpus_composes_stages(spark):
+    from reddit_twitter_big_data_pipeline_spark.plans import training
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),     # survives
+            (2, "the  QUICK brown fox jumps over the lazy dog today "),   # dup of 1 after clean+norm
+            (3, "<p>the quick brown fox jumps over the lazy dog today</p>"),  # markup dup of 1
+            (4, "too short"),                                             # length guard
+            (5, "an entirely different document with many more carefully chosen words"),  # survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in training.curate_corpus(docs).collect()}
+    assert set(out) == {1, 5}
+    assert out[1].n_tokens == 10
+    assert all(r.split in ("train", "val", "test") for r in out.values())
+    # split label agrees with the three-frame operator
+    from reddit_twitter_big_data_pipeline_spark.operators import sampling as smp
+
+    tr, va, te = smp.split_train_val_test(docs)
+    labels = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", smp.split_label("doc_id").alias("s")
+        ).collect()
+    }
+    for frame, lab in ((tr, "train"), (va, "val"), (te, "test")):
+        for r in frame.collect():
+            assert labels[r.doc_id] == lab
