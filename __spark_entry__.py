@@ -1695,6 +1695,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_curation"] = train_curation
 
+    def x_triangle_count(spark, sf):
+        # Triangle count of the supplier co-supply graph (suppliers
+        # sharing an order). Degree-oriented wedge join caps per-key
+        # fan-out at ~√(2m) — the plan that survives hub skew
+        # (operators/model.py:triangle_count); the oracle is the plain
+        # a<b<c three-way join.
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        pairs = (
+            li.alias("x")
+            .join(li.alias("y"), "l_orderkey")
+            .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+            .select(
+                F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+            )
+            .distinct()
+        )
+        return model.triangle_count(pairs)
+
+    q["x_triangle_count"] = x_triangle_count
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2945,6 +2965,18 @@ def oracle_sql() -> dict[str, str]:
     """.replace("__C1__", str(int(0.98 * 1_000_000))).replace(
         "__C2__", str(int(0.99 * 1_000_000))
     )
+
+    o["x_triangle_count"] = """
+        WITH e AS (
+          SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+          FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+          WHERE x.l_suppkey < y.l_suppkey
+        )
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """
 
     o["x_funnel"] = """
         WITH ev AS (SELECT user_id AS u, ts, event_type AS et FROM events),

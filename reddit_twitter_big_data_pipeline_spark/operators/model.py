@@ -440,6 +440,63 @@ def pagerank(
     return out
 
 
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count of an undirected graph, as three relational
+    joins (the social-graph clustering signal — reference's graph store
+    could answer this only with a Cypher full traversal). Returns one row
+    (n_triangles long).
+
+    Scale shape — DEGREE ORIENTATION, the standard trick that makes the
+    join plan survive skew (Suri & Vassilvitskii 2011 "Counting Triangles
+    and the Curse of the Last Reducer"): orient every edge from its
+    lower-(degree, id) endpoint to the higher one. Every node's
+    out-degree is then bounded by ~√(2m), so the wedge join's per-key
+    fan-out (the quadratic term) is capped even when a celebrity node has
+    millions of neighbors — the naive a<b orientation puts all of a hub's
+    wedges on one key. Payloads are id pairs throughout; each triangle is
+    counted exactly once (its unique cyclic orientation under a total
+    order is acyclic with exactly one source)."""
+    # canonical undirected edge set: no self-loops, no duplicates
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): u→v iff (d_u, u) < (d_v, v)
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    wedges = o.alias("x").join(
+        o.alias("y"), F.col("x.t") == F.col("y.s")
+    ).select(F.col("x.s").alias("p"), F.col("x.t").alias("q"), F.col("y.t").alias("r"))
+    closed = wedges.join(
+        o.select(F.col("s").alias("p"), F.col("t").alias("r")), ["p", "r"]
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,

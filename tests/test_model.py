@@ -402,3 +402,17 @@ def test_gumbel_topk_sample_weighted_and_deterministic(spark):
         for r in sampling.gumbel_topk_sample(df, "w", 40, salt="other").collect()
     )
     assert c != a
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has 4 triangles; adding a pendant edge changes nothing
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(k4 + [(3, 9)], ["a", "b"])
+    assert model.triangle_count(df).first().n_triangles == 4
+    # duplicate edges, reversed edges, and self-loops must not inflate
+    noisy = k4 + [(j, i) for i, j in k4] + [(0, 0), (1, 2), (2, 1)]
+    df2 = spark.createDataFrame(noisy, ["a", "b"])
+    assert model.triangle_count(df2).first().n_triangles == 4
+    # a triangle-free graph (star) counts zero
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
+    assert model.triangle_count(star).first().n_triangles == 0
