@@ -183,6 +183,24 @@ def stream_stream_join(
     return joined.drop(*[r_wm[k] for k in keys])
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a BATCH dimension table
+    (the streaming form of A3's FK join — each micro-batch joins the
+    current dim snapshot; no state store involved, because the static side
+    is re-read per batch). The planner broadcasts the dim when small —
+    at scale this is the stream-side analogue of the social pipelines'
+    dim enrichment. `how` is 'left' (keep unmatched stream rows) or
+    'inner' (drop them); stream-side rows never buffer."""
+    if how not in ("left", "inner"):
+        raise ValueError("stream-static join supports how='left'|'inner' only")
+    return stream.join(dim, keys, how)
+
+
 # ---------------------------------------------------------------- W4 / W5
 
 def write_stream(

@@ -434,3 +434,28 @@ def test_rollup_stream_fresh_checkpoint_reprocesses(spark, tmp_path):
         streams.rollup_stream(src(), tgt, str(tmp_path / "ckpt2"), ["day"], ["n"], ["day"])
     )
     assert {str(r.day): r.n for r in spark.read.parquet(tgt).collect()} == {"2023-03-25": 2}
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Each micro-batch joins the static dim; unmatched rows survive a left
+    join with nulls, and an inner join drops them."""
+    land, out, ckpt = tmp_path / "land", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_batch(land, "b1.json", _rows([(1, "2023-03-25 12:00:00"), (2, "2023-03-25 12:01:00")]))
+    dim = spark.createDataFrame([(1, "gold")], ["id", "tier"])
+    src = streams.stream_static_enrich(
+        _with_ts(streams.read_json_stream(spark, str(land), SCHEMA)), dim, ["id"]
+    )
+    streams.run_to_completion(streams.write_stream(src, out, ckpt))
+    got = {r.id: r.tier for r in spark.read.parquet(out).collect()}
+    assert got == {1: "gold", 2: None}
+    inner = streams.stream_static_enrich(
+        _with_ts(streams.read_json_stream(spark, str(land), SCHEMA)), dim, ["id"], how="inner"
+    )
+    streams.run_to_completion(
+        streams.write_stream(inner, str(tmp_path / "out2"), str(tmp_path / "ckpt2"))
+    )
+    assert [r.id for r in spark.read.parquet(str(tmp_path / "out2")).collect()] == [1]
+    import pytest
+
+    with pytest.raises(ValueError, match="left"):
+        streams.stream_static_enrich(src, dim, ["id"], how="full")
