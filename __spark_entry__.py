@@ -1715,6 +1715,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_triangle_count"] = x_triangle_count
 
+    def x_winsorize(spark, sf):
+        # Exact-percentile winsorization of order totals: one 1-row
+        # quantile aggregate broadcast over the frame, one clip projection
+        # (operators/cleanse.py:winsorize).
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        return cleanse.winsorize(orders, "o_totalprice", out_col="clipped").select(
+            "o_orderkey", "clipped"
+        )
+
+    q["x_winsorize"] = x_winsorize
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2965,6 +2976,16 @@ def oracle_sql() -> dict[str, str]:
     """.replace("__C1__", str(int(0.98 * 1_000_000))).replace(
         "__C2__", str(int(0.99 * 1_000_000))
     )
+
+    o["x_winsorize"] = """
+        WITH q AS (
+          SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+                 quantile_cont(o_totalprice, 0.99) AS hi
+          FROM orders
+        )
+        SELECT o_orderkey, least(greatest(o_totalprice, lo), hi) AS clipped
+        FROM orders, q
+    """
 
     o["x_triangle_count"] = """
         WITH e AS (

@@ -176,3 +176,32 @@ def days_ago(n: int) -> Column:
 
 def trunc_minute(col: str) -> Column:
     return F.date_trunc("minute", F.col(col))
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip a numeric column to its [lower, upper] exact percentiles —
+    outlier winsorization before aggregation or feature scaling. The
+    quantile pair is a 1-row aggregate broadcast back over the frame
+    (one pass to measure, one projection to clip — never a sort of the
+    full column); `percentile` is the exact interpolated percentile, so
+    an external SQL engine's quantile_cont reproduces it."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    q = df.agg(
+        F.percentile(F.col(col), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(col), F.lit(upper)).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .withColumn(
+            out_col or col,
+            F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

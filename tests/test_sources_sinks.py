@@ -324,3 +324,38 @@ def test_orc_roundtrip_preserves_types(spark, tmp_path):
     ]
     assert back.count() == 50
     assert back.filter(F.col("id") == 7).first().v == 10.5
+
+
+def test_corpus_observation_one_pass_metrics(spark):
+    from reddit_twitter_big_data_pipeline_spark import observability as obs_mod
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None), (3, ""), (None, "xyz")],
+        "doc_id long, text string",
+    )
+    observed, obs = obs_mod.corpus_observation(df)
+    observed.write.format("noop").mode("overwrite").save()  # the one action
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["n_null_text"] == 1
+    assert m["n_empty_text"] == 1
+    assert m["n_null_id"] == 1
+    # health gate: 25% nulls trips the default 1% budget
+    import pytest
+
+    with pytest.raises(ValueError, match="null-text fraction"):
+        obs_mod.assert_corpus_health(m)
+    obs_mod.assert_corpus_health(m, max_null_frac=0.5, min_avg_len=0.1)
+
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import cleanse
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(101)], ["k", "v"])
+    out = {r.k: r.v for r in cleanse.winsorize(df, "v").collect()}
+    assert out[0] == 1.0 and out[100] == 99.0    # clipped to p1/p99
+    assert out[50] == 50.0                        # interior untouched
+    import pytest
+
+    with pytest.raises(ValueError, match="lower"):
+        cleanse.winsorize(df, "v", lower=0.9, upper=0.1)
