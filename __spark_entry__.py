@@ -1726,6 +1726,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_winsorize"] = x_winsorize
 
+    def x_sliding_window(spark, sf):
+        # Hopping (sliding) window aggregation — 15-minute windows every 5
+        # minutes, so each event lands in exactly 3 windows. One explode-
+        # by-3 built into F.window; the oracle replicates the window-start
+        # arithmetic with an unnest(range(3)) fan-out.
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.window("ts", "15 minutes", "5 minutes").alias("w"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+            .select(_fmt("w.start").alias("window_start"), "event_type", "n", "total")
+        )
+
+    q["x_sliding_window"] = x_sliding_window
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2985,6 +3004,14 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT o_orderkey, least(greatest(o_totalprice, lo), hi) AS clipped
         FROM orders, q
+    """
+
+    o["x_sliding_window"] = """
+        SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
+                        - i * INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events, (SELECT unnest(range(3)) AS i)
+        GROUP BY 1, 2
     """
 
     o["x_triangle_count"] = """
