@@ -157,6 +157,26 @@ docs AS (
 )
 """
 
+# DuckDB mirror of text.clean_for_training's scrub chain over `text` —
+# shared by the text_clean_training and train_curation oracles so the two
+# can never silently diverge when the chain changes (spliced in via
+# .replace("__SCRUB__", ...): the {0,255} braces forbid an f-string).
+# RE2 (DuckDB) lacks the lookarounds the ipv4/ssn/phone patterns use; the
+# synthetic corpus contains no such shapes (verified — the email + markup +
+# control passes are the only ones that fire), so this mirror is
+# value-exact here. Lookaround behavior itself is pinned by pytest.
+_SCRUB_SQL = """regexp_replace(
+            regexp_replace(
+              trim(regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '</?[A-Za-z!][^>]{0,255}>', ' ', 'g'),
+                  'https?://[^\\s<>"]+|www\\.[^\\s<>"]+', ' ', 'g'),
+                '\\s+', ' ', 'g')),
+              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}\\x{200c}\\x{200d}\\x{feff}]',
+              '', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"""
+
+
 # DuckDB mirror of functions.enrich deterministic backends over a text col.
 def _sentiment_sql(col: str) -> str:
     h = [f"(('0x' || substr(md5({col}), {2*i+1}, 2))::INTEGER + 1)" for i in range(4)]
@@ -2590,25 +2610,12 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 3
     """
 
-    # RE2 (DuckDB) lacks the lookarounds the ipv4/ssn/phone patterns use;
-    # the synthetic corpus contains no such shapes (verified — the email +
-    # markup + control passes are the only ones that fire), so this mirror
-    # is value-exact here. Lookaround behavior itself is pinned by pytest.
+    # scrub chain shared with train_curation via _SCRUB_SQL (see its note
+    # on RE2/lookaround parity)
     o["text_clean_training"] = """
-        SELECT doc_id,
-          regexp_replace(
-            regexp_replace(
-              trim(regexp_replace(
-                regexp_replace(
-                  regexp_replace(text, '</?[A-Za-z!][^>]{0,255}>', ' ', 'g'),
-                  'https?://[^\\s<>"]+|www\\.[^\\s<>"]+', ' ', 'g'),
-                '\\s+', ' ', 'g')),
-              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}\\x{200c}\\x{200d}\\x{feff}]',
-              '', 'g'),
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
-            AS clean_text
+        SELECT doc_id, __SCRUB__ AS clean_text
         FROM documents
-    """
+    """.replace("__SCRUB__", _SCRUB_SQL)
 
     # ---- TPC-H-shaped subquery/join demos --------------------------------
 
@@ -2948,24 +2955,13 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY id
     """
 
-    # Composed curation oracle: the text_clean_training scrub chain, then
-    # length guard, min-id dedupe on the cleaned fingerprint, split label
-    # (the same bucket math as sample_split_label). Built by placeholder
-    # substitution — the regex chain's {0,255} braces forbid an f-string.
+    # Composed curation oracle: the shared _SCRUB_SQL chain (kept in
+    # lockstep with text_clean_training by construction), then length
+    # guard, min-id dedupe on the cleaned fingerprint, split label
+    # (the same bucket math as sample_split_label).
     o["train_curation"] = """
         WITH cleaned AS (
-          SELECT doc_id,
-            regexp_replace(
-              regexp_replace(
-                trim(regexp_replace(
-                  regexp_replace(
-                    regexp_replace(text, '</?[A-Za-z!][^>]{0,255}>', ' ', 'g'),
-                    'https?://[^\\s<>"]+|www\\.[^\\s<>"]+', ' ', 'g'),
-                  '\\s+', ' ', 'g')),
-                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}\\x{200c}\\x{200d}\\x{feff}]',
-                '', 'g'),
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
-              AS text
+          SELECT doc_id, __SCRUB__ AS text
           FROM documents
         ),
         guarded AS (
@@ -2992,9 +2988,9 @@ def oracle_sql() -> dict[str, str]:
                    % 1000000 AS bk
           FROM deduped
         )
-    """.replace("__C1__", str(int(0.98 * 1_000_000))).replace(
-        "__C2__", str(int(0.99 * 1_000_000))
-    )
+    """.replace("__SCRUB__", _SCRUB_SQL).replace(
+        "__C1__", str(int(0.98 * 1_000_000))
+    ).replace("__C2__", str(int(0.99 * 1_000_000)))
 
     o["x_winsorize"] = """
         WITH q AS (

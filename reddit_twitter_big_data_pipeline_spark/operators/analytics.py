@@ -116,7 +116,11 @@ def cohort_retention(
         j = j.filter(F.col("day_offset") <= max_offset)
     return (
         j.groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("user").cast("long").alias("n_users"))
+        # plain count, not countDistinct: `ev` is distinct on (user, day)
+        # and day = cohort_day + day_offset is fixed within a group, so a
+        # user appears at most once per cell — count avoids the two-phase
+        # distinct expand/exchange
+        .agg(F.count("user").cast("long").alias("n_users"))
         .select(
             F.col("cohort_day").cast("string").alias("cohort_day"),
             F.col("day_offset").cast("int").alias("day_offset"),

@@ -190,7 +190,9 @@ def winsorize(
     quantile pair is a 1-row aggregate broadcast back over the frame
     (one pass to measure, one projection to clip — never a sort of the
     full column); `percentile` is the exact interpolated percentile, so
-    an external SQL engine's quantile_cont reproduces it."""
+    an external SQL engine's quantile_cont reproduces it. NULLs pass
+    through unchanged — greatest/least skip nulls, which would silently
+    impute missing measurements to the lower bound without the guard."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError("need 0 <= lower < upper <= 1")
     q = df.agg(
@@ -201,7 +203,10 @@ def winsorize(
         df.crossJoin(F.broadcast(q))
         .withColumn(
             out_col or col,
-            F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+            F.when(
+                F.col(col).isNotNull(),
+                F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")),
+            ),
         )
         .drop("__lo", "__hi")
     )

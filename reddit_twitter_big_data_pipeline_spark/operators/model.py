@@ -455,7 +455,15 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     millions of neighbors — the naive a<b orientation puts all of a hub's
     wedges on one key. Payloads are id pairs throughout; each triangle is
     counted exactly once (its unique cyclic orientation under a total
-    order is acyclic with exactly one source)."""
+    order is acyclic with exactly one source).
+
+    The canonical edge set and the oriented frame are each read by
+    multiple join branches (deg's union reads `e` twice; the wedge join
+    reads `o` on both sides and the closure probe reads it a third time)
+    whose output partitionings differ, so ReuseExchange cannot dedupe
+    them — cache + count both (the file's pattern, see `pagerank`),
+    compute the scalar eagerly, and release the caches before returning.
+    """
     # canonical undirected edge set: no self-loops, no duplicates
     e = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -464,6 +472,7 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        .cache()
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -487,14 +496,19 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t")
+        .cache()
     )
+    o.count()
     wedges = o.alias("x").join(
         o.alias("y"), F.col("x.t") == F.col("y.s")
     ).select(F.col("x.s").alias("p"), F.col("x.t").alias("q"), F.col("y.t").alias("r"))
     closed = wedges.join(
         o.select(F.col("s").alias("p"), F.col("t").alias("r")), ["p", "r"]
     )
-    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).collect()[0][0]
+    e.unpersist()
+    o.unpersist()
+    return edges.sparkSession.range(1).select(F.lit(n_tri).cast("long").alias("n_triangles"))
 
 
 def scd2_apply(

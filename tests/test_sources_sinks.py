@@ -351,10 +351,12 @@ def test_corpus_observation_one_pass_metrics(spark):
 def test_winsorize_clips_to_exact_percentiles(spark):
     from reddit_twitter_big_data_pipeline_spark.operators import cleanse
 
-    df = spark.createDataFrame([(i, float(i)) for i in range(101)], ["k", "v"])
+    rows = [(i, float(i)) for i in range(101)] + [(999, None)]
+    df = spark.createDataFrame(rows, "k int, v double")
     out = {r.k: r.v for r in cleanse.winsorize(df, "v").collect()}
     assert out[0] == 1.0 and out[100] == 99.0    # clipped to p1/p99
     assert out[50] == 50.0                        # interior untouched
+    assert out[999] is None                       # NULL passes through, never imputed to p1
     import pytest
 
     with pytest.raises(ValueError, match="lower"):
