@@ -1765,6 +1765,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_sliding_window"] = x_sliding_window
 
+    def text_bm25(spark, sf):
+        # Okapi BM25 top-10 retrieval for three fixed queries — the
+        # inverted-index plan without an index: broadcast query vocabulary
+        # prunes the posting stream before any wide shuffle
+        # (operators/text.py:bm25_topk).
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        qdf = spark.createDataFrame(
+            [(0, "hash join spark"), (1, "stream window batch"), (2, "customer order line")],
+            "query_id int, query_text string",
+        )
+        return text_ops.bm25_topk(docs, qdf, k=10)
+
+    q["text_bm25_topk"] = text_bm25
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3008,6 +3022,57 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n, round(sum(value), 2) AS total
         FROM events, (SELECT unnest(range(3)) AS i)
         GROUP BY 1, 2
+    """
+
+    # BM25: same normalize/split tokenizer as tf_idf's oracle; float
+    # literals cast to DOUBLE so DuckDB's decimal arithmetic can't diverge
+    # from Spark's double math above the 6-decimal rounding.
+    o["text_bm25_topk"] = """
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+          FROM documents
+        ),
+        dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+        stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+        qs AS (
+          SELECT * FROM (VALUES
+            (0, 'hash join spark'),
+            (1, 'stream window batch'),
+            (2, 'customer order line')) AS t(qid, query_text)
+        ),
+        qt AS (
+          SELECT DISTINCT qid, term FROM (
+            SELECT qid,
+                   unnest(string_split(regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'), ' ')) AS term
+            FROM qs
+          ) WHERE term <> ''
+        ),
+        tf AS (
+          SELECT id, term, count(*) AS tf FROM toks
+          WHERE term IN (SELECT DISTINCT term FROM qt)
+          GROUP BY id, term
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT qt.qid, tf.id,
+                 round(sum(
+                   ln(1 + (n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+                   tf * 2.2::DOUBLE /
+                   (tf + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                 ), 6) AS score
+          FROM tf
+          JOIN qt USING (term)
+          JOIN dfq USING (term)
+          JOIN dl USING (id)
+          CROSS JOIN stats
+          GROUP BY qt.qid, tf.id
+        )
+        SELECT qid, id AS doc_id, score FROM (
+          SELECT scored.*,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 10
     """
 
     o["x_triangle_count"] = """

@@ -709,6 +709,89 @@ def pack_sequences(
     return ranged.mapInPandas(pack, f"pack_id string, doc_id {id_type}, n_tokens int")
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+    q_id_col: str = "query_id",
+    q_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: score every document against every query
+    and keep each query's `k` best. The lexical-retrieval workhorse (the
+    reference's corpus could only grep; BM25 is what a training-data
+    pipeline uses to mine topical subsets or build retrieval eval sets).
+    Returns (qid, doc_id, score) with score = Σ_terms idf·tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)), idf = ln(1 + (N − df + 0.5)/(df + 0.5))
+    — the always-positive Robertson/Lucene form. Query term frequency is
+    not weighted (distinct query terms), the common simplification.
+
+    Scale shape — the inverted-index plan without materializing an index:
+    - the token stream is scanned ONCE into two branches: a map-side-
+      combinable per-doc length count (id-keyed), and a posting stream
+      PRUNED to the query vocabulary by a broadcast semi-join BEFORE any
+      wide exchange — at 100 TB the corpus's term tail never shuffles,
+      only postings of the few hundred query terms do;
+    - df comes from the pruned per-(id, term) frame (one count per term,
+      broadcast back — bounded by the query vocabulary);
+    - avgdl/N are a 1-row broadcast aggregate;
+    - the final top-k window is keyed on the query id (|Q| keys, each with
+      only docs that share ≥1 term with the query).
+    Scores are rounded to 6 decimals BEFORE ranking so the ordering is
+    reproducible across engines (sum-order float noise lives below that);
+    ties break by doc id.
+    """
+    q_terms = (
+        queries.select(
+            F.col(q_id_col).alias("qid"),
+            F.explode(F.split(normalize_text(q_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(col), " ")).alias("term"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tf = (
+        toks.join(F.broadcast(q_terms.select("term").distinct()), "term")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # tf has one row per (id, term), so df per term is a plain count —
+    # bounded by the query vocabulary, broadcast back onto the postings
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum(idf * norm), 6).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", F.col("id").alias("doc_id"), "score")
+    )
+
+
 from .._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)

@@ -813,3 +813,54 @@ def test_curate_corpus_composes_stages(spark):
     for frame, lab in ((tr, "train"), (va, "val"), (te, "test")):
         for r in frame.collect():
             assert labels[r.doc_id] == lab
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    import math
+
+    corpus = [
+        (1, "spark streaming join"),
+        (2, "spark spark sql join"),
+        (3, "flink streaming window"),
+        (4, "batch window join spark"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    qdf = spark.createDataFrame([(0, "spark join")], "query_id int, query_text string")
+    got = {r.doc_id: r.score for r in text_ops.bm25_topk(docs, qdf, k=10).collect()}
+
+    # reference BM25 computed by hand (k1=1.2, b=0.75)
+    toks = {i: t.split() for i, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    def score(doc, terms):
+        dl = len(toks[doc])
+        s = 0.0
+        for term in terms:
+            df_ = sum(1 for v in toks.values() if term in v)
+            tf = toks[doc].count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        return round(s, 6)
+
+    expected = {d: score(d, ["spark", "join"]) for d in toks if score(d, ["spark", "join"]) > 0}
+    assert set(got) == set(expected)
+    for d, s in expected.items():
+        assert abs(got[d] - s) < 1e-6, (d, got[d], s)
+
+
+def test_bm25_topk_k_cutoff_and_missing_terms(spark):
+    docs = spark.createDataFrame(
+        [(i, "common filler text") for i in range(5)], ["doc_id", "text"]
+    )
+    qdf = spark.createDataFrame(
+        [(0, "common"), (1, "absentterm")], "query_id int, query_text string"
+    )
+    out = text_ops.bm25_topk(docs, qdf, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q[0]) == 3                      # k cutoff
+    assert [r.doc_id for r in sorted(by_q[0], key=lambda r: r.doc_id)] == [0, 1, 2]  # id tie-break
+    assert 1 not in by_q                          # all-absent query returns nothing
