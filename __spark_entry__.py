@@ -1779,6 +1779,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bm25_topk"] = text_bm25
 
+    def x_label_prop(spark, sf):
+        # Synchronous label-propagation communities over the supplier
+        # co-fulfillment graph (suppliers sharing an order). Iterative —
+        # no SQL oracle; pinned against a pure-Python synchronous
+        # reference in tests/test_model.py.
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        pairs = (
+            li.alias("x")
+            .join(li.alias("y"), "l_orderkey")
+            .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+            .select(
+                F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+            )
+            .distinct()
+        )
+        return model.label_propagation(pairs, n_iter=5)
+
+    q["x_label_prop"] = x_label_prop
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS

@@ -440,6 +440,69 @@ def pagerank(
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007): every node starts in its own community (label = own id) and
+    each round adopts the most frequent label among its neighbors, ties
+    broken by the smallest label — a fixed iteration count and the
+    deterministic tie-break make the result reproducible (classic async
+    LPA is order-dependent; the synchronous min-tie variant is not).
+    Complements `pagerank` (influence) and `connected_components`
+    (reachability): communities are the modularity-style clusters a social
+    graph (K3-K5) is segmented by. Node ids must be orderable numerics
+    (the min-tie-break and the struct argmax below rely on it).
+
+    Scale shape (the `pagerank` discipline): the symmetrized adjacency is
+    built once, cached, and reused every round; per-round work is one
+    label join keyed on the neighbor id and two map-side-combinable
+    aggregations keyed on the node id, payloads of (id, id) only; rounds
+    are cached + counted, lineage truncates every 4th round (reliable
+    checkpoint when `checkpoint_dir` is set). Hub skew is bounded: the
+    per-(node, label) pre-count collapses a celebrity node's fan-in to at
+    most its distinct neighbor-label count before the argmax. Returns
+    (node, label).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().cache()
+    labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).cache()
+    labels.count()
+    caches = [adj, labels]
+    for it in range(n_iter):
+        nbr = adj.join(labels, adj["v"] == labels["node"]).select(
+            adj["u"].alias("node"), "label"
+        )
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        nxt = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
+            .cache()
+        )
+        caches.append(nxt)
+        if (it + 1) % 4 == 0:
+            nxt = _truncate(nxt, checkpoint_dir)
+        nxt.count()
+        labels = nxt
+    out = _truncate(labels, checkpoint_dir)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Exact triangle count of an undirected graph, as three relational
     joins (the social-graph clustering signal — reference's graph store

@@ -416,3 +416,41 @@ def test_triangle_count_known_graphs(spark):
     # a triangle-free graph (star) counts zero
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
     assert model.triangle_count(star).first().n_triangles == 0
+
+
+def test_label_propagation_matches_synchronous_reference(spark):
+    # two triangles bridged by one edge — LPA should find two communities
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.label for r in model.label_propagation(df, n_iter=5).collect()}
+
+    # independent reference: synchronous update, most-frequent neighbor
+    # label, ties -> smallest label
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {u: u for u in adj}
+    for _ in range(5):
+        nxt = {}
+        for u, nbrs in adj.items():
+            freq = {}
+            for v in nbrs:
+                freq[labels[v]] = freq.get(labels[v], 0) + 1
+            best = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[u] = best
+        labels = nxt
+    assert got == labels
+    # the two triangles ended in different communities
+    assert len({got[1], got[2], got[3]} | {got[4], got[5], got[6]}) >= 2
+    assert got[1] == got[2] == got[3]
+
+
+def test_label_propagation_checkpoint_dir_identical(spark, tmp_path):
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(model.label_propagation(df, n_iter=4).collect())
+    b = sorted(
+        model.label_propagation(df, n_iter=4, checkpoint_dir=str(tmp_path / "ck")).collect()
+    )
+    assert a == b
