@@ -65,6 +65,7 @@ HEADLINE = [
     "sim_self_knn",
     "text_quality_classifier",
     "x_scd2_apply",
+    "text_bm25_topk",
 ]
 
 
