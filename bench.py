@@ -66,6 +66,7 @@ HEADLINE = [
     "text_quality_classifier",
     "x_scd2_apply",
     "text_bm25_topk",
+    "sim_quantized_topk",
 ]
 
 

@@ -332,6 +332,48 @@ def test_ivf_matches_bruteforce_with_full_probing(spark):
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
 
 
+def test_quantize_embeddings_roundtrip_error_bounded(spark, sf_dir):
+    """Int8 reconstruction must stay within the scalar-quantization error
+    budget: cos(original, dequantized) ≥ 0.9999 for every vector, and the
+    stored form is genuinely tinyint (the 8× scan-shrink claim rests on it)."""
+    import numpy as np
+    from reddit_twitter_big_data_pipeline_spark import schemas
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings").limit(100)
+    q = similarity.quantize_embeddings(emb)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    joined = {r.vec_id: (r.qvec, r.qscale) for r in q.collect()}
+    for r in emb.collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        qv, sc = joined[r.vec_id]
+        rec = np.asarray(qv, dtype=np.float64) * sc
+        assert np.abs(qv).max() <= 127
+        cos = float(v @ rec / (np.linalg.norm(v) * np.linalg.norm(rec)))
+        assert cos >= 0.9999
+
+
+def test_quantized_topk_matches_bruteforce(spark, sf_dir):
+    """The prune-then-exact-rescore path must reproduce the exact result on
+    the driver-generated embeddings (default rerank ≫ quantization error)."""
+    from reddit_twitter_big_data_pipeline_spark import schemas
+
+    emb = schemas.load_table(spark, sf_dir, "embeddings")
+    probes = emb.orderBy("vec_id").limit(5)
+    bf = sorted(map(tuple, similarity.brute_force_topk(probes, emb, k=10).collect()))
+    qt = sorted(map(tuple, similarity.quantized_topk(probes, emb, k=10).collect()))
+    assert bf == qt
+
+
+def test_quantized_topk_exact_copy_ranks_first_even_tiny_rerank(spark):
+    emb = _emb(spark)
+    out = similarity.quantized_topk(
+        emb.filter(F.col("vec_id") == 1), emb, k=2, rerank=2
+    )
+    got = [(r.neighbor_id, r.sim) for r in out.orderBy(F.desc("sim"), "neighbor_id").collect()]
+    assert got[0] == (4, 1.0)  # the identical vector survives any prune
+
+
 def test_embedding_near_dup_multiprobe_superset(spark):
     base = similarity.embedding_near_dup_pairs(_emb(spark), threshold=0.99, dim=4)
     probed = similarity.embedding_near_dup_pairs(
