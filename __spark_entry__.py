@@ -1810,6 +1810,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_quantized_topk"] = sim_quantized_topk
 
+    def x_rolling_zscore(spark, sf):
+        # Rolling z-score anomaly flags per event type: standardize each
+        # value against its 20 preceding events (operators/analytics.py).
+        ev = _t(spark, sf, "events")
+        return analytics.rolling_zscore(
+            ev, "value", ts_col="ts", id_col="event_id", keys=["event_type"]
+        ).select("event_type", "event_id", "zscore", "is_anomaly")
+
+    q["x_rolling_zscore"] = x_rolling_zscore
+
+    def x_column_profile(spark, sf):
+        # One-pass per-column profile (nulls / exact distinct / min / max)
+        # over the events table (observability.column_profile); string and
+        # integer columns only — float/timestamp string casts are
+        # engine-specific renderings the cross-engine gate can't compare.
+        from reddit_twitter_big_data_pipeline_spark import observability
+
+        ev = _t(spark, sf, "events")
+        return observability.column_profile(ev, ["event_id", "user_id", "event_type"])
+
+    q["x_column_profile"] = x_column_profile
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3319,6 +3341,41 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
           FROM scored
         ) WHERE rn <= 5
+    """
+
+    o["x_rolling_zscore"] = """
+        WITH w AS (
+          SELECT event_type, event_id, value,
+                 avg(value) OVER fr AS m,
+                 stddev_samp(value) OVER fr AS s
+          FROM events
+          WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, event_id,
+               round((value - m) / (CASE WHEN s > 0 THEN s END), 6) AS zscore,
+               COALESCE(abs((value - m) / (CASE WHEN s > 0 THEN s END)) >= 3.0,
+                        FALSE) AS is_anomaly
+        FROM w
+    """
+
+    o["x_column_profile"] = """
+        SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+               (count(*) - count(event_id))::BIGINT AS n_null,
+               count(DISTINCT event_id)::BIGINT AS n_distinct,
+               min(event_id)::VARCHAR AS min_value,
+               max(event_id)::VARCHAR AS max_value
+        FROM events
+        UNION ALL
+        SELECT 'user_id', count(*)::BIGINT, (count(*) - count(user_id))::BIGINT,
+               count(DISTINCT user_id)::BIGINT,
+               min(user_id)::VARCHAR, max(user_id)::VARCHAR
+        FROM events
+        UNION ALL
+        SELECT 'event_type', count(*)::BIGINT, (count(*) - count(event_type))::BIGINT,
+               count(DISTINCT event_type)::BIGINT,
+               min(event_type)::VARCHAR, max(event_type)::VARCHAR
+        FROM events
     """
 
     return o

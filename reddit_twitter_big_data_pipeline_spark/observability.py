@@ -50,3 +50,38 @@ def assert_corpus_health(
         )
     if (metrics["avg_len"] or 0.0) < min_avg_len:
         raise ValueError(f"avg text length {metrics['avg_len']} under {min_avg_len}")
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None, exact_distinct: bool = True) -> DataFrame:
+    """One-pass per-column data profile — (col_name, n_rows, n_null,
+    n_distinct, min_value, max_value), min/max as strings so mixed types
+    stack into one frame. The Deequ/Glue-crawler-style profiling pass the
+    reference got from its daily schema crawler (reference:
+    terraform/main.tf:312) — here it is ONE aggregation over the table
+    (every column's counters compute in the same partial-agg pass; no
+    per-column scans) followed by a driver-side pivot of a single row.
+
+    `exact_distinct=False` swaps count(distinct) for approx_count_distinct
+    (HLL) — at 100 TB the exact form's per-column distinct expand is the
+    cost, and profile jobs rarely need it; the exact default exists for
+    oracle comparability and small dims."""
+    cols = cols or [f.name for f in df.schema.fields]
+    distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct_fn(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()  # one row — bounded by contract
+    spark = df.sparkSession
+    out = [
+        (c, int(row["__n"]), int(row[f"{c}__nulls"]), int(row[f"{c}__distinct"]),
+         row[f"{c}__min"], row[f"{c}__max"])
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out, "col_name string, n_rows long, n_null long, n_distinct long, min_value string, max_value string"
+    )

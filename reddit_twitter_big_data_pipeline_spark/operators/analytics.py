@@ -14,6 +14,7 @@ funnel depth (one per stage) or retention horizon.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def funnel_stage_times(
@@ -126,4 +127,42 @@ def cohort_retention(
             F.col("day_offset").cast("int").alias("day_offset"),
             "n_users",
         )
+    )
+
+
+def rolling_zscore(
+    df,
+    value_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    keys: list[str] | None = None,
+    n_prev: int = 20,
+    threshold: float = 3.0,
+):
+    """Rolling z-score anomaly flags: each row's value is standardized
+    against the mean/stddev of its `n_prev` PRECEDING rows (per key, in
+    (ts, id) order — the current row is excluded so a spike cannot mask
+    itself). Output adds `zscore` (null while the trailing window has < 2
+    points or zero variance) and `is_anomaly` (|z| ≥ threshold).
+
+    The streaming-metrics shape of W2's windows: one window function over a
+    bounded ROWS frame — a single key-partitioned exchange, O(n_prev) state
+    per row inside the frame, no self-join. At 100 TB the frame bound is
+    what matters: a RANGE/unbounded frame would drag each partition's whole
+    history through every row, while ROWS BETWEEN n PRECEDING keeps the
+    running buffer constant. Skewed keys (one hot metric) split fine under
+    AQE since the frame is per-row bounded.
+    """
+    keys = keys or []
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-n_prev, -1)
+    )
+    mean = F.avg(F.col(value_col)).over(w)
+    # stddev_samp: null on a single-row frame, matching the SQL oracle
+    std = F.stddev_samp(F.col(value_col)).over(w)
+    z = (F.col(value_col) - mean) / F.when(std > 0, std)
+    return df.withColumn("zscore", F.round(z, 6)).withColumn(
+        "is_anomaly", F.when(z.isNotNull(), F.abs(z) >= threshold).otherwise(F.lit(False))
     )

@@ -454,3 +454,58 @@ def test_label_propagation_checkpoint_dir_identical(spark, tmp_path):
         model.label_propagation(df, n_iter=4, checkpoint_dir=str(tmp_path / "ck")).collect()
     )
     assert a == b
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """A flat series with one planted spike: only the spike row is anomalous,
+    the first row (empty trailing frame) and second (single-point frame,
+    stddev_samp null) stay null-z / unflagged."""
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = [(i, f"2023-01-01 00:{i:02d}:00", "m", 10.0 + (i % 3) * 0.1) for i in range(30)]
+    rows.append((30, "2023-01-01 00:30:30", "m", 500.0))  # the spike
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "event_type", "value"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = analytics.rolling_zscore(df, "value", keys=["event_type"]).collect()
+    by_id = {r.event_id: r for r in out}
+    assert by_id[0].zscore is None and by_id[0].is_anomaly is False
+    assert by_id[1].zscore is None  # stddev_samp of a 1-row frame is null
+    assert by_id[30].is_anomaly is True and by_id[30].zscore > 3
+    assert not any(r.is_anomaly for r in out if r.event_id not in (30,))
+
+
+def test_rolling_zscore_zero_variance_gives_null_not_inf(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = [(i, f"2023-01-01 00:{i:02d}:00", 5.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "value"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = {r.event_id: r for r in analytics.rolling_zscore(df, "value").collect()}
+    # constant series: stddev 0 → z null everywhere, nothing flagged
+    assert all(out[i].zscore is None and out[i].is_anomaly is False for i in range(5))
+
+
+def test_column_profile_counts_nulls_distinct_minmax(spark):
+    from reddit_twitter_big_data_pipeline_spark import observability
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], ["k", "s"]
+    )
+    prof = {r.col_name: r for r in observability.column_profile(df).collect()}
+    k = prof["k"]
+    assert (k.n_rows, k.n_null, k.n_distinct, k.min_value, k.max_value) == (4, 1, 2, "1", "2")
+    s = prof["s"]
+    assert (s.n_null, s.n_distinct, s.min_value, s.max_value) == (1, 2, "a", "b")
+
+
+def test_column_profile_approx_mode_close_to_exact(spark, sf_dir):
+    from reddit_twitter_big_data_pipeline_spark import observability, schemas
+
+    ev = schemas.load_table(spark, sf_dir, "events")
+    exact = {r.col_name: r.n_distinct for r in
+             observability.column_profile(ev, ["user_id"]).collect()}
+    approx = {r.col_name: r.n_distinct for r in
+              observability.column_profile(ev, ["user_id"], exact_distinct=False).collect()}
+    assert abs(approx["user_id"] - exact["user_id"]) / exact["user_id"] < 0.1

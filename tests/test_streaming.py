@@ -459,3 +459,50 @@ def test_stream_static_enrich(spark, tmp_path):
 
     with pytest.raises(ValueError, match="left"):
         streams.stream_static_enrich(src, dim, ["id"], how="full")
+
+
+def test_stateful_v2_ewma_carries_state_across_batches(spark, tmp_path):
+    """State API v2 (transformWithStateInPandas + ValueState): the EWMA seen
+    by batch 2 must continue from batch 1's final state, not restart."""
+    from reddit_twitter_big_data_pipeline_spark.streaming import stateful
+
+    land = tmp_path / "land"
+    _write_batch(
+        land, "1.json",
+        [{"user_id": 1, "value": 10.0, "ts_s": "t"},
+         {"user_id": 2, "value": 20.0, "ts_s": "t"}],
+    )
+    _write_batch(land, "2.json", [{"user_id": 3, "value": 30.0, "ts_s": "t"}])
+    src = streams.read_json_stream(spark, str(land), EV_SCHEMA, max_files_per_trigger=1)
+    events = src.select(
+        F.lit("m").alias("event_type"),
+        F.col("user_id").alias("event_id"),
+        "value",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stateful.ewma_smoother(events, alpha=0.5)
+        q = (
+            out.writeStream.format("memory").queryName("ewma")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            streams.run_to_completion(q)
+        except Exception as e:  # pragma: no cover - environment-dependent
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        got = {r.event_id: r.ewma for r in spark.sql("select * from ewma").collect()}
+        assert got[1] == 10.0
+        assert got[2] == 15.0   # 0.5*20 + 0.5*10
+        assert got[3] == 22.5   # 0.5*30 + 0.5*15 — state crossed the batch boundary
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
