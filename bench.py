@@ -67,6 +67,7 @@ HEADLINE = [
     "x_scd2_apply",
     "text_bm25_topk",
     "sim_quantized_topk",
+    "x_resample_ffill",
 ]
 
 

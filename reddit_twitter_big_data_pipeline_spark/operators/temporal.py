@@ -183,3 +183,60 @@ def range_join(
         if f.name not in keys:
             unmatched = unmatched.withColumn(f.name, F.lit(None).cast(f.dataType))
     return matched.unionByName(unmatched).drop("__pid")
+
+
+def resample_ffill(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    step: str = "15 minutes",
+    align: str = "hour",
+) -> DataFrame:
+    """Time-series resample onto a regular grid with forward fill — the
+    hypertable `time_bucket_gapfill` + `locf` shape: per key, emit one row
+    every `step` from `date_trunc(align, min(ts))` to `max(ts)`, each
+    carrying the latest observation at-or-before the grid instant (null
+    before the first observation). Output: keys + (grid_ts, value).
+
+    Observations are first collapsed to one value per (key, ts) — max, a
+    deterministic tie-break — so the fill is well-defined when events
+    share a timestamp. The fill itself reuses the as_of_join union trick
+    (this module's header): grid points and observations union, sort per
+    key by (ts, side) with observations first at equal ts (grid instants
+    are inclusive of their own timestamp), and `last(value, ignorenulls)`
+    carries forward. ONE key-partitioned shuffle; no inequality join, no
+    fan-out. The grid generates distributed via `sequence()` + explode —
+    per-key ranges, never a driver-side calendar.
+
+    At 100 TB the knobs that matter: `step` bounds grid fan-out
+    (range/step rows per key), and a key whose history spans years at
+    fine steps should be resampled per partition-pruned time slice — the
+    window itself holds O(1) state per row (running last non-null).
+    """
+    keys = keys or []
+    obs = df.groupBy(*keys, ts_col).agg(F.max(value_col).alias("__v"))
+    bounds = obs.groupBy(*keys).agg(
+        F.date_trunc(align, F.min(ts_col)).alias("__t0"),
+        F.max(ts_col).alias("__t1"),
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__t0"), F.col("__t1"), F.expr(f"interval {step}"))
+        ).alias(ts_col),
+    )
+    g = grid.select(*keys, ts_col, F.lit(None).cast("double").alias("__v"),
+                    F.lit(1).alias("__side"))
+    o = obs.select(*keys, ts_col, F.col("__v").cast("double"), F.lit(0).alias("__side"))
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        g.unionByName(o)
+        .withColumn("__f", F.last(F.col("__v"), ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(*keys, F.col(ts_col).alias("grid_ts"), F.col("__f").alias("value"))
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 
+from pyspark.sql import functions as F
 from reddit_twitter_big_data_pipeline_spark.operators import temporal
 
 EVENTS = [
@@ -161,3 +162,46 @@ def test_as_of_join_tolerance_masks_whole_stale_row(spark):
     assert out.a == 3.0 and out.b is None  # in-tolerance row, its own NULL kept
     out2 = temporal.as_of_join(left, right, ["k"], "lt", "rt", tolerance_s=5).collect()[0]
     assert out2.a is None and out2.b is None  # everything stale ⇒ all NULL
+
+
+def test_resample_ffill_gapfill_and_locf(spark):
+    """Grid covers the full span at the step; empty buckets carry the last
+    observation forward; grid instants before the first observation are
+    null; an observation AT a grid instant is included (inclusive fill)."""
+    from reddit_twitter_big_data_pipeline_spark.operators import temporal
+
+    rows = [
+        ("m", "2023-01-01 00:20:00", 1.0),   # first obs: 00:00/00:15 null
+        ("m", "2023-01-01 00:30:00", 2.0),   # exactly on a grid instant
+        # gap: nothing until 01:25 → 00:45..01:15 carry 2.0
+        ("m", "2023-01-01 01:25:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts_s", "value"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = {
+        str(r.grid_ts): r.value
+        for r in temporal.resample_ffill(df, "value", keys=["k"]).collect()
+    }
+    assert out["2023-01-01 00:00:00"] is None
+    assert out["2023-01-01 00:15:00"] is None
+    assert out["2023-01-01 00:30:00"] == 2.0     # on-grid obs included
+    assert out["2023-01-01 00:45:00"] == 2.0     # gap filled forward
+    assert out["2023-01-01 01:15:00"] == 2.0
+    # grid ends at max(ts)=01:25 → last grid point 01:15; 01:25 itself is
+    # not on the 15-min grid
+    assert max(out) == "2023-01-01 01:15:00"
+    assert len(out) == 6
+
+
+def test_resample_ffill_same_ts_ties_break_to_max(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import temporal
+
+    rows = [("m", "2023-01-01 00:00:00", 1.0), ("m", "2023-01-01 00:00:00", 9.0)]
+    df = spark.createDataFrame(rows, ["k", "ts_s", "value"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = {str(r.grid_ts): r.value
+           for r in temporal.resample_ffill(df, "value", keys=["k"]).collect()}
+    # two events share the grid instant: deterministic max tie-break
+    assert out == {"2023-01-01 00:00:00": 9.0}
