@@ -1843,6 +1843,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_resample_ffill"] = x_resample_ffill
 
+    def x_kcore(spark, sf):
+        # 3-core of the supplier co-fulfillment graph (same edge set as
+        # x_label_prop). Iterative peel — no SQL oracle; pinned against a
+        # pure-Python peel in tests/test_model.py.
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        pairs = (
+            li.alias("x")
+            .join(li.alias("y"), "l_orderkey")
+            .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+            .select(
+                F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+            )
+            .distinct()
+        )
+        return model.k_core(pairs, k=3)
+
+    q["x_kcore"] = x_kcore
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS

@@ -574,6 +574,68 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return edges.sparkSession.range(1).select(F.lit(n_tri).cast("long").alias("n_triangles"))
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core decomposition for a fixed k: iteratively peel every node whose
+    degree drops below k until fixpoint; returns the surviving (node,
+    degree) rows — degree measured INSIDE the core. The cohesive-subgraph
+    complement to `pagerank` (influence), `label_propagation` (communities),
+    and `triangle_count` (clustering): the k-core is where a social graph's
+    dense discussion actually lives, and peeling is the standard
+    spam/periphery filter before the expensive graph algorithms run.
+
+    Scale shape (the file's iterative discipline): the symmetrized
+    adjacency is cached and REPLACED each round by an anti-join against the
+    peeled-node set — per-round payloads are id pairs, the degree count is
+    map-side combinable, and the peel set is typically small so AQE
+    broadcasts both anti-joins. Rounds are cached + counted, lineage
+    truncates every 4th round (reliable checkpoint when `checkpoint_dir`
+    is set). Terminates in ≤ n rounds (each round removes ≥1 node or
+    stops); `max_iter` guards runaway inputs by raising, never silently
+    returning an unpeeled graph.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    adj = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .cache()
+    )
+    adj.count()
+    caches = [adj]
+    for it in range(max_iter):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        peel = deg.filter(F.col("degree") < k).select("u").cache()
+        caches.append(peel)
+        if peel.count() == 0:
+            peel.unpersist()
+            out = deg.select(F.col("u").alias("node"), "degree")
+            out = _truncate(out, checkpoint_dir)
+            for c in caches:
+                c.unpersist()
+            return out
+        nxt = (
+            adj.join(peel, "u", "left_anti")
+            .join(peel.select(F.col("u").alias("v")), "v", "left_anti")
+            .cache()
+        )
+        caches.append(nxt)
+        if (it + 1) % 4 == 0:
+            nxt = _truncate(nxt, checkpoint_dir)
+        nxt.count()
+        adj = nxt
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint within max_iter={max_iter} rounds"
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,

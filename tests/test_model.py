@@ -509,3 +509,53 @@ def test_column_profile_approx_mode_close_to_exact(spark, sf_dir):
     approx = {r.col_name: r.n_distinct for r in
               observability.column_profile(ev, ["user_id"], exact_distinct=False).collect()}
     assert abs(approx["user_id"] - exact["user_id"]) / exact["user_id"] < 0.1
+
+
+def test_k_core_peels_pendant_chain(spark):
+    # triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is exactly the
+    # triangle (5 peels first, which drops 4 below degree 2 — the cascade)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    got = {(r.node, r.degree) for r in model.k_core(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # k=3: the triangle's in-core degrees are 2 → everything peels
+    assert model.k_core(edges, k=3).count() == 0
+
+
+def test_k_core_matches_python_peel(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # reference peel
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    k = 3
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    expected = {(n, len(nb)) for n, nb in adj.items()}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.node, r.degree) for r in model.k_core(df, k=k).collect()}
+    assert got == expected
+
+
+def test_k_core_checkpoint_dir_identical(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 4)], ["src", "dst"]
+    )
+    plain = {(r.node, r.degree) for r in model.k_core(edges, k=2).collect()}
+    ckpt = {(r.node, r.degree)
+            for r in model.k_core(edges, k=2, checkpoint_dir=str(tmp_path / "ck")).collect()}
+    assert plain == ckpt
+    assert plain == {(1, 2), (2, 2), (3, 3), (4, 3), (5, 2), (6, 2)}
