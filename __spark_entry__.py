@@ -1861,6 +1861,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_kcore"] = x_kcore
 
+    def x_cdc_apply(spark, sf):
+        # CDC apply (operators/model.py:apply_cdc): base = events < 8000;
+        # the change log carries updates and deletes for ids >= 6000, a
+        # second later batch doubling 6000-6999's values (last-writer-wins),
+        # and a same-instant delete for 6500-6599 (D-over-U tie-break).
+        ev = _t(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
+        base = ev.filter(F.col("event_id") < 8000)
+        c1 = ev.filter(F.col("event_id") >= 6000).withColumn(
+            "op", F.when(F.col("event_id") % 10 < 2, F.lit("D")).otherwise(F.lit("U"))
+        )
+        c2 = (
+            ev.filter((F.col("event_id") >= 6000) & (F.col("event_id") < 7000))
+            .withColumn("value", F.col("value") * 2)
+            .withColumn("ts", F.col("ts") + F.expr("interval 1 hour"))
+            .withColumn("op", F.lit("U"))
+        )
+        c3 = (
+            ev.filter((F.col("event_id") >= 6500) & (F.col("event_id") < 6600))
+            .withColumn("ts", F.col("ts") + F.expr("interval 1 hour"))
+            .withColumn("op", F.lit("D"))
+        )
+        changes = c1.unionByName(c2).unionByName(c3)
+        return model.apply_cdc(base, changes, ["event_id"], "ts")
+
+    q["x_cdc_apply"] = x_cdc_apply
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3424,6 +3452,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.event_type, g.grid_ts, o.v AS value
         FROM grid g ASOF LEFT JOIN obs o
           ON g.event_type = o.event_type AND o.ts <= g.grid_ts
+    """
+
+    o["x_cdc_apply"] = """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type, value, ts FROM events
+        ),
+        base AS (SELECT * FROM ev WHERE event_id < 8000),
+        changes AS (
+          SELECT event_id, user_id, event_type, value, ts,
+                 CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op
+          FROM ev WHERE event_id >= 6000
+          UNION ALL
+          SELECT event_id, user_id, event_type, value * 2,
+                 ts + INTERVAL 1 HOUR, 'U'
+          FROM ev WHERE event_id >= 6000 AND event_id < 7000
+          UNION ALL
+          SELECT event_id, user_id, event_type, value,
+                 ts + INTERVAL 1 HOUR, 'D'
+          FROM ev WHERE event_id >= 6500 AND event_id < 6600
+        ),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY event_id
+                     ORDER BY ts DESC, (op = 'D')::INT DESC) AS rn
+            FROM changes
+          ) WHERE rn = 1
+        )
+        SELECT b.* FROM base b ANTI JOIN latest l USING (event_id)
+        UNION ALL
+        SELECT event_id, user_id, event_type, value, ts
+        FROM latest WHERE op <> 'D'
     """
 
     return o

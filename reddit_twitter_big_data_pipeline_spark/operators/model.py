@@ -636,6 +636,43 @@ def k_core(
     )
 
 
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change log to a snapshot: `changes` carries the base
+    columns plus `op_col` ('I'/'U' upsert, 'D' delete); the LATEST change
+    per key wins (`order_col` desc, ties to 'D' — a delete and an update
+    at the same instant must not resurrect the row). Returns the new
+    snapshot. This is the missing third verb of the merge family:
+    `merge_upsert` handles I/U, `scd2_apply` versions history — this one
+    also RETRACTS (the reference's analogue is a removed/suspended post
+    vanishing from the re-crawl; an upsert-only merge would keep it
+    forever).
+
+    Scale shape: one key-window over the CHANGE BATCH (small by contract),
+    one key-keyed anti-join of the base against the latest-change key set
+    (AQE broadcasts it), one union. The base never enters a window and
+    never shuffles beyond the anti-join probe; compose with
+    `merge_upsert_partitioned`'s partition pruning for the stored form.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(order_col).desc(), (F.col(op_col) == "D").cast("int").desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    touched = latest.select(*keys)
+    kept = base.join(touched, keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
+    return kept.unionByName(upserts)
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,

@@ -559,3 +559,23 @@ def test_k_core_checkpoint_dir_identical(spark, tmp_path):
             for r in model.k_core(edges, k=2, checkpoint_dir=str(tmp_path / "ck")).collect()}
     assert plain == ckpt
     assert plain == {(1, 2), (2, 2), (3, 3), (4, 3), (5, 2), (6, 2)}
+
+
+def test_apply_cdc_insert_update_delete_and_ties(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], ["k", "s", "t"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 20, "U"),   # update
+            (3, "c", 20, "D"),    # delete
+            (4, "d", 20, "I"),    # insert
+            (5, "e", 20, "U"),    # two changes for 5: later U wins...
+            (5, "e2", 30, "U"),
+            (6, "f", 20, "U"),    # ...and a same-instant D beats the U
+            (6, "f2", 20, "D"),
+        ],
+        ["k", "s", "t", "op"],
+    )
+    got = {(r.k, r.s) for r in model.apply_cdc(base, changes, ["k"], "t").collect()}
+    assert got == {(1, "a"), (2, "b2"), (4, "d"), (5, "e2")}
