@@ -176,3 +176,21 @@ def test_segment_dedup_owner_shuffle_excludes_text(spark, sf_dir, entry):
         audit.assert_keyed_exchanges_exclude(df, "fp", {"seg", "text", "chunk_text"})
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_round3b_queries_cartesian_free_and_bounded(spark, sf_dir, entry):
+    """This round's additions must plan clean: no cartesian/nested-loop
+    joins anywhere, and the streaming-shaped similarity paths keep their
+    shuffle budget (probe broadcast + partial top-k ⇒ the only exchange
+    is the final tiny window, plus the spread repartition)."""
+    for name in (
+        "sim_quantized_topk",
+        "x_rolling_zscore",
+        "x_resample_ffill",
+        "x_cdc_apply",
+        "x_column_profile",
+    ):
+        audit.assert_no_cartesian(entry.queries()[name](spark, sf_dir))
+    audit.assert_max_shuffles(entry.queries()["sim_quantized_topk"](spark, sf_dir), 2)
+    # the rolling z-score is ONE key-partitioned window: a single exchange
+    audit.assert_max_shuffles(entry.queries()["x_rolling_zscore"](spark, sf_dir), 1)

@@ -122,3 +122,30 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, ["a", "b"])
     got = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=24,
+    )
+)
+def test_quantized_topk_lossless_when_rerank_covers_corpus(spark, vecs):
+    """With rerank ≥ |corpus| the int8 prune keeps every row, so the
+    quantized path must reproduce brute force EXACTLY on arbitrary inputs —
+    zero vectors, duplicates, negatives, tiny magnitudes included (the
+    masking/searchsorted plumbing has no room to drop or misalign a row)."""
+    from reddit_twitter_big_data_pipeline_spark.operators import similarity
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.limit(3)
+    bf = sorted(map(tuple, similarity.brute_force_topk(probes, emb, k=3).collect()))
+    qt = sorted(
+        map(tuple, similarity.quantized_topk(probes, emb, k=3, rerank=len(rows)).collect())
+    )
+    assert bf == qt
