@@ -792,6 +792,66 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): merge several per-query
+    rankings — e.g. ``bm25_topk`` (lexical) and ``brute_force_topk``/
+    ``quantized_topk`` (dense) — into one hybrid top-k by summing
+    1/(c + rank) across the lists a document appears in. Rank-based fusion
+    needs no score calibration between retrievers, which is exactly why
+    hybrid retrieval stacks standardize on it; `c` damps the head (60 is
+    the published default).
+
+    Each input frame is (qid, doc_id, score). Within each list, rank is
+    dense by (score desc, id asc) — the same total order the retrievers
+    themselves emit, so fusion is deterministic. Output: (qid, doc_id,
+    rrf_score, n_lists) top-k per query.
+
+    Scale shape: the inputs are already top-k lists (bounded: |Q|·k rows
+    each), so every window/agg here is over k-sized groups keyed on the
+    query id — the fusion costs nothing next to the retrieval passes that
+    feed it.
+    """
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    parts = [
+        r.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("doc_id"),
+            F.row_number().over(w).alias("__rank"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("qid", "doc_id").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("__rank"))), 6).alias(
+            "rrf_score"
+        ),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 from .._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)

@@ -906,3 +906,22 @@ def test_bm25_topk_k_cutoff_and_missing_terms(spark):
     assert len(by_q[0]) == 3                      # k cutoff
     assert [r.doc_id for r in sorted(by_q[0], key=lambda r: r.doc_id)] == [0, 1, 2]  # id tie-break
     assert 1 not in by_q                          # all-absent query returns nothing
+
+
+def test_rrf_fuse_combines_ranks_and_breaks_ties(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import text as text_ops
+
+    # list A ranks: d1=1, d2=2; list B ranks: d2=1, d3=2
+    a = spark.createDataFrame(
+        [(0, 10, 0.9), (0, 20, 0.5)], "qid int, doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(0, 20, 5.0), (0, 30, 4.0)], "qid int, doc_id long, score double"
+    )
+    got = {r.doc_id: (r.rrf_score, r.n_lists)
+           for r in text_ops.rrf_fuse([a, b], k=3).collect()}
+    # d2 appears in both lists (ranks 2 and 1) and must fuse highest
+    assert got[20] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert got[10] == (round(1 / 61, 6), 1)
+    assert got[30] == (round(1 / 62, 6), 1)
+    assert got[20][0] > got[10][0] > got[30][0]
