@@ -1910,6 +1910,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_hybrid_rrf"] = text_hybrid_rrf
 
+    def sample_temperature_mix(spark, sf):
+        # α=0.5 temperature re-balance of the document sources at constant
+        # expected corpus size (operators/sampling.py:temperature_weights →
+        # mix_sources); tail sources upsample, head sources downsample.
+        docs = _t(spark, sf, "documents").select("doc_id", "source")
+        wts = sampling.temperature_weights(docs, alpha=0.5)
+        return sampling.mix_sources(docs, wts, hash_fn="md5")
+
+    q["sample_temperature_mix"] = sample_temperature_mix
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3582,6 +3592,34 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id ASC) AS rn
           FROM fused
         ) WHERE rn <= 10
+    """
+
+    # α=0.5 temperature weights: wt_s = round(√n_s / Σ√n_k · N / n_s, 9),
+    # then the exact sample_source_mix machinery (md5 bucket, floor cut)
+    o["sample_temperature_mix"] = """
+        WITH cnt AS (
+          SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(n) AS t, sum(pow(n, 0.5)) AS z FROM cnt),
+        wts AS (
+          SELECT source, round(pow(n, 0.5) / z * t / n, 9) AS wt
+          FROM cnt CROSS JOIN tot
+        ),
+        w AS (
+          SELECT doc_id, d.source, wt,
+                 ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bk
+          FROM documents d JOIN wts USING (source)
+        ),
+        n AS (
+          SELECT doc_id, source,
+                 CAST(floor(wt) AS INTEGER)
+                 + CASE WHEN bk < CAST(floor((wt - floor(wt)) * 1000000) AS BIGINT)
+                        THEN 1 ELSE 0 END AS nc
+          FROM w
+        )
+        SELECT doc_id, source, CAST(unnest(generate_series(1, nc)) AS INTEGER) AS repeat_idx
+        FROM n WHERE nc > 0
     """
 
     return o

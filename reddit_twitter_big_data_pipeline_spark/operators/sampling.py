@@ -109,6 +109,41 @@ def mix_sources(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights (the multilingual/multi-source
+    pretraining knob): source sampling probability ∝ n_s^alpha, converted
+    to the per-source EPOCH weights ``mix_sources`` consumes, scaled so
+    the expected mixed-corpus size is `target_total` (default: the input
+    size — pure re-balancing). alpha=1 keeps natural proportions (every
+    weight 1.0); alpha=0 equalizes sources outright; 0<alpha<1 upsamples
+    the tail sources the way multilingual mixes do without letting a head
+    source dominate.
+
+    The aggregation is one map-side-combinable count; the result is
+    O(#sources) on the driver (bounded by contract — sources are a
+    handful of corpus names, not a data-scale key). Weights are rounded
+    to 9 decimals so the downstream hash-bucket cut is reproducible
+    across engines and summation orders.
+    """
+    if alpha < 0:
+        raise ValueError("temperature_weights: alpha must be >= 0")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    if not counts:
+        return {}
+    total = sum(counts[s] for s in sorted(counts))
+    t = float(target_total) if target_total is not None else float(total)
+    ps = {s: float(c) ** alpha for s, c in counts.items()}
+    z = sum(ps[s] for s in sorted(ps))
+    return {s: round(ps[s] / z * t / counts[s], 9) for s in counts}
+
+
 def _split_cutoffs(weights: tuple[float, float, float]) -> tuple[int, int]:
     total = sum(weights)
     return (

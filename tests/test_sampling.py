@@ -92,3 +92,31 @@ def test_mix_sources_deterministic_and_validates(spark):
     assert a == b  # membership independent of partitioning
     with pytest.raises(ValueError):
         sampling.mix_sources(df, {"a": -1.0})
+
+
+def test_temperature_weights_properties(spark):
+    """alpha=1 is the identity mix; alpha=0 equalizes sources; any alpha
+    preserves the expected corpus size; alpha<1 moves weight from the head
+    source to the tail source."""
+    from reddit_twitter_big_data_pipeline_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    assert sampling.temperature_weights(df, alpha=1.0) == {"big": 1.0, "small": 1.0}
+
+    w0 = sampling.temperature_weights(df, alpha=0.0)
+    # equal expected share: 50 docs from each source
+    assert abs(90 * w0["big"] - 50) < 1e-6 and abs(10 * w0["small"] - 50) < 1e-6
+
+    w5 = sampling.temperature_weights(df, alpha=0.5)
+    assert abs(90 * w5["big"] + 10 * w5["small"] - 100) < 1e-6  # size preserved
+    assert w5["big"] < 1.0 < w5["small"]  # tail upsampled, head downsampled
+
+    w_scaled = sampling.temperature_weights(df, alpha=0.5, target_total=300)
+    assert abs(90 * w_scaled["big"] + 10 * w_scaled["small"] - 300) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_weights(df, alpha=-1)
