@@ -183,6 +183,48 @@ def stream_stream_join(
     return joined.drop(*[r_wm[k] for k in keys])
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with bounded state: matched rows emit
+    as they pair; an UNMATCHED left row emits with nulled right columns
+    only once the watermark proves no match can still arrive (left_ts +
+    max_delay < watermark). The missing-enrichment detector the inner
+    variant can't express — e.g. a post whose sentiment/refresh event
+    never landed inside the scrape window surfaces as (post, null) instead
+    of vanishing.
+
+    Same state bound as `stream_stream_join` (the time range rides in the
+    join condition, both sides carry watermarks), plus the outer-side
+    buffer the engine holds until the watermark passes — still
+    `watermark + max_delay` of stream, never unbounded. Spark requires
+    BOTH the watermark and the time bound for outer stream joins; this
+    wrapper exists so callers can't forget one and ship a plan that
+    buffers a stream forever (the engine rejects it only at start)."""
+    if right_ts == left_ts:
+        new_right_ts = f"right_{right_ts}"
+        right = right.withColumnRenamed(right_ts, new_right_ts)
+        right_ts = new_right_ts
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    key_cond = [l_wm[k] == r_wm[k] for k in keys]
+    delay = F.expr(f"INTERVAL {max_delay}")
+    time_cond = [
+        r_wm[right_ts] >= l_wm[left_ts] - delay,
+        r_wm[right_ts] <= l_wm[left_ts] + delay,
+    ]
+    joined = l_wm.join(
+        r_wm, [c for conds in (key_cond, time_cond) for c in conds], "left_outer"
+    )
+    return joined.drop(*[r_wm[k] for k in keys])
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -506,3 +506,43 @@ def test_stateful_v2_ewma_carries_state_across_batches(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_left_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Matched posts emit with their refresh; posts whose refresh never
+    arrived emit with NULL right columns once the watermark passes — the
+    missing-enrichment detector (inner join silently drops them)."""
+    posts = tmp_path / "posts"
+    refr = tmp_path / "refresh"
+    _write_batch(
+        posts,
+        "p.json",
+        _rows([(1, "2023-03-25 12:00:00"), (2, "2023-03-25 12:30:00"),
+               (8, "2023-03-25 18:00:00")]),  # advances the LEFT watermark
+    )
+    _write_batch(
+        refr,
+        "r.json",
+        _rows([(1, "2023-03-25 12:05:00"),    # matches post 1
+               (9, "2023-03-25 18:00:00")]),  # advances the RIGHT watermark
+    )
+    # the outer join emits nulls only when the GLOBAL watermark (min of both
+    # streams) passes a left row's join window — both sides need a late row
+    p = _with_ts(streams.read_json_stream(spark, str(posts), SCHEMA))
+    r = _with_ts(streams.read_json_stream(spark, str(refr), SCHEMA)).select(
+        "id", F.col("ts").alias("refresh_ts")
+    )
+    joined = streams.stream_stream_left_join(
+        p, r, ["id"], left_ts="ts", right_ts="refresh_ts", max_delay="15 minutes"
+    ).select("id", "ts", "refresh_ts")
+    q = streams.write_stream(
+        joined, str(tmp_path / "out"), str(tmp_path / "ck"), output_mode="append"
+    )
+    streams.run_to_completion(q)
+    got = {
+        (r.id, r.refresh_ts.minute if r.refresh_ts is not None else None)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # post 1 matched at 12:05; post 2's window (≤12:45) is past the final
+    # watermark (18:00 − 1h) → emitted unmatched with a null refresh
+    assert got == {(1, 5), (2, None)}
