@@ -1642,8 +1642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_pagerank(spark, sf):
         # Damped PageRank over the supplier→customer fulfillment graph
         # (distinct supplier-supplied-customer edges; customer ids offset
-        # into their own node space). Iterative — no SQL oracle; the
-        # algorithm is pinned against a numpy power-iteration reference in
+        # into their own node space). Iterative with a FIXED round count,
+        # so the oracle unrolls 8 iterations as materialized CTEs; also
+        # pinned against a numpy power-iteration reference in
         # tests/test_model.py (1e-12 agreement).
         li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
         orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
@@ -1781,9 +1782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def x_label_prop(spark, sf):
         # Synchronous label-propagation communities over the supplier
-        # co-fulfillment graph (suppliers sharing an order). Iterative —
-        # no SQL oracle; pinned against a pure-Python synchronous
-        # reference in tests/test_model.py.
+        # co-fulfillment graph (suppliers sharing an order). Fixed round
+        # count → the oracle unrolls 5 iterations as materialized CTEs;
+        # also pinned against a pure-Python synchronous reference in
+        # tests/test_model.py.
         li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
         pairs = (
             li.alias("x")
@@ -3621,5 +3623,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, CAST(unnest(generate_series(1, nc)) AS INTEGER) AS repeat_idx
         FROM n WHERE nc > 0
     """
+
+    # ---- iterative graph oracles: fixed iteration counts unroll into
+    # chained CTEs, turning the former weak (rows-only) checks into real
+    # value gates. Float parity: ranks agree to ~1e-14 relative after 8
+    # rounds, far inside the 9-significant-digit canonicalization.
+    def _pagerank_sql(n_iter: int = 8, damping: float = 0.85) -> str:
+        head = """
+        WITH edges AS (
+          SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+        ),
+        deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+        params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN params)"""
+        body = ""
+        for i in range(n_iter):
+            body += f""",
+        d{i} AS MATERIALIZED (
+          SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i}
+          WHERE node NOT IN (SELECT src FROM deg)
+        ),
+        r{i + 1} AS MATERIALIZED (
+          SELECT nodes.node,
+                 (1.0 - {damping}) / n + {damping} * (coalesce(s, 0.0) + dm / n) AS rank
+          FROM nodes
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+            FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+          ) sums USING (node)
+          CROSS JOIN params CROSS JOIN d{i}
+        )"""
+        return head + body + f"\n        SELECT node, rank FROM r{n_iter}"
+
+    o["x_pagerank"] = _pagerank_sql()
+
+    def _label_prop_sql(n_iter: int = 5) -> str:
+        head = """
+        WITH pairs AS (
+          SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+        ),
+        adj AS (
+          SELECT src AS u, dst AS v FROM pairs
+          UNION SELECT dst AS u, src AS v FROM pairs
+        ),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj)"""
+        body = ""
+        for i in range(n_iter):
+            body += f""",
+        l{i + 1} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT a.u AS node, l.label, count(*) AS c,
+                   row_number() OVER (PARTITION BY a.u
+                                      ORDER BY count(*) DESC, l.label ASC) AS rn
+            FROM adj a JOIN l{i} l ON a.v = l.node
+            GROUP BY a.u, l.label
+          ) WHERE rn = 1
+        )"""
+        return head + body + f"\n        SELECT node, label FROM l{n_iter}"
+
+    o["x_label_prop"] = _label_prop_sql()
 
     return o
