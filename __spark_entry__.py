@@ -1922,6 +1922,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_temperature_mix"] = sample_temperature_mix
 
+    def x_event_sequences(spark, sf):
+        # Per-user ordered event paths, truncated to the first 20 events
+        # (operators/analytics.py:event_sequences). The array is emitted
+        # pipe-joined so the cross-engine hash compares strings, not
+        # engine-specific array renderings.
+        ev = _t(spark, sf, "events")
+        seq = analytics.event_sequences(ev, max_len=20)
+        return seq.select(
+            "user", "n_events", F.array_join("events", "|").alias("event_path")
+        )
+
+    q["x_event_sequences"] = x_event_sequences
+
+    def x_transitions(spark, sf):
+        # Event → next-event transition counts (per-user lead window, then
+        # a tiny (from, to) count — operators/analytics.py:event_transitions).
+        ev = _t(spark, sf, "events")
+        return analytics.event_transitions(ev)
+
+    q["x_transitions"] = x_transitions
+
+    def sample_source_cap(spark, sf):
+        # Per-source quota: at most 15 documents per source, chosen by
+        # deterministic md5-hash order (operators/sampling.py:cap_per_group).
+        docs = _t(spark, sf, "documents").select("doc_id", "source")
+        return sampling.cap_per_group(docs, "source", 15, hash_fn="md5")
+
+    q["sample_source_cap"] = sample_source_cap
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3689,5 +3718,38 @@ def oracle_sql() -> dict[str, str]:
         return head + body + f"\n        SELECT node, label FROM l{n_iter}"
 
     o["x_label_prop"] = _label_prop_sql()
+
+    o["x_event_sequences"] = """
+        SELECT user_id AS user, count(*)::BIGINT AS n_events,
+               array_to_string(
+                 (list(event_type ORDER BY ts, event_id))[1:20], '|'
+               ) AS event_path
+        FROM events GROUP BY user_id
+    """
+
+    o["x_transitions"] = """
+        WITH nxt AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events
+        )
+        SELECT event_type AS from_event, next_type AS to_event,
+               count(*)::BIGINT AS n
+        FROM nxt WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+    o["sample_source_cap"] = """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000000 ASC,
+                            doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn <= 15
+    """
 
     return o

@@ -166,3 +166,52 @@ def rolling_zscore(
     return df.withColumn("zscore", F.round(z, 6)).withColumn(
         "is_anomaly", F.when(z.isNotNull(), F.abs(z) >= threshold).otherwise(F.lit(False))
     )
+
+
+def event_sequences(
+    df,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+    max_len: int | None = None,
+):
+    """Per-user ordered event sequences — the session-/behavior-model input
+    shape: one row per user carrying their events as an array in (ts, id)
+    order. One user-keyed aggregation; the sort is per-group array_sort on
+    the collected structs (deterministic — the id tie-break totalizes the
+    order), so no secondary-sort shuffle trick is needed. `max_len`
+    truncates each sequence AFTER ordering (keep the earliest N), bounding
+    payload for power users — at 100 TB the unbounded variant is a skew
+    hazard exactly like any collect_list on a celebrity key.
+    Output: (user, n_events, events array<string>)."""
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(event_col)))
+    )
+    events = F.transform(seq, lambda s: s[event_col])
+    if max_len is not None:
+        events = F.slice(events, 1, max_len)
+    return df.groupBy(F.col(user_col).alias("user")).agg(
+        F.count(F.lit(1)).alias("n_events"), events.alias("events")
+    )
+
+
+def event_transitions(
+    df,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+):
+    """Event→next-event transition counts across all users — the Markov /
+    path-analysis aggregate behind "what happens after a view". One
+    user-keyed window (lead over (ts, id) order) and one small
+    (from, to)-keyed count; the |event types|² output is tiny at any
+    corpus scale. Output: (from_event, to_event, n)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    nxt = df.withColumn("__next", F.lead(event_col).over(w)).filter(
+        F.col("__next").isNotNull()
+    )
+    return nxt.groupBy(
+        F.col(event_col).alias("from_event"), F.col("__next").alias("to_event")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -15,6 +15,7 @@ All operators are single narrow filters (no shuffle, pushdown-friendly).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # granularity of hash buckets: fractions resolve to 1/1e6
 _BUCKETS = 1_000_000
@@ -223,4 +224,30 @@ def gumbel_topk_sample(
         .orderBy(F.col("__gumbel_key").desc(), F.col(id_col).asc())
         .limit(k)
         .drop("__gumbel_key")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most `n` rows of each group,
+    chosen by hash order (salt, id) — the "no single domain may exceed N
+    documents" curation rule. Hash order (not ts/id order) makes the kept
+    subset an unbiased sample of the group AND stable across runs and
+    partitionings; ties on the hash break by id. One group-keyed window —
+    the same shuffle any per-group rule needs; a celebrity group's rows
+    all visit one reducer, so pair this with AQE skew split (on) when a
+    group can exceed executor memory."""
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(id_col, salt, hash_fn).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
     )

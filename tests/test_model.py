@@ -579,3 +579,44 @@ def test_apply_cdc_insert_update_delete_and_ties(spark):
     )
     got = {(r.k, r.s) for r in model.apply_cdc(base, changes, ["k"], "t").collect()}
     assert got == {(1, "a"), (2, "b2"), (4, "d"), (5, "e2")}
+
+
+def test_event_sequences_order_and_truncation(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = [
+        (3, "2023-01-01 00:03:00", 1, "c"),
+        (1, "2023-01-01 00:01:00", 1, "a"),
+        (2, "2023-01-01 00:02:00", 1, "b"),
+        (4, "2023-01-01 00:02:00", 1, "b2"),  # ts tie → id order
+        (9, "2023-01-01 00:09:00", 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = {r.user: (r.n_events, list(r.events))
+           for r in analytics.event_sequences(df).collect()}
+    assert out[1] == (4, ["a", "b", "b2", "c"])
+    assert out[2] == (1, ["z"])
+    trunc = {r.user: list(r.events)
+             for r in analytics.event_sequences(df, max_len=2).collect()}
+    assert trunc[1] == ["a", "b"]  # earliest two kept
+
+
+def test_event_transitions_counts(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = [
+        (1, "2023-01-01 00:01:00", 1, "view"),
+        (2, "2023-01-01 00:02:00", 1, "click"),
+        (3, "2023-01-01 00:03:00", 1, "view"),
+        (4, "2023-01-01 00:04:00", 2, "view"),
+        (5, "2023-01-01 00:05:00", 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "event_type"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    got = {(r.from_event, r.to_event): r.n
+           for r in analytics.event_transitions(df).collect()}
+    # user 1: view→click, click→view; user 2: view→click (no cross-user pair)
+    assert got == {("view", "click"): 2, ("click", "view"): 1}

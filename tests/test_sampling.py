@@ -120,3 +120,20 @@ def test_temperature_weights_properties(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         sampling.temperature_weights(df, alpha=-1)
+
+
+def test_cap_per_group_binds_and_is_partition_stable(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import sampling
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.cap_per_group(df, "source", 10)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["big"]) == 10      # quota binds
+    assert len(by_src["tiny"]) == 3      # under-quota group untouched
+    # repartitioning must not change membership (hash order, not row order)
+    again = {r.doc_id for r in sampling.cap_per_group(df.repartition(7), "source", 10).collect()
+             if r.source == "big"}
+    assert again == by_src["big"]
