@@ -1951,6 +1951,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_source_cap"] = sample_source_cap
 
+    def x_mad_outliers(spark, sf):
+        # Robust (median/MAD) outlier flags per event type — the screen a
+        # mean/std z-gate fails when spikes inflate sigma
+        # (operators/analytics.py:mad_outliers).
+        ev = _t(spark, sf, "events")
+        return analytics.mad_outliers(ev, "value", keys=["event_type"]).select(
+            "event_id",
+            "event_type",
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            "is_outlier",
+        )
+
+    q["x_mad_outliers"] = x_mad_outliers
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3750,6 +3765,24 @@ def oracle_sql() -> dict[str, str]:
                             doc_id ASC) AS rn
           FROM documents
         ) WHERE rn <= 15
+    """
+
+    o["x_mad_outliers"] = """
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS median
+          FROM events GROUP BY event_type
+        ),
+        m AS (
+          SELECT e.event_type,
+                 quantile_cont(abs(e.value - med.median), 0.5) AS mad,
+                 any_value(med.median) AS median
+          FROM events e JOIN med USING (event_type)
+          GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(m.median, 6) AS median, round(m.mad, 6) AS mad,
+               (abs(e.value - m.median) > 3.0 * 1.4826 * m.mad) AS is_outlier
+        FROM events e JOIN m USING (event_type)
     """
 
     return o

@@ -215,3 +215,41 @@ def event_transitions(
     return nxt.groupBy(
         F.col(event_col).alias("from_event"), F.col("__next").alias("to_event")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def mad_outliers(
+    df,
+    value_col: str,
+    keys: list[str] | None = None,
+    k: float = 3.0,
+):
+    """Robust outlier flags by Median Absolute Deviation: per key, flag
+    rows where |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ
+    under normality). The robust complement to `rolling_zscore`: one
+    extreme spike inflates a mean/std gate enough to mask later spikes,
+    while median/MAD barely move — the standard choice for corrupt-metric
+    and data-quality screens.
+
+    Plan: two key-grouped exact-percentile aggregations (median of x, then
+    median of |x − median|) joined back — both tiny (one row per key), so
+    AQE broadcasts them; the data table never shuffles. Exact percentiles
+    keep the oracle seam; swap approx_percentile at 100 TB if the
+    two-pass median cost matters (the operator shape is unchanged).
+    Output adds `median`, `mad`, `is_outlier`. Zero-MAD groups (over half
+    the values identical) flag only rows strictly different when k·MAD=0
+    degenerates — then any |x − median| > 0 flags, the conventional
+    fallback."""
+    keys = keys or []
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median")
+    )
+    j = df.join(F.broadcast(med), keys) if keys else df.crossJoin(F.broadcast(med))
+    madf = j.groupBy(*keys).agg(
+        F.expr(f"percentile(abs({value_col} - median), 0.5)").alias("mad"),
+        F.first("median").alias("median"),
+    )
+    out = df.join(F.broadcast(madf), keys) if keys else df.crossJoin(F.broadcast(madf))
+    dev = F.abs(F.col(value_col) - F.col("median"))
+    return out.withColumn(
+        "is_outlier", dev > F.lit(k) * F.lit(1.4826) * F.col("mad")
+    )

@@ -620,3 +620,19 @@ def test_event_transitions_counts(spark):
            for r in analytics.event_transitions(df).collect()}
     # user 1: view→click, click→view; user 2: view→click (no cross-user pair)
     assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_mad_outliers_robust_to_the_spike_itself(spark):
+    """The spike that inflates a mean/std gate must still be flagged by the
+    median/MAD gate, and the flat remainder must not be."""
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = [(i, "m", 10.0 + (i % 5) * 0.5) for i in range(20)]
+    rows.append((100, "m", 1000.0))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = {r.event_id: r for r in
+           analytics.mad_outliers(df, "value", keys=["event_type"]).collect()}
+    assert out[100].is_outlier is True
+    assert not any(r.is_outlier for i, r in out.items() if i != 100)
+    # median/MAD computed over the contaminated data stay near the bulk
+    assert 10.0 <= out[0].median <= 12.0
