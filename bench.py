@@ -68,6 +68,10 @@ HEADLINE = [
     "text_bm25_topk",
     "sim_quantized_topk",
     "x_resample_ffill",
+    "x_cdc_apply",
+    "x_rolling_zscore",
+    "text_hybrid_rrf",
+    "x_mad_outliers",
 ]
 
 
