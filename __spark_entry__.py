@@ -3528,8 +3528,11 @@ def oracle_sql() -> dict[str, str]:
                  unnest(generate_series(t0, t1, INTERVAL '15 minutes')) AS grid_ts
           FROM bounds
         )
+        -- locf parity: the Spark fill skips NULL observations (last non-null
+        -- carries forward), so the ASOF source excludes them; bounds above
+        -- still come from ALL observations, matching the grid extent
         SELECT g.event_type, g.grid_ts, o.v AS value
-        FROM grid g ASOF LEFT JOIN obs o
+        FROM grid g ASOF LEFT JOIN (SELECT * FROM obs WHERE v IS NOT NULL) o
           ON g.event_type = o.event_type AND o.ts <= g.grid_ts
     """
 
@@ -3613,18 +3616,35 @@ def oracle_sql() -> dict[str, str]:
           QUALIFY rank <= 20
         ),
         cos_scored AS (
+          -- UNROUNDED score: the Spark side's brute_force_topk cuts its
+          -- top-20 by the unrounded cosine (rounding happens only on the
+          -- emitted sim, which the fusion never uses for membership), so
+          -- rounding before this rank would break ties differently on a
+          -- knife-edge pair
           SELECT q.vec_id AS qid, c.vec_id AS doc_id,
-                 round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                 list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
                  / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS score
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS score
           FROM embeddings q, embeddings c
           WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id
         ),
+        dense_members AS (
+          -- membership: top-20 by UNROUNDED score (brute_force_topk's cut)
+          SELECT qid, doc_id, round(score, 6) AS rscore
+          FROM (
+            SELECT cos_scored.*,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, doc_id ASC) AS rn
+            FROM cos_scored
+          ) WHERE rn <= 20
+        ),
         dense AS (
+          -- rank within the list: by the ROUNDED sim the fusion actually
+          -- receives (brute_force emits sim rounded to 6 decimals)
           SELECT qid, doc_id,
-                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
-          FROM cos_scored
-          QUALIFY rank <= 20
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY rscore DESC, doc_id ASC) AS rank
+          FROM dense_members
         ),
         unioned AS (
           SELECT * FROM lex UNION ALL SELECT * FROM dense

@@ -65,7 +65,10 @@ def column_profile(df: DataFrame, cols: list[str] | None = None, exact_distinct:
     (HLL) — at 100 TB the exact form's per-column distinct expand is the
     cost, and profile jobs rarely need it; the exact default exists for
     oracle comparability and small dims."""
-    cols = cols or [f.name for f in df.schema.fields]
+    # `is None` sentinel: an explicitly-passed empty list means "profile
+    # nothing", not "profile everything" — on a wide table the difference
+    # is a no-op vs a full multi-distinct aggregation
+    cols = [f.name for f in df.schema.fields] if cols is None else cols
     distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:

@@ -610,30 +610,32 @@ def k_core(
     )
     adj.count()
     caches = [adj]
-    for it in range(max_iter):
-        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
-        peel = deg.filter(F.col("degree") < k).select("u").cache()
-        caches.append(peel)
-        if peel.count() == 0:
-            peel.unpersist()
-            out = deg.select(F.col("u").alias("node"), "degree")
-            out = _truncate(out, checkpoint_dir)
-            for c in caches:
-                c.unpersist()
-            return out
-        nxt = (
-            adj.join(peel, "u", "left_anti")
-            .join(peel.select(F.col("u").alias("v")), "v", "left_anti")
-            .cache()
+    try:
+        for it in range(max_iter):
+            deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+            peel = deg.filter(F.col("degree") < k).select("u").cache()
+            caches.append(peel)
+            if peel.count() == 0:
+                out = deg.select(F.col("u").alias("node"), "degree")
+                return _truncate(out, checkpoint_dir)
+            nxt = (
+                adj.join(peel, "u", "left_anti")
+                .join(peel.select(F.col("u").alias("v")), "v", "left_anti")
+                .cache()
+            )
+            caches.append(nxt)
+            if (it + 1) % 4 == 0:
+                nxt = _truncate(nxt, checkpoint_dir)
+            nxt.count()
+            adj = nxt
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint within max_iter={max_iter} rounds"
         )
-        caches.append(nxt)
-        if (it + 1) % 4 == 0:
-            nxt = _truncate(nxt, checkpoint_dir)
-        nxt.count()
-        adj = nxt
-    raise RuntimeError(
-        f"k_core did not reach a fixpoint within max_iter={max_iter} rounds"
-    )
+    finally:
+        # success AND failure paths release every cached round — a raised
+        # RuntimeError must not pin executor storage for the session
+        for c in caches:
+            c.unpersist()
 
 
 def apply_cdc(

@@ -702,11 +702,13 @@ def quantized_topk(
         rerank = max(8 * k, 64)
     q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
     q_norm = _safe_norms(q_mat)
-    q_normed = q_mat / q_norm[:, None]
-    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm, q_normed))
+    # broadcast only (ids, mat, norm) — the normalized matrix is a one-line
+    # recompute executor-side, and shipping it too would double the payload
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def score(batches):
-        ids, qm, qn, qnm = bq.value
+        ids, qm, qn = bq.value
+        qnm = qm / qn[:, None]
         for pdf in batches:
             if len(pdf) == 0:
                 continue

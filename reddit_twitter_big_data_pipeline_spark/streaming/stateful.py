@@ -212,15 +212,18 @@ def ewma_smoother(
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             (k,) = key
             cur = self._state.get()[0] if self._state.exists() else None
+            # concatenate ALL Arrow chunks before sorting: a large micro-batch
+            # arrives as several chunks in partition order, and sorting each
+            # chunk individually would apply the order-dependent recursion
+            # across chunk boundaries in the wrong sequence
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(id_col)
             out_id, out_v, out_e = [], [], []
-            for pdf in rows:
-                pdf = pdf.sort_values(id_col)
-                for i, v in zip(pdf[id_col], pdf[value_col]):
-                    v = float(v)
-                    cur = v if cur is None else alpha * v + (1.0 - alpha) * cur
-                    out_id.append(int(i))
-                    out_v.append(v)
-                    out_e.append(cur)
+            for i, v in zip(pdf[id_col], pdf[value_col]):
+                v = float(v)
+                cur = v if cur is None else alpha * v + (1.0 - alpha) * cur
+                out_id.append(int(i))
+                out_v.append(v)
+                out_e.append(cur)
             if cur is not None:
                 self._state.update((cur,))
             yield pd.DataFrame(

@@ -148,6 +148,7 @@ def stream_stream_join(
     right_ts: str = "ts",
     max_delay: str = "15 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream equi-join with BOUNDED state: rows match when their
     event times are within `max_delay` of each other (|left_ts - right_ts|
@@ -161,7 +162,13 @@ def stream_stream_join(
     reference: terraform/main.tf cron; hence the default). `right_ts` is
     auto-renamed `right_<name>` on collision so the output is unambiguous
     (same contract as operators.temporal.as_of_join, which is the BATCH
-    as-of twin of this operator)."""
+    as-of twin of this operator).
+
+    `how`: 'inner' (matched pairs only) or 'left_outer' (additionally emit
+    a left row with nulled right columns once the GLOBAL watermark proves
+    no match can still arrive — see `stream_stream_left_join`)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("stream_stream_join supports how='inner'|'left_outer' only")
     if right_ts == left_ts:
         new_right_ts = f"right_{right_ts}"
         right = right.withColumnRenamed(right_ts, new_right_ts)
@@ -177,7 +184,7 @@ def stream_stream_join(
         r_wm[right_ts] <= l_wm[left_ts] + delay,
     ]
     joined = l_wm.join(
-        r_wm, [c for conds in (key_cond, time_cond) for c in conds], "inner"
+        r_wm, [c for conds in (key_cond, time_cond) for c in conds], how
     )
     # drop the duplicate key columns from the right side
     return joined.drop(*[r_wm[k] for k in keys])
@@ -200,29 +207,16 @@ def stream_stream_left_join(
     never landed inside the scrape window surfaces as (post, null) instead
     of vanishing.
 
-    Same state bound as `stream_stream_join` (the time range rides in the
-    join condition, both sides carry watermarks), plus the outer-side
-    buffer the engine holds until the watermark passes — still
-    `watermark + max_delay` of stream, never unbounded. Spark requires
-    BOTH the watermark and the time bound for outer stream joins; this
-    wrapper exists so callers can't forget one and ship a plan that
-    buffers a stream forever (the engine rejects it only at start)."""
-    if right_ts == left_ts:
-        new_right_ts = f"right_{right_ts}"
-        right = right.withColumnRenamed(right_ts, new_right_ts)
-        right_ts = new_right_ts
-    l_wm = left.withWatermark(left_ts, watermark)
-    r_wm = right.withWatermark(right_ts, watermark)
-    key_cond = [l_wm[k] == r_wm[k] for k in keys]
-    delay = F.expr(f"INTERVAL {max_delay}")
-    time_cond = [
-        r_wm[right_ts] >= l_wm[left_ts] - delay,
-        r_wm[right_ts] <= l_wm[left_ts] + delay,
-    ]
-    joined = l_wm.join(
-        r_wm, [c for conds in (key_cond, time_cond) for c in conds], "left_outer"
+    Same state bound as `stream_stream_join` (this is literally that
+    operator with how='left_outer'), plus the outer-side buffer the engine
+    holds until the watermark passes — still `watermark + max_delay` of
+    stream, never unbounded. Spark requires BOTH the watermark and the
+    time bound for outer stream joins; the shared wrapper exists so
+    callers can't forget one and ship a plan that buffers a stream
+    forever (the engine rejects it only at start)."""
+    return stream_stream_join(
+        left, right, keys, left_ts, right_ts, max_delay, watermark, how="left_outer"
     )
-    return joined.drop(*[r_wm[k] for k in keys])
 
 
 def stream_static_enrich(

@@ -205,3 +205,22 @@ def test_resample_ffill_same_ts_ties_break_to_max(spark):
            for r in temporal.resample_ffill(df, "value", keys=["k"]).collect()}
     # two events share the grid instant: deterministic max tie-break
     assert out == {"2023-01-01 00:00:00": 9.0}
+
+
+def test_resample_ffill_skips_null_observations(spark):
+    """locf semantics: a null-valued observation must not clear the carried
+    value (last NON-null wins) — pinned because the DuckDB oracle models
+    this by excluding null observations from its ASOF source."""
+    rows = [
+        ("m", "2023-01-01 00:00:00", 1.0),
+        ("m", "2023-01-01 00:10:00", None),   # null obs inside the window
+        ("m", "2023-01-01 00:30:00", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string, value double").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = {str(r.grid_ts): r.value
+           for r in temporal.resample_ffill(df, "value", keys=["k"]).collect()}
+    assert out["2023-01-01 00:00:00"] == 1.0
+    assert out["2023-01-01 00:15:00"] == 1.0   # null at 00:10 did not clear it
+    assert out["2023-01-01 00:30:00"] == 2.0
