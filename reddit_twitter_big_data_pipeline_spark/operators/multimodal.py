@@ -158,6 +158,49 @@ def extract_features(
     return media.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
 
 
+def extract_features_arrow(media: DataFrame, backend: str = "fake") -> DataFrame:
+    """``mapInArrow`` twin of ``extract_features`` — identical output, but
+    the UDF consumes raw ``pyarrow.RecordBatch``es instead of pandas
+    frames. For blob-heavy rows this skips the Arrow→pandas conversion
+    entirely (pandas wraps every payload in a Python bytes object and
+    copies the column into a Series before the UDF sees it; Arrow hands
+    over the original buffers), which is the dominant per-batch overhead
+    when payloads are MBs and the per-row work is a cheap decode. The
+    pandas variant stays the default — friendlier to extend — and the
+    test suite pins the two paths equal."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            kinds = batch.column("kind")
+            payloads = batch.column("payload")
+            feats, sums, nbytes = [], [], []
+            for i in range(batch.num_rows):
+                p = payloads[i].as_py()
+                raw = p if p is not None else b""
+                k = kinds[i].as_py()
+                if backend == "real":
+                    feats.append(_content_feature(_real_decode(raw, k)))
+                else:
+                    feats.append(_fake_feature(raw))
+                sums.append(hashlib.md5(raw).hexdigest())
+                nbytes.append(len(raw))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("media_id"),
+                    kinds,
+                    pa.array(nbytes, pa.int32()),
+                    pa.array(sums, pa.string()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                names=["media_id", "kind", "n_bytes", "checksum", "feature"],
+            )
+
+    return media.mapInArrow(run, MEDIA_FEATURES_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize plumbing: passes payload through a mapInPandas stage that
     would re-encode; fake backend tags the metadata struct instead (the

@@ -48,3 +48,52 @@ def curate_corpus(
         sampling.split_label(id_col, split_weights, hash_fn=hash_fn).alias("split"),
         text_ops.token_count(text_col).cast("long").alias("n_tokens"),
     )
+
+
+def write_training_shards(
+    df,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    salt: str = "shard",
+):
+    """Export a curated corpus as `n_shards` deterministic shards plus a
+    manifest — the final step of a training-data pipeline (the artifact a
+    training job actually consumes). Shard assignment is hash(salt, id) %
+    n_shards: reproducible across runs and partitionings (re-exporting an
+    unchanged corpus yields byte-stable shard MEMBERSHIP), statistically
+    even-sized, and append-friendly (new docs land in stable shards).
+
+    Layout: ``<path>/data/shard=<k>/*.parquet`` (one file per shard via a
+    shard-keyed repartition — the writer task per shard streams, so shard
+    size is bounded by disk, not memory) and ``<path>/manifest.parquet``
+    with (shard, n_rows[, n_tokens]) — the sanity check a training job
+    runs before touching the data, and the unit of work for a shard-level
+    resume. Returns the manifest DataFrame.
+
+    At 100 TB: the export is ONE hash-keyed exchange; n_shards should be
+    chosen so a shard is a few GB (training-loader friendly). The manifest
+    aggregation reuses the same exchange's output.
+    """
+    from pyspark.sql import functions as F
+
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path + "/data")
+    )
+    # manifest from the WRITTEN data (not the pre-write frame), so it can
+    # never disagree with what landed on disk
+    spark = df.sparkSession
+    written = spark.read.parquet(path + "/data")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_count_col is not None:
+        aggs.append(F.sum(token_count_col).cast("long").alias("n_tokens"))
+    manifest = written.groupBy("shard").agg(*aggs).orderBy("shard")
+    manifest.write.mode("overwrite").parquet(path + "/manifest.parquet")
+    return spark.read.parquet(path + "/manifest.parquet")

@@ -925,3 +925,27 @@ def test_rrf_fuse_combines_ranks_and_breaks_ties(spark):
     assert got[10] == (round(1 / 61, 6), 1)
     assert got[30] == (round(1 / 62, 6), 1)
     assert got[20][0] > got[10][0] > got[30][0]
+
+
+def test_extract_features_arrow_matches_pandas_path(spark, sf_dir):
+    """The mapInArrow fast path must be value-identical to the mapInPandas
+    default on the same media frame (including null payloads)."""
+    from reddit_twitter_big_data_pipeline_spark import schemas
+
+    docs = schemas.load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.media_from_documents(docs)
+    media = media.unionByName(
+        spark.createDataFrame(
+            [(999999, "image", None, "application/octet-stream")],
+            media.schema,
+        )
+    )
+    a = sorted(
+        (r.media_id, r.kind, r.n_bytes, r.checksum, tuple(r.feature))
+        for r in multimodal.extract_features(media).collect()
+    )
+    b = sorted(
+        (r.media_id, r.kind, r.n_bytes, r.checksum, tuple(r.feature))
+        for r in multimodal.extract_features_arrow(media).collect()
+    )
+    assert a == b

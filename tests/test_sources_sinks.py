@@ -361,3 +361,33 @@ def test_winsorize_clips_to_exact_percentiles(spark):
 
     with pytest.raises(ValueError, match="lower"):
         cleanse.winsorize(df, "v", lower=0.9, upper=0.1)
+
+
+def test_write_training_shards_deterministic_with_manifest(spark, tmp_path):
+    """Shard membership is a pure id-hash (stable across partitionings and
+    re-exports); the manifest is derived from the WRITTEN files and its
+    totals reconcile with the input."""
+    from reddit_twitter_big_data_pipeline_spark.plans import training
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i) for i in range(200)], "doc_id long, text string, n_tokens long"
+    )
+    out = str(tmp_path / "export")
+    manifest = training.write_training_shards(df, out, n_shards=4, token_count_col="n_tokens")
+    rows = manifest.collect()
+    assert [r.shard for r in rows] == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in rows) == 200
+    assert sum(r.n_tokens for r in rows) == sum(10 + i for i in range(200))
+    # every shard actually populated and reasonably balanced
+    assert all(20 <= r.n_rows <= 80 for r in rows)
+
+    back = spark.read.parquet(out + "/data")
+    assert back.count() == 200
+    first = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+
+    # re-export from a different partitioning → identical membership
+    out2 = str(tmp_path / "export2")
+    training.write_training_shards(df.repartition(13), out2, n_shards=4)
+    second = {(r.doc_id, r.shard)
+              for r in spark.read.parquet(out2 + "/data").select("doc_id", "shard").collect()}
+    assert first == second
