@@ -1968,6 +1968,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_mad_outliers"] = x_mad_outliers
 
+    def dedup_incremental_pairs(spark, sf):
+        # Ingest-time dedup: the planted-copy batch (doc_id + 1M) screened
+        # against the stored corpus — new×corpus and new×new candidates
+        # only, corpus×corpus never re-checked
+        # (operators/dedup.py:minhash_incremental_pairs).
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        new = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        return dedup.minhash_incremental_pairs(new, docs, threshold=0.9)
+
+    q["dedup_incremental_pairs"] = dedup_incremental_pairs
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2469,6 +2480,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["dedup_minhash_pairs"] = _jaccard_oracle(0.9)
     o["dedup_jaccard_pairs"] = _jaccard_oracle(0.5, max_freq=1000)
+    # incremental = the same exact-Jaccard truth restricted to pairs with at
+    # least one NEW doc; a < b and new ids sit 1M above old, so that is b ≥ 1M
+    o["dedup_incremental_pairs"] = (
+        f"SELECT * FROM ({_jaccard_oracle(0.9)}) WHERE b >= 1000000"
+    )
 
     # md5-token-hash SimHash (60-bit), mirrored bit for bit: vote per bit
     # over token occurrences, bit set iff vote > 0; distance-0 pairs = equal

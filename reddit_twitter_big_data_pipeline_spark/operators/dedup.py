@@ -285,13 +285,11 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
-) -> DataFrame:
-    """Banding: docs agreeing on ALL rows of any band become a candidate
-    pair. One explode (bands per doc) + self-join per bucket. Bucket key is
-    a hash of the band slice, so the shuffle key is (band, long) — tiny."""
-    b = signatures.select(
+def _band_frame(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket): each doc's signature sliced into `bands` buckets,
+    bucket = hash of the band's rows — the 16-byte join key every LSH
+    consumer (self-join, incremental new-vs-corpus join) shuffles on."""
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -307,6 +305,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banding: docs agreeing on ALL rows of any band become a candidate
+    pair. One explode (bands per doc) + self-join per bucket. Bucket key is
+    a hash of the band slice, so the shuffle key is (band, long) — tiny."""
+    b = _band_frame(signatures, bands, rows_per_band)
     left = b.select(F.col("id").alias("a"), "band", "bucket")
     right = b.select(F.col("id").alias("b"), "band", "bucket")
     return (
@@ -368,6 +375,68 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    k: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest-time near-dup check: pairs (a, b, jaccard ≥ threshold) where
+    AT LEAST ONE side is from `new_docs` — new×corpus and new×new, never
+    re-checking corpus×corpus. THE production dedup shape: a daily batch
+    is screened against the accumulated corpus at a cost proportional to
+    the batch (new bands probe the bucket space; corpus bands are the
+    probe TARGET, one-sided in the join), instead of re-running the full
+    self-join over corpus² every day.
+
+    Ids must be unique across both inputs. Output pairs are canonical
+    (a < b), matching the batch operator's convention. In production the
+    corpus side's hashed-shingle and band frames come from STORED tables
+    (persist `hashed_shingles`/`minhash_signatures_from_hashes` output at
+    ingest; this function recomputes them here because the driver testdata
+    has no store) — then the per-batch cost is batch-shingles + one
+    bucket-keyed join against the stored band table. Same recall math as
+    ``minhash_dedup_pairs`` (1−(1−J^r)^bands).
+    """
+    rows_per_band = num_perm // bands
+    ex_new = hashed_shingles(new_docs, id_col, text_col, k).persist()
+    ex_old = hashed_shingles(corpus_docs, id_col, text_col, k).persist()
+    b_new = _band_frame(minhash_signatures_from_hashes(ex_new, num_perm), bands, rows_per_band)
+    b_old = _band_frame(minhash_signatures_from_hashes(ex_old, num_perm), bands, rows_per_band)
+    # probe side = new bands only; target side = corpus ∪ new (so new×new
+    # dups are caught too); canonicalize and drop self-matches
+    probe = b_new.select(F.col("id").alias("n"), "band", "bucket")
+    target = b_old.unionByName(b_new).select(F.col("id").alias("m"), "band", "bucket")
+    cand = (
+        probe.join(target, ["band", "bucket"])
+        .filter(F.col("n") != F.col("m"))
+        .select(
+            F.least("n", "m").alias("a"), F.greatest("n", "m").alias("b")
+        )
+        .distinct()
+    )
+    ex_all = ex_new.unionByName(ex_old)
+    sizes = ex_all.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(ex_all.select(F.col("id").alias("a"), "h"), "a")
+        .join(ex_all.select(F.col("id").alias("b"), "h"), ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    out = (
+        common.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .filter(jac >= threshold)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+    return out
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -949,3 +949,27 @@ def test_extract_features_arrow_matches_pandas_path(spark, sf_dir):
         for r in multimodal.extract_features_arrow(media).collect()
     )
     assert a == b
+
+
+def test_minhash_incremental_only_pairs_touching_new_batch(spark):
+    """new×corpus and new×new dups surface; corpus×corpus dups — even exact
+    ones — are NOT re-reported (the whole point of the incremental form)."""
+    old = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # old×old dup
+            (3, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog"),  # dup of 1,2
+            (102, "an entirely novel document with fresh words"),
+            (103, "an entirely novel document with fresh words"),  # new×new dup
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.a, r.b): r.jaccard
+           for r in dedup.minhash_incremental_pairs(new, old, threshold=0.9).collect()}
+    assert got == {(1, 101): 1.0, (2, 101): 1.0, (102, 103): 1.0}
