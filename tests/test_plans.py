@@ -194,3 +194,16 @@ def test_round3b_queries_cartesian_free_and_bounded(spark, sf_dir, entry):
     audit.assert_max_shuffles(entry.queries()["sim_quantized_topk"](spark, sf_dir), 2)
     # the rolling z-score is ONE key-partitioned window: a single exchange
     audit.assert_max_shuffles(entry.queries()["x_rolling_zscore"](spark, sf_dir), 1)
+    # text_hybrid_rrf is exempt: bm25_topk deliberately crossJoins the
+    # 1-row broadcast (avgdl, N) stats frame — a BroadcastNestedLoop over
+    # one row, not a data×data cartesian
+    for name in (
+        "dedup_incremental_pairs",
+        "x_event_sequences",
+        "x_transitions",
+        "sample_source_cap",
+        "sample_temperature_mix",
+    ):
+        audit.assert_no_cartesian(entry.queries()[name](spark, sf_dir))
+    # per-group quota = one window over the group key: a single exchange
+    audit.assert_max_shuffles(entry.queries()["sample_source_cap"](spark, sf_dir), 1)
