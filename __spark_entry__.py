@@ -3819,7 +3819,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e.event_id, e.event_type,
                round(m.median, 6) AS median, round(m.mad, 6) AS mad,
-               (abs(e.value - m.median) > 3.0 * 1.4826 * m.mad) AS is_outlier
+               COALESCE(abs(e.value - m.median) > 3.0 * 1.4826 * m.mad,
+                        FALSE) AS is_outlier
         FROM events e JOIN m USING (event_type)
     """
 

@@ -240,16 +240,36 @@ def mad_outliers(
     degenerates — then any |x − median| > 0 flags, the conventional
     fallback."""
     keys = keys or []
+
+    def attach(left, stats):
+        # NULL-SAFE key join: a null key is its own group (groupBy keeps
+        # it), and a plain equi-join would silently DROP those rows from a
+        # data-quality screen — eqNullSafe keeps them flagged like any
+        # other group
+        if not keys:
+            return left.crossJoin(F.broadcast(stats))
+        r = stats
+        for kc in keys:
+            r = r.withColumnRenamed(kc, f"__r_{kc}")
+        cond = [left[kc].eqNullSafe(r[f"__r_{kc}"]) for kc in keys]
+        return left.join(F.broadcast(r), cond, "left").drop(
+            *[f"__r_{kc}" for kc in keys]
+        )
+
     med = df.groupBy(*keys).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("median")
     )
-    j = df.join(F.broadcast(med), keys) if keys else df.crossJoin(F.broadcast(med))
-    madf = j.groupBy(*keys).agg(
+    madf = attach(df, med).groupBy(*keys).agg(
         F.expr(f"percentile(abs({value_col} - median), 0.5)").alias("mad"),
         F.first("median").alias("median"),
     )
-    out = df.join(F.broadcast(madf), keys) if keys else df.crossJoin(F.broadcast(madf))
+    out = attach(df, madf)
     dev = F.abs(F.col(value_col) - F.col("median"))
+    # boolean, never null (a null value / degenerate group is "not flagged",
+    # matching rolling_zscore's convention)
     return out.withColumn(
-        "is_outlier", dev > F.lit(k) * F.lit(1.4826) * F.col("mad")
+        "is_outlier",
+        F.when(dev > F.lit(k) * F.lit(1.4826) * F.col("mad"), F.lit(True)).otherwise(
+            F.lit(False)
+        ),
     )

@@ -477,6 +477,19 @@ def minhash_incremental_pairs(
         .filter(jac >= threshold)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
+    # Eager materialize-and-release (the iterative-op discipline, NOT the
+    # module's lazy pair-generator policy): this function runs once per
+    # ingest batch, so leaving per-call persists to LRU would accumulate
+    # pinned storage batch after batch. The output is batch-bounded by
+    # contract; localCheckpoint cuts its lineage off the persisted
+    # intermediates so they release immediately. Caller-owned
+    # `corpus_state` frames are deliberately NOT released here.
+    out = out.localCheckpoint(eager=True)
+    ex_new.unpersist()
+    cand.unpersist()
+    ex_cand.unpersist()
+    if corpus_state is None:
+        ex_old.unpersist()
     return out
 
 

@@ -351,15 +351,10 @@ def type_token_ratio(col: str = "text") -> Column:
     return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
 
 
-def max_word_frac(col: str = "text") -> Column:
-    """Fraction of the document taken by its single most frequent token —
-    Gopher's repetition signal. Computed WITHOUT a shuffle: sort the token
-    array and fold once over it counting the longest run of equal adjacent
-    tokens (`aggregate` evaluates its lambda iteratively at runtime — the
-    plan stays O(1) in size, the work O(n log n) per row). The equivalent
-    explode → groupBy(doc, word) formulation shuffles the entire token table;
-    at 100 TB this version is a projection."""
-    toks = F.array_sort(tokens(col))
+def _best_run(sorted_toks: Column) -> Column:
+    """Longest run of equal adjacent elements in an already-sorted token
+    array — ONE fold, shared by ``max_word_frac`` and the staged
+    ``quality_signals`` so the repetition logic has a single definition."""
     zero = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
@@ -370,19 +365,41 @@ def max_word_frac(col: str = "text") -> Column:
             t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
 
-    best = F.aggregate(toks, zero, step, lambda acc: acc["best"])
-    return best / F.greatest(F.size(toks), F.lit(1))
+    return F.aggregate(sorted_toks, zero, step, lambda acc: acc["best"])
+
+
+def max_word_frac(col: str = "text") -> Column:
+    """Fraction of the document taken by its single most frequent token —
+    Gopher's repetition signal. Computed WITHOUT a shuffle: sort the token
+    array and fold once over it counting the longest run of equal adjacent
+    tokens (`aggregate` evaluates its lambda iteratively at runtime — the
+    plan stays O(1) in size, the work O(n log n) per row). The equivalent
+    explode → groupBy(doc, word) formulation shuffles the entire token table;
+    at 100 TB this version is a projection."""
+    toks = tokens(col)
+    return _best_run(F.array_sort(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+# Gopher keep/drop thresholds (Rae et al. 2021) — the ONE definition both
+# `gopher_keep` and the staged `quality_signals` predicate read, so a tuning
+# change cannot silently diverge between them.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_TOP_WORD_FRAC = 0.2
 
 
 def gopher_keep(
     col: str = "text",
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    min_alpha_frac: float = 0.8,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    min_alpha_frac: float = GOPHER_MIN_ALPHA_FRAC,
     min_stop_hits: int = 2,
-    max_top_word_frac: float = 0.2,
+    max_top_word_frac: float = GOPHER_MAX_TOP_WORD_FRAC,
 ) -> Column:
     """The composed Gopher keep/drop predicate. Thresholds are the published
     defaults; every signal is also exposed individually via
@@ -398,6 +415,15 @@ def gopher_keep(
     )
 
 
+def _gram_array(toks: Column, n_tokens: Column, n: int) -> Column:
+    """Array of the doc's n-grams (shared by ``ngram_dup_fraction`` and the
+    staged ``quality_signals`` — one definition of the gram construction)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 def ngram_dup_fraction(col: str = "text", n: int = 2) -> Column:
     """Fraction of n-gram occurrences that repeat an earlier occurrence —
     Gopher's duplicate-n-gram repetition signal (Rae et al. 2021 §A1.2;
@@ -407,11 +433,7 @@ def ngram_dup_fraction(col: str = "text", n: int = 2) -> Column:
     at scan speed even at 100 TB. Docs shorter than n tokens yield one
     whole-text gram (fraction 0)."""
     toks = tokens(col)
-    cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = _gram_array(toks, F.size(toks), n)
     return F.round(
         F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
     )
@@ -440,24 +462,7 @@ def quality_signals(
     the final projection."""
     T = F.col("__toks")
     n = F.col("__n")
-
-    def grams(nn: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(n - nn, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(T, i + 1, nn)),
-        )
-
-    zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def step(acc: Column, t: Column) -> Column:
-        run = F.when(t == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
-        return F.struct(
-            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
-        )
-
-    best_run = F.aggregate(F.array_sort(T), zero, step, lambda acc: acc["best"])
+    best_run = _best_run(F.array_sort(T))
 
     staged = (
         df.select(F.col(id_col), F.col(col).alias("__text"), tokens(col).alias("__toks"))
@@ -479,8 +484,8 @@ def quality_signals(
             ).alias("__stops"),
             (F.size(F.array_distinct(T)) / F.greatest(n, F.lit(1))).alias("__ttr"),
             (best_run / F.greatest(n, F.lit(1))).alias("__top"),
-            grams(2).alias("__g2"),
-            grams(3).alias("__g3"),
+            _gram_array(T, n, 2).alias("__g2"),
+            _gram_array(T, n, 3).alias("__g3"),
         )
     )
     return staged.select(
@@ -498,12 +503,12 @@ def quality_signals(
             F.lit(1.0) - F.size(F.array_distinct("__g3")) / F.size("__g3"), 6
         ).alias("dup_3gram_frac"),
         (
-            (n >= 50)
-            & (n <= 100_000)
-            & F.col("__mean").between(3.0, 10.0)
-            & (F.col("__alpha") >= 0.8)
+            (n >= GOPHER_MIN_WORDS)
+            & (n <= GOPHER_MAX_WORDS)
+            & F.col("__mean").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+            & (F.col("__alpha") >= GOPHER_MIN_ALPHA_FRAC)
             & (F.col("__stops") >= min_stop_hits)
-            & (F.col("__top") < 0.2)
+            & (F.col("__top") < GOPHER_MAX_TOP_WORD_FRAC)
         ).alias("keep"),
     )
 

@@ -76,8 +76,6 @@ def write_training_shards(
     chosen so a shard is a few GB (training-loader friendly). The manifest
     aggregation reuses the same exchange's output.
     """
-    from pyspark.sql import functions as F
-
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(n_shards)).cast("int")
     )

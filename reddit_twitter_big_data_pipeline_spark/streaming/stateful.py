@@ -216,7 +216,11 @@ def ewma_smoother(
             # arrives as several chunks in partition order, and sorting each
             # chunk individually would apply the order-dependent recursion
             # across chunk boundaries in the wrong sequence
-            pdf = pd.concat(list(rows), ignore_index=True).sort_values(id_col)
+            chunks = list(rows)
+            if not chunks:
+                yield pd.DataFrame({"key": [], "event_id": [], "value": [], "ewma": []})
+                return
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(id_col)
             out_id, out_v, out_e = [], [], []
             for i, v in zip(pdf[id_col], pdf[value_col]):
                 v = float(v)

@@ -636,3 +636,18 @@ def test_mad_outliers_robust_to_the_spike_itself(spark):
     assert not any(r.is_outlier for i, r in out.items() if i != 100)
     # median/MAD computed over the contaminated data stay near the bulk
     assert 10.0 <= out[0].median <= 12.0
+
+
+def test_mad_outliers_null_key_and_null_value_kept_not_dropped(spark):
+    """A null group key is its own group (null-safe join keeps the rows);
+    a null value is 'not flagged' (False), never a null boolean."""
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = [(1, None, 5.0), (2, None, 5.0), (3, None, 500.0), (4, "m", None)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_id: r for r in
+           analytics.mad_outliers(df, "value", keys=["event_type"]).collect()}
+    assert len(out) == 4                      # nothing silently dropped
+    assert out[3].is_outlier is True          # spike inside the null-key group
+    assert out[1].is_outlier is False
+    assert out[4].is_outlier is False         # null value → False, not null
