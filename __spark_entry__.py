@@ -1979,6 +1979,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental_pairs"] = dedup_incremental_pairs
 
+    def temporal_asof_forward(spark, sf):
+        # Forward as-of: each click/view/error event gains the user's NEXT
+        # purchase at or after it (settlement-after-event shape;
+        # operators/temporal.py:as_of_join direction='forward').
+        ev = _t(spark, sf, "events")
+        left = ev.filter(F.col("event_type").isin("click", "view", "error")).select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        snaps = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("snap_value"))
+            .select("user_id", "ts", F.col("ts").alias("snap_ts"), "snap_value")
+        )
+        out = temporal.as_of_join(
+            left, snaps, keys=["user_id"], left_ts="ts", right_ts="ts",
+            right_payload=["snap_ts", "snap_value"], direction="forward",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.date_format("snap_ts", "yyyy-MM-dd HH:mm:ss").alias("snap_ts_s"),
+            F.round("snap_value", 3).alias("snap_value"),
+        )
+
+    q["temporal_asof_forward"] = temporal_asof_forward
+
+    def x_group_percentiles(spark, sf):
+        # Exact p50/p90/p99 per event type — the latency-dashboard shape
+        # (one grouped exact-percentile aggregation; swap approx_percentile
+        # at 100 TB, same plan).
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+
+    q["x_group_percentiles"] = x_group_percentiles
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2722,6 +2764,33 @@ def oracle_sql() -> dict[str, str]:
                round(s.snap_value, 3) AS snap_value
         FROM l ASOF LEFT JOIN snaps s
           ON l.user_id = s.user_id AND l.ts >= s.ts
+    """
+
+    # forward direction: DuckDB ASOF with the inequality reversed picks the
+    # SMALLEST snapshot ts ≥ the event ts
+    o["temporal_asof_forward"] = """
+        WITH snaps AS (
+          SELECT user_id, ts, max(value) AS snap_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        l AS (
+          SELECT event_id, user_id, event_type, ts FROM events
+          WHERE event_type IN ('click', 'view', 'error')
+        )
+        SELECT l.event_id, l.user_id, l.event_type,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS snap_ts_s,
+               round(s.snap_value, 3) AS snap_value
+        FROM l ASOF LEFT JOIN snaps s
+          ON l.user_id = s.user_id AND l.ts <= s.ts
+    """
+
+    o["x_group_percentiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
     """
 
     # The bucketed equi-join must reproduce the plain inequality join.

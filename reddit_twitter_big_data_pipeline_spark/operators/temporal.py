@@ -38,11 +38,15 @@ def as_of_join(
     right_ts: str,
     right_payload: list[str] | None = None,
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the most recent right row at
-    or before its timestamp (per key). Left rows with no earlier right row
-    keep nulls. `tolerance_s` drops matches older than the window (the
-    pandas merge_asof contract).
+    """As-of join: each left row gains the nearest right row per key —
+    `direction='backward'` (default) the most recent right row at or
+    BEFORE its timestamp (the snapshot lookup); `direction='forward'` the
+    earliest right row at or AFTER it (the "next refresh/settlement after
+    this event" shape — pandas merge_asof's forward direction). Left rows
+    with no such right row keep nulls. `tolerance_s` drops matches farther
+    than the window in the chosen direction.
 
     Plan: union(tagged left, tagged right) → window partitionBy(keys)
     orderBy(ts, side) → last(right-row STRUCT, ignorenulls) over
@@ -54,6 +58,8 @@ def as_of_join(
     rows at equal timestamps (side 0 < 1), so an exactly-simultaneous
     snapshot matches — the ≤ semantics.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("as_of_join: direction must be 'backward' or 'forward'")
     right_payload = right_payload or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
@@ -86,9 +92,13 @@ def as_of_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     u = l_tagged.unionByName(r_tagged)
+    # forward = the same fill-forward walked in reverse time order; right
+    # rows still sort first at equal timestamps (side 0 < 1) so the
+    # boundary match is inclusive in both directions
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select("*", F.last(F.col("__r"), ignorenulls=True).over(w).alias("__f"))
@@ -101,9 +111,10 @@ def as_of_join(
                 return F.unix_timestamp(c)
             return c.cast("double")  # numeric event-time axis
 
-        in_tol = F.col("__f").isNotNull() & (
-            seconds(F.col("__ts")) - seconds(F.col("__f.__rts")) <= tolerance_s
-        )
+        gap = seconds(F.col("__ts")) - seconds(F.col("__f.__rts"))
+        if direction == "forward":
+            gap = -gap
+        in_tol = F.col("__f").isNotNull() & (gap <= tolerance_s)
         out = out.withColumn("__f", F.when(in_tol, F.col("__f")))
     return out.select(
         *left.columns,

@@ -224,3 +224,27 @@ def test_resample_ffill_skips_null_observations(spark):
     assert out["2023-01-01 00:00:00"] == 1.0
     assert out["2023-01-01 00:15:00"] == 1.0   # null at 00:10 did not clear it
     assert out["2023-01-01 00:30:00"] == 2.0
+
+
+def test_as_of_join_forward_direction_and_tolerance(spark):
+    """Forward as-of: the EARLIEST right row at-or-after the event; the
+    boundary (equal ts) matches inclusively; tolerance drops matches too
+    far in the future; unknown direction rejected."""
+    import pytest as _pytest
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 400)], ["eid", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("u", 205, "a"), ("u", 300, "b")], ["k", "rt", "payload"]
+    )
+    out = {r.eid: r.payload for r in temporal.as_of_join(
+        left, right, ["k"], "t", "rt", direction="forward").collect()}
+    assert out == {1: "a", 2: "a", 3: None}  # 2 matches at equal ts; 3 has no later row
+
+    tol = {r.eid: r.payload for r in temporal.as_of_join(
+        left, right, ["k"], "t", "rt", direction="forward", tolerance_s=50).collect()}
+    assert tol == {1: None, 2: "a", 3: None}  # 205-100=105 > 50 dropped
+
+    with _pytest.raises(ValueError, match="direction"):
+        temporal.as_of_join(left, right, ["k"], "t", "rt", direction="sideways")
