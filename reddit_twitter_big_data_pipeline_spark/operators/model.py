@@ -394,6 +394,9 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))  # empty graph → empty result
     # cached: the per-round dangling-mass anti-join reads it every
     # iteration — uncached it would rebuild the edge-list aggregation
     # (a corpus-scale scan + shuffle) once per round

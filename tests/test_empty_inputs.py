@@ -1,0 +1,74 @@
+"""Empty-input hardening: every operator family must return an EMPTY result
+(never crash, never return garbage rows) when handed zero rows — the edge
+every real pipeline hits on a quiet ingest window or an over-aggressive
+filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_twitter_big_data_pipeline_spark.operators import (
+    analytics,
+    dedup,
+    model,
+    sampling,
+    similarity,
+    temporal,
+    text as text_ops,
+)
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_dedup_family_empty(spark):
+    docs = _empty_docs(spark)
+    assert dedup.exact_dedupe(docs).count() == 0
+    assert dedup.jaccard_pairs(docs).count() == 0
+    assert dedup.minhash_dedup_pairs(docs).count() == 0
+    assert dedup.simhash_near_pairs(docs).count() == 0
+    assert dedup.minhash_incremental_pairs(docs, _empty_docs(spark)).count() == 0
+
+
+def test_text_family_empty(spark):
+    docs = _empty_docs(spark)
+    assert text_ops.quality_signals(docs).count() == 0
+    assert text_ops.text_profile(docs).count() == 0
+    assert text_ops.clean_for_training(docs).count() == 0
+    assert text_ops.chunk_documents(docs).count() == 0
+
+
+def test_analytics_family_empty(spark):
+    ev = _empty_events(spark)
+    assert analytics.rolling_zscore(ev, "value", keys=["event_type"]).count() == 0
+    assert analytics.mad_outliers(ev, "value", keys=["event_type"]).count() == 0
+    assert analytics.event_sequences(ev).count() == 0
+    assert analytics.event_transitions(ev).count() == 0
+    assert analytics.cohort_retention(ev, user_col="user_id").count() == 0
+
+
+def test_temporal_and_sampling_empty(spark):
+    ev = _empty_events(spark)
+    assert temporal.resample_ffill(ev, "value", keys=["event_type"]).count() == 0
+    left = spark.createDataFrame([], "eid long, k string, t long")
+    right = spark.createDataFrame([], "k string, rt long, payload string")
+    assert temporal.as_of_join(left, right, ["k"], "t", "rt").count() == 0
+    docs = _empty_docs(spark).withColumn("source", F.lit("s"))
+    assert sampling.cap_per_group(docs, "source", 5).count() == 0
+    assert sampling.temperature_weights(docs) == {}
+
+
+def test_graph_and_cdc_empty(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert model.k_core(edges, k=2).count() == 0
+    assert model.pagerank(edges, n_iter=2).count() == 0
+    base = spark.createDataFrame([], "k long, s string, t long")
+    changes = spark.createDataFrame([], "k long, s string, t long, op string")
+    assert model.apply_cdc(base, changes, ["k"], "t").count() == 0
