@@ -72,3 +72,17 @@ def test_graph_and_cdc_empty(spark):
     base = spark.createDataFrame([], "k long, s string, t long")
     changes = spark.createDataFrame([], "k long, s string, t long, op string")
     assert model.apply_cdc(base, changes, ["k"], "t").count() == 0
+
+
+def test_null_text_rows_survive_sanely(spark):
+    """A null-text row must flow through the text stack without crashing:
+    quality gates reject it (keep=False, never null), profiles carry nulls,
+    and pair generators simply find no pairs for it."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id long, text string"
+    )
+    q = {r.doc_id: r for r in text_ops.quality_signals(docs).collect()}
+    assert q[1].keep is False and q[1].n_words is None
+    assert text_ops.text_profile(docs).count() == 2
+    assert dedup.jaccard_pairs(docs).count() == 0
+    assert {r.doc_id for r in dedup.exact_dedupe(docs).collect()} == {1, 2}
