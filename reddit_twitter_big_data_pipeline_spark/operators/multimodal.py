@@ -267,10 +267,46 @@ def extract_features_arrow(media: DataFrame, backend: str = "fake") -> DataFrame
     return media.mapInArrow(run, MEDIA_FEATURES_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: passes payload through a mapInPandas stage that
-    would re-encode; fake backend tags the metadata struct instead (the
-    schema/batching contract is what's under test)."""
+def _resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a binary PPM (P6): decode → index-map →
+    re-encode. Pure numpy — the executable real-resize path for the one
+    format this container can decode (PIL takes over for compressed
+    formats on a full cluster image)."""
+    import numpy as np
+
+    # reuse the header walk from _decode_ppm, but keep RGB planes
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    if len(tokens) < 4 or tokens[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h = int(tokens[1]), int(tokens[2])
+    i += 1
+    rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    out = rgb[ys[:, None], xs[None, :], :]
+    return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+
+
+def resize_stub(
+    media: DataFrame, width: int, height: int, backend: str = "fake"
+) -> DataFrame:
+    """Image resize: 1→1 payload-transform mapInPandas stage. The fake
+    backend passes payloads through and tags the target dimensions (the
+    schema/batching contract); backend='real' decodes → nearest-neighbor
+    resizes → re-encodes PPM payloads with pure numpy (ValueError on
+    non-PPM — route compressed formats through PIL on a cluster image)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -283,11 +319,18 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if backend == "real":
+                payloads = [
+                    _resize_ppm(bytes(p), width, height) if p is not None else None
+                    for p in pdf["payload"]
+                ]
+            else:
+                payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "payload": pdf["payload"],  # real impl: decoded→resized→re-encoded
+                    "payload": payloads,
                     "width": width,
                     "height": height,
                 }

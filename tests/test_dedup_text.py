@@ -1018,3 +1018,31 @@ def test_real_backend_decodes_ppm_and_wav_without_codec_libs(spark):
     assert np.allclose(out[1].feature, _content_feature(px), atol=1e-6)
     assert np.allclose(out[2].feature, _content_feature(sm), atol=1e-6)
     assert abs(sum(out[1].feature) - 1.0) < 1e-6
+
+
+def test_resize_real_backend_ppm_roundtrip(spark):
+    """Real resize path: a 2x2 PPM upscales to 4x4 by nearest neighbor and
+    the output payload is itself a decodable PPM whose corner pixels match
+    the source; downscale back recovers the original pixels exactly."""
+    import numpy as np
+    from reddit_twitter_big_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        _resize_ppm,
+    )
+
+    ppm = _ppm_bytes(2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ppm))], ["media_id", "kind", "payload"]
+    )
+    out = multimodal.resize_stub(media, 4, 4, backend="real").collect()[0]
+    assert (out.width, out.height) == (4, 4)
+    up = bytes(out.payload)
+    assert up[:2] == b"P6"
+    # nearest-neighbor 2x upscale duplicates each source pixel into a 2x2
+    # block: the decoded luma grid has each original value 4x
+    lum_src = _decode_ppm(ppm)
+    lum_up = _decode_ppm(up)
+    assert sorted(lum_up.tolist()) == sorted(np.repeat(lum_src, 4).tolist())
+    # and shrinking back recovers the original pixels exactly (the
+    # re-encoded header drops the source's comment line, so compare decoded)
+    assert _decode_ppm(_resize_ppm(up, 2, 2)).tolist() == lum_src.tolist()
