@@ -114,6 +114,37 @@ def _decode_wav_pcm16(payload: bytes):
     raise ValueError("WAV container has no data chunk")
 
 
+def _y4m_geometry(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, header_end) from a yuv4mpeg2 stream header. Assumes
+    4:2:0 chroma (the Y4M default; C tags other than 420* are rejected)."""
+    nl = payload.index(b"\n")
+    w = h = None
+    for tag in payload[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C" and not tag[1:].startswith(b"420"):
+            raise ValueError("only 4:2:0 Y4M streams are supported")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    return w, h, nl + 1
+
+
+def _decode_y4m_first_frame(payload: bytes):
+    """yuv4mpeg2 (Y4M) → first frame's luma plane as float32. Pure numpy:
+    stream header, then per-frame 'FRAME...\\n' + Y (w×h) U V (w/2×h/2)
+    planes — the luma IS the grayscale content sample."""
+    import numpy as np
+
+    w, h, pos = _y4m_geometry(payload)
+    if payload[pos : pos + 5] != b"FRAME":
+        raise ValueError("Y4M stream has no FRAME marker")
+    pos = payload.index(b"\n", pos) + 1
+    y = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    return y.astype(np.float32)
+
+
 def _real_decode(payload: bytes, kind: str):
     """THE decode seam: decode `payload` with the real codec for `kind`,
     returning a 1-D float32 numpy array of content samples (grayscale
@@ -155,12 +186,16 @@ def _real_decode(payload: bytes, kind: str):
         data, _sr = soundfile.read(io.BytesIO(payload), dtype="float32")
         return np.asarray(data, dtype=np.float32).ravel()
     if kind == "video":
+        # Y4M (yuv4mpeg2) parses with pure numpy — first-frame luma plane;
+        # PyAV covers compressed containers.
+        if payload[:9] == b"YUV4MPEG2":
+            return _decode_y4m_first_frame(payload)
         try:
             import av
         except ImportError as e:
             raise NotImplementedError(
-                "video decode requires PyAV; pip install av on the cluster "
-                "or use backend='fake'"
+                "non-Y4M video decode requires PyAV; pip install av on the "
+                "cluster or use backend='fake'"
             ) from e
         with av.open(io.BytesIO(payload)) as container:
             for frame in container.decode(video=0):
@@ -339,10 +374,27 @@ def resize_stub(
     return media.mapInPandas(run, out_schema)
 
 
-def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: fan-out one row per sampled frame.
-    Fake backend derives frame count from payload size; the real impl reads
-    container duration. Demonstrates the 1→N mapInPandas shape."""
+def _y4m_luma_frames(payload: bytes) -> list[bytes]:
+    """All frames' luma planes from a Y4M stream (pure parsing — the real
+    frame-sampling path for uncompressed video)."""
+    w, h, pos = _y4m_geometry(payload)
+    ysize, csize = w * h, (w // 2) * (h // 2)
+    frames: list[bytes] = []
+    while pos < len(payload) and payload[pos : pos + 5] == b"FRAME":
+        pos = payload.index(b"\n", pos) + 1
+        frames.append(payload[pos : pos + ysize])
+        pos += ysize + 2 * csize
+    return frames
+
+
+def frame_sample_stub(
+    media: DataFrame, every_ms: int = 1000, backend: str = "fake"
+) -> DataFrame:
+    """Video frame-sampling: fan-out one row per sampled frame (the 1→N
+    mapInPandas shape). Fake backend derives deterministic pseudo-frames
+    from payload size; backend='real' parses Y4M streams and emits each
+    ACTUAL frame's luma plane (ValueError on non-Y4M — compressed
+    containers go through PyAV on a cluster image)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -356,6 +408,12 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p) if p is not None else b""
+                if backend == "real":
+                    for i, fr in enumerate(_y4m_luma_frames(raw)):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(fr)
+                    continue
                 n_frames = max(1, min(4, len(raw) // 64))
                 for i in range(n_frames):
                     ids.append(mid)

@@ -1046,3 +1046,38 @@ def test_resize_real_backend_ppm_roundtrip(spark):
     # and shrinking back recovers the original pixels exactly (the
     # re-encoded header drops the source's comment line, so compare decoded)
     assert _decode_ppm(_resize_ppm(up, 2, 2)).tolist() == lum_src.tolist()
+
+
+def _y4m_bytes(w, h, luma_frames):
+    body = b""
+    csize = (w // 2) * (h // 2)
+    for y in luma_frames:
+        body += b"FRAME\n" + bytes(y) + bytes(csize) * 2  # flat U/V planes
+    return f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode() + body
+
+
+def test_real_backend_decodes_y4m_and_samples_frames(spark):
+    """Uncompressed video (Y4M) decodes and frame-samples with pure numpy:
+    features come from the FIRST frame's luma, frame sampling emits every
+    actual frame's luma plane in order."""
+    import numpy as np
+    from reddit_twitter_big_data_pipeline_spark.operators.multimodal import (
+        _content_feature,
+        _decode_y4m_first_frame,
+    )
+
+    f0 = list(range(8))           # 4x2 luma, frame 0
+    f1 = [255 - v for v in f0]    # frame 1
+    y4m = _y4m_bytes(4, 2, [f0, f1])
+    assert _decode_y4m_first_frame(y4m).tolist() == [float(v) for v in f0]
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(y4m))], ["media_id", "kind", "payload"]
+    )
+    feat = multimodal.extract_features(media, backend="real").collect()[0]
+    assert np.allclose(feat.feature, _content_feature(np.array(f0, dtype=np.float32)), atol=1e-6)
+
+    frames = multimodal.frame_sample_stub(media, backend="real").collect()
+    assert [(r.frame_idx, bytes(r.frame_payload)) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
+        (0, bytes(f0)), (1, bytes(f1))
+    ]
