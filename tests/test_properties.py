@@ -149,3 +149,56 @@ def test_quantized_topk_lossless_when_rerank_covers_corpus(spark, vecs):
         map(tuple, similarity.quantized_topk(probes, emb, k=3, rerank=len(rows)).collect())
     )
     assert bf == qt
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # change log: (key, value, order, op)
+        st.tuples(
+            st.integers(0, 6), st.integers(0, 99), st.integers(0, 9),
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        max_size=30,
+    ),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)), max_size=8, unique_by=lambda t: t[0]),
+)
+def test_apply_cdc_matches_python_replay(spark, changes, base_rows):
+    """apply_cdc must equal a sequential dict replay of the change log in
+    (order, D-over-U) precedence — for arbitrary interleavings of inserts,
+    updates, and deletes, including same-instant ties."""
+    from reddit_twitter_big_data_pipeline_spark.operators import model
+
+    # reference: keep only the winning change per key, then replay
+    state = dict(base_rows)
+    best = {}
+    for k, v, t, op in changes:
+        cur = best.get(k)
+        # precedence: higher t wins; tie → D beats non-D; equal-precedence
+        # duplicates are excluded below to keep the reference well-defined
+        if cur is None or (t, op == "D") > (cur[0], cur[2] == "D"):
+            best[k] = (t, v, op)
+    # two changes sharing (key, order, op-class) tie at EQUAL precedence —
+    # the operator's row_number breaks that arbitrarily, so the reference
+    # is undefined there; skip those examples
+    seen = set()
+    for k, _v, t, op in changes:
+        sig = (k, t, op == "D")
+        if sig in seen:
+            return
+        seen.add(sig)
+    for k, (t, v, op) in best.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    # contract: changes = base columns + op, so base carries the order
+    # column too (t = -1 predates every change)
+    base = spark.createDataFrame(
+        [(k, v, -1) for k, v in base_rows] or [], "k long, v long, t long"
+    )
+    ch = spark.createDataFrame(
+        [(k, v, t, op) for k, v, t, op in changes] or [], "k long, v long, t long, op string"
+    )
+    got = {r.k: r.v for r in model.apply_cdc(base, ch, ["k"], "t").collect()}
+    assert got == state
