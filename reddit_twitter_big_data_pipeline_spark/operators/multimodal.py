@@ -57,13 +57,11 @@ def _fake_feature(payload: bytes) -> list[float]:
     return (buckets / float(len(payload))).tolist()
 
 
-def _decode_ppm(payload: bytes):
-    """Binary PPM (P6, maxval ≤ 255) → grayscale float32 pixels. Pure
-    numpy: header tokens (magic, width, height, maxval — '#' comments
-    allowed) then width×height×3 raw bytes; grayscale via the ITU-R 601
-    luma weights. Raises ValueError on a malformed header/payload."""
-    import numpy as np
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, pixel_offset) from a binary PPM (P6) header
+    ('#' comments allowed). THE one header walk both the decoder and the
+    resizer use — a prior duplicated copy let the maxval check diverge.
+    Raises ValueError on non-P6 or 16-bit (maxval > 255) payloads."""
     tokens: list[bytes] = []
     i = 0
     while len(tokens) < 4 and i < len(payload):
@@ -82,8 +80,16 @@ def _decode_ppm(payload: bytes):
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
-    i += 1  # single whitespace after maxval, then raw pixel bytes
-    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, maxval, i + 1  # single whitespace after maxval, then pixels
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6, maxval ≤ 255) → grayscale float32 pixels via the
+    ITU-R 601 luma weights. Raises ValueError on a malformed payload."""
+    import numpy as np
+
+    w, h, _maxval, off = _ppm_header(payload)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
     rgb = raw.reshape(h, w, 3).astype(np.float32)
     return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]).ravel()
 
@@ -102,6 +108,11 @@ def _decode_wav_pcm16(payload: bytes):
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = pos + 8
         if cid == b"fmt ":
+            # the 16-byte PCM fmt body must actually be present — a raw
+            # struct.error here would break callers that quarantine bad
+            # media rows by catching the documented ValueError
+            if size < 16 or body + 16 > len(payload):
+                raise ValueError("truncated WAV fmt chunk")
             fmt_code, _ch, _sr = struct.unpack_from("<HHI", payload, body)
             (bits,) = struct.unpack_from("<H", payload, body + 14)
         elif cid == b"data":
@@ -114,21 +125,28 @@ def _decode_wav_pcm16(payload: bytes):
     raise ValueError("WAV container has no data chunk")
 
 
-def _y4m_geometry(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, header_end) from a yuv4mpeg2 stream header. Assumes
-    4:2:0 chroma (the Y4M default; C tags other than 420* are rejected)."""
+def _y4m_geometry(payload: bytes) -> tuple[int, int, float, int]:
+    """(width, height, fps, header_end) from a yuv4mpeg2 stream header.
+    Assumes 4:2:0 chroma (the Y4M default; C tags other than 420* are
+    rejected); fps from the F num:den tag, defaulting to 25."""
+    if b"\n" not in payload:
+        raise ValueError("not a Y4M stream (no header line)")
     nl = payload.index(b"\n")
     w = h = None
+    fps = 25.0
     for tag in payload[:nl].split(b" ")[1:]:
         if tag[:1] == b"W":
             w = int(tag[1:])
         elif tag[:1] == b"H":
             h = int(tag[1:])
+        elif tag[:1] == b"F" and b":" in tag:
+            num, den = tag[1:].split(b":")
+            fps = int(num) / max(int(den), 1)
         elif tag[:1] == b"C" and not tag[1:].startswith(b"420"):
             raise ValueError("only 4:2:0 Y4M streams are supported")
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    return w, h, nl + 1
+    return w, h, fps, nl + 1
 
 
 def _decode_y4m_first_frame(payload: bytes):
@@ -137,7 +155,7 @@ def _decode_y4m_first_frame(payload: bytes):
     planes — the luma IS the grayscale content sample."""
     import numpy as np
 
-    w, h, pos = _y4m_geometry(payload)
+    w, h, _fps, pos = _y4m_geometry(payload)
     if payload[pos : pos + 5] != b"FRAME":
         raise ValueError("Y4M stream has no FRAME marker")
     pos = payload.index(b"\n", pos) + 1
@@ -306,32 +324,17 @@ def _resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize of a binary PPM (P6): decode → index-map →
     re-encode. Pure numpy — the executable real-resize path for the one
     format this container can decode (PIL takes over for compressed
-    formats on a full cluster image)."""
+    formats on a full cluster image). Shares `_ppm_header` with the
+    decoder (incl. its 16-bit rejection) and re-encodes with the SOURCE
+    maxval, so pixel interpretation never changes."""
     import numpy as np
 
-    # reuse the header walk from _decode_ppm, but keep RGB planes
-    tokens: list[bytes] = []
-    i = 0
-    while len(tokens) < 4 and i < len(payload):
-        while i < len(payload) and payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            while i < len(payload) and payload[i : i + 1] != b"\n":
-                i += 1
-            continue
-        start = i
-        while i < len(payload) and not payload[i : i + 1].isspace():
-            i += 1
-        tokens.append(payload[start:i])
-    if len(tokens) < 4 or tokens[0] != b"P6":
-        raise ValueError("not a binary PPM (P6) payload")
-    w, h = int(tokens[1]), int(tokens[2])
-    i += 1
-    rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    w, h, maxval, off = _ppm_header(payload)
+    rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3)
     ys = (np.arange(height) * h // height).clip(0, h - 1)
     xs = (np.arange(width) * w // width).clip(0, w - 1)
     out = rgb[ys[:, None], xs[None, :], :]
-    return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+    return f"P6\n{width} {height}\n{maxval}\n".encode() + out.tobytes()
 
 
 def resize_stub(
@@ -374,17 +377,21 @@ def resize_stub(
     return media.mapInPandas(run, out_schema)
 
 
-def _y4m_luma_frames(payload: bytes) -> list[bytes]:
-    """All frames' luma planes from a Y4M stream (pure parsing — the real
-    frame-sampling path for uncompressed video)."""
-    w, h, pos = _y4m_geometry(payload)
+def _y4m_luma_frames(payload: bytes) -> tuple[list[bytes], float]:
+    """(all frames' luma planes, fps) from a Y4M stream (pure parsing — the
+    real frame-sampling path for uncompressed video). A truncated final
+    frame raises, matching `_decode_y4m_first_frame` — a short luma plane
+    must never masquerade as a valid frame downstream."""
+    w, h, fps, pos = _y4m_geometry(payload)
     ysize, csize = w * h, (w // 2) * (h // 2)
     frames: list[bytes] = []
     while pos < len(payload) and payload[pos : pos + 5] == b"FRAME":
         pos = payload.index(b"\n", pos) + 1
+        if pos + ysize > len(payload):
+            raise ValueError("truncated Y4M frame")
         frames.append(payload[pos : pos + ysize])
         pos += ysize + 2 * csize
-    return frames
+    return frames, fps
 
 
 def frame_sample_stub(
@@ -409,10 +416,16 @@ def frame_sample_stub(
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p) if p is not None else b""
                 if backend == "real":
-                    for i, fr in enumerate(_y4m_luma_frames(raw)):
+                    if not raw:
+                        continue  # null/empty payload: zero frames, not a crash
+                    lumas, fps = _y4m_luma_frames(raw)
+                    # honor the sampling interval: one frame per every_ms
+                    # of stream time, using the header's framerate
+                    stride = max(1, round(fps * every_ms / 1000.0))
+                    for i in range(0, len(lumas), stride):
                         ids.append(mid)
                         idxs.append(i)
-                        frames.append(fr)
+                        frames.append(lumas[i])
                     continue
                 n_frames = max(1, min(4, len(raw) // 64))
                 for i in range(n_frames):

@@ -81,7 +81,10 @@ def as_of_join(
         .withColumn("__ts", F.col(left_ts))
         .withColumn("__r", F.lit(None).cast(r_struct_type))
     )
-    r_tagged = right.select(
+    # a right row with a NULL timestamp cannot be "as of" anything — and
+    # unfiltered it would sort to an end of the walk and leak into every
+    # left row on that side (nulls-first) or confuse the tolerance check
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
@@ -94,8 +97,15 @@ def as_of_join(
     u = l_tagged.unionByName(r_tagged)
     # forward = the same fill-forward walked in reverse time order; right
     # rows still sort first at equal timestamps (side 0 < 1) so the
-    # boundary match is inclusive in both directions
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # boundary match is inclusive in both directions. NULL left timestamps
+    # sort FIRST in either walk so nothing precedes them — they keep a
+    # null match instead of grabbing the extreme right row (plain desc
+    # puts nulls LAST, which handed them the earliest snapshot).
+    ts_order = (
+        F.col("__ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__ts").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(ts_order, F.col("__side").asc())

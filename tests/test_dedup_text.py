@@ -1077,7 +1077,52 @@ def test_real_backend_decodes_y4m_and_samples_frames(spark):
     feat = multimodal.extract_features(media, backend="real").collect()[0]
     assert np.allclose(feat.feature, _content_feature(np.array(f0, dtype=np.float32)), atol=1e-6)
 
-    frames = multimodal.frame_sample_stub(media, backend="real").collect()
+    # every_ms=40 at F25 (40 ms/frame) → stride 1 → every frame
+    frames = multimodal.frame_sample_stub(media, every_ms=40, backend="real").collect()
     assert [(r.frame_idx, bytes(r.frame_payload)) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
         (0, bytes(f0)), (1, bytes(f1))
     ]
+    # every_ms=1000 at F25 → stride 25 → only frame 0 (the knob works)
+    sampled = multimodal.frame_sample_stub(media, every_ms=1000, backend="real").collect()
+    assert [(r.frame_idx, bytes(r.frame_payload)) for r in sampled] == [(0, bytes(f0))]
+
+
+def test_real_codec_edge_cases_raise_valueerror_or_skip(spark):
+    """Truncated/degenerate payloads fail loudly with the documented
+    ValueError (quarantine-able) — and a null payload in real frame
+    sampling yields zero frames, not a crashed stage."""
+    import struct
+
+    import pytest as _pytest
+    from reddit_twitter_big_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+        _decode_wav_pcm16,
+        _resize_ppm,
+        _y4m_luma_frames,
+    )
+
+    # 16-bit PPM rejected by decode AND resize (shared header walk)
+    deep = b"P6\n1 1\n65535\n" + bytes(6)
+    with _pytest.raises(ValueError, match="16-bit"):
+        _decode_ppm(deep)
+    with _pytest.raises(ValueError, match="16-bit"):
+        _resize_ppm(deep, 2, 2)
+    # maxval < 255 survives a resize unchanged in the header
+    dim = b"P6\n1 1\n100\n" + bytes([50, 50, 50])
+    assert _resize_ppm(dim, 1, 1).startswith(b"P6\n1 1\n100\n")
+
+    # truncated WAV fmt chunk → ValueError, not struct.error
+    bad_wav = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_wav_pcm16(bad_wav)
+
+    # truncated Y4M final frame → ValueError, never a short luma plane
+    y4m = _y4m_bytes(4, 2, [list(range(8))])
+    with _pytest.raises(ValueError, match="truncated"):
+        _y4m_luma_frames(y4m[:-8])
+
+    # null payload through the real frame sampler: zero rows, no crash
+    media = spark.createDataFrame(
+        [(1, "video", None)], "media_id long, kind string, payload binary"
+    )
+    assert multimodal.frame_sample_stub(media, backend="real").count() == 0

@@ -248,3 +248,22 @@ def test_as_of_join_forward_direction_and_tolerance(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         temporal.as_of_join(left, right, ["k"], "t", "rt", direction="sideways")
+
+
+def test_as_of_join_null_timestamps_never_match(spark):
+    """A null-ts LEFT row keeps a null match in BOTH directions (a plain
+    desc order sorted nulls last and handed forward-direction rows the
+    earliest snapshot); a null-ts RIGHT row never participates at all."""
+    left = spark.createDataFrame(
+        [(1, "u", 250), (9, "u", None)], "eid long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u", 205, "a"), ("u", 300, "b"), ("u", None, "ghost")],
+        "k string, rt long, payload string",
+    )
+    fwd = {r.eid: r.payload for r in temporal.as_of_join(
+        left, right, ["k"], "t", "rt", direction="forward").collect()}
+    assert fwd == {1: "b", 9: None}
+    bwd = {r.eid: r.payload for r in temporal.as_of_join(
+        left, right, ["k"], "t", "rt").collect()}
+    assert bwd == {1: "a", 9: None}
