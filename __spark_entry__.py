@@ -2042,6 +2042,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_funnel_latency"] = x_funnel_latency
 
+    def dedup_cluster_sizes(spark, sf):
+        # Dup-cluster size histogram over the planted corpus — the dedup
+        # REPORT (how much of the corpus is duplicated, at what group
+        # sizes) a curation run publishes alongside the keep set.
+        groups = dedup.exact_dup_groups(_docs_with_planted_dups(spark, sf))
+        return groups.groupBy(F.col("n_dups").alias("group_size")).agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_dups").alias("n_docs"),
+        )
+
+    q["dedup_cluster_sizes"] = dedup_cluster_sizes
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2486,6 +2498,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                min(doc_id) AS keep_id, count(*) AS n_dups
         FROM docs GROUP BY 1
+    """
+
+    o["dedup_cluster_sizes"] = f"""
+        WITH {_PLANTED_CTE},
+        g AS (
+          SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                 count(*) AS n_dups
+          FROM docs GROUP BY 1
+        )
+        SELECT n_dups AS group_size, count(*)::BIGINT AS n_groups,
+               sum(n_dups)::BIGINT AS n_docs
+        FROM g GROUP BY 1
     """
 
     o["dedup_exact_keep"] = f"""
