@@ -2054,6 +2054,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cluster_sizes"] = dedup_cluster_sizes
 
+    def text_lang_mix(spark, sf):
+        # Corpus language mix: docs + whitespace tokens per predicted
+        # language — the multilingual-curation report that feeds
+        # temperature_weights (operators/text.py:lang_id; one projection +
+        # one tiny grouped aggregation).
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return (
+            docs.select(
+                text_ops.lang_id("text").alias("lang"),
+                text_ops.token_count("text").alias("__n"),
+            )
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__n").cast("long").alias("n_tokens"),
+            )
+        )
+
+    q["text_lang_mix"] = text_lang_mix
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2487,6 +2507,24 @@ def oracle_sql() -> dict[str, str]:
             len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y','es'))) AS s_es
           FROM documents
         )
+    """
+
+    o["text_lang_mix"] = """
+        WITH scored AS (
+          SELECT text,
+            len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS s_en,
+            len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS s_de,
+            len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y','es'))) AS s_es
+          FROM documents
+        )
+        SELECT CASE
+                 WHEN s_de > s_en AND s_de >= s_es THEN 'de'
+                 WHEN s_es > s_en AND s_es > s_de THEN 'es'
+                 ELSE 'en'
+               END AS lang,
+               count(*)::BIGINT AS n_docs,
+               sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        FROM scored GROUP BY 1
     """
 
     o["text_fingerprint64"] = f"""
