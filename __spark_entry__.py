@@ -2074,6 +2074,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lang_mix"] = text_lang_mix
 
+    def x_hourly_profile(spark, sf):
+        # Hour-of-day activity profile per event type — the seasonality
+        # view behind cadence planning (one grouped count + mean; the
+        # map-side combine collapses everything before the 24×5-key
+        # exchange).
+        ev = _t(spark, sf, "events")
+        return ev.groupBy(
+            F.hour("ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+
+    q["x_hourly_profile"] = x_hourly_profile
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2507,6 +2522,12 @@ def oracle_sql() -> dict[str, str]:
             len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','y','es'))) AS s_es
           FROM documents
         )
+    """
+
+    o["x_hourly_profile"] = """
+        SELECT CAST(hour(ts) AS INT) AS hour, event_type,
+               count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
     """
 
     o["text_lang_mix"] = """
