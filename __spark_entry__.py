@@ -1808,6 +1808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brute force), demonstrating the quantized scan path loses nothing
         # at the default rerank margin. Disjoint probe set from
         # sim_bruteforce_topk so the two queries exercise different rows.
+        # NOTE: the prune is probabilistic (shortlist = max(rerank,
+        # batch/16) by int8-approximate score) — if this gate EVER flips to
+        # hash-mismatch after a corpus/batch-size change, the diagnosis is
+        # "a true top-k member fell out of the shortlist": raise rerank.
         emb = _t(spark, sf, "embeddings")
         probes = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
         return similarity.quantized_topk(probes, emb, k=5)
@@ -1973,6 +1977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against the stored corpus — new×corpus and new×new candidates
         # only, corpus×corpus never re-checked
         # (operators/dedup.py:minhash_incremental_pairs).
+        # GUARD: threshold must stay >= 0.9 here. The oracle is the EXACT
+        # Jaccard truth; 16x4 banding has miss probability ~1e-8/pair at
+        # J>=0.9 but only ~0.65 recall near J=0.5 — re-parameterizing this
+        # registered query below 0.9 would break the exact oracle.
         docs = _t(spark, sf, "documents").select("doc_id", "text")
         new = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
         return dedup.minhash_incremental_pairs(new, docs, threshold=0.9)

@@ -136,6 +136,15 @@ def temperature_weights(
     counts = {
         r[0]: r[1] for r in df.groupBy(source_col).count().collect()
     }
+    if None in counts:
+        # A NULL source would silently diverge downstream: mix_sources'
+        # CASE chain (col == lit) is null for NULL and falls through to
+        # default_weight, so the computed weight would never apply.
+        # Refuse loudly instead (ADVICE r3).
+        raise ValueError(
+            "temperature_weights: NULL values in source column "
+            f"{source_col!r}; filter or fill them before weighting"
+        )
     if not counts:
         return {}
     total = sum(counts[s] for s in sorted(counts))

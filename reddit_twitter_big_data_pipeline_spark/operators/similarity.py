@@ -683,9 +683,12 @@ def quantized_topk(
     best candidates per probe, exact float64 cosine then ranks only those.
     Same output contract as ``brute_force_topk`` (query_id, neighbor_id,
     sim — sim is the EXACT cosine), and identical results whenever every
-    true top-k member survives the prune (guaranteed-ish: `rerank` defaults
-    to max(8k, 64) per batch against a score error of ~1e-2; raise it for
-    corpora with dense near-ties).
+    true top-k member survives the prune. The effective shortlist per Arrow
+    batch is max(`rerank`, batch_rows/16) — a floor of max(8k, 64) plus a
+    fraction that SCALES with batch size, so a bigger corpus / coarser
+    batching cannot shrink the shortlist relative to the candidate pool
+    (int8 score error is ~1e-2; raise `rerank` for corpora with dense
+    near-ties).
 
     Plan shape is the ``brute_force_topk`` streaming shape — probes
     broadcast, corpus streams once through mapInPandas, partial top-k
@@ -720,7 +723,10 @@ def quantized_topk(
             scale = np.maximum(np.abs(c_normed).max(axis=1), 1e-12) / 127.0
             q8 = np.rint(c_normed / scale[:, None]).astype(np.int8)
             approx = (q8.astype(np.float64) * scale[:, None]) @ qnm.T
-            r = min(rerank, approx.shape[0])
+            # shortlist scales with the batch so prune tightness is
+            # independent of Arrow batch sizing (ADVICE r3): fixed floor
+            # `rerank` + 1/16 of the batch's candidate pool
+            r = min(max(rerank, approx.shape[0] // 16), approx.shape[0])
             # per probe: the r best corpus rows by approximate score
             cand = np.argpartition(-approx, r - 1, axis=0)[:r]  # r × |Q|
             # --- exact rescore on the union of survivors ------------------

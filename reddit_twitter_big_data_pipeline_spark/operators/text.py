@@ -882,8 +882,8 @@ def rrf_fuse(
     the published default).
 
     Each input frame is (qid, doc_id, score). Within each list, rank is
-    dense by (score desc, id asc) — the same total order the retrievers
-    themselves emit, so fusion is deterministic. Output: (qid, doc_id,
+    ordinal (row_number) by (score desc, id asc) — the same total order
+    the retrievers themselves emit, so fusion is deterministic. Output: (qid, doc_id,
     rrf_score, n_lists) top-k per query.
 
     Scale shape: the inputs are already top-k lists (bounded: |Q|·k rows
