@@ -2102,11 +2102,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
     # BIGINT, passing locally ever since) into the window in place of
     # x_salted_agg (driver-confirmed green in r2), so the driver finally
-    # re-confirms the r1 failure fixed. Everything else keeps its r2
-    # position; keep this order FROZEN from here on.
+    # re-confirms the r1 failure fixed.
     names = list(q)
     i, j = names.index("x_salted_agg"), names.index("x_json_path")
     names[i], names[j] = names[j], names[i]
+    # ROUND-4 ROTATION (VERDICT r3 item 1, deliberate and documented): 62%
+    # of the surface has never earned the driver's hard gate — only the
+    # locally-run twin (tools/check_correctness.py). Rotate ten stable,
+    # locally-green representatives of the ungraded tail INTO the window,
+    # each in place of a §2 basic that has been driver-green for three
+    # consecutive rounds (CORRECTNESS_r01-r03). Pairwise position swaps
+    # keep every other query's slot frozen; the rotated-out basics remain
+    # registered (and locally gated) past position 50.
+    _R4_SWAPS = {
+        "f2_scrub_empty": "temporal_asof_join",
+        "f3_sentinel_scrub": "temporal_range_join",
+        "f5_length_guard": "tpch_q9_product_profit",
+        "t2_explode_tokens": "tpch_q21_sole_returner",
+        "a1_distinct_dims": "sem_dedup_pairs",
+        "a5_argmax": "sim_self_knn",
+        "a6_count_groups": "x_scd2_apply",
+        "a7_top_n": "text_bm25_topk",
+        "a9_union": "x_pagerank",
+        "x_map_functions": "text_segment_dedup",
+    }
+    for out_name, in_name in _R4_SWAPS.items():
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
     return {n: q[n] for n in names}
 
 
