@@ -1620,10 +1620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_bpe_tokens(spark, sf):
         # Distributed BPE: train 30 merges on the corpus's word-count
         # table (the only corpus-sized shuffle), tokenize with the learned
-        # ranks (operators/bpe.py). Iterative + driver-scheduled — not
-        # SQL-expressible, so no oracle entry: the driver records the
-        # weaker rows-only check; the algorithm is property-tested against
-        # an independent single-node reference in tests/test_dedup_text.py.
+        # ranks (operators/bpe.py). Rounds are batched fastBPE-style
+        # (8 disjoint merges/round since r4 — ~4 driver rounds instead of
+        # 30). Iterative + driver-scheduled — not SQL-expressible, so no
+        # oracle entry: the driver records the weaker rows-only check; the
+        # algorithm is property-tested against an independent single-node
+        # reference in tests/test_dedup_text.py.
         from reddit_twitter_big_data_pipeline_spark.operators import bpe
 
         docs = _t(spark, sf, "documents")
@@ -1631,6 +1633,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe.bpe_tokenize(docs, merges).select("doc_id", "n_bpe")
 
     q["text_bpe_tokens"] = text_bpe_tokens
+
+    def text_word_counts(spark, sf):
+        # The corpus-sized (word, cnt) reduction itself — the ONE
+        # corpus-wide shuffle every vocabulary consumer (BPE training,
+        # unigram LM, DSIR) reads from (operators/text.py:
+        # corpus_word_counts). Oracle-gating it pins the shared
+        # normalization/tokenization contract the weak-checked BPE train
+        # loop builds on (VERDICT r3 item 7).
+        docs = _t(spark, sf, "documents")
+        return text_ops.corpus_word_counts(docs)
+
+    q["text_word_counts"] = text_word_counts
+
+    def text_bpe_merge_select(spark, sf):
+        # Two UNROLLED rounds of BPE merge selection, oracle-gated
+        # (VERDICT r3 item 7): round-0 pair counts over char+</w> symbols
+        # → (total desc, x, y) argmax → exact fold application of that
+        # merge → round-1 pair counts → argmax. Composes the operator's
+        # REAL primitives (bpe._symbols / bpe.pair_counts /
+        # bpe._apply_merge); the two 1-row collects mirror bpe_train's
+        # bounded per-round collect contract. The DuckDB twin plays the
+        # fold via left-to-right non-overlapping string replace on a
+        # sentinel-char word encoding — the same semantics by
+        # construction. Only the full data-dependent train LOOP remains
+        # outside the gate.
+        from reddit_twitter_big_data_pipeline_spark.operators import bpe
+
+        docs = _t(spark, sf, "documents")
+        vocab = bpe.word_counts(docs).select(
+            bpe._symbols(F.col("word")).alias("s"), "cnt"
+        )
+
+        def top1(v):
+            return (
+                bpe.pair_counts(v)
+                .filter(F.col("total") >= 2)
+                .orderBy(F.desc("total"), "x", "y")
+                .limit(1)
+            )
+
+        r0 = top1(vocab).collect()[0]
+        v1 = vocab.select(
+            bpe._apply_merge(F.col("s"), r0["x"], r0["y"]).alias("s"), "cnt"
+        )
+        r1 = top1(v1).collect()[0]
+        return spark.createDataFrame(
+            [
+                (0, r0["x"], r0["y"], r0["total"]),
+                (1, r1["x"], r1["y"], r1["total"]),
+            ],
+            "merge_rank int, x string, y string, total long",
+        )
+
+    q["text_bpe_merge_select"] = text_bpe_merge_select
 
     def text_unigram_logprob(spark, sf):
         # CCNet-style perplexity-proxy scoring under the corpus's own
@@ -3409,6 +3465,77 @@ def oracle_sql() -> dict[str, str]:
                exp(-avg(lp)) AS ppl
         FROM t2 JOIN model USING (word)
         GROUP BY id
+    """
+
+    o["text_word_counts"] = """
+        SELECT word, count(*)::BIGINT AS cnt FROM (
+          SELECT unnest(string_split(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+          FROM documents) t
+        WHERE word != ''
+        GROUP BY word
+    """
+
+    # Two unrolled BPE merge-selection rounds. The fold (left-to-right
+    # non-overlapping adjacent-pair collapse) is played as a string
+    # replace over a sentinel-char encoding: chr(1) stands for </w>,
+    # chr(2) for round-0's merged symbol — replace() is left-to-right
+    # non-overlapping, which IS the fold's semantics (a collapse can only
+    # re-trigger if x+y == x, impossible for non-empty y). Argmax order is
+    # (total DESC, x, y) over the REAL symbol strings in both engines.
+    o["text_bpe_merge_select"] = """
+        WITH wc AS (
+          SELECT word, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(string_split(
+              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+            FROM documents) t
+          WHERE word != '' GROUP BY word
+        ),
+        s0 AS MATERIALIZED (SELECT word || chr(1) AS s, cnt FROM wc),
+        p0 AS (
+          SELECT substr(s, i, 1) AS xc, substr(s, i + 1, 1) AS yc,
+                 sum(cnt)::BIGINT AS total
+          FROM s0 CROSS JOIN LATERAL
+               (SELECT unnest(range(1, len(s)::INT)) AS i) g
+          GROUP BY 1, 2
+        ),
+        sel0 AS MATERIALIZED (
+          SELECT xc, yc,
+                 CASE WHEN xc = chr(1) THEN '</w>' ELSE xc END AS x,
+                 CASE WHEN yc = chr(1) THEN '</w>' ELSE yc END AS y,
+                 total
+          FROM p0 WHERE total >= 2
+          ORDER BY total DESC,
+                   CASE WHEN xc = chr(1) THEN '</w>' ELSE xc END,
+                   CASE WHEN yc = chr(1) THEN '</w>' ELSE yc END
+          LIMIT 1
+        ),
+        s1 AS MATERIALIZED (
+          SELECT replace(s, (SELECT xc || yc FROM sel0), chr(2)) AS s, cnt
+          FROM s0
+        ),
+        p1 AS (
+          SELECT substr(s, i, 1) AS xc, substr(s, i + 1, 1) AS yc,
+                 sum(cnt)::BIGINT AS total
+          FROM s1 CROSS JOIN LATERAL
+               (SELECT unnest(range(1, len(s)::INT)) AS i) g
+          GROUP BY 1, 2
+        ),
+        sel1 AS MATERIALIZED (
+          SELECT CASE WHEN xc = chr(1) THEN '</w>'
+                      WHEN xc = chr(2) THEN (SELECT x || y FROM sel0)
+                      ELSE xc END AS x,
+                 CASE WHEN yc = chr(1) THEN '</w>'
+                      WHEN yc = chr(2) THEN (SELECT x || y FROM sel0)
+                      ELSE yc END AS y,
+                 total
+          FROM p1 WHERE total >= 2
+          ORDER BY total DESC, 1, 2
+          LIMIT 1
+        )
+        SELECT 0 AS merge_rank, x, y, total FROM sel0
+        UNION ALL
+        SELECT 1 AS merge_rank, x, y, total FROM sel1
     """
 
     # Composed curation oracle: the shared _SCRUB_SQL chain (kept in

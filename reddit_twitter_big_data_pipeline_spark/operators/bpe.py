@@ -10,11 +10,20 @@ Scale shape:
   table, which is orders of magnitude smaller than the corpus.
 - Each training round is two small jobs over the vocab frame: an adjacent-
   pair count (explode → sum, shuffling (symbol, symbol, long) triples) and
-  a driver-side take(1) of the argmax pair — the single collected row per
-  round. The merge application is a pure Column array fold (no Python).
-- Rounds follow the iterative-loop discipline of ``comment_depth``:
-  cache + full count() per round, lineage truncated every 4th round
-  (reliable checkpoint when `checkpoint_dir` is set).
+  a driver-side bounded collect of the leading pairs. Rounds are BATCHED
+  (fastBPE-style): the top `batch_merges` pairwise-symbol-DISJOINT pairs
+  apply per round, so a 30k-merge vocabulary costs ~30k/m driver rounds,
+  not 30k. Disjointness keeps every applied pair's pre-round count exact
+  (merging (x1,y1) can neither create nor destroy an (x2,y2) adjacency
+  when the symbol sets — including the merged symbol x1y1 — are disjoint),
+  so min_count still gates true counts; what batching trades away is only
+  classic BPE's exact merge ORDER for m>1 (m=1 reproduces it verbatim —
+  property-tested). The merge application is a pure Column array fold.
+- Rounds follow the iterative-loop discipline of ``comment_depth`` minus
+  the per-round count(): each round's single collect materializes the
+  previous round's cache, and the eager lineage truncation every 4th
+  round (reliable checkpoint when `checkpoint_dir` is set) bounds plan
+  growth.
 - The trained model is a KB-scale ordered merge list (the same "model =
   broadcast literal" stance as the IVF codebook); tokenization broadcasts
   it and runs rank-priority merging per word inside an Arrow-batched UDF.
@@ -70,51 +79,96 @@ def _apply_merge(sym: Column, x: str, y: str) -> Column:
     return F.aggregate(sym, F.slice(sym, 1, 0), step)
 
 
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts (x, y, total) over a (s: array<string>,
+    cnt: long) symbol-vocabulary frame — the per-round reduction of
+    ``bpe_train``, exposed so merge selection is oracle-checkable
+    (an unrolled round is plain SQL over adjacent positions)."""
+    return (
+        vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("s", 1, F.size("s") - 1),
+                    F.slice("s", 2, F.size("s") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.x", "p.y")
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
 def bpe_train(
     df: DataFrame,
     col: str = "text",
     n_merges: int = 50,
     min_count: int = 2,
+    batch_merges: int = 8,
     checkpoint_dir: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn up to `n_merges` BPE merges from the corpus; stops early when
-    the best pair's weighted count falls under `min_count`. Returns the
-    ordered merge list (the model)."""
+    no pair's weighted count reaches `min_count`. Returns the ordered
+    merge list (the model).
+
+    `batch_merges` (m) applies up to m merges per driver round
+    (fastBPE-style): candidates collect once per round (bounded:
+    max(4m, 16) rows), then a greedy scan in (count desc, x, y) order
+    takes pairs whose symbol sets — components AND merged symbol — are
+    disjoint from every pair already taken this round. Disjoint pairs
+    can't perturb each other's adjacency counts, so each applied merge's
+    count is its true pre-application count and the `min_count` floor is
+    exact; m=1 degenerates to classic single-merge BPE (identical merge
+    list, property-tested). For m>1 the merge ORDER may differ from
+    classic BPE (a merged symbol's follow-on pairs only compete from the
+    next round), but rank-priority tokenization still reproduces the
+    training segmentation for every trained word — ranks and application
+    order coincide by construction."""
+    if batch_merges < 1:
+        raise ValueError("bpe_train: batch_merges must be >= 1")
     vocab = (
         word_counts(df, col)
         .select(_symbols(F.col("word")).alias("s"), "cnt")
         .cache()
     )
-    vocab.count()
     caches = [vocab]
     merges: list[tuple[str, str]] = []
-    for r in range(n_merges):
-        pairs = (
-            vocab.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice("s", 1, F.size("s") - 1),
-                        F.slice("s", 2, F.size("s") - 1),
-                        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.x", "p.y")
-            .agg(F.sum("cnt").alias("total"))
+    r = 0
+    while len(merges) < n_merges:
+        m = min(batch_merges, n_merges - len(merges))
+        pairs = pair_counts(vocab)
+        cand = (
+            pairs.filter(F.col("total") >= min_count)
+            .orderBy(F.desc("total"), "x", "y")
+            .limit(max(4 * m, 16))
+            .collect()
         )
-        best = pairs.orderBy(F.desc("total"), "x", "y").limit(1).collect()
-        if not best or best[0]["total"] < min_count:
+        if not cand:
             break
-        x, y = best[0]["x"], best[0]["y"]
-        merges.append((x, y))
-        nxt = vocab.select(_apply_merge(F.col("s"), x, y).alias("s"), "cnt").cache()
+        taken: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in cand:
+            x, y = row["x"], row["y"]
+            if x in used or y in used or (x + y) in used:
+                continue
+            taken.append((x, y))
+            used.update((x, y, x + y))
+            if len(taken) >= m:
+                break
+        merges.extend(taken)
+        s = F.col("s")
+        for x, y in taken:
+            s = _apply_merge(s, x, y)
+        nxt = vocab.select(s.alias("s"), "cnt").cache()
         # register the CACHED frame before any truncate rebinds nxt —
         # appending afterwards would leak the pre-checkpoint cache blocks
         caches.append(nxt)
-        if (r + 1) % 4 == 0:
+        r += 1
+        if r % 4 == 0:
+            # eager truncation materializes this round; otherwise the next
+            # round's collect fills the cache — no separate count() job
             nxt = _truncate(nxt, checkpoint_dir)
-        nxt.count()
         vocab = nxt
     for c in caches:
         c.unpersist()

@@ -735,7 +735,8 @@ def test_bpe_train_matches_reference(spark):
         (3, "wide wider widest low newest"),
     ]
     df = spark.createDataFrame(corpus, ["doc_id", "text"])
-    got = bpe.bpe_train(df, n_merges=12)
+    # batch_merges=1 must reproduce classic single-merge BPE verbatim
+    got = bpe.bpe_train(df, n_merges=12, batch_merges=1)
 
     words = Counter(w for _, t in corpus for w in t.split())
     expected, ref_vocab = _ref_bpe_train(dict(words), 12)
@@ -755,6 +756,75 @@ def test_bpe_train_matches_reference(spark):
             assert match, f"word {key} missing from reference vocab"
             flat.extend(match[0])
         assert toks[doc_id] == flat, f"doc {doc_id}"
+
+
+def test_bpe_train_batched_rounds(spark):
+    """Batched rounds (batch_merges>1): every taken pair's count is its
+    true pre-application count (disjointness), rounds shrink ~m-fold, and
+    rank-priority tokenization still reproduces the training segmentation
+    (= sequential application of the recorded merges, in order)."""
+    from collections import Counter
+
+    from reddit_twitter_big_data_pipeline_spark.operators import bpe
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "wide wider widest low newest"),
+        (4, "deep deeper deepest deep wide"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = bpe.bpe_train(df, n_merges=16, batch_merges=4)
+    assert 1 <= len(got) <= 16
+    assert len(set(got)) == len(got), "no merge may repeat"
+
+    def apply_merges_sequentially(word):
+        syms = list(word) + ["</w>"]
+        for x, y in got:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    toks = {
+        r.doc_id: r.bpe_tokens for r in bpe.bpe_tokenize(df, got).collect()
+    }
+    words = Counter(w for _, t in corpus for w in t.split())
+    for doc_id, text in corpus:
+        flat = []
+        for w in text.split():
+            flat.extend(apply_merges_sequentially(w))
+        assert toks[doc_id] == flat, f"doc {doc_id}"
+    # every merge must have been worth taking: at the moment of its
+    # application the pair occurred with weighted count >= min_count (=2)
+    for x, y in got:
+        seen = 0
+        for w, c in words.items():
+            syms = list(w) + ["</w>"]
+            for px, py in got:
+                if (px, py) == (x, y):
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == px and syms[i + 1] == py:
+                        out.append(px + py)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            seen += sum(
+                c
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) == (x, y)
+            )
+        assert seen >= 2, f"merge {(x, y)} applied below min_count"
 
 
 def test_bpe_tokenize_unseen_words_fall_back(spark):
