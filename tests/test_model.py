@@ -83,6 +83,71 @@ def test_a4_doubling_matches_levels_on_random_forest(spark):
     doubling = {(r.id, r.post_id): r.depth for r in model.comment_depth_doubling(comments).collect()}
     assert levels == doubling
     assert doubling[("d24", "pd")] == 24
+    # the partition-local BFS reproduces the same forest (its thread-local
+    # contract holds here: every parent is in the same post)
+    grouped = {
+        (r.id, r.post_id): r.depth
+        for r in model.comment_depth_grouped(comments, max_depth=40).collect()
+    }
+    assert levels == grouped
+    # and the auto-selector's non-thread-local probe path agrees too
+    auto = {
+        (r.id, r.post_id): r.depth
+        for r in model.comment_depth_auto(
+            comments, max_depth=40, thread_local=False
+        ).collect()
+    }
+    assert levels == auto
+
+
+def test_a4_grouped_matches_join_multiplicity_on_duplicate_ids(spark):
+    """The join formulations fan descendants out through duplicated
+    ancestor ids (each parent-row occurrence matches). The grouped BFS must
+    reproduce that row-for-row — the sf0.1 testdata actually contains
+    duplicate (orderkey, linenumber) keys, so the oracle depends on it."""
+    from collections import Counter
+
+    comments = spark.createDataFrame(
+        [
+            ("a", "p1", "t3_p1"),
+            ("a", "p1", "t3_p1"),      # duplicate top-level id: weight 2
+            ("b", "p1", "t1_a"),       # joins both 'a' rows -> 2 rows
+            ("c", "p1", "t1_b"),       # inherits weight 2
+            ("d", "p2", "t3_p2"),
+            ("e", "p2", "t1_d"),
+        ],
+        ["id", "post_id", "parent_id"],
+    )
+    levels = Counter(
+        (r.id, r.post_id, r.depth) for r in model.comment_depth(comments).collect()
+    )
+    grouped = Counter(
+        (r.id, r.post_id, r.depth)
+        for r in model.comment_depth_grouped(comments).collect()
+    )
+    assert levels == grouped
+    assert grouped[("b", "p1", 1)] == 2
+    assert grouped[("c", "p1", 2)] == 2
+
+
+def test_a4_grouped_orphans_and_max_depth(spark):
+    comments = spark.createDataFrame(
+        [
+            ("c1", "p1", "t3_p1"),
+            ("c2", "p1", "t1_c1"),
+            ("c3", "p1", "t1_c2"),
+            ("c4", "p1", "t1_missing"),   # orphan: excluded
+            ("c5", "p1", "t1_c4"),        # orphan subtree: excluded
+        ],
+        ["id", "post_id", "parent_id"],
+    )
+    got = {r.id: r.depth for r in model.comment_depth_grouped(comments).collect()}
+    assert got == {"c1": 0, "c2": 1, "c3": 2}
+    capped = {
+        r.id: r.depth
+        for r in model.comment_depth_grouped(comments, max_depth=1).collect()
+    }
+    assert capped == {"c1": 0, "c2": 1}
 
 
 def test_snapshot_diff_classifies_and_handles_nulls(spark):
