@@ -190,13 +190,14 @@ def ewma_smoother(
     RocksDBStateStoreProvider to run this operator — the v2 API rejects
     the HDFS store). State stays O(keys), never O(events).
 
-    ENVIRONMENT SEAM: the v2 API's separate "driver worker" Python process
-    imports google.protobuf, which is not installed in this container, so
-    the operator cannot EXECUTE here (its test skips at query start with
-    the import failure — plan construction, processor registration, and
-    the API contract are exercised up to that point). On a standard Spark
-    4 deployment with protobuf present it runs as written. The v1
-    operators above are the executable path in this environment.
+    The v2 workers (driver init worker + executor state-server clients)
+    import google.protobuf. Where protobuf isn't installed,
+    ``protobuf_compat.enable_for_workers()`` (called before SparkSession
+    creation) satisfies the import from the Google Cloud SDK's bundled
+    pure-python runtime — with that wired, this operator EXECUTES
+    end-to-end in this container (state crosses micro-batch boundaries;
+    pinned by tests/test_streaming.py). On a standard Spark 4 deployment
+    with protobuf installed it runs as written with no shim.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
