@@ -72,6 +72,11 @@ HEADLINE = [
     "x_rolling_zscore",
     "text_hybrid_rrf",
     "x_mad_outliers",
+    # round-4 additions: the newly oracle-gated iterative peel + the BPE
+    # merge-selection primitives
+    "x_kcore",
+    "text_word_counts",
+    "text_bpe_merge_select",
 ]
 
 

@@ -1245,6 +1245,50 @@ def test_resize_real_backend_ppm_roundtrip(spark):
     assert _decode_ppm(_resize_ppm(up, 2, 2)).tolist() == lum_src.tolist()
 
 
+def test_resize_real_backend_png_roundtrip(spark):
+    """The compressed-image pipeline round-trips in-container: PNG decode
+    (zlib inflate + de-filter) → nearest-neighbor resize → PNG re-encode
+    (deflate). Output is itself decodable; downscale recovers the source
+    pixels exactly, and the result matches the PPM twin's resize."""
+    import numpy as np
+
+    from reddit_twitter_big_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        _decode_ppm,
+        _png_rgb,
+        _resize_png,
+        _resize_ppm,
+    )
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (250, 128, 3)]]
+    png = _png_bytes(2, 2, rows, color=2, filters=[1, 4])
+    ppm = _ppm_bytes(2, 2, rows)
+    up = _resize_png(png, 4, 4)
+    assert up[:8] == b"\x89PNG\r\n\x1a\n"
+    # same resize as the PPM twin, pixel for pixel
+    assert _decode_png(up).tolist() == _decode_ppm(_resize_ppm(ppm, 4, 4)).tolist()
+    # shrinking back recovers the original RGB exactly
+    assert _png_rgb(_resize_png(up, 2, 2)).tolist() == _png_rgb(png).tolist()
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(ppm))],
+        ["media_id", "kind", "payload"],
+    )
+    out = {
+        r.media_id: r
+        for r in multimodal.resize_stub(media, 4, 4, backend="real").collect()
+    }
+    assert (out[1].width, out[1].height) == (4, 4)
+    assert _decode_png(bytes(out[1].payload)).tolist() == _decode_ppm(
+        bytes(out[2].payload)
+    ).tolist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PPM and PNG"):
+        _resize_png_jpeg = multimodal._resize_real(b"\xff\xd8\xff\xe0junk", 2, 2)  # noqa: F841
+
+
 def _y4m_bytes(w, h, luma_frames):
     body = b""
     csize = (w // 2) * (h // 2)
