@@ -748,8 +748,11 @@ def k_core(
             )
             caches.append(nxt)
             if (it + 1) % 4 == 0:
+                # eager truncation materializes; otherwise the NEXT round's
+                # peel.count() fills this cache — no separate count() job
+                # (one driver job per round, not two; same discipline as
+                # bpe_train's batched rounds)
                 nxt = _truncate(nxt, checkpoint_dir)
-            nxt.count()
             adj = nxt
         raise RuntimeError(
             f"k_core did not reach a fixpoint within max_iter={max_iter} rounds"
