@@ -246,4 +246,79 @@ def ewma_smoother(
     )
 
 
+TOPN_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def topn_tracker(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n: int = 3,
+) -> DataFrame:
+    """Per-key running top-N across micro-batches — the State API v2
+    ListState shape (where `ewma_smoother` exercises ValueState): state is
+    the CURRENT top-N (value, id) tuples per key, merged with each batch's
+    rows and re-truncated, then emitted as ranked rows. The leaderboard
+    primitive (top posts per subreddit, top tweets per topic) maintained
+    incrementally — history is never re-read.
+
+    Ordering is total and deterministic: value desc, id asc on ties.
+    State stays O(n) per key regardless of stream length — the bound is
+    structural (list truncated every batch), not timeout-based. Same
+    runtime requirements as `ewma_smoother` (RocksDB state store;
+    protobuf or the protobuf_compat shim for the workers)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    class _TopN(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getListState("topn", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (k,) = key
+            cur = [(float(v), int(i)) for v, i in self._state.get()]
+            for pdf in rows:
+                for i, v in zip(pdf[id_col], pdf[value_col]):
+                    cur.append((float(v), int(i)))
+            # value desc, id asc — a total order, so re-runs are identical
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = cur[:n]
+            self._state.put([(v, i) for v, i in cur])
+            yield pd.DataFrame(
+                {
+                    "key": [k] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    "event_id": [i for _, i in cur],
+                    "value": [v for v, _ in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TopN(),
+        outputStructType=TOPN_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 register_self(__name__)

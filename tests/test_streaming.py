@@ -517,6 +517,67 @@ def test_stateful_v2_ewma_carries_state_across_batches(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+def test_stateful_v2_topn_merges_across_batches(spark, tmp_path):
+    """State API v2 ListState (topn_tracker): batch 2's leaderboard must
+    merge against batch 1's surviving top-N, not restart — and an id that
+    fell off the board must stay off."""
+    from reddit_twitter_big_data_pipeline_spark import protobuf_compat
+    from reddit_twitter_big_data_pipeline_spark.streaming import stateful
+
+    if not protobuf_compat.enable():
+        pytest.skip("no protobuf install and no cloudsdk pure-python bundle")
+
+    land = tmp_path / "land"
+    _write_batch(
+        land, "1.json",
+        [{"user_id": 1, "value": 10.0, "ts_s": "t"},
+         {"user_id": 2, "value": 30.0, "ts_s": "t"},
+         {"user_id": 3, "value": 20.0, "ts_s": "t"}],
+    )
+    _write_batch(
+        land, "2.json",
+        [{"user_id": 4, "value": 25.0, "ts_s": "t"},
+         {"user_id": 5, "value": 5.0, "ts_s": "t"}],
+    )
+    src = streams.read_json_stream(spark, str(land), EV_SCHEMA, max_files_per_trigger=1)
+    events = src.select(
+        F.lit("m").alias("event_type"),
+        F.col("user_id").alias("event_id"),
+        "value",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    per_batch: dict[int, list[tuple]] = {}
+
+    def capture(df, batch_id):
+        per_batch[batch_id] = sorted(
+            (r.rank, r.event_id, r.value) for r in df.collect()
+        )
+
+    try:
+        out = stateful.topn_tracker(events, n=2)
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        streams.run_to_completion(q)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # batch 1: top-2 of {10, 30, 20} -> (30, id2), (20, id3)
+    assert per_batch[0] == [(1, 2, 30.0), (2, 3, 20.0)]
+    # batch 2: 25 beats surviving 20; 5 never places; dropped id1 stays off
+    assert per_batch[1] == [(1, 2, 30.0), (2, 4, 25.0)]
+
+
 def test_stream_stream_left_join_emits_unmatched_after_watermark(spark, tmp_path):
     """Matched posts emit with their refresh; posts whose refresh never
     arrived emit with NULL right columns once the watermark passes — the
