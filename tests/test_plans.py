@@ -207,3 +207,28 @@ def test_round3b_queries_cartesian_free_and_bounded(spark, sf_dir, entry):
         audit.assert_no_cartesian(entry.queries()[name](spark, sf_dir))
     # per-group quota = one window over the group key: a single exchange
     audit.assert_max_shuffles(entry.queries()["sample_source_cap"](spark, sf_dir), 1)
+
+
+def test_round4_comment_depth_grouped_single_slim_shuffle(spark, sf_dir, entry):
+    """comment_depth_grouped (the a4 auto-selected strategy) must plan
+    exactly ONE exchange — the post_id repartition — and that exchange
+    must carry only the slim (id, post_id, parent, flag) projection,
+    never content/title/username payload columns."""
+    df = entry.queries()["a4_comment_depth"](spark, sf_dir)
+    audit.assert_max_shuffles(df, 1)
+    for _key, cols in audit.shuffle_exchanges(df):
+        banned = {"content", "title", "username", "date", "score"}
+        hit = banned & {c.lower() for c in cols}
+        assert not hit, f"payload columns {hit} ride the BFS exchange"
+
+
+def test_round4_queries_cartesian_free(spark, sf_dir, entry):
+    """Round-4 additions plan clean: no cartesian/nested-loop joins.
+    (text_bpe_merge_select is exempt from a plan check: its value IS two
+    bounded driver rounds — each argmax is a TakeOrderedAndProject over
+    (symbol, symbol, long) triples.)"""
+    for name in ("x_kcore", "text_word_counts"):
+        audit.assert_no_cartesian(entry.queries()[name](spark, sf_dir))
+    # the corpus vocabulary reduction is one word-keyed exchange with
+    # map-side combine — a single shuffle
+    audit.assert_max_shuffles(entry.queries()["text_word_counts"](spark, sf_dir), 1)
