@@ -321,4 +321,66 @@ def topn_tracker(
     )
 
 
+def dedup_first_seen(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming first-seen dedup with a state TTL — the State API v2
+    third leg (ValueState **with ttlDurationMs**, where `ewma_smoother`
+    is plain ValueState and `topn_tracker` is ListState): admit the first
+    row per `id_col` and drop every later duplicate while the key's state
+    lives. With `ttl_ms` set, the store expires the key after that
+    processing-time horizon and the id re-admits — the processing-time
+    twin of `streams.dedup_stream`'s `dropDuplicatesWithinWatermark`
+    (which bounds state by EVENT time instead). The reference's re-scrape
+    overlap (the same post re-fetched at T+2/T+3) is exactly this shape.
+
+    State is one tombstone byte per live key, expired by the store itself
+    — no timer bookkeeping. The TTL deliberately measures from FIRST
+    admission (re-encounters do NOT touch the state — an update would
+    extend the horizon and a hot duplicate would then never re-admit).
+    Within a batch, the admitted row is deterministic: minimum under a
+    sort over all columns. Output schema = input schema.
+
+    TRIGGER CAVEAT: TTL state requires timeMode='ProcessingTime', and in
+    that mode Trigger.AvailableNow keeps scheduling no-data batches for
+    timer evaluation — it never self-terminates. Run TTL'd operators
+    under a continuous processing-time trigger (their production shape)
+    and stop explicitly; without `ttl_ms` the operator uses
+    timeMode='None' and AvailableNow terminates normally."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cols = [f.name for f in events.schema.fields]
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen byte", ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._seen.exists():
+                return  # duplicate inside the TTL horizon: emit nothing
+            chunks = [p for p in rows if len(p)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(by=cols)
+            self._seen.update((1,))
+            yield pdf.head(1)
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(id_col).transformWithStateInPandas(
+        statefulProcessor=_FirstSeen(),
+        outputStructType=events.schema,
+        outputMode="Update",
+        # TTL state requires the ProcessingTime time mode (the store
+        # stamps expirations against batch processing time)
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
+    )
+
+
 register_self(__name__)

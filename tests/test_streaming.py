@@ -578,6 +578,106 @@ def test_stateful_v2_topn_merges_across_batches(spark, tmp_path):
     assert per_batch[1] == [(1, 2, 30.0), (2, 4, 25.0)]
 
 
+def test_stateful_v2_dedup_first_seen_with_ttl(spark, tmp_path):
+    """State API v2 ValueState + ttlDurationMs (dedup_first_seen): within
+    the TTL horizon a duplicate id is dropped across batches (and within a
+    batch, deterministically one row admits); after the state's TTL
+    lapses, the SAME id re-admits.
+
+    NOTE the trigger: timeMode='ProcessingTime' (required for TTL state)
+    makes Trigger.AvailableNow keep scheduling no-data batches for timer
+    evaluation — it never self-terminates. TTL operators therefore run
+    under a continuous processing-time trigger, polled and stopped
+    explicitly; that is their production shape anyway."""
+    import time
+
+    from reddit_twitter_big_data_pipeline_spark import protobuf_compat
+    from reddit_twitter_big_data_pipeline_spark.streaming import stateful
+
+    if not protobuf_compat.enable():
+        pytest.skip("no protobuf install and no cloudsdk pure-python bundle")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    rows: list[tuple] = []
+
+    def capture(df, batch_id):
+        rows.extend((r.user_id, r.value, r.ts_s) for r in df.collect())
+
+    def wait_for(pred, timeout_s=120):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.5)
+        raise TimeoutError(f"condition not reached; rows={sorted(rows)}")
+
+    def start(land, ckpt, ttl_ms):
+        src = streams.read_json_stream(
+            spark, str(land), EV_SCHEMA, max_files_per_trigger=1
+        )
+        out = stateful.dedup_first_seen(src, id_col="user_id", ttl_ms=ttl_ms)
+        return (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    try:
+        # --- phase A: drops inside a WIDE horizon (60 s) ----------------
+        land_a = tmp_path / "land_a"
+        _write_batch(
+            land_a, "1.json",
+            [{"user_id": 1, "value": 7.0, "ts_s": "a"},
+             {"user_id": 1, "value": 3.0, "ts_s": "b"},
+             {"user_id": 2, "value": 9.0, "ts_s": "c"}],
+        )
+        q = start(land_a, "ckpt_a", ttl_ms=60_000)
+        try:
+            # id1 admits its sort-minimum row exactly once (the in-batch
+            # duplicate 7.0 never emits); id2 admits
+            wait_for(lambda: {(1, 3.0, "b"), (2, 9.0, "c")} <= set(rows))
+            assert sorted(rows) == [(1, 3.0, "b"), (2, 9.0, "c")]
+            # a cross-batch duplicate inside the horizon is dropped —
+            # id3's admission proves the batch was processed
+            _write_batch(
+                land_a, "2.json",
+                [{"user_id": 1, "value": 99.0, "ts_s": "d"},
+                 {"user_id": 3, "value": 5.0, "ts_s": "e"}],
+            )
+            wait_for(lambda: (3, 5.0, "e") in rows)
+            assert (1, 99.0, "d") not in rows
+        finally:
+            q.stop()
+
+        # --- phase B: re-admission after a SHORT horizon (2 s) ----------
+        rows.clear()
+        land_b = tmp_path / "land_b"
+        _write_batch(
+            land_b, "1.json", [{"user_id": 1, "value": 3.0, "ts_s": "b"}]
+        )
+        q = start(land_b, "ckpt_b", ttl_ms=2_000)
+        try:
+            wait_for(lambda: (1, 3.0, "b") in rows)
+            time.sleep(6.0)  # well past the 2 s TTL from id1's admission
+            _write_batch(
+                land_b, "2.json", [{"user_id": 1, "value": 42.0, "ts_s": "f"}]
+            )
+            wait_for(lambda: (1, 42.0, "f") in rows)
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_stream_left_join_emits_unmatched_after_watermark(spark, tmp_path):
     """Matched posts emit with their refresh; posts whose refresh never
     arrived emit with NULL right columns once the watermark passes — the
