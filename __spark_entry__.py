@@ -1941,6 +1941,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_kcore"] = x_kcore
 
+    def x_connected_components(spark, sf):
+        # Connected components via hash-min label propagation
+        # (operators/dedup.py:connected_components — the clustering step
+        # behind dedup_keep_canonical), on the HARSHLY thinned supplier
+        # graph (l_quantity > 49): fragmented, chain-heavy components that
+        # take up to 15 synchronous rounds to converge at sf0.1 (9 at
+        # sf0.01, 3 at sf0.001 — measured). ORACLE-GATED like x_kcore /
+        # x_pagerank: min-propagation is monotone, so a fixed 24-round
+        # unroll (>1.5x the observed max) reproduces the fixpoint exactly.
+        li = (
+            _t(spark, sf, "lineitem")
+            .filter(F.col("l_quantity") > 49)
+            .select("l_orderkey", "l_suppkey")
+        )
+        pairs = (
+            li.alias("x")
+            .join(li.alias("y"), "l_orderkey")
+            .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+            .select(
+                F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+            )
+            .distinct()
+        )
+        return dedup.connected_components(pairs, max_iter=40).select(
+            "node", "component"
+        )
+
+    q["x_connected_components"] = x_connected_components
+
     def x_cdc_apply(spark, sf):
         # CDC apply (operators/model.py:apply_cdc): base = events < 8000;
         # the change log carries updates and deletes for ids >= 6000, a
@@ -4149,6 +4178,43 @@ def oracle_sql() -> dict[str, str]:
         FROM a{n_rounds} GROUP BY u"""
 
     o["x_kcore"] = _kcore_sql()
+
+    def _cc_sql(n_rounds: int = 24) -> str:
+        # Fixed-round unroll of hash-min label propagation: each round
+        # every node takes the min label over itself and its neighbors.
+        # Min-propagation is monotone — post-convergence rounds are the
+        # identity — so any n_rounds >= the measured convergence count
+        # (15 at sf0.1, 9 at sf0.01, 3 at sf0.001; 24 = >1.5x slack)
+        # reproduces the operator's fixpoint.
+        head = """
+        WITH pairs AS (
+          SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+          WHERE x.l_quantity > 49 AND y.l_quantity > 49
+        ),
+        edges AS (
+          SELECT a AS s, b AS d FROM pairs
+          UNION SELECT b AS s, a AS d FROM pairs
+        ),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT s AS node, s AS component FROM edges
+        )"""
+        body = ""
+        for i in range(n_rounds):
+            body += f""",
+        l{i + 1} AS MATERIALIZED (
+          SELECT l.node,
+                 least(l.component, coalesce(m.nmin, l.component)) AS component
+          FROM l{i} l LEFT JOIN (
+            SELECT e.s AS node, min(x.component) AS nmin
+            FROM edges e JOIN l{i} x ON e.d = x.node
+            GROUP BY e.s
+          ) m USING (node)
+        )"""
+        return head + body + f"\n        SELECT node, component FROM l{n_rounds}"
+
+    o["x_connected_components"] = _cc_sql()
 
     def _label_prop_sql(n_iter: int = 5) -> str:
         head = """
