@@ -383,4 +383,86 @@ def dedup_first_seen(
     )
 
 
+TRANSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("from_event", T.StringType()),
+        T.StructField("to_event", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def transition_counts_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    event_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-key running event-transition counts (the streaming twin of the
+    batch `analytics.transition_counts` / `x_transitions` Markov view) —
+    the State API v2 MapState shape, completing the typed-state quartet
+    (ValueState: ewma; ListState: topn; ValueState+TTL: dedup_first_seen;
+    MapState: this). State per key = the last event seen (ValueState,
+    carried ACROSS batches so the first row of batch k+1 transitions from
+    the last row of batch k) plus a (from, to) → count map; each batch
+    emits the transition rows it touched with their new cumulative counts.
+
+    State is O(distinct transition pairs) per key — bounded by the event
+    vocabulary squared, not by stream length. Rows order by `order_col`
+    within the batch (deterministic recursion, same stance as
+    `ewma_smoother`)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Transitions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", "ev string")
+            self._counts = handle.getMapState("counts", "f string, t string", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (k,) = key
+            last = self._last.get()[0] if self._last.exists() else None
+            chunks = [p for p in rows if len(p)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
+            touched: dict[tuple[str, str], int] = {}
+            for ev in pdf[event_col]:
+                ev = str(ev)
+                if last is not None:
+                    pair = (last, ev)
+                    if pair not in touched:
+                        got = self._counts.getValue(pair)
+                        touched[pair] = int(got[0]) if got is not None else 0
+                    touched[pair] += 1
+                last = ev
+            for pair, n in touched.items():
+                self._counts.updateValue(pair, (n,))
+            if last is not None:
+                self._last.update((last,))
+            if not touched:
+                return
+            yield pd.DataFrame(
+                {
+                    "key": [str(k)] * len(touched),
+                    "from_event": [p[0] for p in touched],
+                    "to_event": [p[1] for p in touched],
+                    "n": list(touched.values()),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_Transitions(),
+        outputStructType=TRANSITIONS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 register_self(__name__)

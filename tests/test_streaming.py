@@ -578,6 +578,69 @@ def test_stateful_v2_topn_merges_across_batches(spark, tmp_path):
     assert per_batch[1] == [(1, 2, 30.0), (2, 4, 25.0)]
 
 
+def test_stateful_v2_transition_counts_carry_last_event(spark, tmp_path):
+    """State API v2 MapState (transition_counts_stream): batch 2's first
+    row must transition FROM batch 1's last event (ValueState carry), and
+    counts accumulate in the map across batches."""
+    from reddit_twitter_big_data_pipeline_spark import protobuf_compat
+    from reddit_twitter_big_data_pipeline_spark.streaming import stateful
+
+    if not protobuf_compat.enable():
+        pytest.skip("no protobuf install and no cloudsdk pure-python bundle")
+
+    land = tmp_path / "land"
+    # ts_s doubles as the event name; value as the within-batch order
+    _write_batch(
+        land, "1.json",
+        [{"user_id": 1, "value": 1.0, "ts_s": "A"},
+         {"user_id": 1, "value": 2.0, "ts_s": "B"},
+         {"user_id": 1, "value": 3.0, "ts_s": "A"},
+         {"user_id": 2, "value": 1.0, "ts_s": "X"}],
+    )
+    _write_batch(
+        land, "2.json",
+        [{"user_id": 1, "value": 4.0, "ts_s": "B"},   # A -> B again: n=2
+         {"user_id": 2, "value": 2.0, "ts_s": "X"}],  # X -> X: n=1
+    )
+    src = streams.read_json_stream(spark, str(land), EV_SCHEMA, max_files_per_trigger=1)
+    events = src.select(
+        "user_id",
+        F.col("ts_s").alias("event_type"),
+        F.col("value").cast("long").alias("event_id"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    per_batch: dict[int, set] = {}
+
+    def capture(df, batch_id):
+        per_batch[batch_id] = {
+            (r.key, r.from_event, r.to_event, r.n) for r in df.collect()
+        }
+
+    try:
+        out = stateful.transition_counts_stream(events)
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        streams.run_to_completion(q)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert per_batch[0] == {("1", "A", "B", 1), ("1", "B", "A", 1)}
+    # batch 2: user 1's A->B increments the MAP to 2 (carry: last was A);
+    # user 2's X->X materializes from its carried last event
+    assert per_batch[1] == {("1", "A", "B", 2), ("2", "X", "X", 1)}
+
+
 def test_stateful_v2_dedup_first_seen_with_ttl(spark, tmp_path):
     """State API v2 ValueState + ttlDurationMs (dedup_first_seen): within
     the TTL horizon a duplicate id is dropped across batches (and within a
