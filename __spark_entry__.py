@@ -1970,6 +1970,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_connected_components"] = x_connected_components
 
+    def x_heavy_hitters(spark, sf):
+        # Sample-then-verify heavy hitters (operators/sketches.py:66):
+        # top-10 most active users by event count, EXACT counts. With
+        # sample_fraction=1.0 the candidate phase is exhaustive, so the
+        # result is deterministic and a plain GROUP BY/ORDER BY/LIMIT
+        # oracle gates it — upgrading the operator from error-bound pytest
+        # coverage to the value-hash gate (the sampled mode differs only
+        # in WHICH candidates reach the exact-count verify).
+        from reddit_twitter_big_data_pipeline_spark.operators import sketches
+
+        ev = _t(spark, sf, "events")
+        return sketches.heavy_hitters(ev, "user_id", n=10, sample_fraction=1.0)
+
+    q["x_heavy_hitters"] = x_heavy_hitters
+
     def x_cdc_apply(spark, sf):
         # CDC apply (operators/model.py:apply_cdc): base = events < 8000;
         # the change log carries updates and deletes for ids >= 6000, a
@@ -4215,6 +4230,15 @@ def oracle_sql() -> dict[str, str]:
         return head + body + f"\n        SELECT node, component FROM l{n_rounds}"
 
     o["x_connected_components"] = _cc_sql()
+
+    o["x_heavy_hitters"] = """
+        SELECT user_id AS value, count(*)::BIGINT AS freq
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        ORDER BY freq DESC, value ASC
+        LIMIT 10
+    """
 
     def _label_prop_sql(n_iter: int = 5) -> str:
         head = """
