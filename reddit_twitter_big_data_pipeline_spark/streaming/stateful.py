@@ -465,4 +465,73 @@ def transition_counts_stream(
     )
 
 
+IDLE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def idle_session_closer(
+    events: DataFrame,
+    key_col: str = "user_id",
+    idle_ms: int = 30_000,
+) -> DataFrame:
+    """Inactivity sessionization with State API v2 TIMERS — the last v2
+    feature the typed-state quartet doesn't cover: each batch a key
+    appears in re-arms a processing-time timer `idle_ms` ahead (the old
+    one deleted); when the timer FIRES — i.e. the key stayed idle past
+    the gap — `handleExpiredTimer` emits the session summary
+    (key, n_events) and clears the state. The push-based twin of
+    `streams.sessionize`'s session_window: the window operator emits when
+    the WATERMARK passes, this emits on wall-clock inactivity — the shape
+    alerting pipelines want ("topic went quiet").
+
+    State per key: two longs (count + armed deadline) and one registered
+    timer. Runs in timeMode='ProcessingTime' — continuous trigger only
+    (see `dedup_first_seen`'s trigger caveat). Emission TIMING is
+    wall-clock-dependent by design; content (key, exact count) is
+    deterministic, which is what the test pins."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Idle(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._n = handle.getValueState("n", "n bigint")
+            self._deadline = handle.getValueState("deadline", "t bigint")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            if self._deadline.exists():
+                self._h.deleteTimer(self._deadline.get()[0])
+            deadline = timerValues.getCurrentProcessingTimeInMs() + idle_ms
+            self._h.registerTimer(deadline)
+            self._deadline.update((deadline,))
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (k,) = key
+            n = self._n.get()[0] if self._n.exists() else 0
+            self._n.clear()
+            self._deadline.clear()
+            yield pd.DataFrame({"key": [str(k)], "n_events": [int(n)]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_Idle(),
+        outputStructType=IDLE_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
 register_self(__name__)

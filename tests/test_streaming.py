@@ -641,6 +641,67 @@ def test_stateful_v2_transition_counts_carry_last_event(spark, tmp_path):
     assert per_batch[1] == {("1", "A", "B", 2), ("2", "X", "X", 1)}
 
 
+def test_stateful_v2_timers_close_idle_sessions(spark, tmp_path):
+    """State API v2 timers (idle_session_closer): a key idle past the gap
+    fires its processing-time timer and emits (key, exact count); new
+    activity afterwards starts a FRESH session (state was cleared)."""
+    import time
+
+    from reddit_twitter_big_data_pipeline_spark import protobuf_compat
+    from reddit_twitter_big_data_pipeline_spark.streaming import stateful
+
+    if not protobuf_compat.enable():
+        pytest.skip("no protobuf install and no cloudsdk pure-python bundle")
+
+    land = tmp_path / "land"
+    _write_batch(
+        land, "1.json",
+        [{"user_id": 1, "value": 1.0, "ts_s": "a"},
+         {"user_id": 1, "value": 2.0, "ts_s": "b"},
+         {"user_id": 2, "value": 3.0, "ts_s": "c"}],
+    )
+    src = streams.read_json_stream(spark, str(land), EV_SCHEMA, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    sessions: list[tuple] = []
+
+    def capture(df, batch_id):
+        sessions.extend((r.key, r.n_events) for r in df.collect())
+
+    def wait_for(pred, timeout_s=120):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if pred():
+                return
+            time.sleep(0.5)
+        raise TimeoutError(f"condition not reached; sessions={sessions}")
+
+    out = stateful.idle_session_closer(src, key_col="user_id", idle_ms=2_000)
+    q = (
+        out.writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # both keys go idle -> their timers fire with exact counts
+        wait_for(lambda: {("1", 2), ("2", 1)} <= set(sessions))
+        # renewed activity after the close opens a FRESH session
+        _write_batch(land, "2.json", [{"user_id": 1, "value": 4.0, "ts_s": "d"}])
+        wait_for(lambda: sessions.count(("1", 1)) >= 1)
+        assert sessions.count(("1", 2)) == 1, "closed session must not re-emit"
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stateful_v2_dedup_first_seen_with_ttl(spark, tmp_path):
     """State API v2 ValueState + ttlDurationMs (dedup_first_seen): within
     the TTL horizon a duplicate id is dropped across batches (and within a
