@@ -1985,6 +1985,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_heavy_hitters"] = x_heavy_hitters
 
+    def x_kmeans(spark, sf):
+        # Fixed-round distributed Lloyd's k-means
+        # (operators/similarity.py:kmeans_fixed): k=8, 3 rounds,
+        # deterministic init (k lowest-id vectors) and argmin tie-break
+        # (lowest cluster index). Vectors never shuffle — per round only
+        # k-row per-partition partials leave the executors. Fixed rounds
+        # make it oracle-expressible: the DuckDB twin unrolls
+        # assign→update per round with list_distance + per-dimension avg.
+        emb = _t(spark, sf, "embeddings")
+        return similarity.kmeans_fixed(emb, k=8, n_rounds=3)
+
+    q["x_kmeans"] = x_kmeans
+
     def x_cdc_apply(spark, sf):
         # CDC apply (operators/model.py:apply_cdc): base = events < 8000;
         # the change log carries updates and deletes for ids >= 6000, a
@@ -4239,6 +4252,58 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY freq DESC, value ASC
         LIMIT 10
     """
+
+    def _kmeans_sql(k: int = 8, n_rounds: int = 3, dim: int = 64) -> str:
+        # Fixed-round Lloyd's unroll: per round, assignment = argmin of
+        # euclidean distance over the k centroids (ties -> lowest cluster,
+        # matching np.argmin), update = per-dimension mean of members
+        # (empty clusters keep the previous centroid via the LEFT JOIN
+        # coalesce). The final SELECT assigns against the last centroids.
+        head = f"""
+        WITH emb AS (
+          SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        c0 AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 embedding AS vec
+          FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT {k}) t
+        )"""
+        body = ""
+        for i in range(n_rounds):
+            body += f""",
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_distance(e.embedding, c.vec), c.cluster
+                   ) AS rn
+            FROM emb e CROSS JOIN c{i} c
+          ) t WHERE rn = 1
+        ),
+        n{i} AS (
+          SELECT cluster, array_agg(v ORDER BY i) AS vec FROM (
+            SELECT a.cluster, g.i, avg(e.embedding[g.i]) AS v
+            FROM a{i} a JOIN emb e USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) g
+            GROUP BY a.cluster, g.i
+          ) u GROUP BY cluster
+        ),
+        c{i + 1} AS MATERIALIZED (
+          SELECT c.cluster, coalesce(n.vec, c.vec) AS vec
+          FROM c{i} c LEFT JOIN n{i} n USING (cluster)
+        )"""
+        return head + body + f"""
+        SELECT vec_id, cluster FROM (
+          SELECT e.vec_id, c.cluster,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding, c.vec), c.cluster
+                 ) AS rn
+          FROM emb e CROSS JOIN c{n_rounds} c
+        ) t WHERE rn = 1"""
+
+    o["x_kmeans"] = _kmeans_sql()
 
     def _label_prop_sql(n_iter: int = 5) -> str:
         head = """

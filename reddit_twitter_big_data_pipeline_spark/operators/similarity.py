@@ -749,6 +749,98 @@ def quantized_topk(
     return _global_topk(scored, k)
 
 
+def kmeans_fixed(
+    df: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-round Lloyd's k-means over an embedding column, returning the
+    final (id, cluster) assignment — the fully-distributed generalization
+    of the bounded-sample codebook training IVF/SemDeDup use, and (like
+    `x_pagerank`/`x_kcore`) oracle-checkable BECAUSE the round count is
+    fixed: deterministic init (the k lowest-id vectors, cluster = position)
+    plus a deterministic argmin tie-break (lowest cluster index) make
+    every round a pure function of the data.
+
+    Scale shape per round: centroids broadcast (k×dim floats); ONE pass
+    over the vectors in Arrow batches computes each partition's per-cluster
+    (sum_vec, count) PARTIALS — a k-row frame per partition — and only
+    those k×partitions tiny rows leave the executors (collected and
+    reduced on the driver: bounded by contract, like the probe-matrix
+    collects above). The vectors themselves never shuffle, for any corpus
+    size. Empty clusters keep their previous centroid. The final output is
+    the assignment against the last round's centroids — one more
+    broadcast-and-scan, no shuffle at all."""
+    if k < 1 or n_rounds < 0:
+        raise ValueError("kmeans_fixed: k >= 1 and n_rounds >= 0 required")
+    spark = df.sparkSession
+    slim = df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    init_rows = slim.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans_fixed: need at least k={k} vectors")
+    cents = np.array([r[0] for r in init_rows], dtype=np.float64)
+
+    partial_schema = "cluster int, s array<double>, n long"
+
+    for _ in range(n_rounds):
+        b = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            C = b.value
+            sums = np.zeros_like(C)
+            cnts = np.zeros(len(C), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = _to_matrix(pdf[vec_col])
+                d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                a = d.argmin(axis=1)  # ties -> lowest cluster index
+                for j in range(len(C)):
+                    m = a == j
+                    if m.any():
+                        sums[j] += M[m].sum(axis=0)
+                        cnts[j] += int(m.sum())
+            yield pd.DataFrame(
+                {
+                    "cluster": np.arange(len(C), dtype=np.int32),
+                    "s": [list(map(float, row)) for row in sums],
+                    "n": cnts,
+                }
+            )
+
+        # k rows per partition — bounded by contract; reduce on the driver
+        rows = slim.mapInPandas(partials, partial_schema).collect()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            cnts[r["cluster"]] += r["n"]
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        nonempty = cnts > 0
+        nxt[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        cents = nxt
+
+    bfin = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        C = bfin.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _to_matrix(pdf[vec_col])
+            d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cluster": d.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    return slim.mapInPandas(assign, f"{id_col} long, cluster int")
+
+
 from .._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)

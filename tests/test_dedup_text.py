@@ -1367,3 +1367,52 @@ def test_real_codec_edge_cases_raise_valueerror_or_skip(spark):
         [(1, "video", None)], "media_id long, kind string, payload binary"
     )
     assert multimodal.frame_sample_stub(media, backend="real").count() == 0
+
+
+def test_kmeans_fixed_matches_numpy_lloyds(spark):
+    """kmeans_fixed must reproduce a single-node Lloyd's reference exactly
+    (same init: k lowest-id vectors; same tie-break: lowest cluster index;
+    empty clusters keep their previous centroid)."""
+    import numpy as np
+
+    from reddit_twitter_big_data_pipeline_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    n, dim, k, rounds = 120, 6, 4, 3
+    # three real blobs + noise so clusters move across rounds
+    centers = rng.randn(3, dim) * 4
+    vecs = np.vstack(
+        [centers[i % 3] + rng.randn(dim) for i in range(n)]
+    )
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_fixed(df, k=k, n_rounds=rounds).collect()
+    }
+
+    C = vecs[:k].astype(np.float64).copy()
+    for _ in range(rounds):
+        d = ((vecs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = vecs[a == j].mean(0)
+    d = ((vecs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    expect = {i: int(c) for i, c in enumerate(d.argmin(1))}
+    assert got == expect
+
+
+def test_kmeans_fixed_validates_inputs(spark):
+    import pytest as _pytest
+
+    from reddit_twitter_big_data_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="at least k"):
+        similarity.kmeans_fixed(df, k=5, n_rounds=1)
+    with _pytest.raises(ValueError, match="k >= 1"):
+        similarity.kmeans_fixed(df, k=0)
