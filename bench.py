@@ -72,11 +72,14 @@ HEADLINE = [
     "x_rolling_zscore",
     "text_hybrid_rrf",
     "x_mad_outliers",
-    # round-4 additions: the newly oracle-gated iterative peel + the BPE
-    # merge-selection primitives
+    # round-4 additions: the newly oracle-gated iterative peel, the BPE
+    # merge-selection primitives, fixed-round k-means, and exact heavy
+    # hitters
     "x_kcore",
     "text_word_counts",
     "text_bpe_merge_select",
+    "x_kmeans",
+    "x_heavy_hitters",
 ]
 
 
