@@ -2258,6 +2258,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for out_name, in_name in _R4_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]
+    # ROUND-5 ROTATION (VERDICT r4 item 1, same pairwise-swap mechanism):
+    # ten more never-driver-graded queries — the round-4 iterative/graph
+    # additions with fresh unrolled-CTE oracles plus two adapted TPC-H
+    # shapes and the incremental-dedup pipeline — rotate INTO the window,
+    # each in place of a §2 basic that has been driver-green four rounds
+    # running (CORRECTNESS_r01-r04). The kcore/CC oracles now carry a
+    # poison-row fixpoint self-check so a non-converged unroll fails
+    # loudly. Rotated-out basics stay registered and locally gated.
+    _R5_SWAPS = {
+        "s1_pruned_scan": "x_kcore",
+        "s4_latest_batch": "x_connected_components",
+        "f1_time_range": "x_kmeans",
+        "f4_bot_filter": "x_heavy_hitters",
+        "f6_blocklist": "x_label_prop",
+        "t3_time_parse": "x_triangle_count",
+        "a2_dedupe_by_key": "tpch_q8_market_share",
+        "a3_fk_join": "tpch_q2_min_cost_supplier",
+        "a3_orphans_antijoin": "x_funnel",
+        "a7_top_n_per_group": "dedup_incremental_pairs",
+    }
+    for out_name, in_name in _R5_SWAPS.items():
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
     return {n: q[n] for n in names}
 
 
@@ -4201,9 +4224,18 @@ def oracle_sql() -> dict[str, str]:
           WHERE u NOT IN (SELECT u FROM p{i})
             AND v NOT IN (SELECT u FROM p{i})
         )"""
+        # Fixpoint self-check (ADVICE r4): the peel only ever SHRINKS the
+        # adjacency (a{{i+1}} is a subset of a{{i}}), so equal row counts in
+        # the last two rounds <=> the peel converged. If a future SF's peel
+        # depth exceeds the unroll, the poison row makes the oracle fail
+        # LOUDLY (row-count mismatch) instead of grading a correct Spark
+        # fixpoint as a silent hash mismatch against a non-converged oracle.
         return head + body + f"""
         SELECT u AS node, count(*)::BIGINT AS degree
-        FROM a{n_rounds} GROUP BY u"""
+        FROM a{n_rounds} GROUP BY u
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS node, CAST(-1 AS BIGINT) AS degree
+        WHERE (SELECT count(*) FROM a{n_rounds}) <> (SELECT count(*) FROM a{n_rounds - 1})"""
 
     o["x_kcore"] = _kcore_sql()
 
@@ -4240,7 +4272,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.s
           ) m USING (node)
         )"""
-        return head + body + f"\n        SELECT node, component FROM l{n_rounds}"
+        # Fixpoint self-check (ADVICE r4): labels only ever DECREASE under
+        # min-propagation, so sum(component) stable across the last two
+        # rounds <=> converged. A non-converged unroll (component diameter
+        # beyond 24 at some future SF) emits a poison row and fails the
+        # row-count gate loudly instead of silently hash-mismatching.
+        return head + body + f"""
+        SELECT node, component FROM l{n_rounds}
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS node, CAST(-1 AS BIGINT) AS component
+        WHERE (SELECT sum(component) FROM l{n_rounds}) <> (SELECT sum(component) FROM l{n_rounds - 1})"""
 
     o["x_connected_components"] = _cc_sql()
 
@@ -4259,6 +4300,18 @@ def oracle_sql() -> dict[str, str]:
         # matching np.argmin), update = per-dimension mean of members
         # (empty clusters keep the previous centroid via the LEFT JOIN
         # coalesce). The final SELECT assigns against the last centroids.
+        #
+        # NOTE on hash mismatches (ADVICE r4, mirrors sim_quantized_topk's
+        # guard): the gate compares exact integer assignments, but the two
+        # engines sum floats in different orders (numpy per-partition
+        # partials reduced on the driver vs DuckDB avg()) and use different
+        # distance forms (squared distance vs list_distance's sqrt — argmin-
+        # equivalent only up to float noise). On the synthetic embeddings
+        # every vector's best-vs-second-best margin is far above 1e-6 rel
+        # (verified when calibrating), so assignments agree; a DIAGNOSED
+        # mismatch here on new data means a near-equidistant vector or an
+        # exact tie broke differently, not an operator bug. If the dataset
+        # changes, re-verify the margin before trusting a mismatch.
         head = f"""
         WITH emb AS (
           SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
