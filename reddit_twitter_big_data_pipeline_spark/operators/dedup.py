@@ -307,13 +307,57 @@ def _band_frame(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFr
     ).select("id", "bb.band", "bb.bucket")
 
 
+_CAP_METRIC_SEQ = [0]  # monotone suffix so repeated calls never collide on
+# observation names within one SparkSession (same-name CollectMetrics nodes
+# are only legal when they are the identical subplan, e.g. a self-join).
+
+
+def _cap_buckets(frame: DataFrame, keys: list[str], max_bucket_size: int, metric: str) -> DataFrame:
+    """Drop every blocking bucket with more than `max_bucket_size` members
+    before a bucket self-join (standard web-scale LSH practice, mirroring
+    `max_shingle_freq` in jaccard_pairs): a bucket that large is a
+    non-discriminative band/chunk — its members agree on a signature slice
+    that carries ~no information — yet it alone contributes f² candidate
+    rows, i.e. one degenerate bucket is a straggler task at 100 TB.
+
+    One window count keyed exactly like the subsequent join (the exchange
+    is reused, so the cap costs a sort within already-shuffled partitions,
+    not an extra shuffle). The observed metric `<metric>_<n>` reports rows
+    living in dropped buckets, so production runs can alert on silent
+    recall loss via a QueryExecutionListener."""
+    _CAP_METRIC_SEQ[0] += 1
+    w = Window.partitionBy(*keys)
+    return (
+        frame.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .observe(
+            f"{metric}_{_CAP_METRIC_SEQ[0]}",
+            F.sum(
+                F.when(F.col("__bsz") > max_bucket_size, 1).otherwise(0)
+            ).alias("rows_in_dropped_buckets"),
+        )
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Banding: docs agreeing on ALL rows of any band become a candidate
     pair. One explode (bands per doc) + self-join per bucket. Bucket key is
-    a hash of the band slice, so the shuffle key is (band, long) — tiny."""
+    a hash of the band slice, so the shuffle key is (band, long) — tiny.
+
+    `max_bucket_size` (default 1000) caps per-bucket fan-out via
+    `_cap_buckets`; measured bucket maxima on the bench corpus are ≤4 at
+    sf0.1, so the default never fires there — it exists for the
+    adversarial/degenerate tail (e.g. thousands of near-empty docs sharing
+    a band signature). Pass None to disable."""
     b = _band_frame(signatures, bands, rows_per_band)
+    if max_bucket_size is not None:
+        b = _cap_buckets(b, ["band", "bucket"], max_bucket_size, "lsh_bucket_cap")
     left = b.select(F.col("id").alias("a"), "band", "bucket")
     right = b.select(F.col("id").alias("b"), "band", "bucket")
     return (
@@ -332,6 +376,7 @@ def minhash_dedup_pairs(
     k: int = 3,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
     verify on the candidate pairs only. Returns (a, b, jaccard ≥ threshold).
@@ -355,7 +400,7 @@ def minhash_dedup_pairs(
     rows_per_band = num_perm // bands
     ex = hashed_shingles(df, id_col, text_col, k).persist()
     sigs = minhash_signatures_from_hashes(ex, num_perm).persist()
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         cand.join(ex.select(F.col("id").alias("a"), "h"), "a")
@@ -567,10 +612,17 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_distance: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 15/16-bit signature chunks
     (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks identical), verify
-    hamming ≤ k within blocks. Same LSH-shape plan as MinHash banding."""
+    hamming ≤ k within blocks. Same LSH-shape plan as MinHash banding.
+
+    `max_bucket_size` caps per-chunk-bucket fan-out exactly like
+    `lsh_candidate_pairs` (measured chunk-bucket max 269 at sf0.1, so the
+    default 1000 never fires on the bench corpus); a dropped bucket is a
+    16-bit slice shared by >1000 docs — non-discriminative by definition.
+    Pass None to disable."""
     chunk_bits = 16 if hash_fn == "xxhash64" else 15
     mask = (1 << chunk_bits) - 1
     sigs = simhash_signatures(df, id_col, text_col, hash_fn)
@@ -591,6 +643,8 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.key")
+    if max_bucket_size is not None:
+        chunks = _cap_buckets(chunks, ["chunk", "key"], max_bucket_size, "simhash_bucket_cap")
     left = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "key")
     right = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "key")
     return (

@@ -1416,3 +1416,41 @@ def test_kmeans_fixed_validates_inputs(spark):
         similarity.kmeans_fixed(df, k=5, n_rounds=1)
     with _pytest.raises(ValueError, match="k >= 1"):
         similarity.kmeans_fixed(df, k=0)
+
+
+def test_bucket_cap_agrees_with_uncapped_on_planted(spark):
+    # On a sane corpus (bench maxima: 4 minhash / 269 simhash members per
+    # bucket at sf0.1) the default cap must be a no-op: capped and uncapped
+    # pipelines return identical pairs.
+    mh_cap = dedup.minhash_dedup_pairs(_docs(spark), threshold=0.5, max_bucket_size=1000)
+    mh_raw = dedup.minhash_dedup_pairs(_docs(spark), threshold=0.5, max_bucket_size=None)
+    assert sorted(map(tuple, mh_cap.collect())) == sorted(map(tuple, mh_raw.collect()))
+    sh_cap = dedup.simhash_near_pairs(_docs(spark), max_distance=0, max_bucket_size=1000)
+    sh_raw = dedup.simhash_near_pairs(_docs(spark), max_distance=0, max_bucket_size=None)
+    assert sorted(map(tuple, sh_cap.collect())) == sorted(map(tuple, sh_raw.collect()))
+
+
+def test_bucket_cap_bounds_degenerate_bucket_fanout(spark):
+    # Adversarial corpus: n identical docs share EVERY band bucket, so the
+    # uncapped self-join emits n·(n-1)/2 candidate pairs from one bucket.
+    # With max_bucket_size < n the degenerate buckets drop and the planted
+    # distinct near-dup pair (which lives in its own small buckets) must
+    # survive.
+    n = 40
+    rows = [(i, "identical text repeated for every degenerate document") for i in range(n)]
+    rows += [
+        (1000, "a genuinely distinct document about spark shuffle planning"),
+        (1001, "a genuinely distinct document about spark shuffle planning"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df)
+    uncapped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=None)
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=10)
+    assert uncapped.count() >= n * (n - 1) // 2
+    got = {(r.a, r.b) for r in capped.collect()}
+    assert (1000, 1001) in got
+    assert len(got) == 1  # every degenerate-bucket pair was dropped
+
+    sh_capped = dedup.simhash_near_pairs(df, max_distance=0, max_bucket_size=10)
+    sh_got = {(r.a, r.b) for r in sh_capped.collect()}
+    assert (1000, 1001) in sh_got and len(sh_got) == 1
