@@ -1629,10 +1629,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table (the only corpus-sized shuffle), tokenize with the learned
         # ranks (operators/bpe.py). Rounds are batched fastBPE-style
         # (8 disjoint merges/round since r4 — ~4 driver rounds instead of
-        # 30). Iterative + driver-scheduled — not SQL-expressible, so no
-        # oracle entry: the driver records the weaker rows-only check; the
-        # algorithm is property-tested against an independent single-node
-        # reference in tests/test_dedup_text.py.
+        # 30). Iterative + driver-scheduled — not SQL-expressible at this
+        # merge budget, so no oracle entry here; but the SAME train loop
+        # at m=1 (classic merge order) IS oracle-gated via
+        # text_bpe_train_small's 8 unrolled rounds, and the per-round
+        # reductions via text_word_counts / text_bpe_merge_select. This
+        # entry keeps the weaker rows-only check plus the property pin
+        # against an independent single-node reference in
+        # tests/test_dedup_text.py.
         from reddit_twitter_big_data_pipeline_spark.operators import bpe
 
         docs = _t(spark, sf, "documents")
@@ -2225,6 +2229,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["x_hourly_profile"] = x_hourly_profile
+
+    def text_bpe_train_small(spark, sf):
+        # The BPE training LOOP itself, oracle-gated (VERDICT r4 item 3):
+        # 8 merges at batch_merges=1 runs the REAL bpe_train driver loop —
+        # per-round pair re-count, (total desc, x, y) argmax with
+        # min_count=2, exact fold application — and the DuckDB twin
+        # unrolls the identical 8 rounds as MATERIALIZED CTEs using the
+        # sentinel-encoded non-overlapping replace the 2-round
+        # text_bpe_merge_select oracle already plays (chr(1)='</w>',
+        # chr(2+i)=round-i's merged symbol). m=1 reproduces classic BPE
+        # merge order verbatim, so the gate pins selection, application,
+        # AND loop sequencing; only the batched-disjoint m>1 variant stays
+        # under the property pin.
+        from reddit_twitter_big_data_pipeline_spark.operators import bpe
+
+        docs = _t(spark, sf, "documents")
+        merges = bpe.bpe_train(docs, n_merges=8, min_count=2, batch_merges=1)
+        return spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(merges)],
+            "merge_rank int, x string, y string",
+        )
+
+    q["text_bpe_train_small"] = text_bpe_train_small
 
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
@@ -3624,6 +3651,57 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 1 AS merge_rank, x, y, total FROM sel1
     """
+
+    def _bpe_train_sql(n_merges: int = 8) -> str:
+        # Generalizes text_bpe_merge_select's 2 unrolled rounds to the full
+        # small-budget train loop (VERDICT r4 item 3). Sentinel encoding:
+        # chr(1) = </w>, chr(2+i) = round-i's merged symbol; replace() is
+        # left-to-right non-overlapping, which IS the fold's semantics.
+        # coalesce(.., chr(31)) keeps the replace a no-op if a round finds
+        # no pair with total >= 2 (early stop — that round's UNION branch
+        # contributes no row, matching bpe_train's early return).
+        def decode(c: str, upto: int) -> str:
+            cases = [f"WHEN {c} = chr(1) THEN '</w>'"]
+            for j in range(upto):
+                cases.append(f"WHEN {c} = chr({2 + j}) THEN (SELECT x || y FROM sel{j})")
+            return "CASE " + " ".join(cases) + f" ELSE {c} END"
+
+        sql = """
+        WITH wc AS (
+          SELECT word, count(*)::BIGINT AS cnt FROM (
+            SELECT unnest(string_split(
+              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+            FROM documents) t
+          WHERE word != '' GROUP BY word
+        ),
+        s0 AS MATERIALIZED (SELECT word || chr(1) AS s, cnt FROM wc)"""
+        for i in range(n_merges):
+            dx, dy = decode("xc", i), decode("yc", i)
+            sql += f""",
+        p{i} AS (
+          SELECT substr(s, i, 1) AS xc, substr(s, i + 1, 1) AS yc,
+                 sum(cnt)::BIGINT AS total
+          FROM s{i} CROSS JOIN LATERAL
+               (SELECT unnest(range(1, len(s)::INT)) AS i) g
+          GROUP BY 1, 2
+        ),
+        sel{i} AS MATERIALIZED (
+          SELECT xc, yc, {dx} AS x, {dy} AS y, total
+          FROM p{i} WHERE total >= 2
+          ORDER BY total DESC, {dx}, {dy}
+          LIMIT 1
+        ),
+        s{i + 1} AS MATERIALIZED (
+          SELECT replace(s, coalesce((SELECT xc || yc FROM sel{i}), chr(31)),
+                         chr({2 + i})) AS s, cnt
+          FROM s{i}
+        )"""
+        sql += "\n        " + "\n        UNION ALL\n        ".join(
+            f"SELECT {i} AS merge_rank, x, y FROM sel{i}" for i in range(n_merges)
+        )
+        return sql
+
+    o["text_bpe_train_small"] = _bpe_train_sql()
 
     # Composed curation oracle: the shared _SCRUB_SQL chain (kept in
     # lockstep with text_clean_training by construction), then length
