@@ -4,8 +4,10 @@
 The Spark-side plumbing is real and tested: binary payload column, typed
 metadata struct (schemas.MEDIA), Arrow-batched ``mapInPandas`` feature
 extraction with an explicit output schema, and partition sizing guidance for
-large blobs. The actual codec work (JPEG decode, audio resample, video frame
-sampling) is STUBBED — the image/audio libraries are not in this container —
+large blobs. In-container codecs (pure numpy + stdlib zlib/struct) cover
+PPM, PNG, baseline JPEG (huffman + dequant + IDCT + chroma upsample +
+YCbCr→RGB; 4:4:4/4:2:2/4:2:0, restart markers), PCM16 WAV, and Y4M; the
+remaining codec work (progressive JPEG, compressed audio/video) is STUBBED
 behind two clearly-marked backends:
 
   * ``deterministic_fake`` (default): pure function of the payload bytes, so
@@ -298,6 +300,465 @@ def _decode_y4m_first_frame(payload: bytes):
     return y.astype(np.float32)
 
 
+# --- baseline JPEG (JFIF) codec, pure numpy --------------------------------
+#
+# Huffman + dequant + IDCT + chroma upsample + YCbCr→RGB with stdlib struct
+# and numpy only (VERDICT r4 item 4, following the PNG precedent): the most
+# common web-image format decodes in-container ahead of the PIL seam.
+# Supported: 8-bit baseline/extended-sequential Huffman (SOF0/SOF1), gray or
+# YCbCr with any integer-ratio sampling (4:4:4, 4:2:2, 4:2:0), restart
+# markers, 8/16-bit quant tables. Progressive (SOF2) and the other exotic
+# SOFs raise NotImplementedError so _real_decode falls through to the PIL
+# seam; malformed payloads raise ValueError. Table constants below are the
+# public ITU-T T.81 Annex K examples.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# ITU-T T.81 Annex K.3: typical luminance Huffman tables (public spec data)
+_JPEG_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_STD_DC_VALS = list(range(12))
+_JPEG_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_huff_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical (length, code) → symbol map from DHT BITS/HUFFVAL."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8×8 DCT-II matrix C (C @ f @ C.T = JPEG forward DCT,
+    C.T @ F @ C = inverse)."""
+    import numpy as np
+
+    x = np.arange(8)
+    c = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c[0, :] = 0.5 / np.sqrt(2.0)
+    return c
+
+
+class _JpegBits:
+    """MSB-first bit reader over one unstuffed entropy-coded segment."""
+
+    __slots__ = ("d", "i", "b", "n")
+
+    def __init__(self, d: bytes):
+        self.d, self.i, self.b, self.n = d, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("truncated JPEG entropy data")
+            self.b = self.d[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def bits(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+    def code(self, tbl: dict) -> int:
+        length = c = 0
+        while length < 16:
+            c = (c << 1) | self.bit()
+            length += 1
+            sym = tbl.get((length, c))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: an s-bit magnitude value to its signed coefficient."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _jpeg_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Unstuffed entropy-coded byte runs from SOS data start, split at
+    RSTn markers (DC predictors reset per segment), stopping at EOI/any
+    other marker."""
+    segs, cur, n = [], bytearray(), len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = payload[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+            continue
+        if 0xD0 <= m <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+            continue
+        break  # EOI or a trailing marker
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_jpeg_baseline(payload: bytes):
+    """Baseline JPEG → (h, w, 3) uint8 RGB (gray replicated to 3 channels).
+    Raises NotImplementedError on progressive/lossless/arithmetic/12-bit
+    variants (the PIL seam's formats) and ValueError on malformed data."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    ri = 0
+    sel = None
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq:
+                    qt[tq] = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                else:
+                    qt[tq] = np.frombuffer(body, "u1", 64, i).astype(np.int32)
+                    i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                i += 1
+                bits = list(body[i : i + 16])
+                i += 16
+                nv = sum(bits)
+                huff[(tc, th)] = _jpeg_huff_table(bits, list(body[i : i + nv]))
+                i += nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG decodes in-container")
+            h, w = struct.unpack_from(">HH", body, 1)
+            comps = []
+            for c in range(body[5]):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG decodes in-container; route "
+                "progressive/lossless/arithmetic through PIL on a cluster image"
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            sel = {}
+            for c in range(body[0]):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            break
+        # APPn / COM: skipped
+    if sof is None or sel is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise ValueError("JPEG with zero dimension")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("JPEG with zero sampling factor")
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    cmat = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcy * cv * 8, mcx * ch * 8), dtype=np.float32)
+    segs = _jpeg_entropy_segments(payload, pos)
+    seg_i = 0
+    br = _JpegBits(segs[0])
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    for m in range(mcx * mcy):
+        if ri and m and m % ri == 0:  # restart: next segment, reset DC
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG entropy data missing restart segment")
+            br = _JpegBits(segs[seg_i])
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(m, mcx)
+        for cid, ch, cv, tq in comps:
+            if cid not in sel:
+                raise ValueError("SOS component not in SOF")
+            td, ta = sel[cid]
+            dc_t, ac_t = huff.get((0, td)), huff.get((1, ta))
+            q = qt.get(tq)
+            if dc_t is None or ac_t is None or q is None:
+                raise ValueError("JPEG references an undefined table")
+            for by in range(cv):
+                for bx in range(ch):
+                    coef = np.zeros(64, dtype=np.float64)
+                    s = br.code(dc_t)
+                    pred[cid] += _jpeg_extend(br.bits(s), s)
+                    coef[0] = pred[cid] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = br.code(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[k] = _jpeg_extend(br.bits(s), s) * q[k]
+                        k += 1
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[zz] = coef  # de-zigzag
+                    px = cmat.T @ blk.reshape(8, 8) @ cmat + 128.0
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+    # crop to the component's true size, upsample to full resolution
+    out = []
+    for cid, ch, cv, _tq in comps:
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        p = planes[cid][:chh, :cw]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(out) != 3:
+        raise NotImplementedError("only grayscale/YCbCr JPEG decodes in-container")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_luma(payload: bytes):
+    """Baseline JPEG → ITU-R 601 luma float32 samples (the grayscale
+    contract every image codec in _real_decode returns)."""
+    rgb = _decode_jpeg_baseline(payload).astype("float32")
+    return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]).ravel()
+
+
+class _JpegBitW:
+    """MSB-first bit writer with 0xFF byte stuffing (encoder twin)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits to the byte boundary
+
+
+def _encode_jpeg_baseline(arr, sampling: str = "444", restart_interval: int = 0) -> bytes:
+    """Minimal baseline JFIF encoder — the deterministic fixture generator
+    for the decoder above (same role as _encode_png_rgb for PNG): gray
+    ((h, w) uint8) or RGB ((h, w, 3) uint8), 4:4:4 or 4:2:0 chroma, all-ones
+    quant tables (error = DCT rounding only), Annex K luminance Huffman
+    tables for every component, optional restart markers."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if sampling not in ("444", "422", "420"):
+        raise ValueError("sampling must be '444', '422', or '420'")
+    if gray:
+        comps = [(1, 1, 1)]
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+        def down(p, fy, fx):  # mean downsample, edge-padded to factor multiples
+            pp = np.pad(
+                p,
+                ((0, -p.shape[0] % fy), (0, -p.shape[1] % fx)),
+                mode="edge",
+            )
+            return pp.reshape(
+                pp.shape[0] // fy, fy, pp.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+
+        if sampling == "420":
+            planes = [y, down(cb, 2, 2), down(cr, 2, 2)]
+            comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        elif sampling == "422":
+            planes = [y, down(cb, 1, 2), down(cr, 1, 2)]
+            comps = [(1, 2, 1), (2, 1, 1), (3, 1, 1)]
+        else:
+            planes = [y, cb, cr]
+            comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    # pad every plane to its MCU-aligned size by edge replication
+    padded = []
+    for (cid, ch, cv), p in zip(comps, planes):
+        th, tw = mcy * cv * 8, mcx * ch * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+    cmat = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    dc_code = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(_JPEG_STD_DC_BITS[length - 1]):
+            dc_code[_JPEG_STD_DC_VALS[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    ac_code = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(_JPEG_STD_AC_BITS[length - 1]):
+            ac_code[_JPEG_STD_AC_VALS[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+
+    def category(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    def put_block(bw: _JpegBitW, block, pred: int) -> int:
+        f = cmat @ (block - 128.0) @ cmat.T
+        q = np.rint(f).astype(np.int64).ravel()[zz]  # natural → zigzag
+        diff = int(q[0]) - pred
+        s = category(diff)
+        c, ln = dc_code[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for i in range(1, 64):
+            v = int(q[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_code[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+            s = category(v)
+            c, ln = ac_code[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            c, ln = ac_code[0x00]  # EOB
+            bw.write(c, ln)
+        return int(q[0])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+    for cid, ch, cv in comps:
+        out += bytes([cid, (ch << 4) | cv, 0])
+    dht = bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
+    dht += bytes([0x10]) + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, _ch, _cv in comps:
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al (baseline fixed values)
+    bw = _JpegBitW()
+    pred = {cid: 0 for cid, _, _ in comps}
+    rst = 0
+    for m in range(mcx * mcy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _JpegBitW()
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(m, mcx)
+        for (cid, ch, cv), p in zip(comps, padded):
+            for by in range(cv):
+                for bx in range(ch):
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    pred[cid] = put_block(bw, p[y0 : y0 + 8, x0 : x0 + 8], pred[cid])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _real_decode(payload: bytes, kind: str):
     """THE decode seam: decode `payload` with the real codec for `kind`,
     returning a 1-D float32 numpy array of content samples (grayscale
@@ -318,11 +779,16 @@ def _real_decode(payload: bytes, kind: str):
             return _decode_ppm(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            try:
+                return _decode_jpeg_luma(payload)
+            except NotImplementedError:
+                pass  # progressive/exotic JPEG → the PIL seam below
         try:
             from PIL import Image
         except ImportError as e:
             raise NotImplementedError(
-                "non-PPM/PNG image decode requires Pillow; pip install "
+                "non-baseline image decode requires Pillow; pip install "
                 "pillow on the cluster or use backend='fake'"
             ) from e
         img = Image.open(io.BytesIO(payload)).convert("L")
@@ -488,16 +954,31 @@ def _resize_png(payload: bytes, width: int, height: int) -> bytes:
     return _encode_png_rgb(np.ascontiguousarray(rgb[ys[:, None], xs[None, :], :]))
 
 
+def _resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a baseline JPEG: decode → index-map →
+    re-encode 4:4:4 with the fixture encoder (all-ones quant, so the
+    re-encode adds only DCT rounding error)."""
+    import numpy as np
+
+    rgb = _decode_jpeg_baseline(payload)
+    h, w = rgb.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return _encode_jpeg_baseline(np.ascontiguousarray(rgb[ys[:, None], xs[None, :], :]))
+
+
 def _resize_real(payload: bytes, width: int, height: int) -> bytes:
-    """Format dispatch for the real resize path: PPM and PNG resize with
-    pure numpy/zlib; anything else is the PIL seam."""
+    """Format dispatch for the real resize path: PPM, PNG, and baseline
+    JPEG resize with pure numpy/zlib; anything else is the PIL seam."""
     if payload[:2] == b"P6":
         return _resize_ppm(payload, width, height)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _resize_png(payload, width, height)
+    if payload[:2] == b"\xff\xd8":
+        return _resize_jpeg(payload, width, height)
     raise ValueError(
-        "real resize supports PPM and PNG in-container; route other "
-        "formats through PIL on a cluster image"
+        "real resize supports PPM, PNG, and baseline JPEG in-container; "
+        "route other formats through PIL on a cluster image"
     )
 
 

@@ -1285,8 +1285,9 @@ def test_resize_real_backend_png_roundtrip(spark):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="PPM and PNG"):
-        _resize_png_jpeg = multimodal._resize_real(b"\xff\xd8\xff\xe0junk", 2, 2)  # noqa: F841
+    # JPEG is a supported resize format since r5 — GIF is the seam example now
+    with _pytest.raises(ValueError, match="PPM, PNG, and baseline JPEG"):
+        _resize_gif = multimodal._resize_real(b"GIF87ajunk", 2, 2)  # noqa: F841
 
 
 def _y4m_bytes(w, h, luma_frames):
@@ -1454,3 +1455,97 @@ def test_bucket_cap_bounds_degenerate_bucket_fanout(spark):
     sh_capped = dedup.simhash_near_pairs(df, max_distance=0, max_bucket_size=10)
     sh_got = {(r.a, r.b) for r in sh_capped.collect()}
     assert (1000, 1001) in sh_got and len(sh_got) == 1
+
+
+# --- baseline JPEG codec ----------------------------------------------------
+
+
+def _jpeg_gray(seed=7, shape=(23, 17)):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_jpeg_roundtrip_all_samplings_and_restarts(spark):
+    # Encoder twin uses all-ones quant tables, so the only loss is DCT
+    # rounding: every sampling layout (and the restart-marker path) must
+    # reproduce pixels within ±3. Grayscale content as RGB keeps chroma
+    # constant, so 4:2:2/4:2:0 subsampling is exact by construction.
+    import numpy as np
+
+    g = _jpeg_gray()
+    dec = multimodal._decode_jpeg_luma(
+        multimodal._encode_jpeg_baseline(g)
+    ).reshape(g.shape)
+    assert np.abs(dec - g.astype(np.float32)).max() <= 3.0
+
+    g3 = np.stack([g, g, g], axis=-1)
+    for sampling in ("444", "422", "420"):
+        enc = multimodal._encode_jpeg_baseline(g3, sampling=sampling, restart_interval=2)
+        rgb = multimodal._decode_jpeg_baseline(enc)
+        assert rgb.shape == g3.shape
+        assert np.abs(rgb.astype(int) - g3.astype(int)).max() <= 3
+
+    # smooth non-constant chroma through 4:4:4 stays near-lossless too
+    yy, xx = np.mgrid[0:20, 0:30]
+    color = np.stack([(yy * 8) % 256, (xx * 5) % 256, ((yy + xx) * 3) % 256], axis=-1).astype(np.uint8)
+    rgb = multimodal._decode_jpeg_baseline(multimodal._encode_jpeg_baseline(color))
+    assert np.abs(rgb.astype(int) - color.astype(int)).max() <= 3
+
+
+def test_jpeg_real_backend_extracts_features_in_container(spark):
+    # The media pipeline criterion: extract_features(backend='real') over a
+    # JPEG payload executes on a bare container (no PIL) because the
+    # baseline decoder is pure numpy — features come from decoded pixels.
+    import numpy as np
+
+    g = _jpeg_gray(seed=3, shape=(16, 16))
+    payload = multimodal._encode_jpeg_baseline(np.stack([g, g, g], axis=-1), sampling="420")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))], ["media_id", "kind", "payload"]
+    )
+    row = multimodal.extract_features(media, backend="real").first()
+    assert len(row.feature) == multimodal.FEATURE_DIM
+    assert abs(sum(row.feature) - 1.0) < 1e-6
+    # must match decoding the payload directly (pixel histogram, not bytes)
+    expect = multimodal._content_feature(multimodal._decode_jpeg_luma(payload))
+    assert np.allclose(row.feature, expect, atol=1e-6)
+
+
+@pytest.mark.skipif(_has_pil(), reason="Pillow installed: the seam decodes instead of raising")
+def test_jpeg_progressive_falls_to_pil_seam(spark):
+    # SOF2 (progressive) is NOT baseline-decodable: the decoder raises
+    # NotImplementedError and _real_decode falls through to the PIL seam,
+    # which (PIL absent) raises the documented install hint.
+    prog = b"\xff\xd8\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal._real_decode(prog, "image")
+
+
+def test_jpeg_malformed_raises_valueerror():
+    with pytest.raises(ValueError):
+        multimodal._decode_jpeg_baseline(b"\xff\xd8\x00\x00")
+    with pytest.raises(ValueError):
+        multimodal._decode_jpeg_baseline(b"not a jpeg")
+    # valid markers but no SOS/SOF
+    with pytest.raises(ValueError):
+        multimodal._decode_jpeg_baseline(b"\xff\xd8\xff\xd9")
+
+
+def test_resize_real_backend_jpeg_roundtrip(spark):
+    import numpy as np
+
+    g = _jpeg_gray(seed=11, shape=(24, 18))
+    payload = multimodal._encode_jpeg_baseline(np.stack([g, g, g], axis=-1))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))], ["media_id", "kind", "payload"]
+    )
+    r = multimodal.resize_stub(media, 9, 12, backend="real").first()
+    rgb = multimodal._decode_jpeg_baseline(bytes(r.payload))
+    assert rgb.shape == (12, 9, 3)
+    # nearest-neighbor of near-lossless content: compare to numpy indexing
+    ys = (np.arange(12) * 24 // 12).clip(0, 23)
+    xs = (np.arange(9) * 18 // 9).clip(0, 17)
+    expect = g[ys[:, None], xs[None, :]]
+    assert np.abs(rgb[..., 0].astype(int) - expect.astype(int)).max() <= 6
