@@ -266,9 +266,14 @@ def topn_tracker(
     """Per-key running top-N across micro-batches — the State API v2
     ListState shape (where `ewma_smoother` exercises ValueState): state is
     the CURRENT top-N (value, id) tuples per key, merged with each batch's
-    rows and re-truncated, then emitted as ranked rows. The leaderboard
-    primitive (top posts per subreddit, top tweets per topic) maintained
-    incrementally — history is never re-read.
+    rows — keeping the MAX value per id, so a post whose score is
+    re-observed moves on the board instead of occupying two slots — and
+    re-truncated, then emitted as ranked rows. The leaderboard primitive
+    (top posts per subreddit, top tweets per topic) maintained
+    incrementally — history is never re-read. (A score that DECREASES on
+    re-observation keeps its old max — ids already truncated off the board
+    have no stored value to decrease; document-exact decreasing scores
+    need a keyed-state design instead.)
 
     Ordering is total and deterministic: value desc, id asc on ties.
     State stays O(n) per key regardless of stream length — the bound is
@@ -297,8 +302,14 @@ def topn_tracker(
             for pdf in rows:
                 for i, v in zip(pdf[id_col], pdf[value_col]):
                     cur.append((float(v), int(i)))
+            # an id re-reported with an updated value (a post's score being
+            # re-observed) must occupy ONE slot at its max value, not two
+            best: dict[int, float] = {}
+            for v, i in cur:
+                if i not in best or v > best[i]:
+                    best[i] = v
             # value desc, id asc — a total order, so re-runs are identical
-            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = sorted(((v, i) for i, v in best.items()), key=lambda t: (-t[0], t[1]))
             cur = cur[:n]
             self._state.put([(v, i) for v, i in cur])
             yield pd.DataFrame(
@@ -492,7 +503,10 @@ def idle_session_closer(
     timer. Runs in timeMode='ProcessingTime' — continuous trigger only
     (see `dedup_first_seen`'s trigger caveat). Emission TIMING is
     wall-clock-dependent by design; content (key, exact count) is
-    deterministic, which is what the test pins."""
+    deterministic, which is what the test pins. For replayable /
+    AvailableNow pipelines use `event_session_closer` below — the
+    event-time-timer twin terminates cleanly under AvailableNow and
+    reproduces session_window semantics exactly."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -531,6 +545,126 @@ def idle_session_closer(
         outputStructType=IDLE_SCHEMA,
         outputMode="Update",
         timeMode="ProcessingTime",
+    )
+
+
+EVENT_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def event_session_closer(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap sessionization with State API v2 EVENT-TIME timers — the
+    event-time twin of `idle_session_closer` (VERDICT r4 item 5), built to
+    reproduce `streams.sessionized_counts`' session_window semantics
+    exactly: session_end = last event + gap, a session emits when the
+    WATERMARK passes its end, and late-but-in-watermark events merge open
+    sessions (so one bridging event can fuse two). Because timers key off
+    the watermark, Trigger.AvailableNow terminates cleanly — the final
+    watermark advance schedules one flush batch and the query ends (no
+    processing-time no-data loop; contrast the documented caveat on
+    `dedup_first_seen`/`idle_session_closer`).
+
+    State per key: the OPEN sessions as (start_ms, last_ms, n) triples in
+    a ListState (bounded by concurrent open sessions, not stream length —
+    and almost always length 1, since only watermark-lagging events keep
+    more than one open) plus a single armed timer at min(last+gap).
+    Emission = closed sessions (key, session_start, session_end, n)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _EventSessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._sess = handle.getListState("sessions", "s bigint, e bigint, n bigint")
+            self._armed = handle.getValueState("armed", "t bigint")
+
+        def _merged(self, sessions: list, times: list) -> list:
+            """Open sessions ∪ new single-event sessions, gap-merged."""
+            allx = sorted(sessions + [(t, t, 1) for t in times])
+            out: list = []
+            for s, e, n in allx:
+                if out and s <= out[-1][1] + gap_ms:
+                    ps, pe, pn = out[-1]
+                    out[-1] = (ps, max(pe, e), pn + n)
+                else:
+                    out.append((s, e, n))
+            return out
+
+        def _rearm(self, sessions: list) -> None:
+            deadline = min(e + gap_ms for _s, e, _n in sessions)
+            if self._armed.exists():
+                old = self._armed.get()[0]
+                if old == deadline:
+                    return
+                self._h.deleteTimer(old)
+            self._h.registerTimer(deadline)
+            self._armed.update((deadline,))
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            times: list[int] = []
+            for pdf in rows:
+                if len(pdf):
+                    # normalize to ns first: Arrow may hand back datetime64
+                    # at us resolution, and a raw int64 cast would then be
+                    # off by 1000x
+                    ns = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]")
+                    times.extend((ns.astype("int64") // 1_000_000).tolist())
+            if not times:
+                return iter([])
+            sessions = [tuple(map(int, s)) for s in self._sess.get()]
+            sessions = self._merged(sessions, times)
+            self._sess.put(sessions)
+            self._rearm(sessions)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (k,) = key
+            wm = timerValues.getCurrentWatermarkInMs()
+            sessions = [tuple(map(int, s)) for s in self._sess.get()]
+            closed = [x for x in sessions if x[1] + gap_ms <= wm]
+            kept = [x for x in sessions if x[1] + gap_ms > wm]
+            self._armed.clear()
+            if kept:
+                self._sess.put(kept)
+                self._rearm(kept)
+            else:
+                self._sess.clear()
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "key": [str(k)] * len(closed),
+                        "session_start": pd.to_datetime([s for s, _e, _n in closed], unit="ms"),
+                        "session_end": pd.to_datetime([e + gap_ms for _s, e, _n in closed], unit="ms"),
+                        "n": [n for _s, _e, n in closed],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_EventSessions(),
+            outputStructType=EVENT_SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
     )
 
 

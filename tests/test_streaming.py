@@ -539,6 +539,16 @@ def test_stateful_v2_topn_merges_across_batches(spark, tmp_path):
         [{"user_id": 4, "value": 25.0, "ts_s": "t"},
          {"user_id": 5, "value": 5.0, "ts_s": "t"}],
     )
+    _write_batch(
+        land, "3.json",
+        [{"user_id": 2, "value": 40.0, "ts_s": "t"},
+         {"user_id": 2, "value": 1.0, "ts_s": "t"}],
+    )
+    # the file source orders batches by modification time — pin distinct
+    # mtimes so the three fixtures replay 1, 2, 3 deterministically
+    base = os.path.getmtime(str(land / "1.json"))
+    os.utime(str(land / "2.json"), (base + 1, base + 1))
+    os.utime(str(land / "3.json"), (base + 2, base + 2))
     src = streams.read_json_stream(spark, str(land), EV_SCHEMA, max_files_per_trigger=1)
     events = src.select(
         F.lit("m").alias("event_type"),
@@ -576,6 +586,10 @@ def test_stateful_v2_topn_merges_across_batches(spark, tmp_path):
     assert per_batch[0] == [(1, 2, 30.0), (2, 3, 20.0)]
     # batch 2: 25 beats surviving 20; 5 never places; dropped id1 stays off
     assert per_batch[1] == [(1, 2, 30.0), (2, 4, 25.0)]
+    # batch 3: id 2 re-reported (updated score) occupies ONE slot at its
+    # max — 40 replaces 30 rather than doubling up; the decrease to 1.0
+    # is ignored (max-per-id semantics)
+    assert per_batch[2] == [(1, 2, 40.0), (2, 4, 25.0)]
 
 
 def test_stateful_v2_transition_counts_carry_last_event(spark, tmp_path):
@@ -840,3 +854,87 @@ def test_stream_stream_left_join_emits_unmatched_after_watermark(spark, tmp_path
     # post 1 matched at 12:05; post 2's window (≤12:45) is past the final
     # watermark (18:00 − 1h) → emitted unmatched with a null refresh
     assert got == {(1, 5), (2, None)}
+
+
+def test_stateful_v2_event_time_sessions_match_session_window(spark, tmp_path):
+    """State API v2 EVENT-TIME timers (event_session_closer): on a replayed
+    fixture the operator's closed sessions must equal session_window's
+    Append-mode output row for row — same starts, same end = last+gap, same
+    counts — and, because timers key off the watermark, Trigger.AvailableNow
+    terminates on its own (no processing-time no-data loop)."""
+    from reddit_twitter_big_data_pipeline_spark import protobuf_compat
+    from reddit_twitter_big_data_pipeline_spark.streaming import stateful
+
+    if not protobuf_compat.enable():
+        pytest.skip("no protobuf install and no cloudsdk pure-python bundle")
+
+    land = tmp_path / "land"
+    # u1: one 3-event session crossing the batch boundary, then a second
+    # session; u2: a singleton; u99: the watermark-pushing sentinel.
+    _write_batch(
+        land, "1.json",
+        _rows([(1, "2023-03-25 12:00:00"), (2, "2023-03-25 12:05:00")], user="u1"),
+    )
+    _write_batch(
+        land, "2.json",
+        _rows([(3, "2023-03-25 12:08:00"), (4, "2023-03-25 13:00:00")], user="u1")
+        + _rows([(5, "2023-03-25 12:30:00")], user="u2")
+        + _rows([(9, "2023-03-26 12:00:00")], user="u99"),
+    )
+
+    def src():
+        return _with_ts(
+            streams.read_json_stream(spark, str(land), SCHEMA, max_files_per_trigger=1)
+        )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stateful.event_session_closer(
+            src(), key_col="username", ts_col="ts", gap_ms=600_000, watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.format("memory").queryName("esc")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_esc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            streams.run_to_completion(q)
+        except Exception as e:  # pragma: no cover - environment-dependent
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        got = {
+            (r.key, r.session_start, r.session_end, r.n)
+            for r in spark.sql("select * from esc").collect()
+            if r.key != "u99"
+        }
+
+        ref = streams.sessionized_counts(
+            src(), ts_col="ts", gap="10 minutes", keys=["username"], watermark="0 seconds"
+        )
+        q2 = (
+            ref.writeStream.format("memory").queryName("swref")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        streams.run_to_completion(q2)
+        expect = {
+            (r.username, r.session_start, r.session_end, r.n)
+            for r in spark.sql("select * from swref").collect()
+            if r.username != "u99"
+        }
+        assert expect, "fixture must close at least one session_window row"
+        assert got == expect
+        # the cross-batch merge really happened: u1's first session has 3 events
+        assert any(k == "u1" and n == 3 for k, _s, _e, n in got)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
