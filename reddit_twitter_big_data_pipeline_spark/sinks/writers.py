@@ -396,10 +396,29 @@ def _read_manifest(fs, jvm, root: str, version: int) -> dict[str, int]:
     return {str(k): int(v) for k, v in doc["partitions"].items()}
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published the manifest version this commit computed
+    against — the optimistic-concurrency conflict signal. The losing
+    writer's staged data dirs are invisible (no manifest names them) and
+    are reclaimed by `vacuum_manifested`; retry by re-running the merge,
+    which re-reads the new latest snapshot."""
+
+
 def _publish_manifest(fs, jvm, root: str, version: int, partitions: dict[str, int]) -> None:
     """Atomically publish manifest `version` (tmp file + rename — the
     commit point; a crash before the rename leaves the table at the prior
-    snapshot with only invisible orphan data dirs)."""
+    snapshot with only invisible orphan data dirs).
+
+    Version check-and-put (VERDICT r4 item 6): the manifest file name IS
+    the version, so OCC needs no lock service — if v<version> already
+    exists, a concurrent writer won the race and this commit must raise,
+    never last-writer-win (silently dropping the winner's partitions from
+    the superseding snapshot). A crashed PRIOR attempt of this version
+    cannot have left dst behind: dst only appears via the rename, which is
+    itself the durable commit. On HDFS/object-store committers the
+    no-overwrite rename makes the check atomic; on the local FS the
+    exists-check narrows the race to the rename call (best-effort,
+    documented)."""
     import json
 
     payload = json.dumps(
@@ -415,9 +434,17 @@ def _publish_manifest(fs, jvm, root: str, version: int, partitions: dict[str, in
     finally:
         out.close()
     if fs.exists(dst):
-        fs.delete(dst, True)  # re-attempt of a crashed commit at this version
+        fs.delete(tmp, True)
+        raise ConcurrentWriteError(
+            f"manifest v{version} already published at {root}: a concurrent "
+            "writer committed first — re-run against the new snapshot"
+        )
     if not fs.rename(tmp, dst):
-        raise IOError(f"could not publish manifest v{version} at {root}")
+        fs.delete(tmp, True)
+        raise ConcurrentWriteError(
+            f"could not publish manifest v{version} at {root} (lost the "
+            "commit race) — re-run against the new snapshot"
+        )
 
 
 def read_manifested(spark: SparkSession, target_path: str) -> DataFrame:
@@ -512,22 +539,30 @@ def merge_upsert_manifested(
         result = combine(None, updates)
 
     # 1. stage fully (old snapshot still intact end-to-end for the plan),
-    #    then move each staged partition under its immutable version name
-    staging = target_path + ".__mstaging__"
+    #    then move each staged partition under its immutable version name.
+    #    The DATA version token is unique per commit ATTEMPT (manifest
+    #    version << 20 | random bits — Delta's unique-file-name stance), so
+    #    two writers racing toward the same manifest version stage under
+    #    different dir names and can never clobber each other's files: the
+    #    manifest publish below is the ONLY contention point. A crashed or
+    #    OCC-losing attempt leaves orphan dirs no manifest names —
+    #    vacuum_manifested reclaims them.
+    import os as _os
+
+    data_ver = (new_ver << 20) | int.from_bytes(_os.urandom(3), "big") & 0xFFFFF
+    staging = f"{target_path}.__mstaging__{data_ver}"
     result.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
     sroot = jvm.org.apache.hadoop.fs.Path(staging)
     new_parts = dict(cur_parts)
     for rel in _list_partition_dirs(fs, jvm, sroot, len(partition_cols)):
         sdir = jvm.org.apache.hadoop.fs.Path(staging + "/" + rel)
         vdir = jvm.org.apache.hadoop.fs.Path(
-            f"{target_path}/{rel}/{_VERSION_KEY}={new_ver}"
+            f"{target_path}/{rel}/{_VERSION_KEY}={data_ver}"
         )
-        if fs.exists(vdir):
-            fs.delete(vdir, True)  # crashed prior attempt of THIS commit
         fs.mkdirs(vdir.getParent())
         if not fs.rename(sdir, vdir):
-            raise IOError(f"could not stage partition {rel} at version {new_ver}")
-        new_parts[rel] = new_ver
+            raise IOError(f"could not stage partition {rel} at version {data_ver}")
+        new_parts[rel] = data_ver
     fs.delete(sroot, True)
 
     # 2. commit point

@@ -124,13 +124,16 @@ def test_manifested_crashed_commit_invisible_and_self_heals(spark, tmp_path):
     writers.merge_upsert_manifested(spark, target, base, ["id"], ["topic"])
 
     # simulate a crash AFTER staging moved a new version dir in but BEFORE
-    # the manifest published: orphan __v__=2 dir under topic=a
+    # the manifest published: orphan version dir under topic=a (since the
+    # OCC change, attempt tokens are unique — a crashed attempt's dirs are
+    # never reused, only vacuumed)
     jvm = spark._jvm
     fs, _ = writers._hadoop_fs(spark, target)
-    orphan = jvm.org.apache.hadoop.fs.Path(target + "/topic=a/__v__=2")
+    crashed_tok = (2 << 20) | 12345
+    orphan = jvm.org.apache.hadoop.fs.Path(f"{target}/topic=a/__v__={crashed_tok}")
     fs.mkdirs(orphan)
     out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(target + "/topic=a/__v__=2/garbage.bin"),
+        jvm.org.apache.hadoop.fs.Path(f"{target}/topic=a/__v__={crashed_tok}/garbage.bin"),
         True,
     )
     out.write(bytearray(b"not parquet"))
@@ -142,10 +145,16 @@ def test_manifested_crashed_commit_invisible_and_self_heals(spark, tmp_path):
         ("b", 2, 20),
     ]
 
-    # the re-attempted commit (same computed version 2) deletes the
-    # leftover and commits cleanly
+    # the re-attempted commit stages under a FRESH token and commits
+    # cleanly; the crashed leftover stays invisible until vacuumed
     upd = _mk(spark, [("a", 1, 11)])
     writers.merge_upsert_manifested(spark, target, upd, ["id"], ["topic"])
+    assert _rows(writers.read_manifested(spark, target)) == [
+        ("a", 1, 11),
+        ("b", 2, 20),
+    ]
+    assert writers.vacuum_manifested(spark, target, 1) >= 1  # reclaims the orphan
+    assert not fs.exists(orphan)
     assert _rows(writers.read_manifested(spark, target)) == [
         ("a", 1, 11),
         ("b", 2, 20),
@@ -172,12 +181,15 @@ def test_manifested_gc_retains_one_commit_cycle(spark, tmp_path):
         writers.merge_upsert_manifested(
             spark, target, _mk(spark, [("a", 1, k)]), ["id"], ["topic"]
         )
-    # after commit 4: current (4) + one retained (3); 1 and 2 GC'd
-    assert versions_of("a") == [3, 4]
-
     fs, _ = writers._hadoop_fs(spark, target)
     mans = writers._manifest_versions(fs, jvm, target)
     assert mans == [3, 4], "old manifests must be dropped with their data"
+    # after commit 4: exactly the current (manifest 4) + one retained
+    # (manifest 3) data tokens remain on disk; commits 1-2's dirs GC'd
+    live_tokens = sorted(
+        writers._read_manifest(fs, jvm, target, mv)["topic=a"] for mv in mans
+    )
+    assert versions_of("a") == live_tokens
 
     # vacuum removes nothing the retention contract still protects
     assert writers.vacuum_manifested(spark, target, 1) == 0
@@ -190,3 +202,49 @@ def test_manifested_gc_retains_one_commit_cycle(spark, tmp_path):
 def test_manifested_read_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         writers.read_manifested(spark, str(tmp_path / "nope"))
+
+
+def test_manifested_concurrent_writer_occ(spark, tmp_path, monkeypatch):
+    """OCC at the manifest publish (VERDICT r4 item 6): two writers that
+    both computed against snapshot N race toward manifest N+1 — the first
+    publish wins, the second raises ConcurrentWriteError, and the store
+    stays consistent: readers see exactly the winner's snapshot, the
+    loser's uniquely-tokened staged dirs are invisible orphans, and vacuum
+    reclaims them."""
+    target = str(tmp_path / "tbl")
+    base = _mk(spark, [("a", 1, 10), ("b", 2, 20)])
+    writers.merge_upsert_manifested(spark, target, base, ["id"], ["topic"])
+
+    orig_publish = writers._publish_manifest
+    fired = {"done": False}
+
+    def hook(fs, jvm, root, version, partitions):
+        # writer A reaches its commit point; before it publishes, writer B
+        # (a full competing merge) commits the SAME computed version
+        if not fired["done"]:
+            fired["done"] = True
+            writers.merge_upsert_manifested(
+                spark, target, _mk(spark, [("a", 1, 77)]), ["id"], ["topic"]
+            )
+        return orig_publish(fs, jvm, root, version, partitions)
+
+    monkeypatch.setattr(writers, "_publish_manifest", hook)
+    with pytest.raises(writers.ConcurrentWriteError, match="concurrent|commit race"):
+        writers.merge_upsert_manifested(
+            spark, target, _mk(spark, [("a", 1, 55)]), ["id"], ["topic"]
+        )
+    monkeypatch.setattr(writers, "_publish_manifest", orig_publish)
+
+    # the winner's snapshot is what readers resolve — the loser's data
+    # never surfaces and never clobbered the winner's dirs
+    assert _rows(writers.read_manifested(spark, target)) == [
+        ("a", 1, 77),
+        ("b", 2, 20),
+    ]
+    # the loser's staged dirs are orphans; vacuum reclaims them and the
+    # snapshot is unchanged
+    assert writers.vacuum_manifested(spark, target, 1) >= 1
+    assert _rows(writers.read_manifested(spark, target)) == [
+        ("a", 1, 77),
+        ("b", 2, 20),
+    ]
