@@ -2253,6 +2253,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_bpe_train_small"] = text_bpe_train_small
 
+    # -- skewed-key bench pair (VERDICT r4 item 8): a deliberately Zipfian
+    # events derivative (~90% of rows collapse onto key 0, ×32 amplified)
+    # joined to a forced-SMJ dim and aggregated on the SAME key — the
+    # join-feeds-aggregation shape where AQE's post-shuffle skew split
+    # cannot apply (it would break the agg's required distribution), i.e.
+    # exactly where model.salted_join earns its keep. Both variants are
+    # oracle-gated (results must be identical) and benched side by side.
+
+    def _skewed_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            F.explode(F.array(*[F.lit(i) for i in range(32)])).alias("__rep"),
+            F.when(F.col("event_id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .cast("long")
+            .alias("k"),
+            "value",
+        ).drop("__rep")
+
+    def _skew_dim(spark):
+        return spark.range(0, 1500).select(
+            F.col("id").alias("k"), ((F.col("id") % 7) + 1).cast("double").alias("w")
+        )
+
+    def _skew_agg(joined):
+        return joined.groupBy("k").agg(
+            F.round(F.sum(F.col("value") * F.col("w")), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def x_skew_agg_unsalted(spark, sf):
+        # baseline: the hot key's entire join lands in ONE task
+        return _skew_agg(
+            _skewed_events(spark, sf).join(_skew_dim(spark).hint("merge"), "k")
+        )
+
+    q["x_skew_agg_unsalted"] = x_skew_agg_unsalted
+
+    def x_skew_agg_salted(spark, sf):
+        # salted twin: the hot key scatters over 8 (key, salt) tasks; the
+        # final agg reshuffles only partial rows (operators/model.py
+        # salted_join)
+        return _skew_agg(
+            model.salted_join(
+                _skewed_events(spark, sf), _skew_dim(spark).hint("merge"), "k", n_salts=8
+            )
+        )
+
+    q["x_skew_agg_salted"] = x_skew_agg_salted
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3702,6 +3752,23 @@ def oracle_sql() -> dict[str, str]:
         return sql
 
     o["text_bpe_train_small"] = _bpe_train_sql()
+
+    # shared twin for the skew pair: the two Spark variants MUST agree with
+    # each other and with this plain SQL — salting is a physical rewrite
+    _SKEW_AGG_SQL = """
+        WITH sk AS (
+          SELECT CASE WHEN event_id % 10 < 9 THEN 0 ELSE user_id END AS k, value
+          FROM events CROSS JOIN (SELECT unnest(range(32)) AS __rep) g
+        ),
+        dim AS (
+          SELECT range AS k, CAST(range % 7 + 1 AS DOUBLE) AS w FROM range(0, 1500)
+        )
+        SELECT k, round(sum(value * w), 2) AS total, count(*)::BIGINT AS n
+        FROM sk JOIN dim USING (k)
+        GROUP BY k
+    """
+    o["x_skew_agg_unsalted"] = _SKEW_AGG_SQL
+    o["x_skew_agg_salted"] = _SKEW_AGG_SQL
 
     # Composed curation oracle: the shared _SCRUB_SQL chain (kept in
     # lockstep with text_clean_training by construction), then length

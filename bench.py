@@ -80,6 +80,14 @@ HEADLINE = [
     "text_bpe_merge_select",
     "x_kmeans",
     "x_heavy_hitters",
+    # round-5 additions: the rotated-in iterative/incremental operators and
+    # the Zipfian skew pair (salted vs unsalted join-feeds-agg — recorded
+    # side by side so the salting win/cost is tracked round-over-round)
+    "x_connected_components",
+    "dedup_incremental_pairs",
+    "text_bpe_train_small",
+    "x_skew_agg_unsalted",
+    "x_skew_agg_salted",
 ]
 
 
