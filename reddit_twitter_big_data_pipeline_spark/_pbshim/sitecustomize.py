@@ -34,11 +34,14 @@ def _enable():
         return  # real install present
     if not os.path.isdir(os.path.join(_TP, "cloudsdk", "google", "protobuf")):
         return
-    # purge namespace-package artifacts (e.g. from jar entries on sys.path)
+    # purge ONLY namespace-package artifacts (__file__ is None, e.g. jar
+    # entries on sys.path): real already-imported google.* packages must
+    # survive the purge (ADVICE r4)
     for name in [
         n for n in list(sys.modules) if n == "google" or n.startswith("google.")
     ]:
-        del sys.modules[name]
+        if getattr(sys.modules[name], "__file__", None) is None:
+            del sys.modules[name]
     for p in (_TP, os.path.join(_TP, "cloudsdk")):
         if p not in sys.path:
             sys.path.append(p)
@@ -61,7 +64,38 @@ def _enable():
         _pb.runtime_version = rv
 
 
+def _chain_next_sitecustomize():
+    """Python imports only the FIRST sitecustomize on sys.path; since this
+    dir is PREPENDED to PYTHONPATH, a pre-existing sitecustomize (coverage
+    hooks, distro site setup) would be silently shadowed. Find and execute
+    the next one on the remaining path entries (ADVICE r4)."""
+    import importlib.util
+    from importlib.machinery import PathFinder
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rest = []
+    for entry in sys.path:
+        try:
+            if os.path.abspath(entry or ".") == here:
+                continue
+        except Exception:
+            continue
+        rest.append(entry)
+    spec = PathFinder.find_spec("sitecustomize", rest)
+    if spec is None or spec.loader is None:
+        return
+    mod = importlib.util.module_from_spec(spec)
+    # do NOT overwrite sys.modules['sitecustomize'] (that is this module,
+    # mid-execution); register the chained one under a distinct key
+    sys.modules["_pbshim_chained_sitecustomize"] = mod
+    spec.loader.exec_module(mod)
+
+
 try:
     _enable()
+except Exception:
+    pass
+try:
+    _chain_next_sitecustomize()
 except Exception:
     pass

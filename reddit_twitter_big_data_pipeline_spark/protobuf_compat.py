@@ -48,6 +48,20 @@ def _real_module(mod) -> bool:
     return mod is not None and getattr(mod, "__file__", None) is not None
 
 
+def _purge_namespace_ghosts() -> None:
+    """Drop ONLY namespace-package artifacts (jar portions, ``__file__ is
+    None``) from the google.* entries in sys.modules: real already-imported
+    google.* packages (google.auth, google.api) must survive — deleting
+    them would orphan live module objects in a long-lived process
+    (ADVICE r4). ``_pbshim/sitecustomize.py`` carries a self-contained
+    twin of this loop — keep them in lockstep."""
+    for name in [
+        n for n in list(sys.modules) if n == "google" or n.startswith("google.")
+    ]:
+        if getattr(sys.modules[name], "__file__", None) is None:
+            del sys.modules[name]
+
+
 def enable() -> bool:
     """Make ``google.protobuf`` importable in this process (real install
     preferred, cloudsdk bundle + runtime_version shim otherwise). Returns
@@ -59,10 +73,7 @@ def enable() -> bool:
     if not _real_module(_probe):
         if not _bundled_present():
             return False
-        for name in [
-            n for n in list(sys.modules) if n == "google" or n.startswith("google.")
-        ]:
-            del sys.modules[name]  # purge namespace ghosts (jar portions)
+        _purge_namespace_ghosts()
         for p in (_THIRD_PARTY, os.path.join(_THIRD_PARTY, "cloudsdk")):
             if p not in sys.path:
                 sys.path.append(p)  # append: a real install must win
