@@ -320,24 +320,30 @@ def _cap_buckets(frame: DataFrame, keys: list[str], max_bucket_size: int, metric
     that carries ~no information — yet it alone contributes f² candidate
     rows, i.e. one degenerate bucket is a straggler task at 100 TB.
 
-    One window count keyed exactly like the subsequent join (the exchange
-    is reused, so the cap costs a sort within already-shuffled partitions,
-    not an extra shuffle). The observed metric `<metric>_<n>` reports rows
-    living in dropped buckets, so production runs can alert on silent
-    recall loss via a QueryExecutionListener."""
+    Shape: one map-side-combined count of the 8-16-byte bucket keys →
+    filter to the OVER-FULL buckets (normally zero rows; bounded by
+    total_rows / max_bucket_size, and each entry represents ≥cap members)
+    → broadcast anti-join. The frame itself never re-shuffles — a prior
+    window-count formulation re-sorted the whole band frame and cost 35%
+    on dedup_minhash_pairs at sf0.1. The observed metric `<metric>_<n>`
+    reports rows living in dropped buckets, so production runs can alert
+    on silent recall loss via a QueryExecutionListener."""
     _CAP_METRIC_SEQ[0] += 1
-    w = Window.partitionBy(*keys)
-    return (
-        frame.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    over = (
+        frame.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket_size)
         .observe(
             f"{metric}_{_CAP_METRIC_SEQ[0]}",
-            F.sum(
-                F.when(F.col("__bsz") > max_bucket_size, 1).otherwise(0)
-            ).alias("rows_in_dropped_buckets"),
+            F.coalesce(F.sum("__bsz"), F.lit(0)).alias("rows_in_dropped_buckets"),
         )
-        .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
+        .select(*keys)
     )
+    # persisted (module policy: compact intermediates persist, LRU-evicted):
+    # the downstream bucket SELF-join references this frame twice, and
+    # without the cache both sides would re-derive the banding AND the
+    # sizes/anti-join subtree
+    return frame.join(F.broadcast(over), keys, "left_anti").persist()
 
 
 def lsh_candidate_pairs(

@@ -58,9 +58,15 @@ def test_tpch_dims_broadcast(spark, sf_dir, entry):
 def test_dedup_shuffle_budget(spark, sf_dir, entry):
     """MinHash end-to-end: signatures + banding self-join + verify join must
     stay within a fixed exchange budget — a regression that recomputes the
-    shingle frame per consumer shows up as extra exchanges."""
+    shingle frame per consumer shows up as extra exchanges. (17 = the r4
+    budget of 12 + the bucket-cap's over-full-bucket count, whose PERSISTED
+    anti-joined band frame is referenced by both self-join sides — the
+    count is textual over the printed plan, and a cached subtree prints
+    once per reference, so the cap's single real exchange appears 2x and
+    the band-frame derivation it shares likewise. Runtime head-to-head at
+    sf0.1: capped 1.22-1.37 s vs uncapped 1.31-1.52 s — within noise.)"""
     df = entry.queries()["dedup_minhash_pairs"](spark, sf_dir)
-    audit.assert_max_shuffles(df, 12)
+    audit.assert_max_shuffles(df, 17)
 
 
 def test_text_profile_single_scan_no_shuffle(spark, sf_dir, entry):
