@@ -2303,6 +2303,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_skew_agg_salted"] = x_skew_agg_salted
 
+    def sample_split_leakproof(spark, sf):
+        # Cluster-aware leak-proof train/val/test labels: near-dup pairs
+        # (exact Jaccard >= 0.9 on the planted corpus) -> connected
+        # components -> split keyed on the cluster's canonical id
+        # (operators/sampling.py:cluster_split_label), so a document and
+        # all its near-duplicates share a split — the id-hash split leaks
+        # them across train/test. md5 hash backend (cross-engine seam);
+        # the oracle unrolls the CC min-propagation with the same
+        # poison-row fixpoint self-check as x_connected_components.
+        docs = _docs_with_planted_dups(spark, sf)
+        pairs = dedup.jaccard_pairs(docs, threshold=0.9)
+        comp = dedup.connected_components(pairs)
+        return sampling.cluster_split_label(
+            docs.select("doc_id"), comp, hash_fn="md5"
+        ).select("doc_id", "split")
+
+    q["sample_split_leakproof"] = sample_split_leakproof
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3769,6 +3787,54 @@ def oracle_sql() -> dict[str, str]:
     """
     o["x_skew_agg_unsalted"] = _SKEW_AGG_SQL
     o["x_skew_agg_salted"] = _SKEW_AGG_SQL
+
+    def _leakproof_sql(n_rounds: int = 8) -> str:
+        # pairs = the exact-Jaccard >= 0.9 truth (hot-shingle cap mirrored
+        # from jaccard_pairs' default); then the same monotone hash-min
+        # unroll + poison-row fixpoint self-check as _cc_sql (near-dup
+        # components are shallow stars — 8 rounds is ample; a deeper graph
+        # fails LOUDLY via the poison row, never silently); then the
+        # sample_split_label bucket math on coalesce(component, doc_id).
+        head = f"""
+        WITH pr AS MATERIALIZED (SELECT a, b FROM ({_jaccard_oracle(0.9, max_freq=1000)})),
+        cedges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS component FROM cedges)"""
+        body = ""
+        for i in range(n_rounds):
+            body += f""",
+        l{i + 1} AS MATERIALIZED (
+          SELECT l.node,
+                 least(l.component, coalesce(m.nmin, l.component)) AS component
+          FROM l{i} l LEFT JOIN (
+            SELECT e.s AS node, min(x.component) AS nmin
+            FROM cedges e JOIN l{i} x ON e.d = x.node
+            GROUP BY e.s
+          ) m USING (node)
+        )"""
+        return head + body + f""",
+        keyed AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS sk
+          FROM (SELECT doc_id FROM documents
+                UNION ALL SELECT doc_id + 1000000 FROM documents) d
+          LEFT JOIN l{n_rounds} c ON c.node = d.doc_id
+        ),
+        bk AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('split' || CAST(sk AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS b
+          FROM keyed
+        )
+        SELECT doc_id,
+               CASE WHEN b < {_c1} THEN 'train'
+                    WHEN b < {_c2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bk
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS doc_id, 'nonconverged' AS split
+        WHERE (SELECT sum(component) FROM l{n_rounds})
+              <> (SELECT sum(component) FROM l{n_rounds - 1})"""
+
+    o["sample_split_leakproof"] = _leakproof_sql()
 
     # Composed curation oracle: the shared _SCRUB_SQL chain (kept in
     # lockstep with text_clean_training by construction), then length

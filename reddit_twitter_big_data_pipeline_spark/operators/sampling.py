@@ -260,3 +260,38 @@ def cap_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def cluster_split_label(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    comp_col: str = "component",
+    weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    salt: str = "split",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Leak-proof split under NEAR-DUP clusters: split membership keys on
+    the cluster's canonical id — `components` is the (node, component)
+    output of ``dedup.connected_components`` over a near-dup pair graph;
+    documents with no near-dup key on their own id — so a document and
+    every near-duplicate of it land in the SAME split. Plain id-hash
+    splits (``split_label``) silently leak near-dups across train/test:
+    the classic eval-contamination bug this closes (the same reason
+    decontamination pipelines dedup before splitting). Reduces exactly to
+    ``split_label`` on a dup-free corpus, so the two can share cutoffs.
+
+    Scale shape: one left equi-join on the id (components is one row per
+    CLUSTERED doc — the near-dup minority — so AQE broadcasts it when
+    small and shuffle-joins otherwise) + the same stateless bucket math as
+    ``split_label``. Returns `df` plus a 'split' column."""
+    comp = components.select(
+        F.col(node_col).alias(id_col), F.col(comp_col).alias("__ck")
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("__sk", F.coalesce(F.col("__ck"), F.col(id_col)))
+        .withColumn("split", split_label("__sk", weights, salt, hash_fn))
+        .drop("__ck", "__sk")
+    )

@@ -137,3 +137,38 @@ def test_cap_per_group_binds_and_is_partition_stable(spark):
     again = {r.doc_id for r in sampling.cap_per_group(df.repartition(7), "source", 10).collect()
              if r.source == "big"}
     assert again == by_src["big"]
+
+
+def test_cluster_split_label_keeps_near_dups_together(spark):
+    """Leak-proof property: every near-dup pair shares a split label
+    (id-hash split_label does NOT guarantee this — the bug being closed);
+    documents with no near-dup get exactly their plain split_label."""
+    from reddit_twitter_big_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} about topic {i % 7} words") for i in range(200)]
+        + [(1000 + i, f"unique document number {i} about topic {i % 7} words") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.jaccard_pairs(docs, threshold=0.9)
+    comp = dedup.connected_components(pairs)
+    out = sampling.cluster_split_label(
+        docs.select("doc_id"), comp, weights=(0.6, 0.2, 0.2)
+    )
+    labels = {r.doc_id: r.split for r in out.collect()}
+    assert len(labels) == 400
+    for r in pairs.collect():
+        assert labels[r.a] == labels[r.b], f"pair ({r.a},{r.b}) split across sets"
+    # with 3 splits at 60/20/20, 200 independent id-hash pairs would
+    # certainly disagree somewhere — confirm the plain split DOES leak
+    # (i.e. the operator is not vacuously passing)
+    plain = docs.select("doc_id", sampling.split_label("doc_id", (0.6, 0.2, 0.2)).alias("split"))
+    plain_labels = {r.doc_id: r.split for r in plain.collect()}
+    assert any(
+        plain_labels[r.a] != plain_labels[r.b] for r in pairs.collect()
+    ), "fixture too small to demonstrate the leak"
+    # singletons (no near-dup) reduce to split_label on their own id
+    clustered_ids = {r.node for r in comp.collect()}
+    for i, s in labels.items():
+        if i not in clustered_ids:
+            assert s == plain_labels[i]
