@@ -666,12 +666,64 @@ def simhash_near_pairs(
 # --- pairs → clusters → canonical keep (the end of every dedup pipeline) ---
 
 
+def _cc_local(edges: DataFrame) -> DataFrame:
+    """Single-task union-find for a SMALL symmetrized edge list (the
+    k_core small-graph precedent): path-compressed union-find inside one
+    mapInPandas partition, then each component labeled by its MIN member
+    id — exactly the hash-min fixpoint the global loop converges to.
+    coalesce(1) is a narrow move of the materialized edges — no shuffle,
+    no driver collect, one job instead of O(diameter) rounds."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("node", edges.schema["s"].dataType),
+            T.StructField("component", edges.schema["s"].dataType),
+        ]
+    )
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf["s"], pdf["d"]):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[rs] = rd
+        if not parent:
+            return
+        comp_min: dict = {}
+        for n in parent:
+            r = find(n)
+            if r not in comp_min or n < comp_min[r]:
+                comp_min[r] = n
+        yield pd.DataFrame(
+            [(n, comp_min[find(n)]) for n in parent], columns=["node", "component"]
+        )
+
+    return edges.coalesce(1).mapInPandas(run, out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Group near-dup PAIRS (from minhash/simhash/embedding/jaccard) into
     clusters: returns (node, component) where component = the smallest node
@@ -697,6 +749,14 @@ def connected_components(
         .distinct(),
         checkpoint_dir,
     )
+    if edges.count() <= local_threshold:
+        # Small-graph fast path: near-dup pair graphs are id-pair-sized
+        # (the texts never joined), so after dedup's own candidate
+        # generation they are usually task-sized. Bounded by contract:
+        # ≤ local_threshold symmetrized edges (~30 MB at the default)
+        # materialize in ONE executor task, never on the driver. The
+        # count is a cheap job over the already-materialized checkpoint.
+        return _cc_local(edges)
     labels = _truncate(
         edges.select(F.col("s").alias("node"))
         .distinct()

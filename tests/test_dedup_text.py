@@ -506,11 +506,16 @@ def test_strip_markup_keeps_comparison_prose(spark):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
+    # local_threshold=0 forces the ITERATIVE path (the small-graph
+    # union-find has no rounds to run out of)
     chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["a", "b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iter=2)
+        dedup.connected_components(chain, max_iter=2, local_threshold=0)
     # and converges fine with enough rounds
-    comp = {r.node: r.component for r in dedup.connected_components(chain, max_iter=10).collect()}
+    comp = {
+        r.node: r.component
+        for r in dedup.connected_components(chain, max_iter=10, local_threshold=0).collect()
+    }
     assert set(comp.values()) == {0}
 
 
@@ -1549,3 +1554,21 @@ def test_resize_real_backend_jpeg_roundtrip(spark):
     xs = (np.arange(9) * 18 // 9).clip(0, 17)
     expect = g[ys[:, None], xs[None, :]]
     assert np.abs(rgb[..., 0].astype(int) - expect.astype(int)).max() <= 6
+
+
+def test_connected_components_local_and_global_agree(spark):
+    """Strategy parity: the single-task union-find and the iterative
+    hash-min loop must produce the identical (node, min-member component)
+    labeling on a random graph with chains, cliques, and singleton pairs."""
+    import random
+
+    rng = random.Random(13)
+    pairs = list({(rng.randrange(80), rng.randrange(80)) for _ in range(120)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    local = {(r.node, r.component) for r in dedup.connected_components(df).collect()}
+    glob = {
+        (r.node, r.component)
+        for r in dedup.connected_components(df, local_threshold=0, max_iter=40).collect()
+    }
+    assert local == glob

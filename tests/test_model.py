@@ -716,3 +716,23 @@ def test_mad_outliers_null_key_and_null_value_kept_not_dropped(spark):
     assert out[3].is_outlier is True          # spike inside the null-key group
     assert out[1].is_outlier is False
     assert out[4].is_outlier is False         # null value → False, not null
+
+
+def test_k_core_local_and_global_paths_agree(spark):
+    """Strategy parity (the comment_depth_auto discipline): the single-task
+    local peel and the iterative global peel must reach the identical
+    fixpoint — same surviving nodes, same inside-core degrees — across k."""
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(400)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3, 5):
+        local = {(r.node, r.degree) for r in model.k_core(df, k=k).collect()}
+        glob = {
+            (r.node, r.degree)
+            for r in model.k_core(df, k=k, local_threshold=0).collect()
+        }
+        assert local == glob, f"k={k}: strategies diverged"
+        assert all(d >= k for _n, d in local) or not local
