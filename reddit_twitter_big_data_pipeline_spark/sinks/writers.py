@@ -590,6 +590,36 @@ def merge_upsert_manifested(
     return read_manifested(spark, target_path)
 
 
+def merge_upsert_manifested_retrying(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str],
+    order_col: str | None = None,
+    max_retries: int = 3,
+) -> DataFrame:
+    """`merge_upsert_manifested` with OCC conflict retry: on
+    `ConcurrentWriteError` the merge re-runs from scratch — it re-reads
+    the NEW latest snapshot, so the retry composes this batch's updates on
+    top of whatever the winning writer committed (the standard optimistic
+    retry loop; the losing attempt's uniquely-tokened dirs are invisible
+    orphans reclaimed by vacuum). Raises after `max_retries` conflicts —
+    persistent contention means the caller should serialize its writers."""
+    last: ConcurrentWriteError | None = None
+    for _attempt in range(max_retries + 1):
+        try:
+            return merge_upsert_manifested(
+                spark, target_path, updates, keys, partition_cols, order_col
+            )
+        except ConcurrentWriteError as e:
+            last = e
+    raise ConcurrentWriteError(
+        f"merge at {target_path} lost the commit race {max_retries + 1} times; "
+        "serialize the writers or raise max_retries"
+    ) from last
+
+
 def vacuum_manifested(spark: SparkSession, target_path: str, n_partition_cols: int) -> int:
     """Delete data version dirs referenced by NEITHER of the two newest
     manifests (orphans from crashed commits plus anything past the

@@ -248,3 +248,58 @@ def test_manifested_concurrent_writer_occ(spark, tmp_path, monkeypatch):
         ("a", 1, 77),
         ("b", 2, 20),
     ]
+
+
+def test_manifested_retrying_merge_wins_after_conflict(spark, tmp_path, monkeypatch):
+    """The optimistic retry loop: writer A loses the race once (a competing
+    merge commits between A's snapshot read and publish), then succeeds on
+    the retry — and the retry composes A's updates ON TOP of the winner's
+    snapshot, not the stale one."""
+    target = str(tmp_path / "tbl")
+    writers.merge_upsert_manifested(
+        spark, target, _mk(spark, [("a", 1, 10), ("b", 2, 20)]), ["id"], ["topic"]
+    )
+
+    orig_publish = writers._publish_manifest
+    fired = {"done": False}
+
+    def hook(fs, jvm, root, version, partitions):
+        if not fired["done"]:
+            fired["done"] = True
+            writers.merge_upsert_manifested(
+                spark, target, _mk(spark, [("b", 2, 99)]), ["id"], ["topic"]
+            )
+        return orig_publish(fs, jvm, root, version, partitions)
+
+    monkeypatch.setattr(writers, "_publish_manifest", hook)
+    writers.merge_upsert_manifested_retrying(
+        spark, target, _mk(spark, [("a", 1, 55)]), ["id"], ["topic"]
+    )
+    monkeypatch.setattr(writers, "_publish_manifest", orig_publish)
+    # both the competing writer's update AND the retried writer's survive
+    assert _rows(writers.read_manifested(spark, target)) == [
+        ("a", 1, 55),
+        ("b", 2, 99),
+    ]
+
+    # a hook that ALWAYS interposes a competing commit exhausts the budget
+    # (the in_competitor flag keeps the competing merge's own publish from
+    # re-triggering the hook recursively)
+    state = {"in_competitor": False}
+
+    def always(fs, jvm, root, version, partitions):
+        if not state["in_competitor"]:
+            state["in_competitor"] = True
+            try:
+                writers.merge_upsert_manifested(
+                    spark, target, _mk(spark, [("b", 2, version)]), ["id"], ["topic"]
+                )
+            finally:
+                state["in_competitor"] = False
+        return orig_publish(fs, jvm, root, version, partitions)
+
+    monkeypatch.setattr(writers, "_publish_manifest", always)
+    with pytest.raises(writers.ConcurrentWriteError, match="lost the commit race"):
+        writers.merge_upsert_manifested_retrying(
+            spark, target, _mk(spark, [("a", 1, 77)]), ["id"], ["topic"], max_retries=1
+        )
