@@ -238,6 +238,52 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All pairs (a < b) with overlap coefficient |A∩B| / min(|A|, |B|) ≥
+    threshold — the near-SUPERSET detector symmetric Jaccard misses: a
+    long page quoting a short document verbatim scores Jaccard ≈
+    |B|/|A| (arbitrarily small) but containment 1.0. The standard
+    boilerplate/quotation/wrapper-page check run alongside near-dup dedup
+    in web-corpus curation.
+
+    Identical scale shape to ``jaccard_pairs``' flat path: shingles hash
+    once to 8-byte longs, the hot-shingle cap bounds join fan-out, every
+    exchange ships hashes + counts only. Returns (a, b, containment)."""
+    ex = hashed_shingles(df, id_col, text_col, k).persist()
+    if max_shingle_freq is not None:
+        ok = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_shingle_freq)
+            .select("h")
+        )
+        exk = ex.join(ok, "h")
+    else:
+        exk = ex
+    sizes = exk.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        exk.select(F.col("id").alias("a"), "h")
+        .join(exk.select(F.col("id").alias("b"), "h"), "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cont = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .filter(cont >= threshold)
+        .select("a", "b", F.round(cont, 6).alias("containment"))
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 

@@ -1572,3 +1572,19 @@ def test_connected_components_local_and_global_agree(spark):
         for r in dedup.connected_components(df, local_threshold=0, max_iter=40).collect()
     }
     assert local == glob
+
+
+def test_containment_detects_near_superset_jaccard_misses(spark):
+    # B's 12 tokens are a verbatim prefix of A's 60: every B-shingle is in
+    # A, so containment = 1.0, while Jaccard = |B|/|A| ≈ 0.17 — below any
+    # useful Jaccard threshold. C is unrelated.
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    short_text = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "entirely different words here")],
+        ["doc_id", "text"],
+    )
+    got = {(r.a, r.b): r.containment for r in dedup.containment_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}
+    jac = {(r.a, r.b) for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) not in jac  # the pair symmetric Jaccard misses
