@@ -301,6 +301,46 @@ def upsert_stream(
     return writer.start()
 
 
+def upsert_stream_manifested(
+    df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    keys: list[str],
+    partition_cols: list[str],
+    order_col: str | None = None,
+    available_now: bool = True,
+    max_retries: int = 3,
+) -> StreamingQuery:
+    """W4 against the MANIFEST-COMMITTED store: each micro-batch merges via
+    `merge_upsert_manifested_retrying`, composing the streaming layer with
+    the reader-safe snapshot store — a polling reader concurrent with the
+    stream (via `read_manifested`) only ever observes complete committed
+    snapshots, and an external batch writer racing a micro-batch resolves
+    through OCC (the micro-batch retries on `ConcurrentWriteError` against
+    the new snapshot). Exactly-once end-to-end: the checkpoint commits
+    each batch's offsets once, and a crash-replayed batch re-merges the
+    same keyed rows into the same snapshot state (keyed last-writer-wins
+    is idempotent under replay)."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        writers.merge_upsert_manifested_retrying(
+            batch.sparkSession,
+            target_path,
+            batch,
+            keys,
+            partition_cols,
+            order_col,
+            max_retries=max_retries,
+        )
+
+    writer = df.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def rollup_stream(
     df: DataFrame,
     target_path: str,

@@ -938,3 +938,43 @@ def test_stateful_v2_event_time_sessions_match_session_window(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_upsert_into_manifested_store(spark, tmp_path):
+    """Streaming micro-batches MERGE into the manifest-committed table:
+    batches land as committed snapshots (read_manifested sees the merged
+    state), later batches upsert over earlier ones, and re-running the
+    query against the same checkpoint replays nothing (exactly-once)."""
+    from reddit_twitter_big_data_pipeline_spark.sinks import writers
+
+    land, target, ckpt = tmp_path / "land", str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    _write_batch(
+        land, "1.json",
+        [{"id": 1, "date": "a", "username": "u1"},
+         {"id": 2, "date": "a", "username": "u2"}],
+    )
+    _write_batch(
+        land, "2.json",
+        [{"id": 2, "date": "b", "username": "u2"},  # upsert of id 2
+         {"id": 3, "date": "b", "username": "u1"}],
+    )
+    base = os.path.getmtime(str(land / "1.json"))
+    os.utime(str(land / "2.json"), (base + 1, base + 1))
+
+    def run():
+        src = streams.read_json_stream(spark, str(land), SCHEMA, max_files_per_trigger=1)
+        q = streams.upsert_stream_manifested(
+            src, target, ckpt, keys=["id"], partition_cols=["username"], order_col="date"
+        )
+        streams.run_to_completion(q)
+
+    run()
+    got = {(r.id, r.date, r.username) for r in writers.read_manifested(spark, target).collect()}
+    assert got == {(1, "a", "u1"), (2, "b", "u2"), (3, "b", "u1")}
+    fs, _ = writers._hadoop_fs(spark, target)
+    v_before = writers._manifest_versions(fs, spark._jvm, target)
+
+    # re-run against the SAME checkpoint: no new data -> no new commits
+    run()
+    assert writers._manifest_versions(fs, spark._jvm, target) == v_before
+    assert {(r.id, r.date, r.username) for r in writers.read_manifested(spark, target).collect()} == got
