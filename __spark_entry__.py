@@ -2332,6 +2332,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_containment_pairs"] = dedup_containment_pairs
 
+    def ts_profile_knn(spark, sf):
+        # Time-series similarity search (the EDBT'19 shape, composed from
+        # existing operators): each user's activity becomes a 24-dim
+        # hourly-profile vector (sum of value per hour of day, missing
+        # hours 0, sums rounded 6dp for cross-engine parity), and the SAME
+        # Arrow-matmul brute-force cosine top-k that serves embeddings
+        # returns the 5 most-similar users for probes 0-9. Demonstrates
+        # the resample-grid -> dense-vector -> ANN composition path; at
+        # scale the profile build is one grouped agg + a grid join and the
+        # search is the streaming matmul (probes broadcast, corpus
+        # streams once).
+        ev = _t(spark, sf, "events")
+        sums = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(
+            F.round(F.sum("value"), 6).alias("v")
+        )
+        # densify via map lookup over the fixed 0..23 sequence — no grid
+        # cross join, no 24x row blowup, one user-keyed agg
+        series = (
+            sums.groupBy("user_id")
+            .agg(F.map_from_entries(F.collect_list(F.struct("h", "v"))).alias("m"))
+            .select(
+                F.col("user_id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(23)),
+                    lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
+                ).alias("embedding"),
+            )
+        )
+        probes = series.filter(F.col("vec_id") < 10)
+        return similarity.brute_force_topk(probes, series, k=5)
+
+    q["ts_profile_knn"] = ts_profile_knn
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3881,6 +3914,39 @@ def oracle_sql() -> dict[str, str]:
         """
 
     o["dedup_containment_pairs"] = _containment_oracle(0.9)
+
+    # NOTE (same stance as sim_bruteforce_topk): a hash mismatch here on
+    # NEW data means a near-tie at the k boundary broke differently across
+    # engines (two near-collinear hourly profiles differing at ulp level),
+    # not an operator bug — verified margins are far above 1e-9 on the
+    # synthetic events at calibration.
+    o["ts_profile_knn"] = """
+        WITH sums AS (
+          SELECT user_id, CAST(hour(ts) AS INT) AS h, round(sum(value), 6) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        dense AS (
+          SELECT u.user_id, g.h, coalesce(s.v, 0.0) AS v
+          FROM (SELECT DISTINCT user_id FROM events) u
+          CROSS JOIN (SELECT CAST(unnest(range(24)) AS INT) AS h) g
+          LEFT JOIN sums s ON s.user_id = u.user_id AND s.h = g.h
+        ),
+        series AS (
+          SELECT user_id, array_agg(v ORDER BY h) AS vec FROM dense GROUP BY 1
+        ),
+        scored AS (
+          SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+                 list_dot_product(q.vec, c.vec)
+                 / (sqrt(list_dot_product(q.vec, q.vec))
+                    * sqrt(list_dot_product(c.vec, c.vec))) AS s
+          FROM series q, series c
+          WHERE q.user_id < 10 AND q.user_id <> c.user_id
+        )
+        SELECT query_id, neighbor_id, round(s, 6) AS sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """
 
     # Composed curation oracle: the shared _SCRUB_SQL chain (kept in
     # lockstep with text_clean_training by construction), then length
