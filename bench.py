@@ -88,6 +88,10 @@ HEADLINE = [
     "text_bpe_train_small",
     "x_skew_agg_unsalted",
     "x_skew_agg_salted",
+    # late round-5 additions (first recorded baselines: 2.8 / 6.2 / 1.1 s)
+    "dedup_containment_pairs",
+    "sample_split_leakproof",
+    "ts_profile_knn",
 ]
 
 
