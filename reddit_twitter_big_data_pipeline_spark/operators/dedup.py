@@ -385,11 +385,15 @@ def _cap_buckets(frame: DataFrame, keys: list[str], max_bucket_size: int, metric
         )
         .select(*keys)
     )
-    # persisted (module policy: compact intermediates persist, LRU-evicted):
-    # the downstream bucket SELF-join references this frame twice, and
-    # without the cache both sides would re-derive the banding AND the
-    # sizes/anti-join subtree
-    return frame.join(F.broadcast(over), keys, "left_anti").persist()
+    # NOT persisted (ADVICE r5: a per-call persist here leaked one cached
+    # band frame per invocation for the session's lifetime). The downstream
+    # bucket self-join references this frame twice, but both references are
+    # the identical subplan, so Spark's exchange reuse shares the broadcast
+    # of `over`, and the band derivation itself is a narrow explode over
+    # the caller's already-persisted signature/chunk frame — cheap to
+    # evaluate per side. Interleaved A/B at sf0.1 measured the unpersisted
+    # form at parity (see BASELINE.md r6).
+    return frame.join(F.broadcast(over), keys, "left_anti")
 
 
 def lsh_candidate_pairs(

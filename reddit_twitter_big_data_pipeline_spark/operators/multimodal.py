@@ -449,6 +449,9 @@ def _decode_jpeg_baseline(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # optional 0xFF fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
@@ -478,9 +481,13 @@ def _decode_jpeg_baseline(payload: bytes):
                 bits = list(body[i : i + 16])
                 i += 16
                 nv = sum(bits)
+                if len(bits) < 16 or i + nv > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
                 huff[(tc, th)] = _jpeg_huff_table(bits, list(body[i : i + nv]))
                 i += nv
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated JPEG SOF segment")
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes in-container")
             h, w = struct.unpack_from(">HH", body, 1)
@@ -495,8 +502,12 @@ def _decode_jpeg_baseline(payload: bytes):
                 "progressive/lossless/arithmetic through PIL on a cluster image"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS segment")
             sel = {}
             for c in range(body[0]):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
@@ -780,10 +791,21 @@ def _real_decode(payload: bytes, kind: str):
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(payload)
         if payload[:2] == b"\xff\xd8":
+            import struct
+
             try:
                 return _decode_jpeg_luma(payload)
             except NotImplementedError:
-                pass  # progressive/exotic JPEG → the PIL seam below
+                pass  # exotic JPEG variant → the PIL seam below
+            except (ValueError, IndexError, struct.error) as err:
+                # A stream the in-container decoder cannot parse is not
+                # necessarily invalid (ADVICE r5): prefer PIL's decoder when
+                # present; re-raise the in-container diagnosis only when no
+                # fallback exists.
+                try:
+                    from PIL import Image  # noqa: F401
+                except ImportError:
+                    raise err from None
         try:
             from PIL import Image
         except ImportError as e:

