@@ -2420,6 +2420,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for out_name, in_name in _R5_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]
+    # ROUND-6 ROTATION (VERDICT r5 item 1, same pairwise-swap mechanism):
+    # ten more never-driver-graded queries rotate INTO the window — the
+    # four late-r5 additions whose oracles are novel (leak-proof split's
+    # composed CC-unroll oracle, containment pairs, the time-series
+    # profile kNN, the unrolled-CTE BPE train), the skew-salting pair's
+    # salted side, the snapshot/CDC table-maintenance shapes, the
+    # quantized-rescore ANN, the bloom-filter join, and cohort retention —
+    # each in place of a basic that has been driver-green five rounds
+    # running (CORRECTNESS_r01-r05). Rotated-out basics stay registered
+    # and locally gated past position 50.
+    _R6_SWAPS = {
+        "dedup_exact_groups": "dedup_containment_pairs",
+        "dedup_exact_keep": "sample_split_leakproof",
+        "text_profile": "text_bpe_train_small",
+        "text_fingerprint64": "ts_profile_knn",
+        "u1_translate_dict": "sim_quantized_topk",
+        "u3_claim_score": "x_bloom_join",
+        "w2_tumbling_window": "x_snapshot_diff",
+        "w3_daily_batches": "x_cdc_apply",
+        "social_tweets_derive": "x_cohort_retention",
+        "x_window_rank": "x_skew_agg_salted",
+    }
+    for out_name, in_name in _R6_SWAPS.items():
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
     return {n: q[n] for n in names}
 
 
