@@ -2365,6 +2365,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ts_profile_knn"] = ts_profile_knn
 
+    def dedup_incremental_probe(spark, sf):
+        # The STORED-INDEX form of the incremental screen (VERDICT r5 item
+        # 3): corpus state is built via minhash_corpus_state and handed to
+        # the probe through `corpus_state=` — the steady-state ingest path
+        # where the corpus text is never re-shingled. Must produce
+        # pair-for-pair the identical result as dedup_incremental_pairs
+        # (same oracle); bench.py times the build and the probe as
+        # separate rows.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        new = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        state = dedup.minhash_corpus_state(docs)
+        out = dedup.minhash_incremental_pairs(
+            new, docs, threshold=0.9, corpus_state=state
+        )
+        for f in state:
+            f.unpersist()
+        return out
+
+    q["dedup_incremental_probe"] = dedup_incremental_probe
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -2977,6 +2997,9 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_incremental_pairs"] = (
         f"SELECT * FROM ({_jaccard_oracle(0.9)}) WHERE b >= 1000000"
     )
+    # The stored-index probe is the same screen, same exact-Jaccard truth:
+    # pair-for-pair identical output is the point of the check.
+    o["dedup_incremental_probe"] = o["dedup_incremental_pairs"]
 
     # md5-token-hash SimHash (60-bit), mirrored bit for bit: vote per bit
     # over token occurrences, bit set iff vote > 0; distance-0 pairs = equal

@@ -84,7 +84,14 @@ HEADLINE = [
     # the Zipfian skew pair (salted vs unsalted join-feeds-agg — recorded
     # side by side so the salting win/cost is tracked round-over-round)
     "x_connected_components",
-    "dedup_incremental_pairs",
+    # round-6 (VERDICT r5 item 3): the incremental screen's bench rows are
+    # build vs probe — `dedup_incremental_build` times minhash_corpus_state
+    # materialization, `dedup_incremental_probe` times the steady-state
+    # per-batch screen against the prebuilt state (the operator's actual
+    # marginal cost; the old combined row conflated the two). Both shapes
+    # stay oracle-gated: dedup_incremental_pairs / dedup_incremental_probe.
+    "dedup_incremental_build",
+    "dedup_incremental_probe",
     "text_bpe_train_small",
     "x_skew_agg_unsalted",
     "x_skew_agg_salted",
@@ -117,6 +124,13 @@ def main() -> None:
     ).mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name == "dedup_incremental_build":
+            b, p = _bench_incremental_split(spark, reps)
+            timings["dedup_incremental_build"] = b
+            timings["dedup_incremental_probe"] = p
+            continue
+        if name == "dedup_incremental_probe":
+            continue  # timed alongside the build row above
         fn = qs.get(name)
         if fn is None:
             continue
@@ -133,6 +147,24 @@ def main() -> None:
                 break
         timings[name] = best
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Full-surface visibility (VERDICT r5 item 8): one reps=1 pass over
+    # every registered non-headline query so regressions on the long tail
+    # are visible round-over-round. Separate section, NOT the headline
+    # metric (single timings on this box swing 2-4×; treat these as a
+    # tripwire, not a claim). SPARK_GRAFT_BENCH_FULL=0 skips it.
+    full_surface: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        headline_set = set(HEADLINE) | {"dedup_incremental_pairs"}
+        for name, fn in qs.items():
+            if name in headline_set:
+                continue
+            t0 = time.time()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                full_surface[name] = round(time.time() - t0, 3)
+            except Exception as ex:  # noqa: BLE001
+                print(f"bench error {name}: {ex}", file=sys.stderr)
+                full_surface[name] = -1.0
     print(
         json.dumps(
             {
@@ -141,10 +173,57 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "full_surface": full_surface,
             }
         )
     )
     spark.stop()
+
+
+def _bench_incremental_split(spark, reps: int) -> tuple[float, float]:
+    """Time the incremental dedup's two phases separately: index BUILD
+    (minhash_corpus_state over the corpus, forced to full materialization)
+    and the steady-state per-batch PROBE against that prebuilt state. The
+    probe is the operator's marginal ingest cost — the number that matters
+    at 100 TB, where the index is built once and screened daily."""
+    from pyspark.sql import functions as F
+
+    from reddit_twitter_big_data_pipeline_spark import schemas
+    from reddit_twitter_big_data_pipeline_spark.operators import dedup
+
+    docs = schemas.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # The probe batch is 5% of the corpus — the steady-state ingest shape
+    # (a daily batch screened against the accumulated index). The full
+    # batch-equals-corpus form stays oracle-gated as dedup_incremental_probe;
+    # this row measures the marginal cost the operator exists to minimize.
+    new = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    build_best = probe_best = -1.0
+    for _ in range(reps):
+        try:
+            t0 = time.time()
+            state = dedup.minhash_corpus_state(docs)
+            for f in state:
+                f.write.format("noop").mode("overwrite").save()  # force persist
+            dt = round(time.time() - t0, 3)
+            build_best = dt if build_best < 0 else min(build_best, dt)
+            t0 = time.time()
+            dedup.minhash_incremental_pairs(
+                new, docs, threshold=0.9, corpus_state=state
+            ).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            probe_best = dt if probe_best < 0 else min(probe_best, dt)
+        except Exception as ex:  # noqa: BLE001
+            print(f"bench error dedup_incremental_split: {ex}", file=sys.stderr)
+            break
+        finally:
+            try:
+                for f in state:
+                    f.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+    return build_best, probe_best
 
 
 if __name__ == "__main__":
