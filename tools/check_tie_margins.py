@@ -1,0 +1,158 @@
+"""Calibration-time float-tie margin gate (VERDICT r5 item 6).
+
+Three oracle-gated queries compare exact rankings/assignments derived
+from floating-point scores: `sim_bruteforce_topk` and `ts_profile_knn`
+(cosine top-k — a k-boundary near-tie can order differently across
+engines) and `x_kmeans` (argmin assignment — a near-equidistant vector
+can flip clusters). Their NOTEs in __spark_entry__.py document that the
+gates are only trustworthy while the decision margins on the ACTUAL
+testdata stay far above float noise. This tool verifies that claim
+mechanically instead of by eyeball: for each query it computes every
+decision boundary's margin and FAILS (exit 1) if any falls below 1e-6 —
+re-run it whenever the synthetic testdata is regenerated, BEFORE
+trusting a gate mismatch on the three queries.
+
+Run:  python tools/check_tie_margins.py [sf_dir ...]
+      (defaults to all three /root/testdata SFs)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+
+MARGIN = 1e-6
+
+_FAILURES = 0
+
+
+def assert_margin(name: str, margins: np.ndarray, kind: str) -> None:
+    """THE shared gate: every decision margin for `name` must clear
+    MARGIN. Exact ties (margin == 0) are excluded — both engines break
+    them with the same deterministic id/index rule; the danger zone is
+    (0, MARGIN) where engines may disagree at ulp level."""
+    global _FAILURES
+    m = margins[margins > 0]
+    worst = float(m.min()) if m.size else float("inf")
+    exact = int((margins == 0).sum())
+    ok = worst > MARGIN
+    if not ok:
+        _FAILURES += 1
+    print(
+        f"{'ok  ' if ok else 'FAIL'}  {name:22s} {kind:10s} "
+        f"min-margin={worst:.3e} (threshold {MARGIN:.0e}, "
+        f"{exact} exact ties, {len(margins)} boundaries)"
+    )
+
+
+def _knn_boundary_margins(con, scored_sql: str, k: int) -> np.ndarray:
+    """Per-query gap between the k-th and (k+1)-th score."""
+    rows = con.execute(
+        f"""
+        WITH scored AS ({scored_sql}),
+        r AS (SELECT query_id, s,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC) AS rn
+              FROM scored)
+        SELECT a.s - b.s
+        FROM r a JOIN r b ON a.query_id = b.query_id
+        WHERE a.rn = {k} AND b.rn = {k + 1}
+        """
+    ).fetchall()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def check_sf(sf_dir: str) -> None:
+    con = duckdb.connect()
+    for t in ("events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    print(f"-- {sf_dir}")
+
+    # call site 1: sim_bruteforce_topk (k=5, probes vec_id < 10) — the
+    # scored CTE is the oracle's own, minus the rank filter
+    assert_margin(
+        "sim_bruteforce_topk",
+        _knn_boundary_margins(
+            con,
+            """
+            SELECT q.vec_id AS query_id,
+                   list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS s
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            """,
+            k=5,
+        ),
+        "k-boundary",
+    )
+
+    # call site 2: ts_profile_knn (k=5, probes user_id < 10) — the
+    # oracle's hourly-profile build, then the same cosine boundary
+    assert_margin(
+        "ts_profile_knn",
+        _knn_boundary_margins(
+            con,
+            """
+            WITH sums AS (
+              SELECT user_id, CAST(hour(ts) AS INT) AS h, round(sum(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            dense AS (
+              SELECT u.user_id, g.h, coalesce(s.v, 0.0) AS v
+              FROM (SELECT DISTINCT user_id FROM events) u
+              CROSS JOIN (SELECT CAST(unnest(range(24)) AS INT) AS h) g
+              LEFT JOIN sums s ON s.user_id = u.user_id AND s.h = g.h
+            ),
+            vec AS (
+              SELECT user_id, list(v ORDER BY h) AS e FROM dense GROUP BY user_id
+            )
+            SELECT q.user_id AS query_id,
+                   list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS s
+            FROM vec q, vec c
+            WHERE q.user_id < 10
+            """,
+            k=5,
+        ),
+        "k-boundary",
+    )
+
+    # call site 3: x_kmeans (k=8, 3 rounds) — numpy replica of the
+    # oracle's Lloyd's loop; every assign step's best-vs-second-best
+    # RELATIVE distance margin (the NOTE's "1e-6 rel" claim)
+    rows = con.execute(
+        "SELECT embedding FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = X[:8].copy()
+    margins = []
+    for _ in range(4):  # 3 update rounds + the final assignment
+        d = np.linalg.norm(X[:, None, :] - cent[None, :, :], axis=2)
+        part = np.partition(d, 1, axis=1)
+        margins.append((part[:, 1] - part[:, 0]) / np.maximum(part[:, 0], 1e-30))
+        a = np.argmin(d, axis=1)
+        for c in range(8):
+            if (a == c).any():
+                cent[c] = X[a == c].mean(axis=0)
+    assert_margin("x_kmeans", np.concatenate(margins), "assign-rel")
+    con.close()
+
+
+def main() -> int:
+    dirs = sys.argv[1:] or [
+        f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")
+    ]
+    for d in dirs:
+        check_sf(d)
+    return 1 if _FAILURES else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
