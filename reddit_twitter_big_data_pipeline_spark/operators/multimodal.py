@@ -403,10 +403,11 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def _jpeg_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+def _jpeg_entropy_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     """Unstuffed entropy-coded byte runs from SOS data start, split at
     RSTn markers (DC predictors reset per segment), stopping at EOI/any
-    other marker."""
+    other marker. Returns (segments, position of the terminating marker's
+    0xFF) — progressive streams continue with more scans after it."""
     segs, cur, n = [], bytearray(), len(payload)
     while pos < n:
         b = payload[pos]
@@ -426,13 +427,47 @@ def _jpeg_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
             continue
         break  # EOI or a trailing marker
     segs.append(bytes(cur))
-    return segs
+    return segs, pos
+
+
+def _jpeg_parse_dqt(body: bytes, qt: dict) -> None:
+    """DQT segment body → quant tables (possibly several per segment)."""
+    import numpy as np
+
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 15
+        i += 1
+        if pq:
+            qt[tq] = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+            i += 128
+        else:
+            qt[tq] = np.frombuffer(body, "u1", 64, i).astype(np.int32)
+            i += 64
+
+
+def _jpeg_parse_dht(body: bytes, huff: dict) -> None:
+    """DHT segment body → decode tables keyed (class, id)."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 15
+        i += 1
+        bits = list(body[i : i + 16])
+        i += 16
+        nv = sum(bits)
+        if len(bits) < 16 or i + nv > len(body):
+            raise ValueError("truncated JPEG DHT segment")
+        huff[(tc, th)] = _jpeg_huff_table(bits, list(body[i : i + nv]))
+        i += nv
 
 
 def _decode_jpeg_baseline(payload: bytes):
     """Baseline JPEG → (h, w, 3) uint8 RGB (gray replicated to 3 channels).
-    Raises NotImplementedError on progressive/lossless/arithmetic/12-bit
-    variants (the PIL seam's formats) and ValueError on malformed data."""
+    Huffman-progressive (SOF2) streams dispatch to
+    `_decode_jpeg_progressive` (r6 — VERDICT r5 item 5), so this is the
+    generic in-container JPEG entry. Raises NotImplementedError on
+    lossless/arithmetic/hierarchical/12-bit variants (the PIL seam's
+    formats) and ValueError on malformed data."""
     import struct
 
     import numpy as np
@@ -463,28 +498,9 @@ def _decode_jpeg_baseline(payload: bytes):
         body = payload[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT (possibly several tables per segment)
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                i += 1
-                if pq:
-                    qt[tq] = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
-                    i += 128
-                else:
-                    qt[tq] = np.frombuffer(body, "u1", 64, i).astype(np.int32)
-                    i += 64
+            _jpeg_parse_dqt(body, qt)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                i += 1
-                bits = list(body[i : i + 16])
-                i += 16
-                nv = sum(bits)
-                if len(bits) < 16 or i + nv > len(body):
-                    raise ValueError("truncated JPEG DHT segment")
-                huff[(tc, th)] = _jpeg_huff_table(bits, list(body[i : i + nv]))
-                i += nv
+            _jpeg_parse_dht(body, huff)
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
                 raise ValueError("truncated JPEG SOF segment")
@@ -496,10 +512,13 @@ def _decode_jpeg_baseline(payload: bytes):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: huffman progressive — decodes here too
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG decodes in-container; route "
-                "progressive/lossless/arithmetic through PIL on a cluster image"
+                "only baseline-sequential and huffman-progressive JPEG decode "
+                "in-container; route lossless/arithmetic/hierarchical through "
+                "PIL on a cluster image"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -530,7 +549,7 @@ def _decode_jpeg_baseline(payload: bytes):
     planes = {}
     for cid, ch, cv, _tq in comps:
         planes[cid] = np.zeros((mcy * cv * 8, mcx * ch * 8), dtype=np.float32)
-    segs = _jpeg_entropy_segments(payload, pos)
+    segs, _end = _jpeg_entropy_segments(payload, pos)
     seg_i = 0
     br = _JpegBits(segs[0])
     pred = {cid: 0 for cid, _, _, _ in comps}
@@ -584,6 +603,15 @@ def _decode_jpeg_baseline(payload: bytes):
         p = planes[cid][:chh, :cw]
         p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         out.append(p[:h, :w])
+    return _jpeg_assemble_rgb(out)
+
+
+def _jpeg_assemble_rgb(out):
+    """Upsampled full-resolution component planes → (h, w, 3) uint8 RGB
+    (gray replicated; YCbCr converted) — shared by the baseline and
+    progressive decoders."""
+    import numpy as np
+
     if len(out) == 1:
         g = np.clip(out[0], 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
@@ -595,6 +623,253 @@ def _decode_jpeg_baseline(payload: bytes):
         axis=-1,
     )
     return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    """Huffman-progressive (SOF2) JPEG → (h, w, 3) uint8 RGB, pure numpy
+    (VERDICT r5 item 5 — the remaining dominant web variant decodes
+    in-container). Implements T.81 Annex G spectral selection AND
+    successive approximation: every scan accumulates into per-component
+    zigzag-order coefficient grids; DC-first scans diff-code the point-
+    transformed DC, DC-refinement appends one bit per block, AC-first
+    scans run-length code a band with EOB runs, AC-refinement places
+    ±1<<Al newly-nonzero coefficients and emits correction bits for
+    history-nonzero ones (the libjpeg decode_mcu_AC_refine control flow).
+    Dequant + IDCT + upsample + color-convert run once at EOI via the
+    baseline decoder's shared tail."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    ri = 0
+    coef: dict[int, object] = {}  # cid → (blocks_y, blocks_x, 64) int32, zigzag order
+    pos = 2
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            _jpeg_parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _jpeg_parse_dht(body, huff)
+        elif marker == 0xC2:
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated JPEG SOF segment")
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG decodes in-container")
+            h, w = struct.unpack_from(">HH", body, 1)
+            if h == 0 or w == 0:
+                raise ValueError("JPEG with zero dimension")
+            comps = []
+            for c in range(body[5]):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax < 1 or vmax < 1:
+                raise ValueError("JPEG with zero sampling factor")
+            mcx = -(-w // (8 * hmax))
+            mcy = -(-h // (8 * vmax))
+            sof = (h, w, comps, hmax, vmax, mcx, mcy)
+            for cid, ch, cv, _tq in comps:
+                coef[cid] = np.zeros((mcy * cv, mcx * ch, 64), dtype=np.int32)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unexpected second SOF in progressive stream")
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            (ri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("truncated JPEG SOS segment")
+            ns = body[0]
+            scomps = []
+            for c in range(ns):
+                scomps.append((body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15))
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pos = _jpeg_decode_progressive_scan(
+                payload, pos, sof, coef, huff, scomps, ss, se, a >> 4, a & 15, ri
+            )
+        # APPn / COM: skipped
+    if sof is None or not coef:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps, hmax, vmax, mcx, mcy = sof
+    # dequantize + de-zigzag + IDCT every component in one vectorized pass
+    cmat = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    inv = np.empty(64, dtype=np.int64)
+    inv[zz] = np.arange(64)  # natural position → zigzag index
+    out = []
+    for cid, ch, cv, tq in comps:
+        q = qt.get(tq)
+        if q is None:
+            raise ValueError("JPEG references an undefined quant table")
+        dq = coef[cid].astype(np.float64) * q[None, None, :]
+        blocks = dq[:, :, inv].reshape(dq.shape[0], dq.shape[1], 8, 8)
+        px = np.einsum("ji,abjk,kl->abil", cmat, blocks, cmat) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(dq.shape[0] * 8, dq.shape[1] * 8)
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        p = plane[:chh, :cw].astype(np.float32)
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out.append(p[:h, :w])
+    return _jpeg_assemble_rgb(out)
+
+
+def _jpeg_decode_progressive_scan(
+    payload: bytes, pos: int, sof, coef, huff, scomps, ss, se, ah, al, ri
+) -> int:
+    """Decode one progressive scan's entropy data into `coef`, returning
+    the stream position after it. Restart markers reset the DC predictors
+    AND the EOB run. Scan geometry per T.81: interleaved (ns>1) scans walk
+    MCUs over the padded grid; single-component scans walk the component's
+    own ceil(dim/8) block raster (no MCU padding)."""
+    h, w, comps, hmax, vmax, mcx, mcy = sof
+    byc = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
+    segs, end = _jpeg_entropy_segments(payload, pos)
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if ss > 0 and len(scomps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    # the scan's block visit order: list of (cid, by, bx)
+    units: list[tuple[int, int, int]] = []
+    if len(scomps) > 1:
+        for m in range(mcx * mcy):
+            my, mx = divmod(m, mcx)
+            for cid, _td, _ta in scomps:
+                ch, cv = byc[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        units.append((cid, my * cv + by, mx * ch + bx))
+        mcu_blocks = sum(byc[cid][0] * byc[cid][1] for cid, _t, _a in scomps)
+    else:
+        cid = scomps[0][0]
+        ch, cv = byc[cid]
+        nbx = -(-(-(-w * ch // hmax)) // 8)
+        nby = -(-(-(-h * cv // vmax)) // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                units.append((cid, by, bx))
+        mcu_blocks = 1
+    tsel = {cid: (td, ta) for cid, td, ta in scomps}
+    seg_i = 0
+    br = _JpegBits(segs[0])
+    pred = {cid: 0 for cid, _t, _a in scomps}
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -1 << al
+    for ui, (cid, by, bx) in enumerate(units):
+        if ri and ui and (ui // mcu_blocks) % ri == 0 and ui % mcu_blocks == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG entropy data missing restart segment")
+            br = _JpegBits(segs[seg_i])
+            pred = {c: 0 for c in pred}
+            eobrun = 0
+        blk = coef[cid][by, bx]
+        td, ta = tsel[cid]
+        if ss == 0:
+            if ah == 0:  # DC first
+                dc_t = huff.get((0, td))
+                if dc_t is None:
+                    raise ValueError("JPEG references an undefined table")
+                s = br.code(dc_t)
+                pred[cid] += _jpeg_extend(br.bits(s), s)
+                blk[0] = pred[cid] << al
+            else:  # DC refinement: one bit per block
+                if br.bit():
+                    blk[0] = int(blk[0]) | p1
+            continue
+        ac_t = huff.get((1, ta))
+        if ac_t is None:
+            raise ValueError("JPEG references an undefined table")
+        if ah == 0:  # AC first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.code(ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += 16
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                blk[k] = _jpeg_extend(br.bits(s), s) << al
+                k += 1
+            continue
+        # AC refinement (the libjpeg decode_mcu_AC_refine control flow)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.code(ac_t)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("bad JPEG refinement magnitude")
+                    val = p1 if br.bit() else m1
+                # advance over r zero-history positions, appending a
+                # correction bit to every nonzero-history coefficient passed
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("JPEG AC refinement overflow")
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            # inside an EOB run: correction bits only, for the rest of the band
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+    return end
 
 
 def _decode_jpeg_luma(payload: bytes):
