@@ -358,42 +358,60 @@ _CAP_METRIC_SEQ = [0]  # monotone suffix so repeated calls never collide on
 # are only legal when they are the identical subplan, e.g. a self-join).
 
 
-def _cap_buckets(frame: DataFrame, keys: list[str], max_bucket_size: int, metric: str) -> DataFrame:
-    """Drop every blocking bucket with more than `max_bucket_size` members
-    before a bucket self-join (standard web-scale LSH practice, mirroring
-    `max_shingle_freq` in jaccard_pairs): a bucket that large is a
-    non-discriminative band/chunk — its members agree on a signature slice
-    that carries ~no information — yet it alone contributes f² candidate
-    rows, i.e. one degenerate bucket is a straggler task at 100 TB.
+def _bucket_pairs(frame: DataFrame, keys: list[str], max_bucket_size: int, metric: str) -> DataFrame:
+    """Within-bucket candidate pairs with the bucket cap applied in the
+    SAME pass: group `frame` by the bucket `keys` into cap-bounded member
+    arrays, drop every bucket with more than `max_bucket_size` members
+    (standard web-scale LSH practice, mirroring `max_shingle_freq` in
+    jaccard_pairs — a bucket that large is a non-discriminative band/chunk
+    whose f² fan-out is a straggler task at 100 TB), then explode each
+    surviving bucket's positional pairs. Returns (x struct, y struct) of
+    the non-key payload columns, each unordered pair once.
 
-    Shape: one map-side-combined count of the 8-16-byte bucket keys →
-    filter to the OVER-FULL buckets (normally zero rows; bounded by
-    total_rows / max_bucket_size, and each entry represents ≥cap members)
-    → broadcast anti-join. The frame itself never re-shuffles — a prior
-    window-count formulation re-sorted the whole band frame and cost 35%
-    on dedup_minhash_pairs at sf0.1. The observed metric `<metric>_<n>`
-    reports rows living in dropped buckets, so production runs can alert
-    on silent recall loss via a QueryExecutionListener."""
+    Shape history (VERDICT r6 item 2): the original form was a separate
+    count-aggregate → broadcast-anti-join → bucket self-join. Persisting
+    the band frame inside it leaked one cache per call (ADVICE r5); the r6
+    unpersisted form recomputed the banding subtree three times (cap agg +
+    both join sides) and cost dedup_simhash_pairs ~23%. This grouped form
+    computes the subtree ONCE — a single shuffle by bucket key builds the
+    member arrays, the cap bounds every array at `max_bucket_size`
+    elements, and pair expansion is a narrow double-explode — so there is
+    nothing to persist and nothing to recompute (leak-free by
+    construction, measured 2025-08 r7: see BASELINE.md r7 simhash A/B).
+    Callers needing uncapped semantics keep the plain self-join — an
+    unbounded collect_list would be the OOM they opted into, just in one
+    row instead of one task.
+
+    The observed metric `<metric>_<n>` reports rows living in dropped
+    buckets, so production runs can alert on silent recall loss via a
+    QueryExecutionListener. (The `__bsz > cap` filter cannot be pushed
+    below the observe: `__bsz` is an aggregate output, and CollectMetrics
+    blocks predicate pushdown — pinned in test_bucket_cap_metric.)"""
     _CAP_METRIC_SEQ[0] += 1
-    over = (
+    payload = [c for c in frame.columns if c not in keys]
+    buckets = (
         frame.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__bsz"))
-        .filter(F.col("__bsz") > max_bucket_size)
+        .agg(
+            F.collect_list(F.struct(*payload)).alias("__m"),
+            F.count(F.lit(1)).alias("__bsz"),
+        )
         .observe(
             f"{metric}_{_CAP_METRIC_SEQ[0]}",
-            F.coalesce(F.sum("__bsz"), F.lit(0)).alias("rows_in_dropped_buckets"),
+            F.coalesce(
+                F.sum(F.when(F.col("__bsz") > max_bucket_size, F.col("__bsz"))),
+                F.lit(0),
+            ).alias("rows_in_dropped_buckets"),
         )
-        .select(*keys)
+        .filter(F.col("__bsz") <= max_bucket_size)
     )
-    # NOT persisted (ADVICE r5: a per-call persist here leaked one cached
-    # band frame per invocation for the session's lifetime). The downstream
-    # bucket self-join references this frame twice, but both references are
-    # the identical subplan, so Spark's exchange reuse shares the broadcast
-    # of `over`, and the band derivation itself is a narrow explode over
-    # the caller's already-persisted signature/chunk frame — cheap to
-    # evaluate per side. Interleaved A/B at sf0.1 measured the unpersisted
-    # form at parity (see BASELINE.md r6).
-    return frame.join(F.broadcast(over), keys, "left_anti")
+    return (
+        buckets.select(F.posexplode("__m").alias("__i", "x"), F.col("__m"))
+        .select(
+            "x",
+            F.explode(F.slice("__m", F.col("__i") + 2, F.size("__m"))).alias("y"),
+        )
+        .select("x", "y")
+    )
 
 
 def lsh_candidate_pairs(
@@ -403,17 +421,25 @@ def lsh_candidate_pairs(
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Banding: docs agreeing on ALL rows of any band become a candidate
-    pair. One explode (bands per doc) + self-join per bucket. Bucket key is
-    a hash of the band slice, so the shuffle key is (band, long) — tiny.
+    pair. One explode (bands per doc) + grouped within-bucket pair
+    expansion (`_bucket_pairs`). Bucket key is a hash of the band slice,
+    so the shuffle key is (band, long) — tiny.
 
     `max_bucket_size` (default 1000) caps per-bucket fan-out via
-    `_cap_buckets`; measured bucket maxima on the bench corpus are ≤4 at
+    `_bucket_pairs`; measured bucket maxima on the bench corpus are ≤4 at
     sf0.1, so the default never fires there — it exists for the
     adversarial/degenerate tail (e.g. thousands of near-empty docs sharing
     a band signature). Pass None to disable."""
     b = _band_frame(signatures, bands, rows_per_band)
     if max_bucket_size is not None:
-        b = _cap_buckets(b, ["band", "bucket"], max_bucket_size, "lsh_bucket_cap")
+        p = _bucket_pairs(b, ["band", "bucket"], max_bucket_size, "lsh_bucket_cap")
+        return (
+            p.select(
+                F.least("x.id", "y.id").alias("a"),
+                F.greatest("x.id", "y.id").alias("b"),
+            )
+            .distinct()
+        )
     left = b.select(F.col("id").alias("a"), "band", "bucket")
     right = b.select(F.col("id").alias("b"), "band", "bucket")
     return (
@@ -700,14 +726,22 @@ def simhash_near_pairs(
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.key")
     if max_bucket_size is not None:
-        chunks = _cap_buckets(chunks, ["chunk", "key"], max_bucket_size, "simhash_bucket_cap")
-    left = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "key")
-    right = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "key")
+        p = _bucket_pairs(chunks, ["chunk", "key"], max_bucket_size, "simhash_bucket_cap")
+        pairs = p.select(
+            F.least("x.id", "y.id").alias("a"),
+            F.greatest("x.id", "y.id").alias("b"),
+            hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("distance"),
+        )
+    else:
+        left = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "key")
+        right = chunks.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "key")
+        pairs = (
+            left.join(right, ["chunk", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .withColumn("distance", hamming64(F.col("sig_a"), F.col("sig_b")))
+        )
     return (
-        left.join(right, ["chunk", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("distance", hamming64(F.col("sig_a"), F.col("sig_b")))
-        .filter(F.col("distance") <= max_distance)
+        pairs.filter(F.col("distance") <= max_distance)
         .select("a", "b", "distance")
         .distinct()
     )

@@ -6,9 +6,10 @@ metadata struct (schemas.MEDIA), Arrow-batched ``mapInPandas`` feature
 extraction with an explicit output schema, and partition sizing guidance for
 large blobs. In-container codecs (pure numpy + stdlib zlib/struct) cover
 PPM, PNG, baseline JPEG (huffman + dequant + IDCT + chroma upsample +
-YCbCr→RGB; 4:4:4/4:2:2/4:2:0, restart markers), PCM16 WAV, and Y4M; the
-remaining codec work (progressive JPEG, compressed audio/video) is STUBBED
-behind two clearly-marked backends:
+YCbCr→RGB; 4:4:4/4:2:2/4:2:0, restart markers), huffman-progressive JPEG
+(SOF2 spectral selection + successive approximation), PCM16 WAV, and Y4M;
+the remaining codec work (lossless/arithmetic/12-bit JPEG, compressed
+audio/video) is STUBBED behind two clearly-marked backends:
 
   * ``deterministic_fake`` (default): pure function of the payload bytes, so
     pipelines are testable end-to-end and idempotent;
@@ -307,10 +308,11 @@ def _decode_y4m_first_frame(payload: bytes):
 # common web-image format decodes in-container ahead of the PIL seam.
 # Supported: 8-bit baseline/extended-sequential Huffman (SOF0/SOF1), gray or
 # YCbCr with any integer-ratio sampling (4:4:4, 4:2:2, 4:2:0), restart
-# markers, 8/16-bit quant tables. Progressive (SOF2) and the other exotic
-# SOFs raise NotImplementedError so _real_decode falls through to the PIL
-# seam; malformed payloads raise ValueError. Table constants below are the
-# public ITU-T T.81 Annex K examples.
+# markers, 8/16-bit quant tables. Huffman-progressive (SOF2) dispatches to
+# _decode_jpeg_progressive; the remaining exotic SOFs (lossless/arithmetic/
+# hierarchical/12-bit) raise NotImplementedError so _real_decode falls
+# through to the PIL seam; malformed payloads raise ValueError. Table
+# constants below are the public ITU-T T.81 Annex K examples.
 
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -835,7 +837,13 @@ def _jpeg_decode_progressive_scan(
                 val = 0
                 if s == 0:
                     if r != 15:
-                        eobrun = (1 << r) - 1
+                        # T.81 G.1.2.3 / libjpeg: in REFINEMENT scans
+                        # EOBRUN = 1<<r (+ appended bits) and the CURRENT
+                        # block consumes the first decrement via the tail
+                        # correction pass below — unlike the AC-first
+                        # branch, where the EOB symbol itself terminates
+                        # the current block (hence its -1). (ADVICE r6.)
+                        eobrun = 1 << r
                         if r:
                             eobrun += br.bits(r)
                         break
@@ -902,14 +910,25 @@ class _JpegBitW:
             self.write(1, 1)  # pad with 1-bits to the byte boundary
 
 
-def _encode_jpeg_baseline(arr, sampling: str = "444", restart_interval: int = 0) -> bytes:
-    """Minimal baseline JFIF encoder — the deterministic fixture generator
-    for the decoder above (same role as _encode_png_rgb for PNG): gray
-    ((h, w) uint8) or RGB ((h, w, 3) uint8), 4:4:4 or 4:2:0 chroma, all-ones
-    quant tables (error = DCT rounding only), Annex K luminance Huffman
-    tables for every component, optional restart markers."""
-    import struct
+def _jpeg_code_map(bits, vals) -> dict:
+    """Canonical symbol → (code, length) map from DHT BITS/HUFFVAL — the
+    encoder-side twin of `_jpeg_huff_table` (same assignment order, so a
+    table round-trips through a DHT segment bit-exactly)."""
+    m, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            m[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return m
 
+
+def _jpeg_split_planes(arr, sampling: str):
+    """Shared encoder front half: uint8 gray/RGB array → component list
+    [(cid, ch, cv)], MCU-padded float planes, and grid geometry
+    (h, w, hmax, vmax, mcx, mcy). RGB converts to YCbCr with mean
+    downsampling for 4:2:2 / 4:2:0 chroma."""
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
@@ -955,24 +974,24 @@ def _encode_jpeg_baseline(arr, sampling: str = "444", restart_interval: int = 0)
     for (cid, ch, cv), p in zip(comps, planes):
         th, tw = mcy * cv * 8, mcx * ch * 8
         padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+    return comps, padded, h, w, hmax, vmax, mcx, mcy
+
+
+def _encode_jpeg_baseline(arr, sampling: str = "444", restart_interval: int = 0) -> bytes:
+    """Minimal baseline JFIF encoder — the deterministic fixture generator
+    for the decoder above (same role as _encode_png_rgb for PNG): gray
+    ((h, w) uint8) or RGB ((h, w, 3) uint8), 4:4:4 or 4:2:0 chroma, all-ones
+    quant tables (error = DCT rounding only), Annex K luminance Huffman
+    tables for every component, optional restart markers."""
+    import struct
+
+    import numpy as np
+
+    comps, padded, h, w, hmax, vmax, mcx, mcy = _jpeg_split_planes(arr, sampling)
     cmat = _jpeg_dct_matrix()
     zz = np.array(_JPEG_ZIGZAG)
-    dc_code = {}
-    code, k = 0, 0
-    for length in range(1, 17):
-        for _ in range(_JPEG_STD_DC_BITS[length - 1]):
-            dc_code[_JPEG_STD_DC_VALS[k]] = (code, length)
-            k += 1
-            code += 1
-        code <<= 1
-    ac_code = {}
-    code, k = 0, 0
-    for length in range(1, 17):
-        for _ in range(_JPEG_STD_AC_BITS[length - 1]):
-            ac_code[_JPEG_STD_AC_VALS[k]] = (code, length)
-            k += 1
-            code += 1
-        code <<= 1
+    dc_code = _jpeg_code_map(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    ac_code = _jpeg_code_map(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
 
     def category(v: int) -> int:
         return int(abs(v)).bit_length()
@@ -1041,6 +1060,289 @@ def _encode_jpeg_baseline(arr, sampling: str = "444", restart_interval: int = 0)
                     pred[cid] = put_block(bw, p[y0 : y0 + 8, x0 : x0 + 8], pred[cid])
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Custom AC table for the progressive fixture encoder: Annex K's baseline AC
+# table has no EOBn (n>0) symbols and no 16-length slack to add them, so the
+# progressive twin carries its own flat canonical table — every (run, size)
+# symbol with size ≤ 12 plus ZRL and EOB0..EOB14, all at 9 bits (208 < 2^9,
+# Kraft-valid, all-ones 9-bit code unused).
+_JPEG_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(13)]
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0]
+
+
+def _encode_jpeg_progressive(
+    arr,
+    sampling: str = "444",
+    restart_interval: int = 0,
+    successive: bool = False,
+) -> bytes:
+    """Minimal progressive (SOF2) JFIF encoder — the deterministic fixture
+    twin of `_decode_jpeg_progressive` (VERDICT r6 item 1, same role as
+    `_encode_jpeg_baseline` for the baseline decoder). All-ones quant
+    tables, so the transmitted coefficients are identical to the baseline
+    encoder's and a progressive decode must equal the baseline decode of
+    the same array EXACTLY.
+
+    Scan script: one interleaved DC-first scan, then per-component AC
+    scans with cross-block EOB-run coding. With ``successive=True`` the DC
+    scan sends Al=1 plus a DC-refinement scan, and each AC band (1–5,
+    6–63) splits into an Al=1 first scan plus an Al=0 refinement scan —
+    exercising newly-nonzero placement, buffered correction bits,
+    ZRL-in-refinement, and EOB runs in both conventions (the libjpeg
+    encode_mcu_AC_refine control flow, BE/BR buffer discipline included).
+    """
+    import struct
+
+    import numpy as np
+
+    comps, padded, h, w, hmax, vmax, mcx, mcy = _jpeg_split_planes(arr, sampling)
+    cmat = _jpeg_dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    coefs = {}  # cid → (blocks_y, blocks_x, 64) int64, zigzag order
+    for (cid, ch, cv), p in zip(comps, padded):
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        q = np.empty((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                # per-block matmul in the baseline encoder's exact FP op
+                # order, so both fixtures transmit bit-identical quantized
+                # coefficients (einsum's different summation order can flip
+                # an rint at a .5 boundary)
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                f = cmat @ blk @ cmat.T
+                q[by, bx] = np.rint(f).astype(np.int64).ravel()[zz]
+        coefs[cid] = q
+    dc_code = _jpeg_code_map(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    ac_code = _jpeg_code_map(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    byc = {cid: (ch, cv) for cid, ch, cv in comps}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+    for cid, ch, cv in comps:
+        out += bytes([cid, (ch << 4) | cv, 0])
+    dht = bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
+    dht += bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos_header(cids, ss, se, ah, al):
+        b = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(cids), len(cids))
+        for cid in cids:
+            b += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        return b + bytes([ss, se, (ah << 4) | al])
+
+    def scan_units(cids):
+        """Block visit order + MCU size — must mirror the decoder's
+        geometry: interleaved scans walk the padded MCU grid, single-
+        component scans walk the component's own unpadded block raster."""
+        units = []
+        if len(cids) > 1:
+            for m in range(mcx * mcy):
+                my, mx = divmod(m, mcx)
+                for cid in cids:
+                    ch, cv = byc[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            units.append((cid, my * cv + by, mx * ch + bx))
+            return units, sum(byc[c][0] * byc[c][1] for c in cids)
+        cid = cids[0]
+        ch, cv = byc[cid]
+        nbx = -(-(-(-w * ch // hmax)) // 8)
+        nby = -(-(-(-h * cv // vmax)) // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                units.append((cid, by, bx))
+        return units, 1
+
+    class _ScanW:
+        """Per-scan bit writer with restart handling: flushes to `out`,
+        byte-aligns, and emits cycling RSTn markers at MCU multiples of
+        the restart interval (the decoder resets DC pred + EOB run per
+        segment, so emitters must flush their run state first)."""
+
+        def __init__(self):
+            self.bw = _JpegBitW()
+            self.rst = 0
+
+        def restart(self):
+            self.bw.flush()
+            out.extend(self.bw.out)
+            out.extend(bytes([0xFF, 0xD0 + (self.rst & 7)]))
+            self.rst += 1
+            self.bw = _JpegBitW()
+
+        def due(self, ui, mcu_blocks):
+            return (
+                restart_interval
+                and ui
+                and (ui // mcu_blocks) % restart_interval == 0
+                and ui % mcu_blocks == 0
+            )
+
+        def done(self):
+            self.bw.flush()
+            out.extend(self.bw.out)
+
+    def emit_dc_first(cids, al):
+        units, mcu_blocks = scan_units(cids)
+        out.extend(sos_header(cids, 0, 0, 0, al))
+        sw = _ScanW()
+        pred = {c: 0 for c in cids}
+        for ui, (cid, by, bx) in enumerate(units):
+            if sw.due(ui, mcu_blocks):
+                sw.restart()
+                pred = {c: 0 for c in cids}
+            v = int(coefs[cid][by, bx, 0]) >> al  # T.81: arithmetic shift for DC
+            diff = v - pred[cid]
+            pred[cid] = v
+            s = abs(diff).bit_length()
+            c, ln = dc_code[s]
+            sw.bw.write(c, ln)
+            if s:
+                sw.bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        sw.done()
+
+    def emit_dc_refine(cids, al):
+        units, mcu_blocks = scan_units(cids)
+        out.extend(sos_header(cids, 0, 0, al + 1, al))
+        sw = _ScanW()
+        for ui, (cid, by, bx) in enumerate(units):
+            if sw.due(ui, mcu_blocks):
+                sw.restart()
+            sw.bw.write((int(coefs[cid][by, bx, 0]) >> al) & 1, 1)
+        sw.done()
+
+    def emit_ac_first(cid, ss, se, al):
+        units, _one = scan_units([cid])
+        out.extend(sos_header([cid], ss, se, 0, al))
+        sw = _ScanW()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, ln = ac_code[r << 4]
+                sw.bw.write(c, ln)
+                if r:
+                    sw.bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for ui, (_c, by, bx) in enumerate(units):
+            if sw.due(ui, 1):
+                flush_eob()
+                sw.restart()
+            blk = coefs[cid][by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                v = (abs(v) >> al) * (1 if v >= 0 else -1)  # AC point transform
+                if v == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    c, ln = ac_code[0xF0]
+                    sw.bw.write(c, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                c, ln = ac_code[(run << 4) | s]
+                sw.bw.write(c, ln)
+                sw.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        sw.done()
+
+    def emit_ac_refine(cid, ss, se, al):
+        units, _one = scan_units([cid])
+        out.extend(sos_header([cid], ss, se, al + 1, al))
+        sw = _ScanW()
+        eobrun = 0
+        pend = []  # correction bits riding the pending EOB run (libjpeg BE)
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, ln = ac_code[r << 4]
+                sw.bw.write(c, ln)
+                if r:
+                    sw.bw.write(eobrun - (1 << r), r)
+                for b in pend:
+                    sw.bw.write(b, 1)
+                eobrun = 0
+                pend = []
+
+        for ui, (_c, by, bx) in enumerate(units):
+            if sw.due(ui, 1):
+                flush_eob()
+                sw.restart()
+            blk = coefs[cid][by, bx]
+            absn = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            keob = ss - 1  # last newly-nonzero index; ZRLs beyond it fold into EOB
+            for i, t in enumerate(absn):
+                if t == 1:
+                    keob = ss + i
+            run = 0
+            cur = []  # correction bits since the last emitted symbol (libjpeg BR)
+            for k in range(ss, se + 1):
+                t = absn[k - ss]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= keob:
+                    flush_eob()
+                    c, ln = ac_code[0xF0]
+                    sw.bw.write(c, ln)
+                    run -= 16
+                    for b in cur:
+                        sw.bw.write(b, 1)
+                    cur = []
+                if t > 1:  # history-nonzero: one buffered correction bit
+                    cur.append(t & 1)
+                    continue
+                flush_eob()
+                c, ln = ac_code[(run << 4) | 1]
+                sw.bw.write(c, ln)
+                sw.bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+                for b in cur:
+                    sw.bw.write(b, 1)
+                cur = []
+                run = 0
+            if run > 0 or cur:
+                eobrun += 1
+                pend.extend(cur)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        sw.done()
+
+    cids = [c[0] for c in comps]
+    if successive:
+        emit_dc_first(cids, 1)
+        for cid in cids:
+            emit_ac_first(cid, 1, 5, 1)
+        for cid in cids:
+            emit_ac_first(cid, 6, 63, 1)
+        emit_dc_refine(cids, 0)
+        for cid in cids:
+            emit_ac_refine(cid, 1, 5, 0)
+        for cid in cids:
+            emit_ac_refine(cid, 6, 63, 0)
+    else:
+        emit_dc_first(cids, 0)
+        for cid in cids:
+            emit_ac_first(cid, 1, 63, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
