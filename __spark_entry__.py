@@ -2487,6 +2487,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for out_name, in_name in _R6_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]
+    # ROUND-7 ROTATION (VERDICT r6 item 3, same pairwise-swap mechanism):
+    # ten more never-driver-graded queries rotate INTO the window,
+    # prioritizing novel oracle machinery — the segmentation-derived BPE
+    # tokenize oracle, the text-quality family (Gopher signals, unigram LM
+    # log-prob, DSIR importance weights, hybrid RRF), the composed
+    # train-curation pipeline, and the analytics tail (column profile,
+    # rolling z-score, winsorize, forward as-of join) — each in place of a
+    # query that has been driver-green five or six rounds running
+    # (CORRECTNESS_r01-r06). dedup_minhash_pairs / dedup_simhash_pairs
+    # stay IN the window deliberately: their candidate generation changed
+    # this round (_bucket_pairs) and should re-earn the hard gate.
+    # Rotated-out queries stay registered and locally gated past 50.
+    _R7_SWAPS = {
+        "a4_comment_depth": "text_bpe_tokens",
+        "w6_sessionize": "text_quality_gopher",
+        "social_twitter_edges": "text_unigram_logprob",
+        "social_twitter_nodes": "text_importance_weights",
+        "social_reddit_edges": "train_curation",
+        "social_enriched_tweets": "x_column_profile",
+        "u2_sentiment": "x_rolling_zscore",
+        "dedup_jaccard_pairs": "temporal_asof_forward",
+        "sim_bruteforce_topk": "x_winsorize",
+        "x_rollup": "text_hybrid_rrf",
+    }
+    for out_name, in_name in _R7_SWAPS.items():
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
     return {n: q[n] for n in names}
 
 

@@ -192,25 +192,59 @@ def _bench_incremental_split(spark, reps: int) -> tuple[float, float]:
     from reddit_twitter_big_data_pipeline_spark.operators import dedup
 
     docs = schemas.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    # The probe batch is 5% of the corpus — the steady-state ingest shape
-    # (a daily batch screened against the accumulated index). The full
-    # batch-equals-corpus form stays oracle-gated as dedup_incremental_probe;
-    # this row measures the marginal cost the operator exists to minimize.
-    new = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    # Bench shape (VERDICT r6 item 4, recorded in BASELINE.md r7). Two
+    # changes make the row demonstrate the marginal-cost thesis instead of
+    # contradicting it:
+    #
+    # 1. CORPUS: 8 salted replicas of the documents table (replica 0
+    #    verbatim; replicas 1-7 inject a replica token between words, so
+    #    replicas are mutually novel). At sf0.1 the raw table is only
+    #    5000 docs — BOTH phases were fixed-stage-overhead-bound (probe's
+    #    deeper DAG runs 29 Spark jobs vs build's 2, ~0.1 s each), so the
+    #    asymptotic story could not show. At 40k docs build is work-bound;
+    #    probe stays batch-proportional (measured: probe 4.2 s flat from
+    #    8x to 16x corpus while build grew 9 s -> 13 s).
+    # 2. BATCH: ~95% genuinely NOVEL rows — a per-doc salt token between
+    #    every word, so no k-shingle survives and they generate no
+    #    candidates — plus ~5% planted exact dups of replica-0 docs. The
+    #    pre-r7 batch reused corpus text verbatim, so 100% of rows hit
+    #    candidate verification and the row measured verify cost.
+    #
+    # The full batch-equals-corpus form stays oracle-gated as
+    # dedup_incremental_probe in queries().
+    replicas = [
+        F.struct(
+            (F.col("doc_id") + r * 1000000).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.regexp_replace(F.col("text"), F.lit(" "), F.lit(f" r{r} "))
+            ).alias("text"),
+        )
+        for r in range(8)
+    ]
+    corpus = docs.select(F.explode(F.array(*replicas)).alias("s")).select(
+        "s.doc_id", "s.text"
+    )
+    salt = F.concat(F.lit(" n"), (F.col("doc_id") + 50000000).cast("string"), F.lit(" "))
+    new = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 50000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 80 == 0, F.col("text"))
+        .otherwise(F.regexp_replace(F.col("text"), F.lit(" "), salt))
+        .alias("text"),
     )
     build_best = probe_best = -1.0
     for _ in range(reps):
         try:
             t0 = time.time()
-            state = dedup.minhash_corpus_state(docs)
+            state = dedup.minhash_corpus_state(corpus)
             for f in state:
                 f.write.format("noop").mode("overwrite").save()  # force persist
             dt = round(time.time() - t0, 3)
             build_best = dt if build_best < 0 else min(build_best, dt)
             t0 = time.time()
             dedup.minhash_incremental_pairs(
-                new, docs, threshold=0.9, corpus_state=state
+                new, corpus, threshold=0.9, corpus_state=state
             ).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             probe_best = dt if probe_best < 0 else min(probe_best, dt)
