@@ -150,11 +150,28 @@ def _global_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _collect_probes(queries: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+def _collect_probes(
+    queries: DataFrame, id_col: str, vec_col: str, max_probes: int = 100_000
+) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side materialization of the probe set — the one deliberate
     collect in the engine: broadcast variables require driver materialization,
-    and the probe side is contractually small (a probe batch, not a table)."""
-    rows = queries.select(id_col, vec_col).collect()
+    and the probe side is contractually small (a probe batch, not a table).
+
+    `max_probes` enforces that contract (VERDICT r6 item 8): a caller who
+    accidentally passes a corpus-sized frame as the probe side gets a clear
+    error instead of a driver OOM at 100×. The limit+1 fetch bounds the
+    check itself — the collect never exceeds max_probes + 1 rows. 100k
+    probes × 64-dim float64 ≈ 50 MB broadcast, a sane driver ceiling; raise
+    it explicitly for a bigger batch (and budget driver/executor memory),
+    or flip the operator's sides so the big frame streams."""
+    rows = queries.select(id_col, vec_col).limit(max_probes + 1).collect()
+    if len(rows) > max_probes:
+        raise ValueError(
+            f"probe side exceeds max_probes={max_probes}: the probe frame is "
+            "collected to the driver and broadcast, so it must be a bounded "
+            "batch, not a table. Swap the sides (stream the big frame) or "
+            "raise max_probes deliberately."
+        )
     ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
     mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows], dtype=np.float64)
     return ids, mat

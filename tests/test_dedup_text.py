@@ -154,6 +154,18 @@ def test_brute_force_topk(spark):
     assert got[1][0] == 2
 
 
+def test_probe_collect_guard_rejects_corpus_sized_probe(spark):
+    # VERDICT r6 item 8: the probe side is the engine's one deliberate
+    # driver collect — a corpus-sized "probe" must raise a clear error,
+    # not OOM the driver. The guard fetches at most max_probes + 1 rows.
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="max_probes"):
+        similarity._collect_probes(emb, "vec_id", "embedding", max_probes=2)
+    # under the limit: unchanged behavior
+    ids, mat = similarity._collect_probes(emb, "vec_id", "embedding", max_probes=4)
+    assert len(ids) == 4 and mat.shape == (4, 4)
+
+
 def test_ann_same_bucket_identical_vectors(spark):
     emb = _emb(spark)
     out = similarity.ann_topk(emb.filter(F.col("vec_id") == 1), emb, k=2, dim=4)
