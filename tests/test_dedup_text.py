@@ -1647,6 +1647,129 @@ def test_jpeg_progressive_refinement_eobrun_convention():
     assert int(np.abs(decoded.astype(int) - expect.astype(int)).max()) == 0
 
 
+def test_jpeg_progressive_handbuilt_spec_stream():
+    # Independence check (ADVICE r6): the round-trip tests share
+    # _encode_jpeg_progressive with the decoder, so a MIRRORED convention
+    # bug would pass them. This stream is hand-scripted scan by scan from
+    # T.81 G.1.2 (symbol sequences derived on paper, conventions inline),
+    # and the expected pixels come from an independent IDCT of the known
+    # coefficients — not from any module codec path.
+    #
+    # 24x8 gray, 3 blocks. Final zigzag coefficients:
+    #   b0: DC=10, z1=5, z5=-3   b1: DC=12, z3=1   b2: DC=-6
+    # Scans: DC-first Al=1 / AC-first Al=1 (EOB2 run across b0..b2) /
+    # DC-refine / AC-refine (EOB0 with pending correction bits — the
+    # exact shape the (1<<r)-1 regression desyncs — plus newly-nonzero
+    # placement and a trailing EOB1 run).
+    import struct
+
+    import numpy as np
+
+    class BW:  # MSB-first writer with 0xFF stuffing (spec B.1.1.5)
+        def __init__(self):
+            self.buf, self.acc, self.n = bytearray(), 0, 0
+
+        def w(self, v, ln):
+            for i in range(ln - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.buf.append(0)
+                    self.acc, self.n = 0, 0
+
+        def flush(self):
+            while self.n:
+                self.w(1, 1)
+
+    def codemap(bits, vals):  # canonical DHT assignment (spec C.2)
+        m, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                m[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return m
+
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]  # Annex K.3.1
+    dc_vals = list(range(12))
+    ac_vals = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, 0, len(ac_vals), 0, 0, 0, 0, 0, 0, 0]
+    dc, ac = codemap(dc_bits, dc_vals), codemap(ac_bits, ac_vals)
+
+    def sym(bw, table, s):
+        c, ln = table[s]
+        bw.w(c, ln)
+
+    def val(bw, v, s):  # spec F.1.2.1 magnitude encoding
+        bw.w(v if v >= 0 else v + (1 << s) - 1, s)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, ss, se, (ah << 4) | al])
+
+    # scan 1 — DC first, Al=1: sends DC>>1 diff-coded: 5, then +1, then -9
+    out += sos(0, 0, 0, 1)
+    bw = BW()
+    sym(bw, dc, 3); val(bw, 5, 3)
+    sym(bw, dc, 1); val(bw, 1, 1)
+    sym(bw, dc, 4); val(bw, -9, 4)
+    bw.flush(); out += bw.buf
+    # scan 2 — AC first 1..63, Al=1: b0 sends z1 -> 2 and (run3) z5 -> -1,
+    # then EOB run of 3 (b0 tail + b1 + b2): EOB1 code + 1 extra bit (3-2)
+    out += sos(1, 63, 0, 1)
+    bw = BW()
+    sym(bw, ac, (0 << 4) | 2); val(bw, 2, 2)
+    sym(bw, ac, (3 << 4) | 1); val(bw, -1, 1)
+    sym(bw, ac, (1 << 4) | 0); bw.w(1, 1)  # EOBRUN=3 = (1<<1) + 1
+    bw.flush(); out += bw.buf
+    # scan 3 — DC refinement to Al=0: one bit per block (10&1, 12&1, -6&1)
+    out += sos(0, 0, 1, 0)
+    bw = BW()
+    bw.w(0, 1); bw.w(0, 1); bw.w(0, 1)
+    bw.flush(); out += bw.buf
+    # scan 4 — AC refinement 1..63 to Al=0 (G.1.2.3: EOBRUN = 1<<r + bits,
+    # current block consumes the first decrement):
+    #   b0 joins an EOB run carrying two pending correction bits (z1: 5&1,
+    #   z5: 3&1); b1's newly-nonzero z3 forces the run out: EOB0 code, then
+    #   the two buffered bits, then (run2,1) + sign for z3; b1 tail + b2
+    #   close as EOBRUN=2: EOB1 code + extra bit 0.
+    out += sos(1, 63, 1, 0)
+    bw = BW()
+    sym(bw, ac, (0 << 4) | 0)      # EOB0: run of exactly 1 block (b0)
+    bw.w(1, 1); bw.w(1, 1)         # b0's buffered correction bits
+    sym(bw, ac, (2 << 4) | 1); bw.w(1, 1)  # z3 newly-nonzero, +1
+    sym(bw, ac, (1 << 4) | 0); bw.w(0, 1)  # EOBRUN=2 covers b1 tail + b2
+    bw.flush(); out += bw.buf
+    out += b"\xff\xd9"
+
+    # expected pixels: independent orthonormal IDCT of the known coefficients
+    zz = multimodal._JPEG_ZIGZAG  # public T.81 figure A.6 data
+    blocks = np.zeros((3, 64))
+    for b, coefs in enumerate([{0: 10, 1: 5, 5: -3}, {0: 12, 3: 1}, {0: -6}]):
+        for zi, v in coefs.items():
+            blocks[b, zz[zi]] = v
+    j = np.arange(8)
+    C = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / 16) / 2.0
+    C[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    expect = np.concatenate(
+        [C.T @ blocks[b].reshape(8, 8) @ C + 128.0 for b in range(3)], axis=1
+    )
+    expect = np.clip(expect, 0, 255).astype(np.uint8)
+
+    got = multimodal._decode_jpeg_baseline(bytes(out))
+    assert got.shape == (8, 24, 3)
+    assert np.array_equal(got[:, :, 0], expect)
+
+
 def test_jpeg_progressive_real_backend_feature_parity(spark):
     # The media pipeline criterion for SOF2: extract_features(backend='real')
     # over a progressive payload executes on a bare container and yields the
