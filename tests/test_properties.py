@@ -202,3 +202,49 @@ def test_apply_cdc_matches_python_replay(spark, changes, base_rows):
     )
     got = {r.k: r.v for r in model.apply_cdc(base, ch, ["k"], "t").collect()}
     assert got == state
+
+
+@settings(max_examples=6, deadline=None)
+@given(_CORPUS, st.integers(min_value=1, max_value=4))
+def test_bucket_pairs_equals_selfjoin_form(spark, corpus, cap):
+    # The r7 grouped `_bucket_pairs` candidate generation must return the
+    # EXACT pair set of the reference formulation (count buckets -> drop
+    # over-full -> bucket self-join) for ANY corpus and ANY cap — the
+    # planted-corpus example tests can't cover arbitrary bucket-size /
+    # cap interactions.
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df)
+    b = dedup._band_frame(sigs, 16, 4)
+    got = sorted(
+        map(
+            tuple,
+            dedup._bucket_pairs(b, ["band", "bucket"], cap, "prop_cap")
+            .select(
+                F.least("x.id", "y.id").alias("a"),
+                F.greatest("x.id", "y.id").alias("b"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    over = (
+        b.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("band", "bucket")
+    )
+    capped = b.join(over, ["band", "bucket"], "left_anti")
+    ref = sorted(
+        map(
+            tuple,
+            capped.select(F.col("id").alias("a"), "band", "bucket")
+            .join(capped.select(F.col("id").alias("b"), "band", "bucket"), ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == ref
