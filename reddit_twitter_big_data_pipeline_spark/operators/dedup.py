@@ -371,38 +371,50 @@ def _bucket_pairs(frame: DataFrame, keys: list[str], max_bucket_size: int, metri
     Shape history (VERDICT r6 item 2): the original form was a separate
     count-aggregate → broadcast-anti-join → bucket self-join. Persisting
     the band frame inside it leaked one cache per call (ADVICE r5); the r6
-    unpersisted form recomputed the banding subtree three times (cap agg +
-    both join sides) and cost dedup_simhash_pairs ~23%. This grouped form
-    computes the subtree ONCE — a single shuffle by bucket key builds the
-    member arrays, the cap bounds every array at `max_bucket_size`
-    elements, and pair expansion is a narrow double-explode — so there is
-    nothing to persist and nothing to recompute (leak-free by
-    construction, measured 2025-08 r7: see BASELINE.md r7 simhash A/B).
-    Callers needing uncapped semantics keep the plain self-join — an
-    unbounded collect_list would be the OOM they opted into, just in one
-    row instead of one task.
+    unpersisted form recomputed the banding subtree three times (its cap
+    aggregate and both join sides each carried their own exchange with a
+    partial-aggregate or differing child, so ReuseExchange could not
+    collapse them) and cost dedup_simhash_pairs ~23%.
+
+    This form shuffles the frame ONCE and applies the cap in-stream: a
+    window count over the bucket keys (the window's hash partitioning IS
+    the aggregation's required distribution, so the downstream
+    `collect_list` adds NO second exchange), a filter dropping every row
+    of an over-full bucket BEFORE any array is built, then the member-
+    array aggregation in the same stage. No task ever materializes a
+    degenerate bucket's array — a 10M-member adversarial bucket streams
+    through WindowExec's spill-backed group buffer and is dropped as rows
+    (an earlier draft filtered AFTER collect_list and would have OOM'd
+    exactly the bucket the cap exists for; a census-branch variant
+    recomputed the upstream subtree because column pruning broke exchange
+    canonicalization and ReuseExchange never fired). Leak-free by
+    construction — no persist anywhere (measured: see BASELINE.md r7
+    simhash A/B). Pair expansion is a narrow positional double-explode
+    over cap-bounded arrays. Callers needing uncapped semantics keep the
+    plain self-join — an unbounded collect_list would be the OOM they
+    opted into, just in one row instead of one task.
 
     The observed metric `<metric>_<n>` reports rows living in dropped
     buckets, so production runs can alert on silent recall loss via a
-    QueryExecutionListener. (The `__bsz > cap` filter cannot be pushed
-    below the observe: `__bsz` is an aggregate output, and CollectMetrics
-    blocks predicate pushdown — pinned in test_bucket_cap_metric.)"""
+    QueryExecutionListener. (The `__bsz <= cap` filter cannot reach below
+    the metric: `__bsz` is a window output and CollectMetrics blocks
+    predicate pushdown — pinned in
+    test_bucket_cap_metric_not_pushed_below_observe.)"""
     _CAP_METRIC_SEQ[0] += 1
     payload = [c for c in frame.columns if c not in keys]
+    w = Window.partitionBy(*keys)
     buckets = (
-        frame.groupBy(*keys)
-        .agg(
-            F.collect_list(F.struct(*payload)).alias("__m"),
-            F.count(F.lit(1)).alias("__bsz"),
-        )
+        frame.withColumn("__bsz", F.count(F.lit(1)).over(w))
         .observe(
             f"{metric}_{_CAP_METRIC_SEQ[0]}",
             F.coalesce(
-                F.sum(F.when(F.col("__bsz") > max_bucket_size, F.col("__bsz"))),
+                F.sum(F.when(F.col("__bsz") > max_bucket_size, F.lit(1))),
                 F.lit(0),
             ).alias("rows_in_dropped_buckets"),
         )
         .filter(F.col("__bsz") <= max_bucket_size)
+        .groupBy(*keys)
+        .agg(F.collect_list(F.struct(*payload)).alias("__m"))
     )
     return (
         buckets.select(F.posexplode("__m").alias("__i", "x"), F.col("__m"))
