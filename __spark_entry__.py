@@ -45,6 +45,7 @@ from reddit_twitter_big_data_pipeline_spark.operators import (  # noqa: E402
     multimodal,
     sampling,
     similarity,
+    sketches,
     temporal,
     text as text_ops,
 )
@@ -2406,6 +2407,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["text_bpe_train_batched"] = text_bpe_train_batched
+
+    def x_cms_freq(spark, sf):
+        # Count-min sketch point-frequency queries (operators/sketches.py:
+        # cms_build/cms_estimate): a 4×512 md5-addressed counter matrix
+        # over the lineitem supplier stream, probed for suppliers 1-50.
+        # The md5 hash seam means the DuckDB oracle rebuilds the EXACT
+        # sketch — collisions and all — so the overestimate-only estimate
+        # is hash-gated, unlike the HLL/quantile sketches (different
+        # algorithms per engine, pytest-bounded only). The sketch side is
+        # ≤ depth·width rows by construction and broadcasts; the probe
+        # stream never shuffles.
+        li = _t(spark, sf, "lineitem").select("l_suppkey")
+        probes = (
+            _t(spark, sf, "supplier")
+            .filter(F.col("s_suppkey") <= 50)
+            .select("s_suppkey")
+        )
+        sk = sketches.cms_build(li, "l_suppkey", depth=4, width=512)
+        return sketches.cms_estimate(sk, probes, "s_suppkey", depth=4, width=512)
+
+    q["x_cms_freq"] = x_cms_freq
+
+    def _thinned_cosupply(spark, sf):
+        # The l_quantity > 47 co-supply graph (x_kcore's edge set): sparse
+        # enough at every SF that per-node structure is non-trivial —
+        # the unthinned graph is near-complete.
+        li = (
+            _t(spark, sf, "lineitem")
+            .filter(F.col("l_quantity") > 47)
+            .select("l_orderkey", "l_suppkey")
+        )
+        return (
+            li.alias("x")
+            .join(li.alias("y"), "l_orderkey")
+            .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+            .select(
+                F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+            )
+            .distinct()
+        )
+
+    def x_clustering_coeff(spark, sf):
+        # Per-node local clustering coefficient over the thinned co-supply
+        # graph (operators/model.py:clustering_coefficient): degree-
+        # oriented wedge enumeration shared with x_triangle_count, then
+        # triangle corners explode into ONE map-side-combined per-node
+        # count. lcc = 2T/(d(d-1)) is a single double division of exact
+        # integers — bit-reproducible in any engine, no rounding seam.
+        pairs = _thinned_cosupply(spark, sf)
+        return model.clustering_coefficient(pairs, a="src", b="dst")
+
+    q["x_clustering_coeff"] = x_clustering_coeff
+
+    def x_adamic_adar(spark, sf):
+        # Top-50 Adamic-Adar link predictions over the thinned co-supply
+        # graph (operators/model.py:adamic_adar): wedges keyed by common
+        # neighbor, 1/ln(deg) hub weighting, anti-join removes existing
+        # edges, TakeOrderedAndProject top-k. Scores round to 6 decimals
+        # on BOTH sides and the ordering uses the rounded value, so the
+        # (score, u, v) total order is engine-reproducible.
+        pairs = _thinned_cosupply(spark, sf)
+        return model.adamic_adar(pairs, a="src", b="dst", k=50)
+
+    q["x_adamic_adar"] = x_adamic_adar
 
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
@@ -4998,6 +5063,110 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(abs(e.value - m.median) > 3.0 * 1.4826 * m.mad,
                         FALSE) AS is_outlier
         FROM events e JOIN m USING (event_type)
+    """
+
+    # Count-min sketch rebuilt bit-for-bit: the bucket address is the same
+    # 60-bit md5 prefix mod width the Spark side computes
+    # (operators/sketches.py:_cms_bucket), so counter collisions — the
+    # sketch's defining approximation — reproduce exactly and the estimate
+    # is hash-gated, not bound-checked.
+    o["x_cms_freq"] = """
+        WITH vals AS (
+          SELECT CAST(l_suppkey AS VARCHAR) AS v FROM lineitem
+          WHERE l_suppkey IS NOT NULL
+        ),
+        ds AS (SELECT unnest([0, 1, 2, 3]) AS row),
+        sk AS (
+          SELECT row,
+                 ('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || ':' || v), 1, 15))::BIGINT
+                   % 512 AS bucket,
+                 count(*) AS cnt
+          FROM vals CROSS JOIN ds
+          GROUP BY 1, 2
+        ),
+        probe AS (
+          SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS value
+          FROM supplier WHERE s_suppkey <= 50
+        ),
+        pb AS (
+          SELECT value, row,
+                 ('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || ':' || value), 1, 15))::BIGINT
+                   % 512 AS bucket
+          FROM probe CROSS JOIN ds
+        )
+        SELECT value, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS cms_count
+        FROM pb LEFT JOIN sk USING (row, bucket)
+        GROUP BY value
+    """
+
+    # Per-node triangle membership via the plain a<b<c three-way join
+    # (x_triangle_count's oracle shape), each triangle unnested into its
+    # three corners. lcc = (2·t)/(d·(d−1)) mirrors the Spark expression
+    # op-for-op: one double division of exact integer products, so the
+    # doubles agree bit-for-bit with no rounding seam.
+    o["x_clustering_coeff"] = """
+        WITH pairs AS (
+          SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+          WHERE x.l_quantity > 47 AND y.l_quantity > 47
+        ),
+        deg AS (
+          SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs
+          ) GROUP BY n
+        ),
+        corners AS (
+          SELECT unnest([e1.u, e1.v, e2.v]) AS n
+          FROM pairs e1
+          JOIN pairs e2 ON e2.u = e1.v
+          JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        tri AS (SELECT n, count(*) AS t FROM corners GROUP BY n)
+        SELECT deg.n AS node,
+               CAST(deg.d AS BIGINT) AS degree,
+               CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+               (2.0 * COALESCE(tri.t, 0))
+                 / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0)) AS lcc
+        FROM deg LEFT JOIN tri ON tri.n = deg.n
+        WHERE deg.d >= 2
+    """
+
+    # Adamic-Adar: wedges grouped by pair with the 1/ln(deg) hub weight,
+    # existing edges removed by NOT EXISTS, ordered by the ROUNDED score
+    # (+ u, v) exactly as the Spark side orders — the 6-decimal round on
+    # both sides absorbs float-sum reassociation between engines.
+    o["x_adamic_adar"] = """
+        WITH pairs AS (
+          SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+          WHERE x.l_quantity > 47 AND y.l_quantity > 47
+        ),
+        und AS (
+          SELECT u AS n, v AS nb FROM pairs
+          UNION ALL SELECT v AS n, u AS nb FROM pairs
+        ),
+        deg AS (SELECT n, count(*) AS d FROM und GROUP BY n),
+        w AS (
+          SELECT und.n, und.nb AS z, 1.0 / ln(deg.d) AS w
+          FROM und JOIN deg ON deg.n = und.nb
+          WHERE deg.d >= 2
+        ),
+        cand AS (
+          SELECT x.n AS u, y.n AS v,
+                 CAST(count(*) AS BIGINT) AS common_neighbors,
+                 round(sum(x.w), 6) AS aa_score
+          FROM w x JOIN w y ON x.z = y.z AND x.n < y.n
+          GROUP BY x.n, y.n
+        )
+        SELECT u, v, common_neighbors, aa_score
+        FROM cand c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pairs p WHERE p.u = c.u AND p.v = c.v
+        )
+        ORDER BY aa_score DESC, u ASC, v ASC
+        LIMIT 50
     """
 
     return o

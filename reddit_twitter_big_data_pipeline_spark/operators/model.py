@@ -626,30 +626,26 @@ def label_propagation(
     return out
 
 
-def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
-    """Exact triangle count of an undirected graph, as three relational
-    joins (the social-graph clustering signal — reference's graph store
-    could answer this only with a Cypher full traversal). Returns one row
-    (n_triangles long).
+def _degree_oriented(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Canonical undirected edge set and its degree-oriented DAG — the
+    shared basis of `triangle_count` and `clustering_coefficient`.
+    Returns (e, deg, o): e = distinct (u < v) pairs with self-loops
+    dropped (CACHED); deg = (n, d) full undirected degrees; o = (s, t)
+    with every edge pointing from its lower-(degree, id) endpoint
+    (CACHED + materialized).
 
-    Scale shape — DEGREE ORIENTATION, the standard trick that makes the
-    join plan survive skew (Suri & Vassilvitskii 2011 "Counting Triangles
-    and the Curse of the Last Reducer"): orient every edge from its
-    lower-(degree, id) endpoint to the higher one. Every node's
-    out-degree is then bounded by ~√(2m), so the wedge join's per-key
-    fan-out (the quadratic term) is capped even when a celebrity node has
-    millions of neighbors — the naive a<b orientation puts all of a hub's
-    wedges on one key. Payloads are id pairs throughout; each triangle is
-    counted exactly once (its unique cyclic orientation under a total
-    order is acyclic with exactly one source).
-
-    The canonical edge set and the oriented frame are each read by
-    multiple join branches (deg's union reads `e` twice; the wedge join
-    reads `o` on both sides and the closure probe reads it a third time)
-    whose output partitionings differ, so ReuseExchange cannot dedupe
-    them — cache + count both (the file's pattern, see `pagerank`),
-    compute the scalar eagerly, and release the caches before returning.
-    """
+    DEGREE ORIENTATION is the standard trick that makes wedge-join plans
+    survive skew (Suri & Vassilvitskii 2011 "Counting Triangles and the
+    Curse of the Last Reducer"): under it every node's OUT-degree is
+    bounded by ~√(2m), so a wedge join's per-key fan-out (the quadratic
+    term) is capped even when a celebrity node has millions of
+    neighbors — the naive a<b orientation puts all of a hub's wedges on
+    one key. The two cached frames are each read by multiple join
+    branches whose output partitionings differ, so ReuseExchange cannot
+    dedupe them — cache + materialize (the file's `pagerank` pattern).
+    CALLERS unpersist e and o when their result is materialized."""
     # canonical undirected edge set: no self-loops, no duplicates
     e = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -685,6 +681,23 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .cache()
     )
     o.count()
+    return e, deg, o
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count of an undirected graph, as three relational
+    joins (the social-graph clustering signal — reference's graph store
+    could answer this only with a Cypher full traversal). Returns one row
+    (n_triangles long).
+
+    Scale shape: the degree-oriented DAG from `_degree_oriented` caps the
+    wedge join's per-key fan-out at ~√(2m); payloads are id pairs
+    throughout; each triangle is counted exactly once (its unique cyclic
+    orientation under a total order is acyclic with exactly one source).
+    The scalar is computed eagerly and the caches released before
+    returning.
+    """
+    e, _deg, o = _degree_oriented(edges, a, b)
     wedges = o.alias("x").join(
         o.alias("y"), F.col("x.t") == F.col("y.s")
     ).select(F.col("x.s").alias("p"), F.col("x.t").alias("q"), F.col("y.t").alias("r"))
@@ -695,6 +708,141 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     e.unpersist()
     o.unpersist()
     return edges.sparkSession.range(1).select(F.lit(n_tri).cast("long").alias("n_triangles"))
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (Watts & Strogatz 1998):
+    lcc(n) = 2·T(n) / (d(n)·(d(n)−1)) where T(n) = triangles through n —
+    the "how clique-like is this node's neighborhood" signal a social
+    graph store answers per profile. Returns (node, degree, triangles,
+    lcc) for every node with degree ≥ 2 (degree-1 nodes have no defined
+    coefficient).
+
+    Scale shape: same degree-oriented wedge enumeration as
+    `triangle_count` (per-key fan-out ≤ ~√(2m) under hub skew), but
+    instead of counting closures globally, each closed triangle (p,q,r)
+    explodes into its three member nodes and ONE map-side-combined
+    aggregate counts triangles per node — the shuffle after the closure
+    join carries (node) ids, one row per triangle corner, never
+    neighborhood payloads. The final degree join is node-keyed and slim.
+    lcc is a single double division of exact integer products, so any
+    engine reproduces it bit-for-bit — no rounding seam needed.
+    The result is materialized (localCheckpoint via `truncate_lineage`,
+    or a reliable checkpoint under `checkpoint_dir`) so the cached
+    oriented frame can be released before returning."""
+    e, deg, o = _degree_oriented(edges, a, b)
+    wedges = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.t") == F.col("y.s"))
+        .select(
+            F.col("x.s").alias("p"), F.col("x.t").alias("q"), F.col("y.t").alias("r")
+        )
+    )
+    closed = wedges.join(
+        o.select(F.col("s").alias("p"), F.col("t").alias("r")), ["p", "r"]
+    )
+    tri = (
+        closed.select(F.explode(F.array("p", "q", "r")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    d = F.col("d").cast("double")
+    out = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            (
+                (F.lit(2.0) * F.coalesce(F.col("t"), F.lit(0)).cast("double"))
+                / (d * (d - F.lit(1.0)))
+            ).alias("lcc"),
+        )
+    )
+    out = _truncate(out, checkpoint_dir)
+    e.unpersist()
+    o.unpersist()
+    return out
+
+
+def adamic_adar(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    k: int = 50,
+    max_degree: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Top-`k` Adamic-Adar link predictions (Adamic & Adar 2003): for
+    every NON-adjacent pair (u < v), score = Σ over common neighbors z of
+    1/ln(deg(z)) — rare shared neighbors say more than celebrity hubs.
+    The "who should follow whom" recommendation a social graph store
+    serves. Returns (u, v, common_neighbors, aa_score) ordered
+    aa_score desc, u asc, v asc; aa_score is rounded to 6 decimals and
+    the ordering uses the ROUNDED value, so the (score, u, v) total order
+    is engine-reproducible.
+
+    Scale shape: wedges enumerate by common neighbor — the shuffle key is
+    z and every payload is an id pair; the (u,v) score aggregate gets
+    map-side combine; the existing-edge removal is an anti-join against
+    the slim canonical edge set; the global top-k plans as
+    TakeOrderedAndProject (no full sort at any scale). A hub of degree D
+    contributes D²/2 wedges but only weight 1/ln(D) — quadratic cost,
+    vanishing signal — so `max_degree` optionally drops z above the cap
+    before the wedge join (the same explicit lossy-cap contract as the
+    dedup family's hot-shingle cap; default None = exact). The weighted
+    neighbor frame is cached: both sides of the wedge self-join read it,
+    with different output partitionings after the pair projection."""
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .cache()
+    )
+    und = e.select(F.col("u").alias("n"), F.col("v").alias("nb")).unionByName(
+        e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("d") <= max_degree)
+    # (n, z, w): n's neighbor z carrying z's hub weight 1/ln(deg z).
+    # deg ≥ 2 for any common neighbor (it touches both u and v), so ln>0;
+    # deg-1 nodes can never appear in a wedge and the filter is free.
+    w = (
+        und.join(
+            deg.select(F.col("n").alias("nb"), F.col("d")).filter(F.col("d") >= 2),
+            "nb",
+        )
+        .select("n", F.col("nb").alias("z"), (F.lit(1.0) / F.log(F.col("d"))).alias("w"))
+        .cache()
+    )
+    w.count()
+    pairs = (
+        w.alias("x")
+        .join(w.alias("y"), (F.col("x.z") == F.col("y.z")) & (F.col("x.n") < F.col("y.n")))
+        .select(F.col("x.n").alias("u"), F.col("y.n").alias("v"), F.col("x.w").alias("w"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum("w"), 6).alias("aa_score"),
+        )
+    )
+    out = (
+        pairs.join(e, ["u", "v"], "left_anti")
+        .orderBy(F.col("aa_score").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(k)
+    )
+    out = _truncate(out, checkpoint_dir)
+    e.unpersist()
+    w.unpersist()
+    return out
 
 
 def _k_core_local(adj: DataFrame, k: int) -> DataFrame:

@@ -18,17 +18,25 @@ look like, which tokens dominate — are answered with sketches:
   (Spark's `freqItems` one-pass sketch exists but returns no counts and
   over-reports.)
 
-All three stay entirely in Tungsten codegen (built-in aggregates, no UDFs,
-no collects) and compose with groupBy — partial aggregation is map-side, so
-the shuffle carries sketch state, not rows. Tests assert error bounds
-against exact answers; these are deliberately NOT in the oracle gate
-(DuckDB's approx sketches are different algorithms with different
-estimates).
+- **Count-min sketch** (`cms_build`/`cms_estimate`/`cms_merge`): a
+  deterministic, mergeable depth×width counter matrix addressed by md5 —
+  point frequency estimates (overestimate-only, ≤ εN error) for probe
+  values chosen AFTER the scan, with a fixed-size state the exact
+  group-by can't match at universe scale.
+
+All stay entirely in Tungsten codegen (built-in aggregates, no UDFs, no
+collects) and compose with groupBy — partial aggregation is map-side, so
+the shuffle carries sketch state, not rows. HLL/quantiles tests assert
+error bounds against exact answers; those two are deliberately NOT in the
+oracle gate (DuckDB's approx sketches are different algorithms with
+different estimates). The CMS is different: its hash seam is md5, so a
+DuckDB oracle rebuilds the exact sketch and the estimate query IS
+hash-gated (`x_cms_freq`).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def approx_distinct(
@@ -109,3 +117,101 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     return exact.orderBy(F.col("freq").desc(), F.col("value").asc()).limit(n)
+
+
+def _cms_bucket(value: Column, row: int, width: int, salt: str) -> Column:
+    """Row `row`'s counter index for `value`: a 60-bit md5 prefix mod
+    `width` — the engine's cross-engine hash seam (same trick as
+    sampling.py's md5 backend), so an oracle in any engine with md5 can
+    rebuild the sketch bit-for-bit:
+    `('0x' || substr(md5(salt || row || ':' || v), 1, 15))::BIGINT % width`."""
+    seed = F.concat(F.lit(f"{salt}{row}:"), value)
+    return (F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("long") % width).alias(
+        "bucket"
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a value
+    stream: `depth` independent hash rows of `width` counters each.
+    Returns (row, bucket, cnt) with ≤ depth·width rows — a fixed-size,
+    MERGEABLE frequency summary (union of streams = element-wise `sum`
+    of sketches, see `cms_merge`), vs an exact count whose output is the
+    size of the value universe.
+
+    Unlike `heavy_hitters` (sample-then-verify, needs the candidate set
+    up front), a CMS answers point frequency queries decided AFTER the
+    scan, overestimates only (never under), with error ≤ εN for
+    ε = e/width at probability 1-δ, δ = e^-depth.
+
+    Scale shape: one narrow projection computes all `depth` buckets per
+    input row (posexplode of a depth-length array — no join, no UDF,
+    whole-stage codegen), then ONE aggregation whose map-side partial
+    collapses every partition to ≤ depth·width rows before the shuffle —
+    the shuffle carries sketch state, not data rows, regardless of input
+    size. NULLs are excluded (they have no frequency identity).
+    """
+    vals = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    buckets = vals.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("v"), j, width, salt) for j in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return buckets.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with the SAME (depth, width, salt):
+    element-wise counter sum. The mergeability that makes the sketch a
+    distributed-aggregation citizen — per-partition / per-day sketches
+    roll up without touching the underlying rows."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query frequencies from a CMS: for each probe value the
+    estimate is min over the `depth` rows of the addressed counter
+    (a value whose bucket was never touched reads 0 — the value is
+    definitively absent). Returns (value string, cms_count long).
+
+    The sketch side is ≤ depth·width rows BY CONSTRUCTION, so it
+    broadcasts — the probe stream (which may be another table's worth of
+    values) never shuffles: compute each probe's `depth` addresses
+    narrowly, map-side hash-join against the broadcast counters, and the
+    only exchange is the final ≤ depth-rows-per-probe min aggregate."""
+    p = (
+        probes.select(F.col(probe_col).cast("string").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+    )
+    addressed = p.select(
+        "value",
+        F.posexplode(
+            F.array(
+                *[_cms_bucket(F.col("value"), j, width, salt) for j in range(depth)]
+            )
+        ).alias("row", "bucket"),
+    )
+    joined = addressed.join(F.broadcast(sketch), ["row", "bucket"], "left").select(
+        "value", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+    return joined.groupBy("value").agg(F.min("cnt").alias("cms_count"))

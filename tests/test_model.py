@@ -736,3 +736,134 @@ def test_k_core_local_and_global_paths_agree(spark):
         }
         assert local == glob, f"k={k}: strategies diverged"
         assert all(d >= k for _n, d in local) or not local
+
+
+# ------------------------------------------- clustering coefficient / AA
+
+
+def _brute_lcc(edges):
+    adj: dict = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for n, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(1 for x in nb for y in nb if x < y and y in adj.get(x, ()))
+        out[n] = (d, t, 2.0 * t / (d * (d - 1)))
+    return out
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    # K4: every node sits in 3 triangles of its 3 possible -> lcc 1.0
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    rows = model.clustering_coefficient(spark.createDataFrame(k4, ["a", "b"])).collect()
+    assert {r.node: (r.degree, r.triangles, r.lcc) for r in rows} == {
+        n: (3, 3, 1.0) for n in range(4)
+    }
+    # star: center has degree 5, zero triangles, lcc 0; leaves (deg 1) excluded
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
+    rows = model.clustering_coefficient(star).collect()
+    assert [(r.node, r.degree, r.triangles, r.lcc) for r in rows] == [(0, 5, 0, 0.0)]
+
+
+def test_clustering_coefficient_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (min(u, v), max(u, v))
+            for u, v in ((rng.randrange(20), rng.randrange(20)) for _ in range(70))
+            if u != v
+        }
+    )
+    # noisy input: duplicates + reversed edges + a self-loop must not change it
+    noisy = edges + [(v, u) for u, v in edges[:10]] + [(5, 5)]
+    got = {
+        r.node: (r.degree, r.triangles, r.lcc)
+        for r in model.clustering_coefficient(
+            spark.createDataFrame(noisy, ["a", "b"])
+        ).collect()
+    }
+    assert got == _brute_lcc(edges)
+
+
+def _brute_adamic_adar(edges, max_degree=None):
+    import math
+
+    adj: dict = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if v in adj[u]:
+                continue
+            common = [
+                z
+                for z in adj[u] & adj[v]
+                if max_degree is None or len(adj[z]) <= max_degree
+            ]
+            if common:
+                s = sum(1.0 / math.log(len(adj[z])) for z in common)
+                out[(u, v)] = (len(common), s)
+    return out
+
+
+def test_adamic_adar_matches_bruteforce_random(spark):
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(11)
+    edges = sorted(
+        {
+            (min(u, v), max(u, v))
+            for u, v in ((rng.randrange(15), rng.randrange(15)) for _ in range(40))
+            if u != v
+        }
+    )
+    df = spark.createDataFrame(edges, ["a", "b"])
+    # k large enough to return EVERY scored pair: no top-k boundary effects
+    got = {
+        (r.u, r.v): (r.common_neighbors, r.aa_score)
+        for r in model.adamic_adar(df, k=10_000).collect()
+    }
+    want = _brute_adamic_adar(edges)
+    assert set(got) == set(want)
+    for p, (cn, s) in want.items():
+        assert got[p][0] == cn
+        assert got[p][1] == _pytest.approx(s, abs=1e-6)
+
+
+def test_adamic_adar_ordering_and_hub_cap(spark):
+    # hub 0 connects to everyone; spokes 1..5 are non-adjacent pairs whose
+    # only common neighbor is the hub. An extra triangle-ish edge gives
+    # (1,2) a second, rarer common neighbor 6 -> strictly higher score.
+    edges = [(0, i) for i in range(1, 6)] + [(1, 6), (2, 6)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = model.adamic_adar(df, k=3).collect()
+    # top-3 must match the brute-force ranking under the same
+    # (rounded score desc, u, v) total order
+    brute = _brute_adamic_adar(edges)
+    ranked = sorted(brute.items(), key=lambda kv: (-round(kv[1][1], 6), *kv[0]))
+    assert [(r.u, r.v, r.common_neighbors) for r in rows] == [
+        (u, v, cn) for (u, v), (cn, _s) in ranked[:3]
+    ]
+    # scores are ordered desc
+    scores = [r.aa_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # capping out the degree-5 hub leaves only the (1,2) pair via node 6
+    capped = model.adamic_adar(df, k=10, max_degree=4).collect()
+    got = {(r.u, r.v): r.common_neighbors for r in capped}
+    brute = {p: cn for p, (cn, _s) in _brute_adamic_adar(edges, max_degree=4).items()}
+    assert got == brute

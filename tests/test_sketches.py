@@ -66,3 +66,72 @@ def test_heavy_hitters_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "v string")
     out = [(r.value, r.freq) for r in sketches.heavy_hitters(df, "v", n=2, sample_fraction=1.0).collect()]
     assert out == [("a", 10), ("b", 5)]  # null excluded by contract
+
+
+# ---------------------------------------------------------------- CMS
+
+
+def test_cms_never_undercounts_and_wide_is_exact(spark):
+    from collections import Counter
+
+    vals = [str(i % 7) for i in range(100)] + ["x"] * 13
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    exact = Counter(vals)
+    probes = spark.createDataFrame([(v,) for v in set(vals)] + [("absent",)], ["v"])
+
+    # narrow sketch: collisions abound, but the estimate NEVER undercounts
+    sk = sketches.cms_build(df, "v", depth=3, width=4)
+    est = {
+        r.value: r.cms_count
+        for r in sketches.cms_estimate(sk, probes, "v", depth=3, width=4).collect()
+    }
+    for v, c in exact.items():
+        assert est[v] >= c
+
+    # wide sketch over 8 distinct values: no collisions -> exact counts,
+    # and a value never inserted reads 0 (definitively absent)
+    sk2 = sketches.cms_build(df, "v", depth=4, width=4096)
+    est2 = {
+        r.value: r.cms_count
+        for r in sketches.cms_estimate(sk2, probes, "v", depth=4, width=4096).collect()
+    }
+    for v, c in exact.items():
+        assert est2[v] == c
+    assert est2["absent"] == 0
+
+
+def test_cms_state_is_bounded_and_mergeable(spark):
+    a = spark.createDataFrame([(str(i % 5),) for i in range(40)], ["v"])
+    b = spark.createDataFrame([(str(i % 3),) for i in range(30)], ["v"])
+    probes = spark.createDataFrame([(str(i),) for i in range(5)], ["v"])
+    kw = dict(depth=4, width=64)
+
+    sk_a = sketches.cms_build(a, "v", **kw)
+    assert sk_a.count() <= 4 * 64  # fixed-size state regardless of input rows
+
+    # merge(sketch(a), sketch(b)) == sketch(a ∪ b), counter for counter
+    merged = sketches.cms_merge(sk_a, sketches.cms_build(b, "v", **kw))
+    direct = sketches.cms_build(a.unionByName(b), "v", **kw)
+    em = {
+        r.value: r.cms_count
+        for r in sketches.cms_estimate(merged, probes, "v", **kw).collect()
+    }
+    ed = {
+        r.value: r.cms_count
+        for r in sketches.cms_estimate(direct, probes, "v", **kw).collect()
+    }
+    assert em == ed
+
+
+def test_cms_ignores_nulls(spark):
+    df = spark.createDataFrame([(None,)] * 20 + [("a",)] * 3, "v string")
+    sk = sketches.cms_build(df, "v", depth=2, width=32)
+    probes = spark.createDataFrame([("a",), ("b",)], ["v"])
+    est = {
+        r.value: r.cms_count
+        for r in sketches.cms_estimate(sk, probes, "v", depth=2, width=32).collect()
+    }
+    assert est["a"] == 3
+    # total mass inserted is 3 (nulls dropped), so any collision-driven
+    # overcount on an absent probe is still bounded by it
+    assert 0 <= est["b"] <= 3
