@@ -2429,6 +2429,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_cms_freq"] = x_cms_freq
 
+    def x_kmv_users_daily(spark, sf):
+        # Daily distinct-user estimates via the KMV sketch
+        # (operators/sketches.py:kmv_build/kmv_estimate): per day, the 64
+        # smallest md5 hashes of the distinct user ids; estimate
+        # (k-1)·2^60/h_k, or the EXACT count for days under 64 distinct
+        # users. The md5 seam means the oracle rebuilds the identical
+        # sketch, so the estimates hash-match — deterministic approximate
+        # counting, the per-day cardinality feed a 100-TB event store
+        # answers without an exact per-day distinct shuffle of the
+        # full user universe.
+        ev = _t(spark, sf, "events").select(
+            F.col("ts").cast("date").alias("day"), "user_id"
+        )
+        sk = sketches.kmv_build(ev, "user_id", group_cols=["day"], k=64)
+        est = sketches.kmv_estimate(sk, k=64, group_cols=["day"])
+        return est.select(F.col("day").cast("string").alias("day"), "n_distinct_est")
+
+    q["x_kmv_users_daily"] = x_kmv_users_daily
+
     def _thinned_cosupply(spark, sf):
         # The l_quantity > 47 co-supply graph (x_kcore's edge set): sparse
         # enough at every SF that per-node structure is non-trivial —
@@ -5097,6 +5116,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT value, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS cms_count
         FROM pb LEFT JOIN sk USING (row, bucket)
         GROUP BY value
+    """
+
+    # KMV rebuilt exactly: same 60-bit md5 prefix per distinct user, same
+    # per-day 64-smallest rank, same (k-1)·2^60/h_k arithmetic (one double
+    # division — bit-reproducible); days under 64 distinct users take the
+    # exact-count branch in both engines.
+    o["x_kmv_users_daily"] = """
+        WITH dv AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+          WHERE user_id IS NOT NULL
+        ),
+        h AS (
+          SELECT day,
+                 ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hash
+          FROM dv
+        ),
+        r AS (
+          SELECT day, hash,
+                 row_number() OVER (PARTITION BY day ORDER BY hash ASC) AS rn
+          FROM h
+        ),
+        s AS (
+          SELECT day, count(*) AS n, max(hash) AS hk
+          FROM r WHERE rn <= 64 GROUP BY day
+        )
+        SELECT CAST(day AS VARCHAR) AS day,
+               CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+               END AS n_distinct_est
+        FROM s
     """
 
     # Per-node triangle membership via the plain a<b<c three-way join

@@ -23,20 +23,26 @@ look like, which tokens dominate — are answered with sketches:
   point frequency estimates (overestimate-only, ≤ εN error) for probe
   values chosen AFTER the scan, with a fixed-size state the exact
   group-by can't match at universe scale.
+- **KMV distinct sketch** (`kmv_build`/`kmv_estimate`): the k smallest
+  md5 hashes of the distinct values per group — a ≤ k-row mergeable
+  distinct-count state with ~1/√k relative error that degrades to an
+  EXACT count for groups under k distinct values.
 
 All stay entirely in Tungsten codegen (built-in aggregates, no UDFs, no
 collects) and compose with groupBy — partial aggregation is map-side, so
 the shuffle carries sketch state, not rows. HLL/quantiles tests assert
 error bounds against exact answers; those two are deliberately NOT in the
 oracle gate (DuckDB's approx sketches are different algorithms with
-different estimates). The CMS is different: its hash seam is md5, so a
-DuckDB oracle rebuilds the exact sketch and the estimate query IS
-hash-gated (`x_cms_freq`).
+different estimates). The CMS and KMV are different:
+their hash seam is md5, so a DuckDB oracle rebuilds the exact sketch
+state and both estimate queries ARE hash-gated (`x_cms_freq`,
+`x_kmv_users_daily`).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def approx_distinct(
@@ -215,3 +221,95 @@ def cms_estimate(
         "value", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
     )
     return joined.groupBy("value").agg(F.min("cnt").alias("cms_count"))
+
+
+_KMV_SPAN = float(1 << 60)  # the 60-bit md5-prefix hash space
+
+
+def kmv_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    salt: str = "kmv:",
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    per group, the `k` smallest 60-bit md5 hashes of the DISTINCT values.
+    Returns (group..., hash long) with ≤ k rows per group — fixed-size,
+    mergeable (`kmv_merge`: union, dedupe, re-take the k smallest),
+    and DETERMINISTIC: md5 is the engine's cross-engine hash seam, so an
+    oracle rebuilds the identical sketch and the estimate is hash-gated
+    (like the CMS above, unlike HLL).
+
+    Scale shape: one distinct on (group, value) — a shuffle the exact
+    count needs anyway — then a per-group window rank over the hash
+    keeps the k smallest. The window sorts only the group's DISTINCT
+    hashes (WindowExec spills, hub groups cannot OOM a task); everything
+    after the distinct carries (group, 8-byte hash), never values."""
+    groups = list(group_cols or [])
+    dv = (
+        df.select(*groups, F.col(value_col).cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
+    h = dv.select(
+        *groups,
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("v"))), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hash"),
+    )
+    w = Window.partitionBy(*groups).orderBy(F.col("hash").asc()) if groups else (
+        Window.partitionBy().orderBy(F.col("hash").asc())
+    )
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    *sketches: DataFrame, k: int = 256, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge KMV sketches built with the SAME (k, salt): union the hash
+    frames, drop hashes seen in several sketches (the same value observed
+    in several streams), re-take the k smallest per group. The result is
+    IDENTICAL to building one sketch over the concatenated streams —
+    per-day / per-shard sketches roll up without revisiting values."""
+    groups = list(group_cols or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    w = Window.partitionBy(*groups).orderBy(F.col("hash").asc()) if groups else (
+        Window.partitionBy().orderBy(F.col("hash").asc())
+    )
+    return (
+        merged.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = 256, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: with n = hashes kept and
+    h_k = the largest of them (normalized into [0,1)), the estimate is
+    (k-1)/h_k — k-1 uniform points observed in a prefix of length h_k —
+    or EXACTLY n when the group never filled its k slots (the sketch
+    degrades gracefully to an exact distinct for small groups). Returns
+    (group..., n_distinct_est double). One ≤-k-rows-per-group aggregate;
+    the arithmetic is a single double division, engine-reproducible."""
+    groups = list(group_cols or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"), F.max("hash").alias("hk")
+    )
+    return agg.select(
+        *groups,
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPAN) / F.col("hk").cast("double")
+        )
+        .alias("n_distinct_est"),
+    )

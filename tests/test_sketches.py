@@ -135,3 +135,47 @@ def test_cms_ignores_nulls(spark):
     # total mass inserted is 3 (nulls dropped), so any collision-driven
     # overcount on an absent probe is still bounded by it
     assert 0 <= est["b"] <= 3
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_below_k_and_bounded_error_above(spark):
+    # 30 distinct values with k=64 -> the sketch IS the distinct set and
+    # the estimate is exact
+    small = spark.createDataFrame([(str(i % 30),) for i in range(200)], ["v"])
+    sk = sketches.kmv_build(small, "v", k=64)
+    assert sk.count() == 30
+    (row,) = sketches.kmv_estimate(sk, k=64).collect()
+    assert row.n_distinct_est == 30.0
+
+    # 5000 distinct values with k=256 -> ~1/sqrt(k) ≈ 6% relative error;
+    # md5 is deterministic so this is a fixed number, bounded generously
+    big = spark.createDataFrame([(str(i),) for i in range(5000)], ["v"])
+    sk2 = sketches.kmv_build(big, "v", k=256)
+    assert sk2.count() == 256  # fixed-size state
+    (row2,) = sketches.kmv_estimate(sk2, k=256).collect()
+    assert abs(row2.n_distinct_est - 5000) / 5000 < 0.25
+
+
+def test_kmv_grouped_and_merge_equals_concat(spark):
+    rows_a = [("g1", str(i)) for i in range(100)] + [("g2", str(i)) for i in range(10)]
+    rows_b = [("g1", str(i)) for i in range(50, 150)]  # overlaps g1 by 50
+    a = spark.createDataFrame(rows_a, ["g", "v"])
+    b = spark.createDataFrame(rows_b, ["g", "v"])
+    kw = dict(group_cols=["g"], k=32)
+
+    merged = sketches.kmv_merge(
+        sketches.kmv_build(a, "v", **kw), sketches.kmv_build(b, "v", **kw), k=32,
+        group_cols=["g"],
+    )
+    direct = sketches.kmv_build(a.unionByName(b), "v", **kw)
+    assert {(r.g, r.hash) for r in merged.collect()} == {
+        (r.g, r.hash) for r in direct.collect()
+    }
+    # g2 never filled its slots -> exact count survives the merge
+    est = {
+        r.g: r.n_distinct_est
+        for r in sketches.kmv_estimate(merged, k=32, group_cols=["g"]).collect()
+    }
+    assert est["g2"] == 10.0
