@@ -2448,6 +2448,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_kmv_users_daily"] = x_kmv_users_daily
 
+    def x_hits(spark, sf):
+        # HITS hubs & authorities over the supplier→customer fulfillment
+        # graph — x_pagerank's edge set, but the two-role scoring a
+        # bipartite-ish graph actually wants (suppliers are pure hubs,
+        # customers pure authorities). Fixed 6 rounds with L1
+        # normalization each half-step; the oracle unrolls all six as
+        # materialized CTEs with scalar-subquery norms
+        # (operators/model.py:hits).
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(
+                F.col("l_suppkey").alias("src"),
+                (F.col("o_custkey") + 1_000_000).alias("dst"),
+            )
+            .distinct()
+        )
+        return model.hits(edges, n_iter=6)
+
+    q["x_hits"] = x_hits
+
     def _thinned_cosupply(spark, sf):
         # The l_quantity > 47 co-supply graph (x_kcore's edge set): sparse
         # enough at every SF that per-node structure is non-trivial —
@@ -5117,6 +5139,55 @@ def oracle_sql() -> dict[str, str]:
         FROM pb LEFT JOIN sk USING (row, bucket)
         GROUP BY value
     """
+
+    def _hits_sql(n_iter: int = 6) -> str:
+        # Fixed-round unroll of the synchronous HITS power iteration
+        # (the x_pagerank technique): each round materializes the raw
+        # auth/hub sums over the edge joins, then normalizes by a scalar
+        # subquery — the same L1 half-step norms the Spark loop collects
+        # as bounded scalars. h0 = 1.0 per node, exactly the operator's
+        # init; nodes missing a side read 0 via the LEFT JOIN coalesce.
+        head = """
+        WITH edges AS (
+          SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+        ),
+        h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+        body = ""
+        for i in range(n_iter):
+            body += f""",
+        ar{i} AS MATERIALIZED (
+          SELECT nodes.node, coalesce(s, 0.0) AS v
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(h.hub) AS s
+            FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst
+          ) sums USING (node)
+        ),
+        a{i + 1} AS MATERIALIZED (
+          SELECT node, v / (SELECT sum(v) FROM ar{i}) AS authority FROM ar{i}
+        ),
+        hr{i} AS MATERIALIZED (
+          SELECT nodes.node, coalesce(s, 0.0) AS v
+          FROM nodes LEFT JOIN (
+            SELECT e.src AS node, sum(a.authority) AS s
+            FROM edges e JOIN a{i + 1} a ON e.dst = a.node GROUP BY e.src
+          ) sums USING (node)
+        ),
+        h{i + 1} AS MATERIALIZED (
+          SELECT node, v / (SELECT sum(v) FROM hr{i}) AS hub FROM hr{i}
+        )"""
+        return (
+            head
+            + body
+            + f"""
+        SELECT node, h.hub, a.authority
+        FROM h{n_iter} h JOIN a{n_iter} a USING (node)"""
+        )
+
+    o["x_hits"] = _hits_sql()
 
     # KMV rebuilt exactly: same 60-bit md5 prefix per distinct user, same
     # per-day 64-smallest rank, same (k-1)·2^60/h_k arithmetic (one double

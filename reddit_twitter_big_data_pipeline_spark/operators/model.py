@@ -845,6 +845,81 @@ def adamic_adar(
     return out
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment"): on a directed graph, a node is a good
+    HUB if it points at good authorities and a good AUTHORITY if good
+    hubs point at it — the natural scoring for bipartite-ish graphs
+    (suppliers→customers, users→posts) where PageRank's single score
+    conflates the two roles. Synchronous power iteration with a FIXED
+    round count and L1 normalization each half-step, so a fixed-round
+    unrolled oracle reproduces it exactly. Returns (node, hub,
+    authority); either score is 0 for nodes without the corresponding
+    edges.
+
+    Scale shape (the `pagerank` discipline): per round, TWO edge-keyed
+    joins whose payloads are (id, double) — scores travel, never
+    adjacency lists; the aggregates get map-side combine; each L1 norm
+    is a 1-row aggregate collected as a bounded scalar (the dangling-mass
+    pattern); per-round frames are cached + counted with lineage
+    truncated every 4th round (reliable checkpoint when `checkpoint_dir`
+    is set)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    if nodes.count() == 0:
+        nodes.unpersist()
+        e.unpersist()
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
+    hub = nodes.withColumn("hub", F.lit(1.0)).cache()
+    hub.count()
+    caches = [e, nodes, hub]
+    auth = None
+    for it in range(n_iter):
+        sums_a = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("x"))
+        )
+        raw_a = nodes.join(sums_a, nodes["node"] == sums_a["dst"], "left").select(
+            "node", F.coalesce(F.col("x"), F.lit(0.0)).alias("v")
+        )
+        sa = raw_a.agg(F.sum("v")).collect()[0][0]  # bounded 1-row scalar
+        auth = raw_a.select(
+            "node", (F.col("v") / F.lit(sa)).alias("authority")
+        ).cache()
+        caches.append(auth)
+        sums_h = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("authority").alias("x"))
+        )
+        raw_h = nodes.join(sums_h, nodes["node"] == sums_h["src"], "left").select(
+            "node", F.coalesce(F.col("x"), F.lit(0.0)).alias("v")
+        )
+        sh = raw_h.agg(F.sum("v")).collect()[0][0]
+        hub = raw_h.select("node", (F.col("v") / F.lit(sh)).alias("hub"))
+        if (it + 1) % 4 == 0:
+            hub = _truncate(hub, checkpoint_dir)
+        hub = hub.cache()
+        caches.append(hub)
+        hub.count()
+    out = _truncate(hub.join(auth, "node").select("node", "hub", "authority"), checkpoint_dir)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def _k_core_local(adj: DataFrame, k: int) -> DataFrame:
     """Single-task exact peel for a SMALL symmetrized adjacency: classic
     queue-based k-core (remove degree<k nodes, cascade decrements) inside

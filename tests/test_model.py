@@ -867,3 +867,35 @@ def test_adamic_adar_ordering_and_hub_cap(spark):
     got = {(r.u, r.v): r.common_neighbors for r in capped}
     brute = {p: cn for p, (cn, _s) in _brute_adamic_adar(edges, max_degree=4).items()}
     assert got == brute
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    edges = [(0, 10), (0, 11), (1, 10), (2, 11), (2, 12), (3, 12), (0, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.hub, r.authority) for r in model.hits(df, n_iter=8).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in set(edges):  # distinct edges, as the operator dedupes
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(8):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n][0] == pytest.approx(h[idx[n]], abs=1e-9)
+        assert got[n][1] == pytest.approx(a[idx[n]], abs=1e-9)
+    # bipartite roles: sources are pure hubs, sinks pure authorities
+    assert all(got[n][1] == 0.0 for n in (0, 1, 2, 3))
+    assert all(got[n][0] == 0.0 for n in (10, 11, 12))
+
+
+def test_hits_empty_graph(spark):
+    df = spark.createDataFrame([], "src int, dst int")
+    assert model.hits(df, n_iter=3).count() == 0
