@@ -2470,6 +2470,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_hits"] = x_hits
 
+    def x_zorder_key(spark, sf):
+        # Z-order/Morton clustering key over (customer, price-cents)
+        # (operators/layout.py:zorder_key): the write-side layout device
+        # that makes parquet min/max pruning work on BOTH columns after
+        # zorder_layout's range-repartition + sort. Fixed bounds spanning
+        # every SF (clamped), 8 bits per dimension, shift/mask BIGINT
+        # arithmetic only — the oracle replays the interleave literally.
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        from reddit_twitter_big_data_pipeline_spark.operators import layout
+
+        keyed = layout.zorder_key(
+            orders,
+            ["o_custkey", "cents"],
+            bits=8,
+            bounds={"o_custkey": (0, 1 << 18), "cents": (0, 1 << 26)},
+        )
+        return keyed.select("o_orderkey", "zkey")
+
+    q["x_zorder_key"] = x_zorder_key
+
     def _thinned_cosupply(spark, sf):
         # The l_quantity > 47 co-supply graph (x_kcore's edge set): sparse
         # enough at every SF that per-node structure is non-trivial —
@@ -5188,6 +5212,26 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o["x_hits"] = _hits_sql()
+
+    def _zorder_sql(bits: int = 8) -> str:
+        # Literal replay of layout.py's shift-bucket + Morton interleave:
+        # bucket = (clamped value - lo) >> (span_bits - bits); bit i of
+        # dimension d lands at i*n_dims + d. Disjoint-bit ORs — exact
+        # BIGINT arithmetic, no float anywhere.
+        def bucket(expr: str, hi: int) -> str:
+            shift = hi.bit_length() - bits
+            return f"(least(greatest({expr}, 0), {hi}) >> {shift})"
+
+        b1 = bucket("o_custkey", 1 << 18)
+        b2 = bucket("CAST(floor(o_totalprice * 100) AS BIGINT)", 1 << 26)
+        terms = []
+        for i in range(bits):
+            terms.append(f"((({b1} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({b2} >> {i}) & 1) << {2 * i + 1})")
+        z = " | ".join(terms)
+        return f"SELECT o_orderkey, CAST({z} AS BIGINT) AS zkey FROM orders"
+
+    o["x_zorder_key"] = _zorder_sql()
 
     # KMV rebuilt exactly: same 60-bit md5 prefix per distinct user, same
     # per-day 64-smallest rank, same (k-1)·2^60/h_k arithmetic (one double
