@@ -2494,6 +2494,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_zorder_key"] = x_zorder_key
 
+    def text_pii_redact(spark, sf):
+        # PII redaction (operators/cleanse.py:redact_pii): the synthetic
+        # corpus carries no PII, so the query PLANTS a deterministic
+        # email/phone/IP per document (mirrored literally in the oracle)
+        # and then scrubs it — exercising every pattern plus the
+        # counts-on-original audit columns. Pure regexp projections,
+        # scan-speed at any scale.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ).alias("text"),
+        )
+        out = cleanse.redact_pii(planted, "text")
+        return out.select(
+            "doc_id", "redacted", "n_email", "n_phone", "n_ip", "n_ssn", "n_cc"
+        )
+
+    q["text_pii_redact"] = text_pii_redact
+
     def _thinned_cosupply(spark, sf):
         # The l_quantity > 47 co-supply graph (x_kcore's edge set): sparse
         # enough at every SF that per-node structure is non-trivial —
@@ -5232,6 +5260,34 @@ def oracle_sql() -> dict[str, str]:
         return f"SELECT o_orderkey, CAST({z} AS BIGINT) AS zkey FROM orders"
 
     o["x_zorder_key"] = _zorder_sql()
+
+    def _pii_sql() -> str:
+        # Single-sourced from cleanse.PII_PATTERNS so the oracle can
+        # never drift from the operator: same planted text, same patterns
+        # in the same order ('g' = the global replace Spark does by
+        # default), counts on the ORIGINAL text via regexp_extract_all.
+        planted = (
+            "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com or 555-867-'"
+            " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+            " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+        )
+        red = "t"
+        for _kind, pat, rep in cleanse.PII_PATTERNS:
+            red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+        counts = ",\n               ".join(
+            f"CAST(length(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+            for kind, pat, _rep in cleanse.PII_PATTERNS
+        )
+        return f"""
+        WITH planted AS (SELECT doc_id, {planted} AS t FROM documents)
+        SELECT doc_id,
+               {red} AS redacted,
+               {counts}
+        FROM planted
+    """
+
+    o["text_pii_redact"] = _pii_sql()
 
     # KMV rebuilt exactly: same 60-bit md5 prefix per distinct user, same
     # per-day 64-smallest rank, same (k-1)·2^60/h_k arithmetic (one double

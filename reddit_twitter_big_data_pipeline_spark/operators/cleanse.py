@@ -210,3 +210,47 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+# --------------------------------------------------------------- PII scrub
+
+# (kind, pattern, replacement), applied IN ORDER — most-specific first so
+# an SSN is not half-eaten by the looser phone pattern. Patterns restrict
+# to the regex subset shared by Java (Spark) and RE2-family engines: no
+# backreferences, no lookaround — so an oracle replays them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("cc", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CC>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "redacted", count: bool = True
+) -> DataFrame:
+    """Scrub PII (emails, phones, IPv4s, SSNs, card numbers) from a text
+    column — the redaction pass every training-data pipeline runs before
+    text leaves the trust boundary (the reference ships raw scraped text
+    straight to its warehouse: glue/reddit_glue.py:216-236). Appends
+    `out_col` (the redacted text) and, with `count=True`, one
+    `n_<kind>` long column per pattern counted on the ORIGINAL text —
+    the per-document audit trail a compliance report aggregates.
+
+    Pure Column machinery: a fixed chain of regexp_replace/regexp_count
+    projections, whole-stage codegen, no UDF, no shuffle — at 100 TB
+    this runs at scan speed and composes with any downstream operator.
+    Patterns are leftmost non-overlapping in every regex engine family,
+    so counts and replacements are engine-reproducible (oracle-gated as
+    `text_pii_redact`)."""
+    out = df
+    if count:
+        for kind, pat, _rep in PII_PATTERNS:
+            out = out.withColumn(
+                f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            )
+    red = F.col(text_col)
+    for _kind, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return out.withColumn(out_col, red)

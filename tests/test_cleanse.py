@@ -106,3 +106,42 @@ def test_t4_cast_cols(spark):
     r = out.first()
     assert r.a == 5 and abs(r.b - 1.5) < 1e-12
     assert dict(out.dtypes) == {"a": "int", "b": "double"}
+
+
+# --------------------------------------------------------------- PII scrub
+
+
+def test_redact_pii_each_kind_and_counts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org today"),
+        (2, "call 555-867-5309 or 555.867.5309"),
+        (3, "server 192.168.0.1 and 10.0.0.255"),
+        (4, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+        (5, "clean text, no pii at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in cleanse.redact_pii(df, "text").collect()}
+
+    assert out[1].redacted == "mail me at <EMAIL> today"
+    assert out[1].n_email == 1
+    assert out[2].redacted == "call <PHONE> or <PHONE>"
+    assert out[2].n_phone == 2
+    assert out[3].redacted == "server <IP> and <IP>"
+    assert out[3].n_ip == 2
+    # specificity order: the SSN is not half-eaten by the phone pattern,
+    # the spaced card number is caught whole
+    assert out[4].redacted == "ssn <SSN> card <CC>"
+    assert out[4].n_ssn == 1 and out[4].n_cc == 1
+    assert out[5].redacted == rows[4][1]
+    assert all(
+        getattr(out[5], f"n_{k}") == 0 for k, _p, _r in cleanse.PII_PATTERNS
+    )
+    assert out[6].redacted is None  # nulls pass through
+
+
+def test_redact_pii_count_flag_off(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id int, text string")
+    out = cleanse.redact_pii(df, "text", count=False)
+    assert out.columns == ["doc_id", "text", "redacted"]
+    assert out.first().redacted == "<EMAIL>"
