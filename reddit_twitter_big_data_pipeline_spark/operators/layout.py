@@ -102,3 +102,51 @@ def zorder_layout(
         .sortWithinPartitions("zkey")
         .drop("zkey")
     )
+
+
+def file_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max/count stats index over a parquet dataset — the
+    skipping metadata a lakehouse table format keeps in its manifest
+    (Delta/Iceberg file stats), built with one aggregate over the
+    `_metadata.file_path` pseudo-column. Returns
+    (file, n_rows, min_<c>, max_<c> ...). Build it once at write time
+    (ideally over a `zorder_layout`-ed dataset, whose per-file envelopes
+    are tight in every dimension); the index is one row per FILE —
+    metadata-sized, broadcastable, cheap to keep current."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.select(F.col("_metadata.file_path").alias("file"), *cols).groupBy(
+        "file"
+    ).agg(*aggs)
+
+
+def pruned_read(
+    spark,
+    path: str,
+    predicates: dict[str, tuple],
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Read only the files whose stats envelope intersects every
+    `col: (lo, hi)` range predicate, then re-apply the exact predicate —
+    file-level data skipping on columns parquet footer pruning alone
+    cannot serve once file count dwarfs the row-group hit rate.
+
+    The surviving-file list is a driver collect BOUNDED by the file
+    count (planner-sized metadata, the same contract as a catalog
+    listing — never data rows). Dropping a file whose min_<c> is NULL is
+    correct: min/max skip nulls, so an all-null file has no row a range
+    predicate could match."""
+    stats = stats if stats is not None else file_stats(spark, path, list(predicates))
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & (F.col(f"max_{c}") >= lo) & (F.col(f"min_{c}") <= hi)
+    files = [r.file for r in stats.filter(cond).select("file").collect()]
+    if not files:
+        out = spark.read.parquet(path).limit(0)
+    else:
+        out = spark.read.parquet(*files)
+    for c, (lo, hi) in predicates.items():
+        out = out.filter(F.col(c).between(lo, hi))
+    return out

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from reddit_twitter_big_data_pipeline_spark.operators import layout
 
@@ -80,3 +81,34 @@ def test_zorder_layout_prunes_on_the_second_dimension(spark):
     # and the layout drops the key column but keeps every data column/row
     assert zordered.columns == ["id", "x", "y"]
     assert zordered.count() == 32 * 32
+
+
+def test_file_stats_and_pruned_read_roundtrip(spark, tmp_path):
+    # z-ordered write -> stats index -> pruned read: fewer files touched,
+    # identical rows to the full-scan filter
+    path = str(tmp_path / "grid")
+    rows = [(x * 32 + y, x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    layout.zorder_layout(
+        df, ["x", "y"], n_partitions=16, bits=5, bounds={"x": (0, 31), "y": (0, 31)}
+    ).write.mode("overwrite").parquet(path)
+
+    stats = layout.file_stats(spark, path, ["x", "y"])
+    n_files = stats.count()
+    assert n_files >= 8  # the range partitioning actually spread the data
+    assert stats.agg({"n_rows": "sum"}).collect()[0][0] == 32 * 32
+
+    pred = {"y": (0, 3)}
+    pruned = layout.pruned_read(spark, path, pred, stats=stats)
+    expected = sorted(
+        (r.id, r.x, r.y)
+        for r in spark.read.parquet(path).filter("y between 0 and 3").collect()
+    )
+    assert sorted((r.id, r.x, r.y) for r in pruned.collect()) == expected
+    # the index really skips: most files' y-envelope misses [0, 3]
+    surviving = stats.filter((F.col("max_y") >= 0) & (F.col("min_y") <= 3)).count()
+    assert surviving <= n_files // 2
+    # a predicate outside every envelope reads nothing but keeps the schema
+    empty = layout.pruned_read(spark, path, {"y": (100, 200)}, stats=stats)
+    assert empty.count() == 0
+    assert set(["id", "x", "y"]).issubset(set(empty.columns))
