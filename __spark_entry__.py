@@ -2522,6 +2522,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_pii_redact"] = text_pii_redact
 
+    def x_equidepth_hist(spark, sf):
+        # 16-bucket equi-depth histogram of order totals
+        # (operators/analytics.py:equidepth_histogram): ntile over the
+        # deterministic (value, key) total order so both engines place
+        # ties identically; one slim (value, key) sort shuffle.
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        return analytics.equidepth_histogram(
+            orders, "o_totalprice", tie_cols=["o_orderkey"], n_buckets=16
+        )
+
+    q["x_equidepth_hist"] = x_equidepth_hist
+
     def _thinned_cosupply(spark, sf):
         # The l_quantity > 47 co-supply graph (x_kcore's edge set): sparse
         # enough at every SF that per-node structure is non-trivial —
@@ -5288,6 +5300,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["text_pii_redact"] = _pii_sql()
+
+    o["x_equidepth_hist"] = """
+        WITH b AS (
+          SELECT o_totalprice AS v,
+                 ntile(16) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+          FROM orders
+        )
+        SELECT bucket, count(*)::BIGINT AS n_rows, min(v) AS lo, max(v) AS hi
+        FROM b GROUP BY bucket
+    """
 
     # KMV rebuilt exactly: same 60-bit md5 prefix per distinct user, same
     # per-day 64-smallest rank, same (k-1)·2^60/h_k arithmetic (one double

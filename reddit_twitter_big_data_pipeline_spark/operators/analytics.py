@@ -273,3 +273,111 @@ def mad_outliers(
             F.lit(False)
         ),
     )
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], out_col: str = "rank"
+) -> DataFrame:
+    """Exact 1-based dense row rank under a TOTAL order (order_cols must
+    be tie-free, e.g. ending in the table key) — WITHOUT the
+    single-partition window a bare `row_number().over(Window.orderBy(…))`
+    plans (WindowExec warns and funnels every row through one task).
+
+    The distributed shape: range-repartition by the order columns (the
+    only full-data shuffle, slim payload), rank LOCALLY per partition with a
+    parallel window keyed on the partition id, and add per-partition
+    offsets prefix-summed on the driver — one bounded row per partition,
+    planner-sized metadata. The repartitioned frame is pinned with an
+    eager localCheckpoint first: range boundaries come from sampling, so
+    the counts pass and the rank pass MUST see the same physical
+    partitioning (an uncached frame could legally resample between the
+    two jobs and mis-assign every offset)."""
+    from ..checkpointing import truncate_lineage as _trunc
+
+    nparts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    s = _trunc(
+        df.repartitionByRange(nparts, *[F.col(c).asc() for c in order_cols]), None
+    )
+    s = s.withColumn("__pid", F.spark_partition_id())
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in s.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }  # bounded: one row per partition
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        s.withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .drop("__pid", "__off", "__lr")
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, tie_cols: list[str], n_buckets: int = 16
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: `n_buckets` buckets each
+    holding ~rows/n_buckets rows, with per-bucket count and value bounds
+    — the distribution summary an optimizer keeps per column, and the
+    binning a feature pipeline uses where equal-WIDTH bins collapse under
+    heavy tails (most rows in one bin). Returns (bucket, n_rows, lo, hi)
+    ordered by bucket.
+
+    `tie_cols` MUST extend (col, *tie_cols) to a total order (e.g. the
+    table key): bucket membership splits ties by rank, so without a
+    deterministic order the boundaries — and the per-bucket min/max —
+    are run-dependent. With it, any engine reproduces the histogram
+    exactly: buckets replicate SQL-standard ntile (the first n%B buckets
+    take one extra row), so the oracle is a plain `ntile(B)` — but the
+    ENGINE side computes the rank with `global_rank`'s distributed
+    two-phase shape and pure-integer bucket arithmetic, not the
+    single-partition window ntile itself plans. When an approximate
+    histogram is enough, `sketches.approx_quantiles` gives bucket
+    BOUNDARIES in one pass with bounded state and no sort at all."""
+    b = df.select(F.col(col).alias("v"), *tie_cols)
+    n = b.count()
+    if n == 0:
+        return b.select(
+            F.lit(0).alias("bucket"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.col("v").alias("lo"),
+            F.col("v").alias("hi"),
+        ).limit(0)
+    ranked = global_rank(b, ["v", *tie_cols])
+    base, rem = n // n_buckets, n % n_buckets
+    r0 = F.col("rank") - 1  # 0-based
+    if base == 0:
+        bucket = F.col("rank")  # n < B: ntile puts rank r alone in bucket r
+    elif rem == 0:
+        bucket = _exact_div(r0, base) + 1
+    else:
+        cut = rem * (base + 1)  # rows in the one-extra buckets
+        bucket = F.when(r0 < cut, _exact_div(r0, base + 1) + 1).otherwise(
+            F.lit(rem) + _exact_div(r0 - cut, base) + 1
+        )
+    return (
+        ranked.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _exact_div(num, d: int):
+    """Exact integer floor-division of a non-negative long Column by a
+    positive Python int: subtract the remainder first so the double
+    division is of an exactly-divisible numerator — no float-boundary
+    risk at any magnitude."""
+    return ((num - F.pmod(num, F.lit(d))) / F.lit(d)).cast("long")

@@ -225,3 +225,44 @@ def test_edit_distance_pairs_matches_bruteforce_oracle(spark, sf_dir):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_equidepth_histogram_depth_and_bounds(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    # 100 rows incl. a heavy tie block: buckets stay equal-depth and the
+    # (value, key) total order makes tie placement deterministic
+    rows = [(i, float(min(i, 60))) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = analytics.equidepth_histogram(df, "v", tie_cols=["k"], n_buckets=10).collect()
+    assert [r.bucket for r in out] == list(range(1, 11))
+    assert all(r.n_rows == 10 for r in out)  # 100/10, exact
+    # bucket bounds tile the sorted order: each lo >= previous hi
+    for a, b in zip(out, out[1:]):
+        assert b.lo >= a.hi
+    # the tie block (v=60, keys 60..99) fills exactly the last 4 buckets
+    assert all(out[i].lo == 60.0 and out[i].hi == 60.0 for i in (6, 7, 8, 9))
+
+
+def test_equidepth_histogram_remainder_to_first_buckets(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(7)], ["k", "v"])
+    out = analytics.equidepth_histogram(df, "v", tie_cols=["k"], n_buckets=3).collect()
+    assert [(r.bucket, r.n_rows) for r in out] == [(1, 3), (2, 2), (3, 2)]
+
+
+def test_global_rank_matches_sorted_order_across_partitions(spark):
+    import random
+
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(50)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(13)
+    ranked = {r.k: r.rank for r in analytics.global_rank(df, ["v", "k"]).collect()}
+    expect = {
+        k: i + 1
+        for i, (k, _v) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert ranked == expect
