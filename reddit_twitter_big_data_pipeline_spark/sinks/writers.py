@@ -110,6 +110,20 @@ def _swap_into_place(spark: SparkSession, target_path: str, staging_path: str) -
         fs.delete(backup, True)
 
 
+def replace_table(spark: SparkSession, target_path: str, df: DataFrame) -> None:
+    """Crash-safe full replacement of the parquet table at `target_path`
+    with `df` — `merge_upsert`'s staging-then-swap discipline without the
+    key merge, for callers whose plan READS the current table (e.g. the
+    streaming KMV fold: new state = f(old state, batch)). The plan is
+    fully written to staging while the old files are intact, then
+    swapped; a plain overwrite would delete the very files the plan is
+    still reading."""
+    recover_interrupted_swap(spark, target_path)
+    staging = target_path + ".__staging__"
+    df.write.mode("overwrite").parquet(staging)
+    _swap_into_place(spark, target_path, staging)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,

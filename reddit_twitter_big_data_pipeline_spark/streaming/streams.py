@@ -341,6 +341,55 @@ def upsert_stream_manifested(
     return writer.start()
 
 
+def kmv_stream(
+    df: DataFrame,
+    value_col: str,
+    target_path: str,
+    checkpoint: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming distinct-count maintenance via the KMV sketch
+    (operators/sketches.py): each micro-batch sketches only ITS rows —
+    per-batch cost ∝ batch size — and folds into the stored sketch with
+    `kmv_merge`, so the at-rest state stays ≤ k rows per group while
+    `kmv_estimate` over the stored frame answers "distinct users per day
+    so far" at any moment. An exact streaming distinct would keep state
+    proportional to the user universe; this keeps a fixed-size summary.
+
+    Exactly-once is BELT AND SUSPENDERS here: the checkpoint dedupes
+    batches, and even a replayed batch is harmless because kmv_merge has
+    set semantics (union + re-take the k smallest is idempotent) — the
+    same property that makes the fold commutative across out-of-order
+    batches. The stored sketch is replaced via the atomic
+    staging-then-swap writer, so readers never see a torn state."""
+    from ..operators import sketches
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sk = sketches.kmv_build(batch, value_col, group_cols=group_cols, k=k)
+        try:
+            # heal a crash between the previous fold's two swap renames
+            # BEFORE probing for the table, or a recoverable state would
+            # be misread as "no sketch yet" and silently restart the count
+            writers.recover_interrupted_swap(spark, target_path)
+            existing = spark.read.parquet(target_path)
+            merged = sketches.kmv_merge(existing, sk, k=k, group_cols=group_cols)
+        except Exception:  # first batch: no stored sketch yet
+            merged = sk
+        # staging-then-swap keeps the old files intact until the swap, so
+        # reading target_path inside the plan that replaces it is safe
+        writers.replace_table(spark, target_path, merged)
+
+    writer = df.writeStream.foreachBatch(_fold).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def rollup_stream(
     df: DataFrame,
     target_path: str,

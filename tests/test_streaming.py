@@ -978,3 +978,53 @@ def test_stream_upsert_into_manifested_store(spark, tmp_path):
     run()
     assert writers._manifest_versions(fs, spark._jvm, target) == v_before
     assert {(r.id, r.date, r.username) for r in writers.read_manifested(spark, target).collect()} == got
+
+
+def test_kmv_stream_folds_batches_and_replays_idempotently(spark, tmp_path):
+    from reddit_twitter_big_data_pipeline_spark.operators import sketches
+
+    land = tmp_path / "land"
+    tgt, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("day", T.StringType()), T.StructField("user", T.LongType())]
+    )
+    land.mkdir()
+
+    def _pq(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(land)
+        )
+
+    # two days, overlapping users across batches
+    _pq("b1", [("d1", u) for u in range(40)])
+    _pq("b2", [("d1", u) for u in range(20, 60)] + [("d2", u) for u in range(5)])
+
+    def run():
+        streams.run_to_completion(
+            streams.kmv_stream(
+                streams.read_parquet_stream(spark, str(land), schema, max_files_per_trigger=1),
+                "user", tgt, ckpt, group_cols=["day"], k=32,
+            )
+        )
+
+    run()
+    stored = spark.read.parquet(tgt)
+    # fixed-size state: at most k rows per group
+    assert stored.groupBy("day").count().agg({"count": "max"}).collect()[0][0] <= 32
+    est = {
+        r.day: r.n_distinct_est
+        for r in sketches.kmv_estimate(stored, k=32, group_cols=["day"]).collect()
+    }
+    assert est["d2"] == 5.0  # under k -> exact across batches
+    assert 30 <= est["d1"] <= 130  # 60 true distinct, k=32 estimate
+    # replay with the same checkpoint: no new batches, state unchanged
+    before = sorted(map(tuple, stored.collect()))
+    run()
+    assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == before
+    # full replay from scratch (fresh checkpoint): kmv_merge's set
+    # semantics make the re-fold land on the identical sketch
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == before
