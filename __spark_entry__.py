@@ -2534,6 +2534,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_equidepth_hist"] = x_equidepth_hist
 
+    def x_psi_drift(spark, sf):
+        # Population-drift monitor (operators/analytics.py:psi_drift):
+        # PSI of order totals, pre-1996 as the baseline vs 1996+ as the
+        # current period. Baseline equi-depth boundaries are collected
+        # (n_buckets scalars) and bucket assignment is a driver-built
+        # CASE chain — codegen projections + two count aggregates, no
+        # join near the data.
+        orders = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        base = orders.filter(F.year("o_orderdate") < 1996).select(
+            "o_orderkey", "o_totalprice"
+        )
+        cur = orders.filter(F.year("o_orderdate") >= 1996).select("o_totalprice")
+        return analytics.psi_drift(
+            base, cur, "o_totalprice", tie_cols=["o_orderkey"], n_buckets=10
+        )
+
+    q["x_psi_drift"] = x_psi_drift
+
     def _thinned_cosupply(spark, sf):
         # The l_quantity > 47 co-supply graph (x_kcore's edge set): sparse
         # enough at every SF that per-node structure is non-trivial —
@@ -5309,6 +5329,47 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT bucket, count(*)::BIGINT AS n_rows, min(v) AS lo, max(v) AS hi
         FROM b GROUP BY bucket
+    """
+
+    # PSI: baseline ntile boundaries, min-covering-bucket assignment for
+    # BOTH periods (the same rule the Spark CASE chain applies — note this
+    # re-assigns baseline ties at boundaries, deliberately identical on
+    # both sides), half-count Laplace smoothing, (p-q)*ln(p/q) per bucket.
+    o["x_psi_drift"] = """
+        WITH base AS (
+          SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+          WHERE year(o_orderdate) < 1996
+        ),
+        cur AS (
+          SELECT o_totalprice AS v FROM orders WHERE year(o_orderdate) >= 1996
+        ),
+        nt AS (SELECT v, ntile(10) OVER (ORDER BY v ASC, k ASC) AS bucket FROM base),
+        bounds AS (SELECT bucket, max(v) AS hi FROM nt GROUP BY bucket),
+        ab AS (
+          SELECT COALESCE((SELECT min(bucket) FROM bounds WHERE hi >= base.v), 10)
+                 AS bucket FROM base
+        ),
+        cb AS (
+          SELECT COALESCE((SELECT min(bucket) FROM bounds WHERE hi >= cur.v), 10)
+                 AS bucket FROM cur
+        ),
+        an AS (SELECT bucket, count(*) AS nb FROM ab GROUP BY bucket),
+        cn AS (SELECT bucket, count(*) AS nc FROM cb GROUP BY bucket),
+        g AS (SELECT unnest(range(1, 11)) AS bucket),
+        tot AS (
+          SELECT (SELECT count(*) FROM base)::DOUBLE AS tb,
+                 (SELECT count(*) FROM cur)::DOUBLE AS tc
+        )
+        SELECT CAST(g.bucket AS INTEGER) AS bucket,
+               COALESCE(nb, 0)::BIGINT AS n_base,
+               COALESCE(nc, 0)::BIGINT AS n_cur,
+               round(
+                 ((COALESCE(nb, 0) + 0.5) / (tb + 5.0)
+                  - (COALESCE(nc, 0) + 0.5) / (tc + 5.0))
+                 * ln(((COALESCE(nb, 0) + 0.5) / (tb + 5.0))
+                      / ((COALESCE(nc, 0) + 0.5) / (tc + 5.0))), 6) AS psi_contrib
+        FROM g LEFT JOIN an USING (bucket) LEFT JOIN cn USING (bucket)
+        CROSS JOIN tot
     """
 
     # KMV rebuilt exactly: same 60-bit md5 prefix per distinct user, same

@@ -381,3 +381,68 @@ def _exact_div(num, d: int):
     division is of an exactly-divisible numerator — no float-boundary
     risk at any magnitude."""
     return ((num - F.pmod(num, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    tie_cols: list[str],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    population of `col` — the drift monitor an ML data pipeline runs
+    before retraining (PSI < 0.1 stable, > 0.25 shifted, by the usual
+    credit-scoring rule of thumb). Buckets are the BASELINE's equi-depth
+    boundaries (so baseline shares are ~uniform and the index measures
+    how the current period redistributes across them); shares are
+    Laplace-smoothed by half a count so an empty bucket contributes a
+    finite, defined term. Returns one row per bucket:
+    (bucket, n_base, n_cur, psi_contrib) with psi_contrib =
+    (p − q)·ln(p/q) rounded to 6; sum(psi_contrib) is the index.
+
+    Scale shape: the boundaries come from `equidepth_histogram` (the
+    distributed two-phase rank) and are COLLECTED — n_buckets scalars,
+    planner-sized — then bucket assignment is a driver-built CASE chain:
+    pure whole-stage-codegen projection over both frames, one count
+    aggregate each, no join anywhere near the data."""
+    hist = equidepth_histogram(baseline, col, tie_cols, n_buckets).collect()
+    uppers = [r.hi for r in hist]  # bounded: n_buckets scalars
+
+    def bucket_of(c: Column) -> Column:
+        out = F.lit(len(uppers))  # above every boundary -> last bucket
+        for i in range(len(uppers) - 2, -1, -1):
+            out = F.when(c <= uppers[i], F.lit(i + 1)).otherwise(out)
+        return out
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(bucket_of(F.col(col)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    all_buckets = baseline.sparkSession.range(1, len(uppers) + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    joined = (
+        all_buckets.join(shares(baseline, "n_base"), "bucket", "left")
+        .join(shares(current, "n_cur"), "bucket", "left")
+        .fillna(0, ["n_base", "n_cur"])
+    )
+    k = len(uppers)
+    # totals via a whole-frame window: the frame is <= n_buckets rows of
+    # metadata, so the single-partition window is free here
+    w = Window.partitionBy(F.lit(1))
+    p = (F.col("n_base") + 0.5) / (F.sum("n_base").over(w) + 0.5 * k)
+    q = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w) + 0.5 * k)
+    return (
+        joined.withColumn("psi_contrib", F.round((p - q) * F.log(p / q), 6))
+        .select(
+            "bucket",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            "psi_contrib",
+        )
+        .orderBy("bucket")
+    )

@@ -266,3 +266,27 @@ def test_global_rank_matches_sorted_order_across_partitions(spark):
         for i, (k, _v) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
     }
     assert ranked == expect
+
+
+def test_psi_drift_detects_shift_and_smooths_empty_buckets(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    base = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], ["k", "v"]
+    )
+    # identical distribution -> PSI ~ 0 (smoothing keeps it finite, tiny)
+    same = base.select("v")
+    out = analytics.psi_drift(base, same, "v", tie_cols=["k"], n_buckets=10).collect()
+    assert len(out) == 10
+    assert abs(sum(r.psi_contrib for r in out)) < 0.01
+    assert [r.bucket for r in out] == list(range(1, 11))
+    assert all(r.n_base == 100 for r in out)  # equi-depth baseline
+
+    # hard shift: current mass all in the top decile; low buckets are EMPTY
+    # in current — smoothing keeps every contribution finite
+    shifted = spark.createDataFrame([(float(99),)] * 500, ["v"])
+    out2 = analytics.psi_drift(base, shifted, "v", tie_cols=["k"], n_buckets=10).collect()
+    psi = sum(r.psi_contrib for r in out2)
+    assert psi > 1.0  # far past the 0.25 "shifted" rule of thumb
+    assert all(r.psi_contrib is not None for r in out2)
+    assert {r.bucket: r.n_cur for r in out2}[10] == 500
