@@ -2554,6 +2554,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_psi_drift"] = x_psi_drift
 
+    def text_bigram_logprob(spark, sf):
+        # Interpolated bigram LM typicality score (operators/text.py:
+        # bigram_logprob) — the 2-gram step from text_unigram_logprob
+        # toward CCNet's KenLM filter. One doc-keyed lag() shuffle forms
+        # pairs; word-keyed count reductions; λ=0.75 Jelinek-Mercer.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return text_ops.bigram_logprob(docs, "text", "doc_id", lam=0.75)
+
+    q["text_bigram_logprob"] = text_bigram_logprob
+
     def _thinned_cosupply(spark, sf):
         # The l_quantity > 47 co-supply graph (x_kcore's edge set): sparse
         # enough at every SF that per-node structure is non-trivial —
@@ -3978,6 +3988,48 @@ def oracle_sql() -> dict[str, str]:
                exp(-avg(lp)) AS ppl
         FROM t2 JOIN model USING (word)
         GROUP BY id
+    """
+
+    # Bigram LM: same tokenize twin as the unigram oracle plus positions
+    # (generate_subscripts zips with unnest), lag() forms the pairs, and
+    # the interpolation expression mirrors the Spark op order exactly:
+    # lam*(bcnt/pcnt) + (1-lam)*(cnt/total); first token = unigram.
+    o["text_bigram_logprob"] = """
+        WITH raw AS (
+          SELECT doc_id AS id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+          FROM documents
+        ),
+        toks0 AS (
+          SELECT id, generate_subscripts(l, 1) AS pos, unnest(l) AS word FROM raw
+        ),
+        toks AS (SELECT id, pos, word FROM toks0 WHERE word != ''),
+        uni AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+        total AS (SELECT sum(cnt)::DOUBLE AS tt FROM uni),
+        pairs AS (
+          SELECT id, word,
+                 lag(word) OVER (PARTITION BY id ORDER BY pos) AS prev
+          FROM toks
+        ),
+        big AS (
+          SELECT prev, word, count(*) AS bcnt FROM pairs
+          WHERE prev IS NOT NULL GROUP BY prev, word
+        ),
+        scored AS (
+          SELECT p.id,
+                 CASE WHEN p.prev IS NULL THEN ln(u.cnt / tt)
+                      ELSE ln(0.75 * (b.bcnt / pu.cnt) + 0.25 * (u.cnt / tt))
+                 END AS lp
+          FROM pairs p
+          LEFT JOIN big b ON b.prev = p.prev AND b.word = p.word
+          LEFT JOIN uni pu ON pu.word = p.prev
+          JOIN uni u ON u.word = p.word
+          CROSS JOIN total
+        )
+        SELECT id, count(*)::BIGINT AS n_tokens, avg(lp) AS avg_logprob,
+               exp(-avg(lp)) AS ppl
+        FROM scored GROUP BY id
     """
 
     o["text_word_counts"] = """

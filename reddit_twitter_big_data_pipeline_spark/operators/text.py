@@ -928,3 +928,65 @@ def rrf_fuse(
 from .._serde import register_self as _register_self  # noqa: E402
 
 _register_self(__name__)
+
+
+def bigram_logprob(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", lam: float = 0.75
+) -> DataFrame:
+    """Score every document under the corpus's own INTERPOLATED bigram
+    language model — one n-gram order up from ``unigram_logprob`` toward
+    the KenLM filter CCNet actually runs (Wenzek et al. 2020 §4.2).
+    Jelinek-Mercer smoothing: P(w₂|w₁) = λ·C(w₁w₂)/C(w₁) + (1−λ)·C(w₂)/N,
+    so an unseen continuation backs off to the unigram floor instead of
+    −∞; each document's FIRST token scores under the unigram model alone
+    (no history). Output: (id, n_tokens, avg_logprob, ppl).
+
+    Scale shape: the token stream gets ONE doc-keyed shuffle for the
+    lag() window that forms adjacent pairs (positions are per-doc, the
+    window frame is a single preceding row); the bigram and unigram
+    count reductions are word-keyed with map-side combine (the same
+    tables ``bpe_train`` reduces to); the model joins key on 8-byte-ish
+    words, never documents; the corpus total rides as a 1-row broadcast
+    (the ``tf_idf`` stance)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(normalize_text(col), " ")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("__total"))
+    w = Window.partitionBy("id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("word").over(w))
+    big = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "word")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    c_prev = uni.select(F.col("word").alias("prev"), F.col("cnt").alias("pcnt"))
+    scored = (
+        pairs.join(big, ["prev", "word"], "left")
+        .join(c_prev, "prev", "left")
+        .join(uni, "word")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            F.when(
+                F.col("prev").isNull(),
+                F.log(F.col("cnt") / F.col("__total")),
+            ).otherwise(
+                F.log(
+                    F.lit(lam) * (F.col("bcnt") / F.col("pcnt"))
+                    + F.lit(1.0 - lam) * (F.col("cnt") / F.col("__total"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg("lp").alias("avg_logprob"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logprob")))
+    )

@@ -290,3 +290,37 @@ def test_psi_drift_detects_shift_and_smooths_empty_buckets(spark):
     assert psi > 1.0  # far past the 0.25 "shifted" rule of thumb
     assert all(r.psi_contrib is not None for r in out2)
     assert {r.bucket: r.n_cur for r in out2}[10] == 500
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    import math
+
+    from reddit_twitter_big_data_pipeline_spark.operators import text as text_ops
+
+    docs = [(1, "a b a b"), (2, "a a"), (3, "b")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.id: r for r in text_ops.bigram_logprob(df, lam=0.75).collect()}
+
+    # corpus: tokens a×4, b×3, N=7; bigrams: (a,b)x2 (b,a)x1 (a,a)x1
+    N = 7.0
+    uni = {"a": 4, "b": 3}
+    big = {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 1}
+
+    def p(prev, w):
+        if prev is None:
+            return uni[w] / N
+        return 0.75 * (big.get((prev, w), 0) / uni[prev]) + 0.25 * (uni[w] / N)
+
+    def score(toks):
+        lps = [math.log(p(None, toks[0]))] + [
+            math.log(p(a, b)) for a, b in zip(toks, toks[1:])
+        ]
+        return sum(lps) / len(lps)
+
+    for doc_id, textv in docs:
+        toks = textv.split()
+        assert got[doc_id].n_tokens == len(toks)
+        assert abs(got[doc_id].avg_logprob - score(toks)) < 1e-12
+        assert abs(got[doc_id].ppl - math.exp(-score(toks))) < 1e-9
+    # the repetitive doc (seen bigrams) is more typical than the bare 'b'
+    assert got[1].ppl < got[3].ppl

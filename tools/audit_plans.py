@@ -26,6 +26,7 @@ NESTED_LOOP_EXEMPT = {
     "text_bm25_topk",        # 1-row (avgdl, N) stats cross join
     "text_hybrid_rrf",       # composes bm25_topk
     "text_unigram_logprob",  # 1-row corpus-total cross join
+    "text_bigram_logprob",   # 1-row corpus-total cross join (same stance)
     "text_importance_weights",  # two 1-row total frames (target + raw)
     "x_winsorize",           # 1-row exact-quantile bounds broadcast
     "text_quality_gate",     # per-language percentile threshold broadcast
