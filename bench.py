@@ -99,6 +99,20 @@ HEADLINE = [
     "dedup_containment_pairs",
     "sample_split_leakproof",
     "ts_profile_knn",
+    # round-7 second-wave additions (first recorded baselines this round):
+    # the two deterministic sketches, the graph-family completions, the
+    # layout key, PII scrub, the distributed-rank histogram + PSI drift,
+    # and the bigram LM
+    "x_cms_freq",
+    "x_kmv_users_daily",
+    "x_clustering_coeff",
+    "x_adamic_adar",
+    "x_hits",
+    "x_zorder_key",
+    "text_pii_redact",
+    "x_equidepth_hist",
+    "x_psi_drift",
+    "text_bigram_logprob",
 ]
 
 
