@@ -2448,6 +2448,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_kmv_users_daily"] = x_kmv_users_daily
 
+    def x_hll_parts_monthly(spark, sf):
+        # Distinct parts shipped per month via the deterministic HLL
+        # (operators/sketches.py:hll_build/hll_estimate): m=64 registers
+        # over the 60-bit md5 seam, bucket = top 6 hash bits, rho = the
+        # leading-zero rank of the 54-bit tail via minimal-binary string
+        # length (Spark conv(w,10,2) == DuckDB bin(w) — an integer/string
+        # seam, no float log2). The harmonic denominator is an exact LONG
+        # sum of power-of-two terms, so the estimate is ONE double
+        # division and the oracle rebuilds it bit-for-bit — the classic
+        # register-sketch cardinality rollup a 100-TB profile job runs,
+        # but hash-gated, which no built-in HLL offers.
+        li = _t(spark, sf, "lineitem").select(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("mon"),
+            "l_partkey",
+        )
+        sk = sketches.hll_build(li, "l_partkey", group_cols=["mon"], b=6)
+        est = sketches.hll_estimate(sk, b=6, group_cols=["mon"])
+        return est.select(F.col("mon").cast("string").alias("mon"), "n_distinct_est")
+
+    q["x_hll_parts_monthly"] = x_hll_parts_monthly
+
+    def x_kmv_overlap(spark, sf):
+        # Pairwise part-set OVERLAP between return-flag classes via
+        # theta-sketch set algebra on KMV sketches
+        # (operators/sketches.py:kmv_intersect_estimate): theta = the
+        # smaller of the two groups' k-th-smallest hashes, estimate =
+        # |shared hashes below theta| / (theta/2^60). Integer hash
+        # comparisons + one double division — deterministic, so the
+        # cross-stream overlap question (shared users between surfaces,
+        # common n-grams between shards) is answered from ≤ k-row
+        # per-group state, hash-gated, without re-scanning either stream.
+        li = _t(spark, sf, "lineitem").select("l_returnflag", "l_partkey")
+        sk = sketches.kmv_build(li, "l_partkey", group_cols=["l_returnflag"], k=128)
+        return sketches.kmv_intersect_estimate(sk, ["l_returnflag"], k=128)
+
+    q["x_kmv_overlap"] = x_kmv_overlap
+
     def x_hits(spark, sf):
         # HITS hubs & authorities over the supplier→customer fulfillment
         # graph — x_pagerank's edge set, but the two-role scoring a
@@ -5452,6 +5489,99 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
                END AS n_distinct_est
         FROM s
+    """
+
+    # HLL registers rebuilt exactly: same 60-bit md5 prefix, bucket = top
+    # 6 bits (integer // 2^54), rho = 55 - length of the minimal binary
+    # string of the 54-bit tail (DuckDB bin(w) == Spark conv(w,10,2)),
+    # per-(month,bucket) max. The harmonic denominator is the exact LONG
+    # sum(2^(55-rho)) with absent registers contributing 2^55 each, so
+    # both branches — raw alpha·m²·2^55/S and linear-counting m·ln(m/V)
+    # — are the same one-or-two float ops on identical exact integers.
+    # Numerator literal = repr(0.709·64·64·2^55) (powers-of-two scalings
+    # of the same nearest-double 0.709 — bit-identical cross-engine).
+    o["x_hll_parts_monthly"] = """
+        WITH dv AS (
+          SELECT DISTINCT date_trunc('month', l_shipdate) AS mon, l_partkey
+          FROM lineitem WHERE l_partkey IS NOT NULL
+        ),
+        h AS (
+          SELECT mon,
+                 ('0x' || substr(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hash
+          FROM dv
+        ),
+        sp AS (
+          SELECT mon, hash // 18014398509481984 AS bucket,
+                 hash % 18014398509481984 AS w
+          FROM h
+        ),
+        rh AS (
+          SELECT mon, bucket,
+                 CASE WHEN w > 0 THEN 55 - length(bin(w)) ELSE 55 END AS rho
+          FROM sp
+        ),
+        reg AS (SELECT mon, bucket, max(rho) AS rho FROM rh GROUP BY 1, 2),
+        agg AS (
+          SELECT mon, count(*) AS nb,
+                 CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT) AS s_present
+          FROM reg GROUP BY 1
+        ),
+        tot AS (
+          SELECT mon, nb,
+                 s_present + (64 - nb) * (1::BIGINT << 55) AS s_tot
+          FROM agg
+        )
+        SELECT CAST(CAST(mon AS DATE) AS VARCHAR) AS mon,
+               CASE WHEN (1.0462993238608057e+20 / CAST(s_tot AS DOUBLE)) <= 160.0
+                         AND (64 - nb) > 0
+                    THEN 64.0 * ln(64.0 / CAST(64 - nb AS DOUBLE))
+                    ELSE 1.0462993238608057e+20 / CAST(s_tot AS DOUBLE)
+               END AS n_distinct_est
+        FROM tot
+    """
+
+    # Theta-sketch intersection rebuilt exactly: the same per-flag
+    # 128-smallest KMV hash sets, theta = min of the two groups'
+    # k-th-smallest (full 2^60 span for unfilled groups), shared hashes
+    # strictly below theta counted, then the identical n·(2^60/theta)
+    # float-op order. Zero-overlap pairs drop from both engines alike.
+    o["x_kmv_overlap"] = """
+        WITH dv AS (
+          SELECT DISTINCT l_returnflag AS g, l_partkey FROM lineitem
+          WHERE l_partkey IS NOT NULL
+        ),
+        h AS (
+          SELECT g,
+                 ('0x' || substr(md5('kmv:' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hash
+          FROM dv
+        ),
+        r AS (
+          SELECT g, hash,
+                 row_number() OVER (PARTITION BY g ORDER BY hash ASC) AS rn
+          FROM h
+        ),
+        sk AS (SELECT g, hash FROM r WHERE rn <= 128),
+        th AS (
+          SELECT g,
+                 CASE WHEN count(*) < 128 THEN 1152921504606846976
+                      ELSE max(hash) END AS theta
+          FROM sk GROUP BY g
+        ),
+        common AS (
+          SELECT a.g AS g_a, b.g AS g_b, a.hash,
+                 least(ta.theta, tb.theta) AS theta
+          FROM sk a
+          JOIN sk b ON a.hash = b.hash AND a.g < b.g
+          JOIN th ta ON ta.g = a.g
+          JOIN th tb ON tb.g = b.g
+        ),
+        cnt AS (
+          SELECT g_a, g_b, theta, count(*) AS n
+          FROM common WHERE hash < theta GROUP BY 1, 2, 3
+        )
+        SELECT g_a, g_b,
+               CAST(n AS DOUBLE) * (1152921504606846976.0 / CAST(theta AS DOUBLE)) AS n_common_est
+        FROM cnt
     """
 
     # Per-node triangle membership via the plain a<b<c three-way join

@@ -313,3 +313,187 @@ def kmv_estimate(
         )
         .alias("n_distinct_est"),
     )
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 6,
+    salt: str = "hll:",
+) -> DataFrame:
+    """Deterministic HyperLogLog registers (Flajolet et al. 2007) over the
+    md5 hash seam: per group, ≤ m = 2^b rows (bucket, rho) where bucket is
+    the top `b` bits of the 60-bit md5-prefix hash and rho is the leading-
+    zero rank of the remaining 60-b bits (1-based; an all-zero tail reads
+    61-b). Absent buckets are implicit rho=0. Unlike Spark's built-in
+    `approx_count_distinct` (whose xxhash/dense-register internals no
+    other engine reproduces), every step here is md5 + integer/string ops
+    both engines define identically — bucket split by shift/mask, rho by
+    the length of the minimal binary rendering (Spark `conv(w,10,2)` ==
+    DuckDB `bin(w)`) — so an oracle rebuilds the registers bit-for-bit and
+    the ESTIMATE is hash-gated, which neither built-in HLL can offer.
+
+    Scale shape: one distinct on (group, value) — the shuffle an exact
+    count needs anyway — then a groupBy(group, bucket).max(rho) whose
+    map-side partial collapses each partition to ≤ m rows per group
+    before the exchange. State is fixed-size and mergeable (`hll_merge`:
+    union + max — the register lattice join).
+    """
+    groups = list(group_cols or [])
+    tail_bits = 60 - b
+    dv = (
+        df.select(*groups, F.col(value_col).cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
+    h = dv.select(
+        *groups,
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("v"))), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hash"),
+    )
+    split = h.select(
+        *groups,
+        F.shiftright(F.col("hash"), tail_bits).alias("bucket"),
+        (F.col("hash") - F.shiftleft(F.shiftright(F.col("hash"), tail_bits), tail_bits)).alias("w"),
+    )
+    rho = split.select(
+        *groups,
+        "bucket",
+        F.when(
+            F.col("w") > 0,
+            F.lit(tail_bits + 1)
+            - F.length(F.conv(F.col("w").cast("string"), 10, 2)).cast("long"),
+        )
+        .otherwise(F.lit(tail_bits + 1))
+        .cast("long")
+        .alias("rho"),
+    )
+    return rho.groupBy(*groups, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge HLL register frames built with the SAME (b, salt): union and
+    re-take the per-bucket max. Identical to building one sketch over the
+    concatenated streams — the register-lattice join that makes HLL the
+    canonical mergeable distinct sketch."""
+    groups = list(group_cols or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*groups, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame, b: int = 6, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate from HLL registers, arranged so the float
+    seam is ONE division (plus ln only on the small-range branch):
+    the harmonic denominator sum(2^-rho) over all m registers is computed
+    as the exact LONG sum(2^(SCALE-rho)) (SCALE = 61-b ≥ max rho, so every
+    term is an exact power-of-two integer; order-independent, no double
+    accumulation), zero registers contribute (m - present)·2^SCALE, and
+    the raw estimate is the single division alpha·m²·2^SCALE / S with the
+    numerator folded into one plan-time literal. Small-range correction
+    (raw ≤ 2.5m and empty registers exist) switches to linear counting
+    m·ln(m/V) — the one transcendental, whose ≤1-ulp cross-libm wobble
+    sits far below the oracle gate's 9-significant-digit canonicalization.
+    Returns (group..., n_distinct_est double).
+    """
+    groups = list(group_cols or [])
+    m = 1 << b
+    scale = 61 - b
+    numer = _hll_alpha(m) * float(m) * float(m) * float(1 << scale)
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(1L, {scale} - rho)")).alias("s_present"),
+    )
+    tot = agg.select(
+        *groups,
+        "nb",
+        (
+            F.col("s_present")
+            + (F.lit(m).cast("long") - F.col("nb")) * F.lit(1 << scale).cast("long")
+        ).alias("s_tot"),
+    )
+    raw = F.lit(numer) / F.col("s_tot").cast("double")
+    zeros = F.lit(m).cast("long") - F.col("nb")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return tot.select(
+        *groups,
+        F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear)
+        .otherwise(raw)
+        .alias("n_distinct_est"),
+    )
+
+
+def kmv_intersect_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-INTERSECTION estimates between groups from one KMV
+    sketch frame (theta-sketch set algebra, Dasgupta et al. 2016): for
+    groups A and B, theta = min(theta_A, theta_B) where theta_g is the
+    group's k-th smallest hash (or the full 2^60 span when the group
+    never filled k slots — its sketch is exhaustive), and the estimate is
+    |{h in sk_A ∩ sk_B : h < theta}| / (theta / 2^60). Every input is an
+    integer hash comparison; the single double division is the only float
+    op, so the estimate is deterministic and ORACLE-REBUILDABLE — the
+    overlap question (shared users between two event streams, common
+    n-grams between two shards) answered from fixed-size per-group state
+    without re-scanning either stream.
+
+    Returns one row per unordered group pair (g_a < g_b lexically):
+    (g_a, g_b, n_common_est double). The sketch frame is ≤ k rows per
+    group BY CONSTRUCTION, so both the theta frame and the hash self-join
+    broadcast; nothing here scales with the underlying data.
+    """
+    if len(group_cols) != 1:
+        raise ValueError("kmv_intersect_estimate expects exactly one group column")
+    g = group_cols[0]
+    thetas = sketch.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n"), F.max("hash").alias("hk")
+    ).select(
+        F.col(g).alias("grp"),
+        F.when(F.col("n") < k, F.lit(1 << 60).cast("long"))
+        .otherwise(F.col("hk"))
+        .alias("theta"),
+    )
+    a = sketch.select(F.col(g).alias("g_a"), "hash")
+    bside = sketch.select(F.col(g).alias("g_b"), "hash")
+    common = a.join(bside, "hash").filter(F.col("g_a") < F.col("g_b"))
+    paired = (
+        common.join(F.broadcast(thetas.withColumnRenamed("grp", "g_a")), "g_a")
+        .withColumnRenamed("theta", "theta_a")
+        .join(F.broadcast(thetas.withColumnRenamed("grp", "g_b")), "g_b")
+        .withColumnRenamed("theta", "theta_b")
+        .withColumn("theta", F.least("theta_a", "theta_b"))
+    )
+    counted = (
+        paired.filter(F.col("hash") < F.col("theta"))
+        .groupBy("g_a", "g_b", "theta")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return counted.select(
+        "g_a",
+        "g_b",
+        (
+            F.col("n_common").cast("double")
+            * (F.lit(float(1 << 60)) / F.col("theta").cast("double"))
+        ).alias("n_common_est"),
+    )

@@ -179,3 +179,80 @@ def test_kmv_grouped_and_merge_equals_concat(spark):
         for r in sketches.kmv_estimate(merged, k=32, group_cols=["g"]).collect()
     }
     assert est["g2"] == 10.0
+
+
+def _py_hll(values, b=6, salt="hll:"):
+    """Pure-Python HLL reference mirroring the md5 seam bit-for-bit."""
+    import hashlib
+    import math
+
+    m = 1 << b
+    tail = 60 - b
+    regs = {}
+    for v in set(str(x) for x in values):
+        h = int(hashlib.md5((salt + v).encode()).hexdigest()[:15], 16)
+        bucket, w = h >> tail, h & ((1 << tail) - 1)
+        rho = (tail + 1 - w.bit_length()) if w > 0 else tail + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    scale = 61 - b
+    s = sum(1 << (scale - r) for r in regs.values()) + (m - len(regs)) * (1 << scale)
+    alpha = sketches._hll_alpha(m)
+    raw = (alpha * m * m * float(1 << scale)) / float(s)
+    zeros = m - len(regs)
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def test_hll_matches_python_reference_and_error_bound(spark):
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % ((F.col("id") % 3) * 400 + 200)).alias("v"),
+    )
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    sk = sketches.hll_build(df, "v", ["g"], b=6)
+    est = {r.g: r.n_distinct_est for r in sketches.hll_estimate(sk, b=6, group_cols=["g"]).collect()}
+    rows = {r.g: list(df.filter(F.col("g") == r.g).select("v").toPandas()["v"]) for r in df.select("g").distinct().collect()}
+    for g, e in est.items():
+        assert e == _py_hll(rows[g], b=6), g  # bit-exact vs the reference
+        assert abs(e - exact[g]) / exact[g] < 0.35  # ~1.04/sqrt(64) ≈ 13% rsd, 2.7σ slack
+
+
+def test_hll_small_group_linear_counting_branch(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    est = sketches.hll_estimate(sketches.hll_build(df, "v", b=6), b=6).collect()[0].n_distinct_est
+    assert est == _py_hll(range(10), b=6)
+    assert abs(est - 10) <= 2  # linear counting is near-exact here
+
+
+def test_hll_state_bounded_and_merge_equals_concat(spark):
+    a = spark.range(5_000).select((F.col("id") % 900).alias("v"))
+    c = spark.range(5_000, 9_000).select((F.col("id") % 1100).alias("v"))
+    sa, sc = sketches.hll_build(a, "v", b=6), sketches.hll_build(c, "v", b=6)
+    assert sa.count() <= 64 and sc.count() <= 64
+    merged = sketches.hll_merge(sa, sc)
+    both = sketches.hll_build(a.unionByName(c), "v", b=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
+
+
+def test_kmv_intersect_exact_when_exhaustive_and_bounded_above_k(spark):
+    # Two groups sharing exactly 120 of 200/250 values, k large enough to
+    # hold both exhaustively -> theta = full span -> estimate is EXACT.
+    a = spark.range(200).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(80, 330).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    df = a.unionByName(b)
+    sk = sketches.kmv_build(df, "v", ["g"], k=512)
+    est = sketches.kmv_intersect_estimate(sk, ["g"], k=512).collect()
+    assert len(est) == 1
+    assert est[0].g_a == "a" and est[0].g_b == "b"
+    assert est[0].n_common_est == 120.0
+
+    # Above k: estimate within 30% of the true 2000-element overlap.
+    big_a = spark.range(6_000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    big_b = spark.range(4_000, 9_000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    sk2 = sketches.kmv_build(big_a.unionByName(big_b), "v", ["g"], k=256)
+    e2 = sketches.kmv_intersect_estimate(sk2, ["g"], k=256).collect()[0].n_common_est
+    assert abs(e2 - 2000) / 2000 < 0.30
