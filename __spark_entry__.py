@@ -2485,6 +2485,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_kmv_overlap"] = x_kmv_overlap
 
+    def x_bloom_prune_join(spark, sf):
+        # Runtime Bloom-filter join pruning
+        # (operators/sketches.py:bloom_build/bloom_prune): high-balance
+        # suppliers build a ≤ m/64-word deterministic md5 Bloom filter;
+        # the lineitem stream drops non-members MAP-SIDE (k broadcast
+        # word-lookups + bitwise AND, no shuffle, rows die in the scan
+        # stage) before the exact join computes per-supplier revenue.
+        # Spark's own bloom_filter_agg/might_contain runtime filter is
+        # not in the public registry — this is that pattern hand-rolled
+        # on the hash seam, so it is ALSO oracle-checkable: false
+        # positives are removed by the exact join, making the result
+        # identical to the plain join the oracle runs. At 100 TB the
+        # pruned side never shuffles its non-matching ~60%.
+        supp = (
+            _t(spark, sf, "supplier")
+            .filter(F.col("s_acctbal") > 6000)
+            .select("s_suppkey", "s_name")
+        )
+        li = _t(spark, sf, "lineitem").select(
+            "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        bloom = sketches.bloom_build(supp, "s_suppkey", m_bits=4096, k_hashes=3)
+        pruned = sketches.bloom_prune(li, bloom, "l_suppkey", m_bits=4096, k_hashes=3)
+        joined = pruned.join(
+            F.broadcast(supp), pruned["l_suppkey"] == supp["s_suppkey"]
+        )
+        return joined.groupBy("s_suppkey", "s_name").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+
+    q["x_bloom_prune_join"] = x_bloom_prune_join
+
     def x_hits(spark, sf):
         # HITS hubs & authorities over the supplier→customer fulfillment
         # graph — x_pagerank's edge set, but the two-role scoring a
@@ -5582,6 +5616,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT g_a, g_b,
                CAST(n AS DOUBLE) * (1152921504606846976.0 / CAST(theta AS DOUBLE)) AS n_common_est
         FROM cnt
+    """
+
+    # The Bloom filter is an implementation device, not a semantics
+    # change: its false positives are eliminated by the exact join, so
+    # the oracle is the PLAIN join + aggregate (and the no-false-negative
+    # property is exactly what the hash gate verifies).
+    o["x_bloom_prune_join"] = """
+        SELECT s.s_suppkey, s.s_name,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_acctbal > 6000
+        GROUP BY 1, 2
     """
 
     # Per-node triangle membership via the plain a<b<c three-way join

@@ -497,3 +497,110 @@ def kmv_intersect_estimate(
             * (F.lit(float(1 << 60)) / F.col("theta").cast("double"))
         ).alias("n_common_est"),
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter over the distinct keys of `df`, as a (word, bits)
+    frame of ≤ m_bits/64 LONG rows — the build side of a runtime join
+    filter. Each key sets `k_hashes` bits addressed by the md5 seam
+    (`pos_j = 60-bit md5('salt j:' || key) % m_bits`), aggregated with
+    ONE map-side-partial `bit_or` — the shuffle carries ≤ m_bits/64 words
+    regardless of input size, and the result broadcasts at any scale
+    (8 KB per 2^16 bits). Deterministic: an oracle (or a checkpoint
+    re-run) rebuilds the identical bit array.
+
+    This is the hand-rolled twin of Spark's internal runtime filter
+    (`bloom_filter_agg`/`might_contain`, not in the public function
+    registry): build on the selective side of a join, `bloom_prune` the
+    big side BEFORE its shuffle — rows the filter rejects are guaranteed
+    non-matches (no false negatives), so the exact join that follows
+    only re-checks the surviving ≤ fpp false positives."""
+    keys = (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col("k"))), 1, 15
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % m_bits
+                    )
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_prune(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Drop probe rows whose key is definitively absent from the Bloom
+    filter. Entirely MAP-SIDE: each of the `k_hashes` membership checks
+    is one broadcast hash join on the word index (the filter frame is
+    ≤ m_bits/64 rows) plus a bitwise AND — the probe stream never
+    shuffles, never aggregates, and rows drop in the scan stage, which
+    is the entire point of a runtime filter at 100 TB: the following
+    exact join shuffles only survivors. Guarantees: every true match
+    survives (no false negatives); survivors may include ~fpp false
+    positives, so compose with the exact join for final results."""
+    out = probe
+    for j in range(k_hashes):
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"{salt}{j}:"), F.col(key_col).cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        pcol, wcol, bcol, mcol = f"__blp{j}", f"__blw{j}", f"__blb{j}", f"__blm{j}"
+        side = F.broadcast(
+            bloom.select(F.col("word").alias(wcol), F.col("bits").alias(bcol))
+        )
+        out = (
+            out.withColumn(pcol, pos)
+            .withColumn(wcol, F.shiftright(F.col(pcol), 6))
+            .withColumn(mcol, F.expr(f"shiftleft(1L, CAST({pcol} % 64 AS INT))"))
+            .join(side, wcol, "left")
+            .filter(
+                F.col(bcol).isNotNull()
+                & (F.col(bcol).bitwiseAND(F.col(mcol)) != 0)
+            )
+            .drop(pcol, wcol, bcol, mcol)
+        )
+    return out

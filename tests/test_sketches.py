@@ -256,3 +256,33 @@ def test_kmv_intersect_exact_when_exhaustive_and_bounded_above_k(spark):
     sk2 = sketches.kmv_build(big_a.unionByName(big_b), "v", ["g"], k=256)
     e2 = sketches.kmv_intersect_estimate(sk2, ["g"], k=256).collect()[0].n_common_est
     assert abs(e2 - 2000) / 2000 < 0.30
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    build = spark.range(50).select((F.col("id") * 7).alias("k"))
+    bloom = sketches.bloom_build(build, "k", m_bits=4096, k_hashes=3)
+    # state bounded: at most m/64 words, each a long
+    assert bloom.count() <= 4096 // 64
+
+    # every build key survives the prune (no false negatives — guaranteed)
+    kept_true = sketches.bloom_prune(build, bloom, "k", m_bits=4096, k_hashes=3)
+    assert kept_true.count() == 50
+
+    # a disjoint probe set is mostly dropped (fpp at n=50,m=4096,k=3 ≈ 1e-3)
+    probe = spark.range(10_000, 12_000).select(F.col("id").alias("k"))
+    survivors = sketches.bloom_prune(probe, bloom, "k", m_bits=4096, k_hashes=3)
+    assert survivors.count() <= 20  # 1% of 2000, 10× the expected fpp
+
+    # deterministic: rebuilding yields the identical word/bits frame
+    again = sketches.bloom_build(build, "k", m_bits=4096, k_hashes=3)
+    assert sorted(map(tuple, bloom.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_bloom_prune_then_exact_join_equals_plain_join(spark):
+    build = spark.range(30).select((F.col("id") * 13 + 5).alias("k"), F.lit("d").alias("tag"))
+    probe = spark.range(2_000).select((F.col("id") % 600).alias("k"), F.col("id").alias("payload"))
+    bloom = sketches.bloom_build(build, "k", m_bits=2048, k_hashes=3)
+    pruned = sketches.bloom_prune(probe, bloom, "k", m_bits=2048, k_hashes=3)
+    via_bloom = pruned.join(build, "k").select("k", "payload")
+    plain = probe.join(build, "k").select("k", "payload")
+    assert sorted(map(tuple, via_bloom.collect())) == sorted(map(tuple, plain.collect()))
