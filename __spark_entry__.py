@@ -2625,6 +2625,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_psi_drift"] = x_psi_drift
 
+    def x_cusum_drift(spark, sf):
+        # Sequential changepoint monitor (operators/analytics.py:
+        # cusum_drift): one-sided CUSUM over each event type's daily
+        # value totals via the closed form s_t = c_t − min(0, min c_j)
+        # (the max(0,·) recursion is not window-expressible; the prefix
+        # form is two ordered windows). All arithmetic is n-scaled exact
+        # integers — floor-micro units, long sums, floor-div slack and
+        # threshold — so the alarm flags carry NO float seam at all: the
+        # one query family (drift alarms) where a 1-ulp wobble could
+        # flip an output bit, made bit-exact by construction.
+        ev = _t(spark, sf, "events")
+        out = analytics.cusum_drift(
+            ev, "value", "ts", ["event_type"], slack_pct=5, threshold_pct=50
+        )
+        return out.select(
+            "event_type", F.col("day").cast("string").alias("day"), "cusum", "flag"
+        )
+
+    q["x_cusum_drift"] = x_cusum_drift
+
     def text_bigram_logprob(spark, sf):
         # Interpolated bigram LM typicality score (operators/text.py:
         # bigram_logprob) — the 2-gram step from text_unigram_logprob
@@ -5452,6 +5472,50 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT bucket, count(*)::BIGINT AS n_rows, min(v) AS lo, max(v) AS hi
         FROM b GROUP BY bucket
+    """
+
+    # CUSUM rebuilt op-for-op on the same exact integers: floor-micro
+    # longs, n-scaled prefix sums, floor-division slack/threshold
+    # ((x*p)//100 == Spark's subtract-remainder exact division for the
+    # non-negative totals here), two ordered ROWS windows. No doubles
+    # anywhere past the first floor, so flags are bit-identical.
+    o["x_cusum_drift"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS xi
+          FROM events GROUP BY 1, 2
+        ),
+        st AS (
+          SELECT event_type, day, xi,
+                 count(*) OVER (PARTITION BY event_type) AS n,
+                 CAST(sum(xi) OVER (PARTITION BY event_type) AS BIGINT) AS s_total
+          FROM daily
+        ),
+        yy AS (
+          SELECT event_type, day, s_total,
+                 n * xi - s_total - (s_total * 5) // 100 AS y
+          FROM st
+        ),
+        cc AS (
+          SELECT event_type, day, s_total,
+                 CAST(sum(y) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS c
+          FROM yy
+        ),
+        rm AS (
+          SELECT event_type, day, s_total, c,
+                 min(c) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS c_runmin
+          FROM cc
+        )
+        SELECT event_type, CAST(day AS VARCHAR) AS day,
+               c - least(0, c_runmin) AS cusum,
+               (c - least(0, c_runmin)) > (s_total * 50) // 100 AS flag
+        FROM rm
     """
 
     # PSI: baseline ntile boundaries, min-covering-bucket assignment for

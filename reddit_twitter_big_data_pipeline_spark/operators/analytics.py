@@ -446,3 +446,81 @@ def psi_drift(
         )
         .orderBy("bucket")
     )
+
+
+def cusum_drift(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_cols: list[str],
+    slack_pct: int = 5,
+    threshold_pct: int = 50,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """One-sided CUSUM drift detector (Page 1954) over each group's daily
+    totals — the sequential changepoint monitor that catches a sustained
+    upward shift a PSI snapshot smears out. The recursion
+    s_t = max(0, s_{t-1} + x_t − μ − κ) is not window-expressible, but its
+    closed form IS: with y_t = x_t − μ − κ and c_t = Σ_{j≤t} y_j,
+    s_t = c_t − min(0, min_{j≤t} c_j) — two ordered windows, no loop.
+
+    Everything is EXACT integer arithmetic so the flags cannot flip on a
+    float seam: per-row values land as floor(value·unit) longs, daily
+    totals / group totals are long sums, and the whole recursion is
+    multiplied through by n (the group's day count) — μ·n = S needs no
+    division, the slack κ = slack_pct% of the mean day becomes the exact
+    `S·slack_pct // 100`, and the threshold (threshold_pct% of a mean
+    day's total) scales the same way. Requires non-negative values (the
+    floor-division identity assumes S ≥ 0).
+
+    Returns (group..., day, cusum long, flag boolean) where `cusum` is
+    the n·unit-scaled statistic. Scale shape: one (group, day) aggregate
+    — partial map-side — then two windows partitioned by group ordered
+    by day; a group's whole daily series sits in one WindowExec frame
+    (spill-safe), and groups parallelize. At larger value magnitudes
+    lower `unit` to keep n·Σ within long range."""
+    groups = list(group_cols)
+    daily = (
+        df.select(
+            *groups,
+            F.col(ts_col).cast("date").alias("day"),
+            F.floor(F.col(value_col) * unit).cast("long").alias("xi_row"),
+        )
+        .groupBy(*groups, "day")
+        .agg(F.sum("xi_row").alias("xi"))
+    )
+    w_full = Window.partitionBy(*groups)
+    w_ord = (
+        Window.partitionBy(*groups)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = daily.select(
+        *groups,
+        "day",
+        "xi",
+        F.count(F.lit(1)).over(w_full).alias("n"),
+        F.sum("xi").over(w_full).alias("s_total"),
+    ).withColumn(
+        "y",
+        F.col("n") * F.col("xi")
+        - F.col("s_total")
+        - _exact_div(F.col("s_total") * slack_pct, 100),
+    )
+    cum = staged.select(
+        *groups, "day", "s_total", F.sum("y").over(w_ord).alias("c")
+    )
+    runmin = cum.select(
+        *groups, "day", "s_total", "c", F.min("c").over(w_ord).alias("c_runmin")
+    )
+    return runmin.select(
+        *groups,
+        "day",
+        (F.col("c") - F.least(F.lit(0).cast("long"), F.col("c_runmin"))).alias(
+            "cusum"
+        ),
+        (
+            (F.col("c") - F.least(F.lit(0).cast("long"), F.col("c_runmin")))
+            > _exact_div(F.col("s_total") * threshold_pct, 100)
+        ).alias("flag"),
+    )

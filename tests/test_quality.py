@@ -324,3 +324,61 @@ def test_bigram_logprob_matches_hand_model(spark):
         assert abs(got[doc_id].ppl - math.exp(-score(toks))) < 1e-9
     # the repetitive doc (seen bigrams) is more typical than the bare 'b'
     assert got[1].ppl < got[3].ppl
+
+
+def _py_cusum(series, slack_pct=5, threshold_pct=50, unit=1_000_000):
+    """Pure-Python reference: the literal max(0, ...) recursion on the
+    same n-scaled exact integers as analytics.cusum_drift."""
+    xi = [int(__import__("math").floor(v * unit)) for v in series]
+    n, s_total = len(xi), sum(xi)
+    slack = (s_total * slack_pct) // 100
+    thresh = (s_total * threshold_pct) // 100
+    out, s = [], 0
+    for x in xi:
+        s = max(0, s + n * x - s_total - slack)
+        out.append((s, s > thresh))
+    return out
+
+
+def test_cusum_matches_recursion_and_detects_planted_shift(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    import datetime
+
+    # 40 stationary days at ~10, then 20 days shifted to ~18
+    vals = [10.0 + (i % 3) * 0.5 for i in range(40)] + [
+        18.0 + (i % 3) * 0.5 for i in range(20)
+    ]
+    rows = [
+        ("g", datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts", "value"])
+    got = (
+        analytics.cusum_drift(df, "value", "ts", ["g"])
+        .orderBy("day")
+        .collect()
+    )
+    ref = _py_cusum(vals)
+    assert [(r.cusum, r.flag) for r in got] == ref
+    # the recursion resets to 0 through the stationary stretch and the
+    # alarm fires inside the shifted window, not before it
+    assert all(not r.flag for r in got[:40])
+    fired = [i for i, r in enumerate(got) if r.flag]
+    assert fired and 40 <= fired[0] < 55
+
+
+def test_cusum_no_alarm_on_stationary_series(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 3, 1) + datetime.timedelta(days=i), 5.0 + (i % 5) * 0.1)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts", "value"])
+    got = analytics.cusum_drift(df, "value", "ts", ["g"]).collect()
+    assert not any(r.flag for r in got)
+    ref = _py_cusum([5.0 + (i % 5) * 0.1 for i in range(50)])
+    assert sorted(r.cusum for r in got) == sorted(s for s, _ in ref)
