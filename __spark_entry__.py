@@ -2645,6 +2645,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_cusum_drift"] = x_cusum_drift
 
+    def text_boilerplate_ngrams(spark, sf):
+        # Corpus-wide boilerplate detection
+        # (operators/dedup.py:boilerplate_ngrams): per document, the
+        # fraction of its distinct 5-grams shared by ≥2 documents — the
+        # cross-document document-frequency filter (C4's repeated-span
+        # removal, Dolma/RefinedWeb's df-ngram signals), where the
+        # within-doc text_quality_gopher signals can't see template
+        # reuse. Inverted-index shape: grams cross the wire as 8-byte
+        # hashes, one df groupBy + one hash join + one per-doc fold.
+        docs = _t(spark, sf, "documents")
+        return dedup.boilerplate_ngrams(docs, k=5, min_docs=2)
+
+    q["text_boilerplate_ngrams"] = text_boilerplate_ngrams
+
     def text_bigram_logprob(spark, sf):
         # Interpolated bigram LM typicality score (operators/text.py:
         # bigram_logprob) — the 2-gram step from text_unigram_logprob
@@ -5472,6 +5486,36 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT bucket, count(*)::BIGINT AS n_rows, min(v) AS lo, max(v) AS hi
         FROM b GROUP BY bucket
+    """
+
+    # Cross-doc 5-gram document frequency on the STRING grams (the Spark
+    # side's xxhash64 is a shuffle-payload optimization, not semantics —
+    # same per-doc-distinct gram sets, same df threshold), same
+    # lower/trim/collapse normalization and shorter-than-k whole-text
+    # guard as the other shingle oracles; one long/long division.
+    o["text_boilerplate_ngrams"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                        ELSE [array_to_string(toks[i:i+4], ' ')
+                              FOR i IN range(1, len(toks) - 3)] END)) AS g
+          FROM t
+        ),
+        c AS (SELECT g, count(*) AS dfreq FROM sh GROUP BY 1),
+        j AS (
+          SELECT s.doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN c.dfreq >= 2 THEN 1 ELSE 0 END) AS n_shared
+          FROM sh s JOIN c USING (g) GROUP BY 1
+        )
+        SELECT doc_id AS id, n_grams::BIGINT AS n_grams,
+               n_shared::BIGINT AS n_shared,
+               CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS shared_frac
+        FROM j
     """
 
     # CUSUM rebuilt op-for-op on the same exact integers: floor-micro

@@ -1115,3 +1115,55 @@ def segment_dedupe(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# --- corpus-wide boilerplate n-grams ---------------------------------------
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate signal from CORPUS-WIDE k-gram document
+    frequency — the cross-document counterpart of the within-document
+    `text.ngram_dup_fraction`: headers, footers, licence blocks, and
+    templated spans show up as k-grams shared by ≥ `min_docs` documents
+    (C4 removed repeated 3-sentence spans this way, Dolma/RefinedWeb use
+    document-frequency n-gram filters). Returns
+    (id, n_grams, n_shared, shared_frac) where n_grams counts the doc's
+    DISTINCT k-grams and n_shared those whose corpus doc-frequency is
+    ≥ min_docs; shared_frac = n_shared/n_grams (one long/long division).
+
+    Scale shape (the inverted-index discipline): text is shingled in the
+    scan stage and every k-gram crosses the wire as an 8-byte xxhash64 —
+    the exchanges carry (id, hash), never text. One groupBy(hash) counts
+    document frequency (per-doc-distinct by construction, map-side
+    partials collapse repeats), one hash-keyed join annotates each
+    (id, hash) with its df, one groupBy(id) folds the flags. A gram
+    shared by every document fans out to exactly its posting-list size —
+    bounded by the input, no quadratic blowup anywhere."""
+    grams = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k)).alias("g"),
+    )
+    gh = grams.select("id", F.xxhash64("g").alias("gh"))
+    counts = gh.groupBy("gh").agg(F.count(F.lit(1)).alias("df_docs"))
+    return (
+        gh.join(counts, "gh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("df_docs") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_shared"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_grams")).alias("shared_frac"),
+        )
+    )

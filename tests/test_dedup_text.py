@@ -1888,3 +1888,42 @@ def test_containment_detects_near_superset_jaccard_misses(spark):
     assert got == {(1, 2): 1.0}
     jac = {(r.a, r.b) for r in dedup.jaccard_pairs(df, threshold=0.5).collect()}
     assert (1, 2) not in jac  # the pair symmetric Jaccard misses
+
+
+def test_boilerplate_ngrams_flags_shared_template(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import dedup as _dd
+
+    footer = "copyright acme corp all rights reserved worldwide"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta " + footer),
+        (2, "one two three four five six seven eight " + footer),
+        (3, "unique text with no shared phrases at all here okay"),
+        (4, "tiny doc"),  # < k tokens -> whole-text single gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.id: (r.n_grams, r.n_shared, r.shared_frac)
+        for r in _dd.boilerplate_ngrams(df, k=5, min_docs=2).collect()
+    }
+    # docs 1/2 share the footer's 5-grams that live entirely inside the
+    # footer: positions spanning the seam differ between docs. The footer
+    # has 7 tokens -> 3 fully-internal 5-grams... the seam-spanning ones
+    # are doc-specific. Verify against a python reference instead of
+    # hand-counting:
+    import re
+
+    def grams(t):
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        if len(toks) < 5:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    gsets = {i: grams(t) for i, t in rows}
+    from collections import Counter
+
+    dfreq = Counter(g for s in gsets.values() for g in s)
+    for i, gs in gsets.items():
+        n_shared = sum(1 for g in gs if dfreq[g] >= 2)
+        assert out[i] == (len(gs), n_shared, n_shared / len(gs)), i
+    assert out[1][1] > 0 and out[2][1] > 0  # the template was caught
+    assert out[3][1] == 0 and out[4][1] == 0
