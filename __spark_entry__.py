@@ -2659,6 +2659,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_boilerplate_ngrams"] = text_boilerplate_ngrams
 
+    def x_trend_ols(spark, sf):
+        # Per-metric OLS trend (operators/analytics.py:grouped_trend):
+        # slope/intercept of each event type's daily totals from the
+        # five closed-form sufficient statistics, all EXACT integer sums
+        # (floor-micro y, first-day-offset x) — the only floats are the
+        # final two divisions, fixed op order, so the fit is
+        # bit-reproducible. The monitoring companion to x_cusum_drift:
+        # CUSUM alarms on a shift, the trend quantifies it.
+        ev = _t(spark, sf, "events")
+        return analytics.grouped_trend(ev, "value", "ts", ["event_type"])
+
+    q["x_trend_ols"] = x_trend_ols
+
     def text_bigram_logprob(spark, sf):
         # Interpolated bigram LM typicality score (operators/text.py:
         # bigram_logprob) — the 2-gram step from text_unigram_logprob
@@ -5516,6 +5529,44 @@ def oracle_sql() -> dict[str, str]:
                n_shared::BIGINT AS n_shared,
                CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS shared_frac
         FROM j
+    """
+
+    # OLS from the same exact integer sufficient statistics: DATE
+    # subtraction gives the same integer day offsets, BIGINT casts undo
+    # DuckDB's HUGEINT sum widening, and the slope/intercept mirror the
+    # Spark op's float-op nesting exactly.
+    o["x_trend_ols"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        xy AS (
+          SELECT event_type,
+                 CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+                 y
+          FROM daily
+        ),
+        s AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM xy GROUP BY 1
+        )
+        SELECT event_type, n AS n_days,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+               END AS slope,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN (CAST(sy AS DOUBLE)
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+               END AS intercept
+        FROM s
     """
 
     # CUSUM rebuilt op-for-op on the same exact integers: floor-micro

@@ -524,3 +524,63 @@ def cusum_drift(
             > _exact_div(F.col("s_total") * threshold_pct, 100)
         ).alias("flag"),
     )
+
+
+def grouped_trend(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_cols: list[str],
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Per-group OLS trend of daily totals — the closed-form regression a
+    fleet of per-metric monitors runs instead of an iterative fit: slope
+    and intercept from the five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²), which are EXACT integer sums here: y is the day's total in
+    floor(value·unit) longs, x is the day offset from the group's first
+    day (series-length-sized, so the cross products stay far inside long
+    range). The only float ops are the slope division and the intercept's
+    (Σy − slope·Σx)/n — fixed IEEE op order, engine-reproducible.
+
+    Returns (group..., n_days, slope, intercept): slope in micro-units
+    per day, intercept the fitted level at the group's first day.
+    Scale shape: one (group, day) aggregate, one min-day window, one
+    five-sum aggregate per group — everything map-side partial; no sort,
+    no iteration, groups parallelize. Degenerate single-day groups return
+    NULL slope/intercept (denominator 0)."""
+    groups = list(group_cols)
+    daily = (
+        df.select(
+            *groups,
+            F.col(ts_col).cast("date").alias("day"),
+            F.floor(F.col(value_col) * unit).cast("long").alias("yi_row"),
+        )
+        .groupBy(*groups, "day")
+        .agg(F.sum("yi_row").alias("y"))
+    )
+    w_full = Window.partitionBy(*groups)
+    xy = daily.select(
+        *groups,
+        F.datediff(F.col("day"), F.min("day").over(w_full)).cast("long").alias("x"),
+        "y",
+    )
+    sums = xy.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]
+    den = sums["n"] * sums["sxx"] - sums["sx"] * sums["sx"]
+    slope = F.when(den != 0, num.cast("double") / den.cast("double"))
+    return sums.select(
+        *groups,
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        F.when(
+            den != 0,
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+        ).alias("intercept"),
+    )

@@ -382,3 +382,43 @@ def test_cusum_no_alarm_on_stationary_series(spark):
     assert not any(r.flag for r in got)
     ref = _py_cusum([5.0 + (i % 5) * 0.1 for i in range(50)])
     assert sorted(r.cusum for r in got) == sorted(s for s, _ in ref)
+
+
+def test_grouped_trend_recovers_planted_slope(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    import datetime
+
+    # exact line y = 3 + 2.5*x micro-units never lose precision at .5 steps
+    rows = [
+        ("up", datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), 3.0 + 2.5 * i)
+        for i in range(20)
+    ] + [
+        ("flat", datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), 7.25)
+        for i in range(15)
+    ] + [
+        ("single", datetime.datetime(2024, 1, 1), 1.0)
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts", "value"])
+    out = {r.g: r for r in analytics.grouped_trend(df, "value", "ts", ["g"]).collect()}
+    assert out["up"].n_days == 20
+    assert abs(out["up"].slope - 2.5e6) < 1e-6  # micro-units/day
+    assert abs(out["up"].intercept - 3.0e6) < 1e-6
+    assert out["flat"].slope == 0.0 and abs(out["flat"].intercept - 7.25e6) < 1e-6
+    assert out["single"].slope is None and out["single"].intercept is None
+
+
+def test_grouped_trend_sums_multiple_rows_per_day(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    import datetime
+
+    # two rows per day summing to the same line -> identical fit
+    rows = []
+    for i in range(10):
+        ts = datetime.datetime(2024, 5, 1) + datetime.timedelta(days=i)
+        total = 10.0 + 4.0 * i
+        rows += [("g", ts, total * 0.25), ("g", ts + datetime.timedelta(hours=3), total * 0.75)]
+    df = spark.createDataFrame(rows, ["g", "ts", "value"])
+    (r,) = analytics.grouped_trend(df, "value", "ts", ["g"]).collect()
+    assert abs(r.slope - 4.0e6) < 1e-6 and abs(r.intercept - 10.0e6) < 1e-6
