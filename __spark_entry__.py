@@ -2672,6 +2672,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_trend_ols"] = x_trend_ols
 
+    def text_source_overlap(spark, sf):
+        # Cross-source content overlap from fixed-size state: per source,
+        # a k=128 KMV sketch over its distinct 5-gram shingles, then
+        # pairwise theta-sketch intersection estimates
+        # (operators/sketches.py:kmv_intersect_estimate over
+        # operators/dedup.py:shingles). The shard-contamination matrix a
+        # 100-TB curation job wants — "how much does crawl A share with
+        # crawl B" — WITHOUT the quadratic cross-shard shingle join the
+        # exact answer needs: each source contributes ≤ k hashes after
+        # one distinct, and the pair algebra runs on broadcast state.
+        docs = _t(spark, sf, "documents")
+        grams = docs.select(
+            "source", F.explode(dedup.shingles("text", 5)).alias("g")
+        )
+        sk = sketches.kmv_build(grams, "g", group_cols=["source"], k=128)
+        return sketches.kmv_intersect_estimate(sk, ["source"], k=128)
+
+    q["text_source_overlap"] = text_source_overlap
+
     def text_bigram_logprob(spark, sf):
         # Interpolated bigram LM typicality score (operators/text.py:
         # bigram_logprob) — the 2-gram step from text_unigram_logprob
@@ -5529,6 +5548,58 @@ def oracle_sql() -> dict[str, str]:
                n_shared::BIGINT AS n_shared,
                CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) AS shared_frac
         FROM j
+    """
+
+    # Source-pair overlap = the x_kmv_overlap theta algebra over the
+    # shingle oracles' gram construction: same normalization, same
+    # whole-text guard for short docs, same 'kmv:' 60-bit md5 seam, same
+    # strictly-below-theta count and n·(2^60/theta) float order.
+    o["text_source_overlap"] = """
+        WITH t AS (
+          SELECT source,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT source,
+                 unnest(list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                        ELSE [array_to_string(toks[i:i+4], ' ')
+                              FOR i IN range(1, len(toks) - 3)] END)) AS g
+          FROM t
+        ),
+        dv AS (SELECT DISTINCT source AS gp, g FROM sh),
+        h AS (
+          SELECT gp,
+                 ('0x' || substr(md5('kmv:' || g), 1, 15))::BIGINT AS hash
+          FROM dv
+        ),
+        r AS (
+          SELECT gp, hash,
+                 row_number() OVER (PARTITION BY gp ORDER BY hash ASC) AS rn
+          FROM h
+        ),
+        sk AS (SELECT gp, hash FROM r WHERE rn <= 128),
+        th AS (
+          SELECT gp,
+                 CASE WHEN count(*) < 128 THEN 1152921504606846976
+                      ELSE max(hash) END AS theta
+          FROM sk GROUP BY gp
+        ),
+        common AS (
+          SELECT a.gp AS g_a, b.gp AS g_b, a.hash,
+                 least(ta.theta, tb.theta) AS theta
+          FROM sk a
+          JOIN sk b ON a.hash = b.hash AND a.gp < b.gp
+          JOIN th ta ON ta.gp = a.gp
+          JOIN th tb ON tb.gp = b.gp
+        ),
+        cnt AS (
+          SELECT g_a, g_b, theta, count(*) AS n
+          FROM common WHERE hash < theta GROUP BY 1, 2, 3
+        )
+        SELECT g_a, g_b,
+               CAST(n AS DOUBLE) * (1152921504606846976.0 / CAST(theta AS DOUBLE)) AS n_common_est
+        FROM cnt
     """
 
     # OLS from the same exact integer sufficient statistics: DATE
