@@ -2691,6 +2691,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_source_overlap"] = text_source_overlap
 
+    def x_corr_matrix(spark, sf):
+        # Cross-metric Pearson matrix (operators/analytics.py:
+        # grouped_corr): correlation between every pair of event types'
+        # daily-total series from exact integer sufficient statistics —
+        # floats only at the final sqrt·sqrt division, so the matrix is
+        # hash-gated (F.corr's streaming doubles are not). Completes the
+        # monitoring family: CUSUM alarms a shift, OLS sizes the trend,
+        # the correlation matrix shows what moved together.
+        ev = _t(spark, sf, "events")
+        return analytics.grouped_corr(ev, "value", "ts", "event_type")
+
+    q["x_corr_matrix"] = x_corr_matrix
+
     def text_bigram_logprob(spark, sf):
         # Interpolated bigram LM typicality score (operators/text.py:
         # bigram_logprob) — the 2-gram step from text_unigram_logprob
@@ -5600,6 +5613,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT g_a, g_b,
                CAST(n AS DOUBLE) * (1152921504606846976.0 / CAST(theta AS DOUBLE)) AS n_common_est
         FROM cnt
+    """
+
+    # Pearson pairs from the same exact integer sums: day-keyed
+    # self-join of the (type, day, cent-long) frame, BIGINT casts undo
+    # HUGEINT widening, then numerator / (sqrt·sqrt) in the identical
+    # float-op order (sqrt is IEEE-exact, so the doubles agree).
+    o["x_corr_matrix"] = """
+        WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT a.g AS g_a, b.g AS g_b, a.y AS ya, b.y AS yb
+          FROM daily a JOIN daily b ON a.day = b.day AND a.g < b.g
+        ),
+        s AS (
+          SELECT g_a, g_b, count(*) AS n,
+                 CAST(sum(ya) AS BIGINT) AS sx, CAST(sum(yb) AS BIGINT) AS sy,
+                 CAST(sum(ya * yb) AS BIGINT) AS sxy,
+                 CAST(sum(ya * ya) AS BIGINT) AS sxx,
+                 CAST(sum(yb * yb) AS BIGINT) AS syy
+          FROM p GROUP BY 1, 2
+        )
+        SELECT g_a, g_b, n AS n_days,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS corr
+        FROM s
     """
 
     # OLS from the same exact integer sufficient statistics: DATE

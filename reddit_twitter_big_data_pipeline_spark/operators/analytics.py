@@ -584,3 +584,63 @@ def grouped_trend(
             / F.col("n").cast("double"),
         ).alias("intercept"),
     )
+
+
+def grouped_corr(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_col: str,
+    unit: int = 100,
+) -> DataFrame:
+    """Pairwise Pearson correlation between each group's DAILY-TOTAL
+    series — the cross-metric dependency monitor next to `cusum_drift`
+    (did purchases decouple from views?). Exact-integer sufficient
+    statistics again: daily totals in floor(value·unit) longs, the six
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) all long arithmetic over days the
+    two series share, and the only float ops are numerator/denominator
+    conversion, two IEEE-exact sqrts and one division in fixed order —
+    bit-reproducible, so a correlation matrix is hash-gateable, which
+    `F.corr`'s streaming-moment doubles are not. The default `unit=100`
+    (not micro) keeps Σy² inside long range for day totals up to ~10^8
+    cents; lower it further at larger magnitudes.
+
+    Returns one row per unordered group pair (g_a < g_b):
+    (g_a, g_b, n_days, corr double; NULL when either series is constant
+    or the overlap is empty). Scale shape: one (group, day) aggregate,
+    one day-keyed equi-join of the slim (group, day, long) frame with
+    itself, one six-sum aggregate per pair — day-count-sized data, never
+    row-sized."""
+    daily = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).cast("date").alias("day"),
+            F.floor(F.col(value_col) * unit).cast("long").alias("yi_row"),
+        )
+        .groupBy("g", "day")
+        .agg(F.sum("yi_row").alias("y"))
+    )
+    a = daily.select(F.col("g").alias("g_a"), "day", F.col("y").alias("ya"))
+    b = daily.select(F.col("g").alias("g_b"), "day", F.col("y").alias("yb"))
+    pairs = a.join(b, "day").filter(F.col("g_a") < F.col("g_b"))
+    sums = pairs.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sx"),
+        F.sum("yb").alias("sy"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sxy"),
+        F.sum(F.col("ya") * F.col("ya")).alias("sxx"),
+        F.sum(F.col("yb") * F.col("yb")).alias("syy"),
+    )
+    num = sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]
+    den_x = sums["n"] * sums["sxx"] - sums["sx"] * sums["sx"]
+    den_y = sums["n"] * sums["syy"] - sums["sy"] * sums["sy"]
+    return sums.select(
+        "g_a",
+        "g_b",
+        F.col("n").alias("n_days"),
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))),
+        ).alias("corr"),
+    )

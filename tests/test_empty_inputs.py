@@ -86,3 +86,28 @@ def test_null_text_rows_survive_sanely(spark):
     assert text_ops.text_profile(docs).count() == 2
     assert dedup.jaccard_pairs(docs).count() == 0
     assert {r.doc_id for r in dedup.exact_dedupe(docs).collect()} == {1, 2}
+
+
+def test_sketch_family_empty(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import sketches
+
+    ev = _empty_events(spark)
+    assert sketches.cms_build(ev, "user_id").count() == 0
+    assert sketches.kmv_build(ev, "user_id", group_cols=["event_type"]).count() == 0
+    hll = sketches.hll_build(ev, "user_id", group_cols=["event_type"])
+    assert hll.count() == 0
+    assert sketches.hll_estimate(hll, group_cols=["event_type"]).count() == 0
+    sk = sketches.kmv_build(ev, "user_id", group_cols=["event_type"], k=8)
+    assert sketches.kmv_intersect_estimate(sk, ["event_type"], k=8).count() == 0
+    bloom = sketches.bloom_build(ev, "user_id")
+    assert bloom.count() == 0
+    # an empty bloom rejects everything: pruning a live probe yields 0 rows
+    probe = spark.range(10).select(F.col("id").alias("user_id"))
+    assert sketches.bloom_prune(probe, bloom, "user_id").count() == 0
+
+
+def test_drift_trend_boilerplate_empty(spark):
+    ev = _empty_events(spark)
+    assert analytics.cusum_drift(ev, "value", "ts", ["event_type"]).count() == 0
+    assert analytics.grouped_trend(ev, "value", "ts", ["event_type"]).count() == 0
+    assert dedup.boilerplate_ngrams(_empty_docs(spark)).count() == 0

@@ -422,3 +422,40 @@ def test_grouped_trend_sums_multiple_rows_per_day(spark):
     df = spark.createDataFrame(rows, ["g", "ts", "value"])
     (r,) = analytics.grouped_trend(df, "value", "ts", ["g"]).collect()
     assert abs(r.slope - 4.0e6) < 1e-6 and abs(r.intercept - 10.0e6) < 1e-6
+
+
+def test_grouped_corr_recovers_planted_correlations(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    import datetime
+
+    rows = []
+    for i in range(30):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+        base = 10.0 + (i % 7)
+        rows.append(("a", ts, base))            # reference series
+        rows.append(("b", ts, 2.0 * base + 5))  # perfectly correlated
+        rows.append(("c", ts, 100.0 - 3 * base))  # perfectly anti-correlated
+        rows.append(("d", ts, 42.0))            # constant -> NULL corr
+    df = spark.createDataFrame(rows, ["g", "ts", "value"])
+    out = {(r.g_a, r.g_b): r for r in analytics.grouped_corr(df, "value", "ts", "g").collect()}
+    assert len(out) == 6
+    assert abs(out[("a", "b")].corr - 1.0) < 1e-12
+    assert abs(out[("a", "c")].corr + 1.0) < 1e-12
+    assert abs(out[("b", "c")].corr + 1.0) < 1e-12
+    for pair in [("a", "d"), ("b", "d"), ("c", "d")]:
+        assert out[pair].corr is None
+    assert all(r.n_days == 30 for r in out.values())
+
+
+def test_grouped_corr_only_common_days(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    import datetime
+
+    rows = [("a", datetime.datetime(2024, 2, 1) + datetime.timedelta(days=i), float(i)) for i in range(10)]
+    rows += [("b", datetime.datetime(2024, 2, 6) + datetime.timedelta(days=i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "ts", "value"])
+    (r,) = analytics.grouped_corr(df, "value", "ts", "g").collect()
+    assert r.n_days == 5  # overlap Feb 6-10
+    assert abs(r.corr - 1.0) < 1e-12  # both linear over the overlap
