@@ -2704,6 +2704,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_corr_matrix"] = x_corr_matrix
 
+    def x_sessionize_batch(spark, sf):
+        # Offline gap sessionization (operators/analytics.py:
+        # sessionize_batch): 6-hour-gap sessions over the sparse event
+        # stream via lag → flag → running sum, boundaries compared as
+        # unix-microsecond longs (unix_micros == epoch_us — no
+        # timestamp-format seam). The batch/backfill twin of the
+        # streaming w6_sessionize; one user-keyed exchange serves both
+        # the window and the session aggregate.
+        ev = _t(spark, sf, "events")
+        return analytics.sessionize_batch(ev, gap_minutes=360)
+
+    q["x_sessionize_batch"] = x_sessionize_batch
+
     def text_bigram_logprob(spark, sf):
         # Interpolated bigram LM typicality score (operators/text.py:
         # bigram_logprob) — the 2-gram step from text_unigram_logprob
@@ -5613,6 +5626,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT g_a, g_b,
                CAST(n AS DOUBLE) * (1152921504606846976.0 / CAST(theta AS DOUBLE)) AS n_common_est
         FROM cnt
+    """
+
+    # Sessionization rebuilt on the same integer microseconds: epoch_us
+    # == unix_micros, identical (us, event_id) window order, identical
+    # 6h gap comparison, then the same per-(user, session) fold.
+    o["x_sessionize_batch"] = """
+        WITH ev AS (
+          SELECT user_id AS u, epoch_us(ts) AS us, event_id AS eid
+          FROM events
+        ),
+        fl AS (
+          SELECT u, us, eid,
+                 CASE WHEN lag(us) OVER (PARTITION BY u ORDER BY us, eid) IS NULL
+                           OR us - lag(us) OVER (PARTITION BY u ORDER BY us, eid)
+                              > 21600000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM ev
+        ),
+        sq AS (
+          SELECT u, us,
+                 CAST(sum(is_new) OVER (
+                   PARTITION BY u ORDER BY us, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_seq
+          FROM fl
+        )
+        SELECT u AS user, session_seq,
+               min(us) AS start_us, max(us) AS end_us,
+               count(*) AS n_events,
+               max(us) - min(us) AS duration_us
+        FROM sq GROUP BY 1, 2
     """
 
     # Pearson pairs from the same exact integer sums: day-keyed

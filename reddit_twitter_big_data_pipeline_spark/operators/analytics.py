@@ -644,3 +644,58 @@ def grouped_corr(
             / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double"))),
         ).alias("corr"),
     )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch gap-based sessionization — the offline twin of the streaming
+    `stateful.event_session_closer`/W6 sessions, for backfills and
+    historical re-sessionization: a new session starts wherever a user's
+    inter-event gap exceeds `gap_minutes`. The classic window
+    composition: lag → gap flag → running sum of flags = session
+    sequence number. Timestamps are compared as unix MICROSECOND longs
+    (Spark `unix_micros` == DuckDB `epoch_us`), so session boundaries
+    are exact integer comparisons with no timestamp-format or float
+    seam.
+
+    Returns the per-session summary: (user, session_seq, start_us,
+    end_us, n_events, duration_us) — session_seq is 1-based per user in
+    time order. Scale shape: ONE user-keyed exchange feeds both the
+    ordered window and the (user, session_seq) aggregate (the window's
+    partitioning satisfies the groupBy — no second shuffle); a user's
+    history sits in one spill-safe WindowExec frame, users parallelize."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("eid"),
+    )
+    w = Window.partitionBy("user").orderBy("us", "eid")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user", "session_seq")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )

@@ -459,3 +459,35 @@ def test_grouped_corr_only_common_days(spark):
     (r,) = analytics.grouped_corr(df, "value", "ts", "g").collect()
     assert r.n_days == 5  # overlap Feb 6-10
     assert abs(r.corr - 1.0) < 1e-12  # both linear over the overlap
+
+
+def test_sessionize_batch_splits_on_gap(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        # user 1: three events 10 min apart, then a 2h gap, then two more
+        (1, t0, 100),
+        (1, t0 + datetime.timedelta(minutes=10), 101),
+        (1, t0 + datetime.timedelta(minutes=20), 102),
+        (1, t0 + datetime.timedelta(minutes=140), 103),
+        (1, t0 + datetime.timedelta(minutes=150), 104),
+        # user 2: single event
+        (2, t0, 200),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = {
+        (r.user, r.session_seq): r
+        for r in analytics.sessionize_batch(df, gap_minutes=30).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)].n_events == 3 and out[(1, 1)].duration_us == 20 * 60 * 1_000_000
+    assert out[(1, 2)].n_events == 2 and out[(1, 2)].duration_us == 10 * 60 * 1_000_000
+    assert out[(2, 1)].n_events == 1 and out[(2, 1)].duration_us == 0
+    # a gap of exactly gap_minutes does NOT split (strict >)
+    rows3 = [(3, t0, 1), (3, t0 + datetime.timedelta(minutes=30), 2)]
+    df3 = spark.createDataFrame(rows3, ["user_id", "ts", "event_id"])
+    got3 = analytics.sessionize_batch(df3, gap_minutes=30).collect()
+    assert len(got3) == 1 and got3[0].n_events == 2
