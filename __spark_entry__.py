@@ -2717,6 +2717,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_sessionize_batch"] = x_sessionize_batch
 
+    def x_key_skew_profile(spark, sf):
+        # Shuffle-key skew diagnosis (operators/analytics.py:
+        # key_skew_profile): entropy / normalized entropy / top-k mass
+        # of two join keys — the numbers that DECIDE salting, broadcast
+        # thresholds, and AQE skew settings before a 100-TB shuffle is
+        # launched, computed for the cost any diagnosis must pay (one
+        # groupBy(key) count) plus a counts-only window.
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        a = analytics.key_skew_profile(li, "l_suppkey").select(
+            F.lit("lineitem.l_suppkey").alias("key_name"), "*"
+        )
+        b = analytics.key_skew_profile(orders, "o_custkey").select(
+            F.lit("orders.o_custkey").alias("key_name"), "*"
+        )
+        return a.unionByName(b)
+
+    q["x_key_skew_profile"] = x_key_skew_profile
+
     def text_bigram_logprob(spark, sf):
         # Interpolated bigram LM typicality score (operators/text.py:
         # bigram_logprob) — the 2-gram step from text_unigram_logprob
@@ -5626,6 +5645,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT g_a, g_b,
                CAST(n AS DOUBLE) * (1152921504606846976.0 / CAST(theta AS DOUBLE)) AS n_common_est
         FROM cnt
+    """
+
+    # Skew profile mirrored per key: same count frame, same
+    # (count desc, key asc) rank, entropy as ln(n) − (Σ c·ln c)/n in the
+    # identical op order (the Σ's float-order wobble sits below the
+    # 9-significant-digit canonicalization), BIGINT casts on the sums.
+    o["x_key_skew_profile"] = """
+        WITH c1 AS (
+          SELECT l_suppkey AS k, count(*) AS c FROM lineitem
+          WHERE l_suppkey IS NOT NULL GROUP BY 1
+        ),
+        r1 AS (SELECT c, k, row_number() OVER (ORDER BY c DESC, k ASC) AS rnk FROM c1),
+        a1 AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sum_clogc,
+                 CAST(sum(CASE WHEN rnk <= 1 THEN c ELSE 0 END) AS BIGINT) AS top1,
+                 CAST(sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT) AS topn
+          FROM r1
+        ),
+        c2 AS (
+          SELECT o_custkey AS k, count(*) AS c FROM orders
+          WHERE o_custkey IS NOT NULL GROUP BY 1
+        ),
+        r2 AS (SELECT c, k, row_number() OVER (ORDER BY c DESC, k ASC) AS rnk FROM c2),
+        a2 AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sum_clogc,
+                 CAST(sum(CASE WHEN rnk <= 1 THEN c ELSE 0 END) AS BIGINT) AS top1,
+                 CAST(sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT) AS topn
+          FROM r2
+        ),
+        u AS (
+          SELECT 'lineitem.l_suppkey' AS key_name, * FROM a1
+          UNION ALL
+          SELECT 'orders.o_custkey' AS key_name, * FROM a2
+        )
+        SELECT key_name, n_rows, n_keys,
+               ln(CAST(n_rows AS DOUBLE)) - sum_clogc / CAST(n_rows AS DOUBLE)
+                 AS entropy,
+               CASE WHEN n_keys > 1
+                    THEN (ln(CAST(n_rows AS DOUBLE))
+                          - sum_clogc / CAST(n_rows AS DOUBLE))
+                         / ln(CAST(n_keys AS DOUBLE))
+               END AS norm_entropy,
+               CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+               CAST(topn AS DOUBLE) / CAST(n_rows AS DOUBLE) AS topn_share
+        FROM u
     """
 
     # Sessionization rebuilt on the same integer microseconds: epoch_us

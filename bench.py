@@ -113,6 +113,20 @@ HEADLINE = [
     "x_equidepth_hist",
     "x_psi_drift",
     "text_bigram_logprob",
+    # round-7 third-wave additions (first recorded baselines this round):
+    # the deterministic HLL and theta-intersection sketches, the Bloom
+    # runtime join filter, the exact-integer monitoring family
+    # (CUSUM / OLS trend / Pearson matrix), corpus boilerplate n-grams,
+    # cross-source overlap, and batch sessionization
+    "x_hll_parts_monthly",
+    "x_kmv_overlap",
+    "x_bloom_prune_join",
+    "x_cusum_drift",
+    "x_trend_ols",
+    "x_corr_matrix",
+    "text_boilerplate_ngrams",
+    "text_source_overlap",
+    "x_sessionize_batch",
 ]
 
 

@@ -699,3 +699,54 @@ def sessionize_batch(
         )
         .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnosis — the numbers that DECIDE the physical
+    strategy at 100 TB (salt or not, broadcast or shuffle, AQE skew
+    thresholds): one row of
+    (n_rows, n_keys, entropy, norm_entropy, top1_share, topn_share).
+    entropy = −Σ p·ln p over the key frequency distribution,
+    norm_entropy = entropy/ln(n_keys) ∈ [0,1] (1 = uniform, → 0 =
+    degenerate hot key), topk shares = the mass of the heaviest keys
+    (rank ties broken by key order, so the shares are deterministic).
+
+    Scale shape: ONE groupBy(key) count — the same exchange any
+    diagnosis must pay — then a single aggregate over the
+    key-cardinality-sized count frame; the top-k mass reuses that frame
+    through one ordered window (spill-safe, counts only — no payload).
+    NULL keys are excluded (they hash-partition to one place but are
+    usually filtered before a join)."""
+    counts = (
+        df.select(F.col(key_col).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy().orderBy(F.col("c").desc(), F.col("k").asc())
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sum_clogc"
+        ),
+        F.sum(F.when(F.col("rnk") <= 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "top1"
+        ),
+        F.sum(F.when(F.col("rnk") <= top_n, F.col("c")).otherwise(F.lit(0))).alias(
+            "topn"
+        ),
+    )
+    n = F.col("n_rows").cast("double")
+    # entropy = ln n − (Σ c·ln c)/n  (one pass, no per-key division)
+    ent = F.log(n) - F.col("sum_clogc") / n
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        ent.alias("entropy"),
+        F.when(F.col("n_keys") > 1, ent / F.log(F.col("n_keys").cast("double")))
+        .alias("norm_entropy"),
+        (F.col("top1").cast("double") / n).alias("top1_share"),
+        (F.col("topn").cast("double") / n).alias("topn_share"),
+    )

@@ -491,3 +491,36 @@ def test_sessionize_batch_splits_on_gap(spark):
     df3 = spark.createDataFrame(rows3, ["user_id", "ts", "event_id"])
     got3 = analytics.sessionize_batch(df3, gap_minutes=30).collect()
     assert len(got3) == 1 and got3[0].n_events == 2
+
+
+def test_key_skew_profile_uniform_vs_hot_key(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    import math
+
+    # uniform: 100 keys x 10 rows -> norm_entropy == 1, top1_share = 1%
+    uni = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    (u,) = analytics.key_skew_profile(uni, "k").collect()
+    assert u.n_rows == 1000 and u.n_keys == 100
+    assert abs(u.entropy - math.log(100)) < 1e-9
+    assert abs(u.norm_entropy - 1.0) < 1e-9
+    assert u.top1_share == 0.01 and u.topn_share == 0.1
+
+    # degenerate hot key: 90% of mass on one key
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    (h,) = analytics.key_skew_profile(hot, "k").collect()
+    assert h.n_keys == 101 and h.top1_share == 0.9
+    assert h.norm_entropy < 0.25 < u.norm_entropy
+
+    # python reference on the hot layout
+    counts = [900] + [1] * 100
+    n = sum(counts)
+    ref_ent = math.log(n) - sum(c * math.log(c) for c in counts) / n
+    assert abs(h.entropy - ref_ent) < 1e-9
+
+    # single-key frame: norm_entropy undefined -> NULL, entropy 0
+    one = spark.range(50).select(F.lit(7).alias("k"))
+    (o,) = analytics.key_skew_profile(one, "k").collect()
+    assert abs(o.entropy) < 1e-12 and o.norm_entropy is None and o.top1_share == 1.0
