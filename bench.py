@@ -127,6 +127,7 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "text_source_overlap",
     "x_sessionize_batch",
+    "x_key_skew_profile",
 ]
 
 

@@ -867,9 +867,15 @@ def hits(
     joins whose payloads are (id, double) — scores travel, never
     adjacency lists; the aggregates get map-side combine; each L1 norm
     is a 1-row aggregate collected as a bounded scalar (the dangling-mass
-    pattern); per-round frames are cached + counted with lineage
-    truncated every 4th round (reliable checkpoint when `checkpoint_dir`
-    is set)."""
+    pattern); the RAW per-half-step frames are cached so the norm
+    collect itself materializes them — the edge join+agg runs once per
+    half-step and the normalized scores are cheap projections over the
+    cache (2 jobs/round, no eager counts), with
+    lineage truncated every 4th round (reliable checkpoint when
+    `checkpoint_dir` is set). A fully lazy broadcast-norm form was
+    tried and rejected: crossJoin(agg(self)) doubles the logical plan
+    per half-step, and Catalyst analysis blows up ~4^rounds between
+    truncations (>10 min at sf0.1 vs ~19 s for this form)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -882,7 +888,6 @@ def hits(
         e.unpersist()
         return nodes.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
     hub = nodes.withColumn("hub", F.lit(1.0)).cache()
-    hub.count()
     caches = [e, nodes, hub]
     auth = None
     for it in range(n_iter):
@@ -893,12 +898,13 @@ def hits(
         )
         raw_a = nodes.join(sums_a, nodes["node"] == sums_a["dst"], "left").select(
             "node", F.coalesce(F.col("x"), F.lit(0.0)).alias("v")
-        )
+        ).cache()  # cache the RAW frame: the norm collect populates it,
+        # so the edge join+agg runs ONCE per half-step, not twice
+        caches.append(raw_a)
         sa = raw_a.agg(F.sum("v")).collect()[0][0]  # bounded 1-row scalar
         auth = raw_a.select(
             "node", (F.col("v") / F.lit(sa)).alias("authority")
-        ).cache()
-        caches.append(auth)
+        )
         sums_h = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
@@ -906,14 +912,12 @@ def hits(
         )
         raw_h = nodes.join(sums_h, nodes["node"] == sums_h["src"], "left").select(
             "node", F.coalesce(F.col("x"), F.lit(0.0)).alias("v")
-        )
+        ).cache()
+        caches.append(raw_h)
         sh = raw_h.agg(F.sum("v")).collect()[0][0]
         hub = raw_h.select("node", (F.col("v") / F.lit(sh)).alias("hub"))
         if (it + 1) % 4 == 0:
             hub = _truncate(hub, checkpoint_dir)
-        hub = hub.cache()
-        caches.append(hub)
-        hub.count()
     out = _truncate(hub.join(auth, "node").select("node", "hub", "authority"), checkpoint_dir)
     for c in caches:
         c.unpersist()
