@@ -223,6 +223,17 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def centroid_codebook(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic seeded gaussian codebook, rows L2-normalized — the
+    data-independent coarse quantizer for the ORACLE-GATED IVF path
+    (`sim_ivf_topk`). A TRAINED codebook (the default `ivf_topk` path)
+    comes out of a numpy-RNG k-means that no SQL engine can replay; these
+    literals inline into the DuckDB oracle exactly like `hyperplanes`."""
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n_centroids, dim))
+    return (m / np.maximum(_row_norms(m)[:, None], 1e-12)).tolist()
+
+
 def _pack_sign_bits(mat: np.ndarray, planes_t: np.ndarray) -> np.ndarray:
     """bucket id per row: bit i = 1{row·plane_i > 0}, packed into int64."""
     bits = (mat @ planes_t) > 0  # n × n_planes
@@ -320,6 +331,7 @@ def ivf_topk(
     train_size: int = 4096,
     iters: int = 5,
     seed: int = 42,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the centroid-partitioned alternative to the
     hyperplane LSH path: train a small spherical-kmeans codebook on a
@@ -334,10 +346,19 @@ def ivf_topk(
     kmeans over an orderBy(id).limit(train_size) sample — deterministic and
     bounded (a codebook is KB-scale; training data never exceeds
     train_size × dim floats). Recall/cost trades via n_probe exactly as in
-    any IVF index."""
-    sample_rows = corpus.select(vec_col).orderBy(F.col(id_col).asc()).limit(train_size).collect()
-    sample = np.array([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
-    cent = _kmeans(sample, n_centroids, iters, seed)
+    any IVF index.
+
+    Pass `codebook` (pre-normalized rows, e.g. `centroid_codebook`) to skip
+    training entirely — the deterministic quantizer the oracle gate needs;
+    `n_centroids`/`train_size`/`iters`/`seed` are then ignored."""
+    if codebook is not None:
+        cent = np.array(codebook, dtype=np.float64)
+    else:
+        sample_rows = (
+            corpus.select(vec_col).orderBy(F.col(id_col).asc()).limit(train_size).collect()
+        )
+        sample = np.array([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+        cent = _kmeans(sample, n_centroids, iters, seed)
 
     q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
     q_norm = _safe_norms(q_mat)

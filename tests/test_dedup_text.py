@@ -344,6 +344,37 @@ def test_ivf_matches_bruteforce_with_full_probing(spark):
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
 
 
+def test_ivf_fixed_codebook_skips_training_and_matches_bruteforce(spark):
+    """The deterministic-codebook path (sim_ivf_topk's oracle seam): no
+    driver-side sample/train runs, and with every cell probed the result
+    equals brute force exactly."""
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    cb = similarity.centroid_codebook(dim, 4, seed=7)
+    assert len(cb) == 4 and all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in cb)
+    probes = emb.filter(F.col("vec_id") == 1)
+    ivf = similarity.ivf_topk(probes, emb, k=2, n_probe=4, codebook=cb)
+    bf = similarity.brute_force_topk(probes, emb, k=2)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_codebook_restricts_to_probed_cells(spark):
+    """With n_probe=1 every reported neighbor's assigned cell equals the
+    probe's nearest cell — the inverted-file contract the oracle checks."""
+    import numpy as np
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    cb = similarity.centroid_codebook(dim, 4, seed=7)
+    cent = np.array(cb)
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cell = {i: int(np.argmax(cent @ (v / max(np.linalg.norm(v), 1e-12)))) for i, v in rows.items()}
+    probes = emb.filter(F.col("vec_id") == 1)
+    out = similarity.ivf_topk(probes, emb, k=10, n_probe=1, codebook=cb).collect()
+    assert out, "probe's own cell can never be empty (it contains the probe)"
+    assert all(cell[r.neighbor_id] == cell[1] for r in out)
+
+
 def test_quantize_embeddings_roundtrip_error_bounded(spark, sf_dir):
     """Int8 reconstruction must stay within the scalar-quantization error
     budget: cos(original, dequantized) ≥ 0.9999 for every vector, and the
