@@ -2806,6 +2806,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
+    def x_hll_rollup(spark, sf):
+        # Continuous-aggregate (hypertable-style) rollup: daily active
+        # users computed FROM stored hourly HLL register state, not from
+        # raw rows — hourly sketches (hll_build, b=6) re-keyed to the day
+        # and MERGED (hll_merge = register-lattice max), then estimated.
+        # Register max is associative, so merge-of-hourly == build-over-
+        # day and the oracle hash-gates the merged estimate by building
+        # daily registers directly; n_hourly_sketches exposes the rollup
+        # fan-in. This is the incremental-refresh shape a 100-TB metrics
+        # store needs: each hour folds ≤ 64 register rows into the day,
+        # raw events are never rescanned.
+        ev = _t(spark, sf, "events").select(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), "user_id"
+        )
+        hourly = sketches.hll_build(ev, "user_id", group_cols=["hr"], b=6)
+        keyed = hourly.select(
+            F.col("hr").cast("date").alias("day"), "hr", "bucket", "rho"
+        )
+        daily = sketches.hll_merge(
+            keyed.select("day", "bucket", "rho"), group_cols=["day"]
+        )
+        hours = keyed.groupBy("day").agg(
+            F.countDistinct("hr").alias("n_hourly_sketches")
+        )
+        est = sketches.hll_estimate(daily, b=6, group_cols=["day"])
+        return est.join(hours, "day").select(
+            F.col("day").cast("string").alias("day"),
+            "n_hourly_sketches",
+            "n_distinct_est",
+        )
+
+    q["x_hll_rollup"] = x_hll_rollup
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -6151,6 +6184,58 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
           FROM scored
         ) WHERE rn <= 5
+    """
+
+    # Rollup gate rests on register-max associativity: merging hourly
+    # registers to the day IS the daily register set, so the oracle
+    # builds (day, bucket) -> max(rho) directly from distinct
+    # (day, user) rows — same b=6 constants and estimate CASE as
+    # x_hll_parts_monthly. n_hourly_sketches counts hours that produced
+    # a sketch (≥1 non-null user), mirroring hll_build's null filter.
+    o["x_hll_rollup"] = """
+        WITH ue AS (
+          SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hr, user_id
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        hours AS (
+          SELECT day, CAST(count(DISTINCT hr) AS BIGINT) AS n_hourly_sketches
+          FROM ue GROUP BY 1
+        ),
+        dv AS (SELECT DISTINCT day, user_id FROM ue),
+        h AS (
+          SELECT day,
+                 ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hash
+          FROM dv
+        ),
+        sp AS (
+          SELECT day, hash // 18014398509481984 AS bucket,
+                 hash % 18014398509481984 AS w
+          FROM h
+        ),
+        rh AS (
+          SELECT day, bucket,
+                 CASE WHEN w > 0 THEN 55 - length(bin(w)) ELSE 55 END AS rho
+          FROM sp
+        ),
+        reg AS (SELECT day, bucket, max(rho) AS rho FROM rh GROUP BY 1, 2),
+        agg AS (
+          SELECT day, count(*) AS nb,
+                 CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT) AS s_present
+          FROM reg GROUP BY 1
+        ),
+        tot AS (
+          SELECT day, nb,
+                 s_present + (64 - nb) * (1::BIGINT << 55) AS s_tot
+          FROM agg
+        )
+        SELECT CAST(t.day AS VARCHAR) AS day,
+               hrs.n_hourly_sketches,
+               CASE WHEN (1.0462993238608057e+20 / CAST(s_tot AS DOUBLE)) <= 160.0
+                         AND (64 - nb) > 0
+                    THEN 64.0 * ln(64.0 / CAST(64 - nb AS DOUBLE))
+                    ELSE 1.0462993238608057e+20 / CAST(s_tot AS DOUBLE)
+               END AS n_distinct_est
+        FROM tot t JOIN hours hrs ON hrs.day = t.day
     """
 
     return o

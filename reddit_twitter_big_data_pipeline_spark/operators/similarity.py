@@ -361,6 +361,8 @@ def ivf_topk(
         cent = _kmeans(sample, n_centroids, iters, seed)
 
     q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
+    if len(q_ids) == 0:  # no probes -> no rows (shape-safe: q_mat is 1-D empty)
+        return corpus.sparkSession.createDataFrame([], _TOPK_SCHEMA)
     q_norm = _safe_norms(q_mat)
     q_normed = q_mat / q_norm[:, None]
     n_probe_eff = min(n_probe, len(cent))

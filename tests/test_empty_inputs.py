@@ -99,6 +99,7 @@ def test_sketch_family_empty(spark):
     assert sketches.hll_estimate(hll, group_cols=["event_type"]).count() == 0
     sk = sketches.kmv_build(ev, "user_id", group_cols=["event_type"], k=8)
     assert sketches.kmv_intersect_estimate(sk, ["event_type"], k=8).count() == 0
+    assert sketches.hll_merge(hll, group_cols=["event_type"]).count() == 0
     bloom = sketches.bloom_build(ev, "user_id")
     assert bloom.count() == 0
     # an empty bloom rejects everything: pruning a live probe yields 0 rows
@@ -111,3 +112,15 @@ def test_drift_trend_boilerplate_empty(spark):
     assert analytics.cusum_drift(ev, "value", "ts", ["event_type"]).count() == 0
     assert analytics.grouped_trend(ev, "value", "ts", ["event_type"]).count() == 0
     assert dedup.boilerplate_ngrams(_empty_docs(spark)).count() == 0
+
+
+def test_ivf_empty_sides(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    live = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    cb = similarity.centroid_codebook(2, 2, seed=7)
+    # empty corpus: nothing to score against
+    assert similarity.ivf_topk(live, emb, k=3, codebook=cb).count() == 0
+    # empty probe set: no queries, no rows
+    assert similarity.ivf_topk(emb, live, k=3, codebook=cb).count() == 0

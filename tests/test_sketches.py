@@ -238,6 +238,24 @@ def test_hll_state_bounded_and_merge_equals_concat(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
 
 
+def test_hll_rollup_rekeyed_merge_equals_coarse_build(spark):
+    """The continuous-aggregate contract behind x_hll_rollup: build fine-
+    grained (hour-keyed) sketches, re-key them to the coarse (day) group,
+    merge — registers AND estimates equal a direct coarse-keyed build."""
+    rows = spark.range(4_000).select(
+        (F.col("id") % 5).alias("day"),
+        (F.col("id") % 40).alias("hr"),
+        (F.col("id") % 700).alias("v"),
+    )
+    fine = sketches.hll_build(rows, "v", group_cols=["day", "hr"], b=6)
+    rolled = sketches.hll_merge(fine.select("day", "bucket", "rho"), group_cols=["day"])
+    direct = sketches.hll_build(rows, "v", group_cols=["day"], b=6)
+    assert sorted(map(tuple, rolled.collect())) == sorted(map(tuple, direct.collect()))
+    e_rolled = sketches.hll_estimate(rolled, b=6, group_cols=["day"])
+    e_direct = sketches.hll_estimate(direct, b=6, group_cols=["day"])
+    assert sorted(map(tuple, e_rolled.collect())) == sorted(map(tuple, e_direct.collect()))
+
+
 def test_kmv_intersect_exact_when_exhaustive_and_bounded_above_k(spark):
     # Two groups sharing exactly 120 of 200/250 values, k large enough to
     # hold both exhaustively -> theta = full span -> estimate is EXACT.
