@@ -128,6 +128,10 @@ HEADLINE = [
     "text_source_overlap",
     "x_sessionize_batch",
     "x_key_skew_profile",
+    # round-7 fourth-wave additions (first recorded baselines this round):
+    # the oracle-gated IVF ANN path and the hourly->daily HLL rollup
+    "sim_ivf_topk",
+    "x_hll_rollup",
 ]
 
 

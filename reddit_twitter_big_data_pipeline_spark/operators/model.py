@@ -872,10 +872,17 @@ def hits(
     half-step and the normalized scores are cheap projections over the
     cache (2 jobs/round, no eager counts), with
     lineage truncated every 4th round (reliable checkpoint when
-    `checkpoint_dir` is set). A fully lazy broadcast-norm form was
+    `checkpoint_dir` is set).
+
+    Zero-score nodes are NOT carried through the loop: a 0.0 term is an
+    exact IEEE identity in the L1 sums and 0/s is exactly 0, so scores
+    stay bit-equal while each half-step is ONE edge join + agg instead
+    of two joins — the missing (score-0) rows rejoin via a single final
+    left join against the node set. A fully lazy broadcast-norm form was
     tried and rejected: crossJoin(agg(self)) doubles the logical plan
     per half-step, and Catalyst analysis blows up ~4^rounds between
-    truncations (>10 min at sf0.1 vs ~19 s for this form)."""
+    truncations (>10 min at sf0.1 vs ~19 s for the collected-scalar
+    forms)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -891,34 +898,41 @@ def hits(
     caches = [e, nodes, hub]
     auth = None
     for it in range(n_iter):
-        sums_a = (
+        # cache the RAW aggregate: the norm collect populates it, so the
+        # edge join+agg runs ONCE per half-step; zero-score nodes are
+        # omitted (exact IEEE no-ops in the sum and in the next join)
+        raw_a = (
             e.join(hub, e["src"] == hub["node"])
             .groupBy("dst")
-            .agg(F.sum("hub").alias("x"))
-        )
-        raw_a = nodes.join(sums_a, nodes["node"] == sums_a["dst"], "left").select(
-            "node", F.coalesce(F.col("x"), F.lit(0.0)).alias("v")
-        ).cache()  # cache the RAW frame: the norm collect populates it,
-        # so the edge join+agg runs ONCE per half-step, not twice
+            .agg(F.sum("hub").alias("v"))
+        ).cache()
         caches.append(raw_a)
         sa = raw_a.agg(F.sum("v")).collect()[0][0]  # bounded 1-row scalar
         auth = raw_a.select(
-            "node", (F.col("v") / F.lit(sa)).alias("authority")
+            F.col("dst").alias("node"), (F.col("v") / F.lit(sa)).alias("authority")
         )
-        sums_h = (
+        raw_h = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
-            .agg(F.sum("authority").alias("x"))
-        )
-        raw_h = nodes.join(sums_h, nodes["node"] == sums_h["src"], "left").select(
-            "node", F.coalesce(F.col("x"), F.lit(0.0)).alias("v")
+            .agg(F.sum("authority").alias("v"))
         ).cache()
         caches.append(raw_h)
         sh = raw_h.agg(F.sum("v")).collect()[0][0]
-        hub = raw_h.select("node", (F.col("v") / F.lit(sh)).alias("hub"))
+        hub = raw_h.select(
+            F.col("src").alias("node"), (F.col("v") / F.lit(sh)).alias("hub")
+        )
         if (it + 1) % 4 == 0:
             hub = _truncate(hub, checkpoint_dir)
-    out = _truncate(hub.join(auth, "node").select("node", "hub", "authority"), checkpoint_dir)
+    out = _truncate(
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        ),
+        checkpoint_dir,
+    )
     for c in caches:
         c.unpersist()
     return out
