@@ -142,6 +142,38 @@ def check_sf(sf_dir: str) -> None:
             if (a == c).any():
                 cent[c] = X[a == c].mean(axis=0)
     assert_margin("x_kmeans", np.concatenate(margins), "assign-rel")
+
+    # call site 4: sim_ivf_topk (r7 wave 4) — three decision boundaries
+    # share the 1e-6 stance: (a) every corpus vector's cell argmax
+    # (top-1 vs top-2 centroid dot, normalized scale), (b) each probe's
+    # n_probe=4 cell cut (4th vs 5th), (c) the k=5 neighbor boundary
+    # within the probed cells. Normalized dots live in [-1, 1], so the
+    # absolute threshold matches the bruteforce stance.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from reddit_twitter_big_data_pipeline_spark.operators.similarity import centroid_codebook
+
+    ids = np.array(
+        [r[0] for r in con.execute(
+            "SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL ORDER BY vec_id"
+        ).fetchall()],
+        dtype=np.int64,
+    )
+    cb = np.array(centroid_codebook(X.shape[1], 16, seed=7))
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+    dots = Xn @ cb.T  # n × 16, normalized scale
+    srt = np.sort(dots, axis=1)[:, ::-1]
+    assert_margin("sim_ivf_topk", srt[:, 0] - srt[:, 1], "cell-argmax")
+    probe_mask = ids < 10
+    assert_margin("sim_ivf_topk", srt[probe_mask, 3] - srt[probe_mask, 4], "probe-cut")
+    cell = np.argmax(dots, axis=1)
+    pcells = np.argsort(-dots[probe_mask], axis=1, kind="stable")[:, :4]
+    kb = []
+    for j, qi in enumerate(np.nonzero(probe_mask)[0]):
+        cand = np.isin(cell, pcells[j]) & (ids != ids[qi])
+        sims = np.sort(Xn[cand] @ Xn[qi])[::-1]
+        if len(sims) > 5:
+            kb.append(sims[4] - sims[5])
+    assert_margin("sim_ivf_topk", np.array(kb), "k-boundary")
     con.close()
 
 
