@@ -2839,6 +2839,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_hll_rollup"] = x_hll_rollup
 
+    def x_hdr_quantiles(spark, sf):
+        # p50/p95/p99 of price-cents per return flag via the HDR
+        # log-bucket quantile sketch (operators/sketches.py:hdr_build/
+        # hdr_quantile): every value keeps its top 6 significant bits
+        # (bit_length via the conv/bin string seam, shift/mask longs),
+        # rank = (n·pct + 99) div 100 in exact integers — a HASH-GATED
+        # mergeable quantile sketch (rel err < 2^-5), the one-pass
+        # answer to a 100-TB percentile that an exact global sort can't
+        # give. The 3-row percentile frame broadcast-cross-joins
+        # (bounded side, audit-exempt).
+        li = _t(spark, sf, "lineitem").select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        sk = sketches.hdr_build(li, "cents", group_cols=["l_returnflag"], precision_bits=6)
+        return sketches.hdr_quantile(sk, [50, 95, 99], group_cols=["l_returnflag"])
+
+    q["x_hdr_quantiles"] = x_hdr_quantiles
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -6184,6 +6203,38 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
           FROM scored
         ) WHERE rn <= 5
+    """
+
+    # HDR sketch replayed bit-for-bit: same top-6-significant-bits
+    # bucket (bin(v) == conv(v,10,2) length seam), same integer
+    # ceil-rank. DuckDB's window sum over BIGINT widens to HUGEINT —
+    # comparisons are exact; est stays BIGINT.
+    o["x_hdr_quantiles"] = """
+        WITH v AS (
+          SELECT l_returnflag AS g,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem
+        ),
+        b AS (
+          SELECT g,
+                 CASE WHEN v = 0 THEN 0
+                      WHEN length(bin(v)) <= 6 THEN v
+                      ELSE (v >> (length(bin(v)) - 6)) << (length(bin(v)) - 6)
+                 END AS lo
+          FROM v WHERE v IS NOT NULL AND v >= 0
+        ),
+        cnt AS (SELECT g, lo, count(*) AS cnt FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT g, lo,
+                 sum(cnt) OVER (PARTITION BY g ORDER BY lo) AS cum,
+                 sum(cnt) OVER (PARTITION BY g) AS n
+          FROM cnt
+        ),
+        p AS (SELECT CAST(unnest([50, 95, 99]) AS INT) AS pct)
+        SELECT g AS l_returnflag, pct, CAST(min(lo) AS BIGINT) AS est
+        FROM cum CROSS JOIN p
+        WHERE cum >= (n * pct + 99) // 100
+        GROUP BY 1, 2
     """
 
     # Rollup gate rests on register-max associativity: merging hourly

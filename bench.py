@@ -129,9 +129,11 @@ HEADLINE = [
     "x_sessionize_batch",
     "x_key_skew_profile",
     # round-7 fourth-wave additions (first recorded baselines this round):
-    # the oracle-gated IVF ANN path and the hourly->daily HLL rollup
+    # the oracle-gated IVF ANN path, the hourly->daily HLL rollup, and
+    # the HDR quantile sketch
     "sim_ivf_topk",
     "x_hll_rollup",
+    "x_hdr_quantiles",
 ]
 
 

@@ -604,3 +604,93 @@ def bloom_prune(
             .drop(pcol, wcol, bcol, mcol)
         )
     return out
+
+
+# --- HDR-histogram quantile sketch ------------------------------------------
+
+
+def hdr_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    precision_bits: int = 6,
+) -> DataFrame:
+    """HDR-histogram (log-bucketed) quantile sketch over NON-NEGATIVE
+    longs (negative/null rows are dropped — the classic HDR domain;
+    scale/offset first for signed data). Each value keeps its top
+    `precision_bits` significant bits: bucket lower bound
+    lo = (v >> s) << s with s = bit_length(v) - precision_bits (values
+    shorter than precision_bits are EXACT). Bucket width ≤ lo/2^(p-1),
+    so any quantile read from bucket lower bounds has relative error
+    < 2^-(precision_bits-1), and per-group state is bounded by
+    ~(64 - p + 1)·2^(p-1) + 2^p rows regardless of data size.
+
+    Every step is integer-only — bit_length via the proven
+    length(conv(v,10,2)) == length(bin(v)) seam (see `hll_build`), shift
+    and mask in longs — so a SQL oracle replays the sketch bit-for-bit:
+    a HASH-GATED quantile sketch, which percentile_approx's GK internals
+    cannot offer. Counts are plain longs: merging sketches is a
+    groupBy-sum (`hdr_merge`), the mergeability GK lacks cheaply.
+
+    Scale shape: one map-side-combined groupBy on (group, lo) — the
+    sketch never shuffles raw values, only ≤ state-bound bucket rows.
+    """
+    groups = list(group_cols or [])
+    v = df.select(*groups, F.col(value_col).cast("long").alias("v")).filter(
+        F.col("v").isNotNull() & (F.col("v") >= 0)
+    )
+    p = int(precision_bits)
+    lo = F.expr(
+        f"CASE WHEN v = 0 THEN 0 "
+        f"WHEN length(conv(v, 10, 2)) <= {p} THEN v "
+        f"ELSE shiftleft(shiftright(v, length(conv(v, 10, 2)) - {p}),"
+        f" length(conv(v, 10, 2)) - {p}) END"
+    )
+    return (
+        v.select(*groups, lo.alias("lo"))
+        .groupBy(*groups, "lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(*sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge HDR sketches built with the SAME precision_bits: union and
+    re-sum the bucket counts — identical to building one sketch over the
+    concatenated inputs (counts are additive)."""
+    groups = list(group_cols or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*groups, "lo").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantile(
+    sketch: DataFrame,
+    percents: list[int],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from an HDR sketch. `percents` are INTEGER
+    percentiles (50, 95, 99, ...) so the target rank is exact integer
+    arithmetic — rank = ceil(n·pct/100) = (n·pct + 99) div 100, no
+    float ceil boundary for an oracle to disagree on. The estimate is
+    the lower bound of the bucket containing the rank-th value (a true
+    data lower bound; relative error per `hdr_build`). Returns
+    (group..., pct int, est long)."""
+    groups = list(group_cols or [])
+    wc = Window.partitionBy(*groups).orderBy(F.col("lo").asc())
+    wn = Window.partitionBy(*groups)
+    pf = F.broadcast(
+        sketch.sparkSession.createDataFrame([(int(x),) for x in percents], "pct int")
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    return (
+        cum.crossJoin(pf)
+        .filter(
+            F.col("cum")
+            >= F.expr("(n * CAST(pct AS BIGINT) + 99) div 100")
+        )
+        .groupBy(*groups, "pct")
+        .agg(F.min("lo").alias("est"))
+    )

@@ -100,6 +100,9 @@ def test_sketch_family_empty(spark):
     sk = sketches.kmv_build(ev, "user_id", group_cols=["event_type"], k=8)
     assert sketches.kmv_intersect_estimate(sk, ["event_type"], k=8).count() == 0
     assert sketches.hll_merge(hll, group_cols=["event_type"]).count() == 0
+    hdr = sketches.hdr_build(ev, "user_id", group_cols=["event_type"])
+    assert hdr.count() == 0
+    assert sketches.hdr_quantile(hdr, [50, 99], group_cols=["event_type"]).count() == 0
     bloom = sketches.bloom_build(ev, "user_id")
     assert bloom.count() == 0
     # an empty bloom rejects everything: pruning a live probe yields 0 rows

@@ -256,6 +256,46 @@ def test_hll_rollup_rekeyed_merge_equals_coarse_build(spark):
     assert sorted(map(tuple, e_rolled.collect())) == sorted(map(tuple, e_direct.collect()))
 
 
+def test_hdr_quantile_error_bound_and_exact_small_values(spark):
+    """est is a data lower bound within the 2^-(p-1) relative budget at
+    every percentile, and values under 2^p bits are EXACT."""
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.randrange(1, 1 << 26) for _ in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    sk = sketches.hdr_build(df, "x", precision_bits=6)
+    got = {r.pct: r.est for r in sketches.hdr_quantile(sk, [50, 95, 99]).collect()}
+    s = sorted(vals)
+    for pct in (50, 95, 99):
+        exact = s[(len(s) * pct + 99) // 100 - 1]  # rank-th value, 1-based
+        est = got[pct]
+        assert est <= exact, (pct, est, exact)
+        assert exact - est <= max(0, est >> 5), (pct, est, exact)  # width ≤ lo/2^5
+
+    small = spark.createDataFrame([(v,) for v in range(1, 60)], ["x"])
+    sk_small = sketches.hdr_build(small, "x", precision_bits=6)
+    got_small = {r.pct: r.est for r in sketches.hdr_quantile(sk_small, [50, 99]).collect()}
+    ss = list(range(1, 60))
+    for pct in (50, 99):
+        assert got_small[pct] == ss[(len(ss) * pct + 99) // 100 - 1]  # < 2^6: exact
+
+
+def test_hdr_state_bounded_merge_equals_concat_and_drops_negatives(spark):
+    a = spark.range(20_000).select((F.col("id") * 37 % 100_000).alias("x"))
+    c = spark.range(20_000).select((F.col("id") * 101 % 1_000_000).alias("x"))
+    sa, sc = sketches.hdr_build(a, "x"), sketches.hdr_build(c, "x")
+    # state bound: (64-p+1)·2^(p-1) + 2^p at p=6 -> ≤ 1952 buckets
+    assert sa.count() <= 1952 and sc.count() <= 1952
+    merged = sketches.hdr_merge(sa, sc)
+    both = sketches.hdr_build(a.unionByName(c), "x")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
+    # negatives and nulls drop; non-negatives keep their counts
+    signed = spark.createDataFrame([(-5,), (None,), (3,), (3,)], "x long")
+    sk = sketches.hdr_build(signed, "x")
+    assert [(r.lo, r.cnt) for r in sk.collect()] == [(3, 2)]
+
+
 def test_kmv_intersect_exact_when_exhaustive_and_bounded_above_k(spark):
     # Two groups sharing exactly 120 of 200/250 values, k large enough to
     # hold both exhaustively -> theta = full span -> estimate is EXACT.

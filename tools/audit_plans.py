@@ -34,6 +34,7 @@ NESTED_LOOP_EXEMPT = {
     "sample_gumbel_topk",    # composes importance_weights
     "tpch_q22_idle_balance",   # 1-row avg(acctbal) scalar cross join
     "tpch_q11_important_stock",  # 1-row global-sum scalar cross join
+    "x_hdr_quantiles",       # 3-row percentile frame broadcast cross join
 }
 
 
