@@ -2961,6 +2961,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": "temporal_asof_forward",
         "sim_bruteforce_topk": "x_winsorize",
         "x_rollup": "text_hybrid_rrf",
+        # late-r7 addition: the HITS loop was reshaped twice this round
+        # (raw-frame caching, then zero-row elision) — a code-changed,
+        # never-driver-graded query belongs IN the window to earn the
+        # gate; x_cube is 4-round driver-green and untouched since r3.
+        "x_cube": "x_hits",
     }
     for out_name, in_name in _R7_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
