@@ -2858,6 +2858,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_hdr_quantiles"] = x_hdr_quantiles
 
+    def x_join_size_est(spark, sf):
+        # SELF-join output-size estimate for lineitem on l_suppkey —
+        # Σ cnt² over the supplier key, the quadratic blowup a planner
+        # must predict before launching a 100-TB join — from a KMV key
+        # sketch carrying per-key counts (operators/sketches.py:
+        # kmv_join_size). EXACT below k=256 distinct keys (sf0.001/0.01
+        # exercise that branch), sampled ·2^60/θ above it (sf0.1's
+        # ~1000 suppliers exercise this one). One double multiply/
+        # divide after integer/md5 arithmetic — hash-gated. The 1-row
+        # theta frames broadcast-cross-join (bounded, audit-exempt).
+        li = _t(spark, sf, "lineitem")
+        return sketches.kmv_join_size(li, li, "l_suppkey", k=256)
+
+    q["x_join_size_est"] = x_join_size_est
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -6240,6 +6255,39 @@ def oracle_sql() -> dict[str, str]:
         FROM cum CROSS JOIN p
         WHERE cum >= (n * pct + 99) // 100
         GROUP BY 1, 2
+    """
+
+    # Join-size sketch replayed exactly: same per-key counts, same
+    # 'kmv:' md5 seam, same k-smallest window, theta = min of the two
+    # k-th-smallest (full 2^60 span under k), one double op at the end.
+    # Self-join: both sides are the same sketch, terms are cnt².
+    o["x_join_size_est"] = """
+        WITH c AS (
+          SELECT CAST(l_suppkey AS VARCHAR) AS v, count(*) AS cnt
+          FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1
+        ),
+        h AS (
+          SELECT ('0x' || substr(md5('kmv:' || v), 1, 15))::BIGINT AS hash, cnt
+          FROM c
+        ),
+        r AS (SELECT hash, cnt, row_number() OVER (ORDER BY hash ASC) AS rn FROM h),
+        sk AS (SELECT hash, cnt FROM r WHERE rn <= 256),
+        th AS (
+          SELECT CASE WHEN count(*) < 256 THEN 1152921504606846976
+                      ELSE max(hash) END AS theta
+          FROM sk
+        ),
+        agg AS (
+          SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM sk a JOIN sk b ON a.hash = b.hash, th
+          WHERE a.hash < th.theta
+        )
+        SELECT coalesce(CAST(s AS DOUBLE)
+                        * (1152921504606846976.0 / CAST(th.theta AS DOUBLE)), 0.0)
+                 AS join_rows_est,
+               coalesce(n, 0) AS n_shared_sampled
+        FROM agg, th
     """
 
     # Rollup gate rests on register-max associativity: merging hourly

@@ -134,6 +134,7 @@ HEADLINE = [
     "sim_ivf_topk",
     "x_hll_rollup",
     "x_hdr_quantiles",
+    "x_join_size_est",
 ]
 
 

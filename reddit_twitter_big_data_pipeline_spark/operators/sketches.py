@@ -694,3 +694,81 @@ def hdr_quantile(
         .groupBy(*groups, "pct")
         .agg(F.min("lo").alias("est"))
     )
+
+
+def kmv_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    k: int = 256,
+    salt: str = "kmv:",
+) -> DataFrame:
+    """Equi-join OUTPUT-cardinality estimate from per-side KMV key
+    sketches carrying per-key row counts — the planner feed that decides
+    broadcast vs shuffle vs salting BEFORE a 100-TB join launches.
+    |A ⋈ B| = Σ_over_keys ca·cb; the sketch estimates it on the shared
+    hash sample below θ = min of the two sides' k-th-smallest hashes
+    (full 2^60 span for a side under k distinct keys, so the estimate
+    degrades to EXACT when both sides fit their sketches — and a
+    SELF-join size Σ cnt², the quadratic blowup a planner fears most,
+    is just a==b). Every step is integer + the md5 seam except the ONE
+    final double multiply/divide, so the estimate is hash-gateable.
+
+    Scale shape: per side, one groupBy(key) count (map-side combined)
+    then a ≤ k-row window keep — the raw tables never shuffle beyond
+    the count, and everything after carries (8-byte hash, long count).
+    Returns one row: (join_rows_est double, n_shared_sampled long)."""
+    key_b = key_b or key_a
+
+    def side(df: DataFrame, key: str, tag: str):
+        c = (
+            df.select(F.col(key).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(f"cnt_{tag}"))
+        )
+        h = c.select(
+            F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("v"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias(f"hash_{tag}"),
+            f"cnt_{tag}",
+        )
+        w = Window.partitionBy().orderBy(F.col(f"hash_{tag}").asc())
+        sk = (
+            h.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        th = sk.agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(1 << 60).cast("long"))
+            .otherwise(F.max(f"hash_{tag}"))
+            .alias(f"theta_{tag}")
+        )
+        return sk, th
+
+    sk_a, th_a = side(a, key_a, "a")
+    sk_b, th_b = side(b, key_b, "b")
+    theta = (
+        th_a.crossJoin(F.broadcast(th_b))  # two 1-row bounded frames
+        .select(F.least("theta_a", "theta_b").alias("theta"))
+    )
+    shared = sk_a.join(sk_b, sk_a["hash_a"] == sk_b["hash_b"]).crossJoin(
+        F.broadcast(theta)
+    )
+    agg = shared.filter(F.col("hash_a") < F.col("theta")).agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # empty shared sample -> one row of zeros (theta re-read via its own
+    # 1-row frame so the estimate row always exists)
+    return (
+        agg.crossJoin(F.broadcast(theta.select(F.col("theta").alias("__t"))))
+        .select(
+            F.coalesce(
+                F.col("s").cast("double") * (F.lit(_KMV_SPAN) / F.col("__t").cast("double")),
+                F.lit(0.0),
+            ).alias("join_rows_est"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_shared_sampled"),
+        )
+    )

@@ -103,6 +103,9 @@ def test_sketch_family_empty(spark):
     hdr = sketches.hdr_build(ev, "user_id", group_cols=["event_type"])
     assert hdr.count() == 0
     assert sketches.hdr_quantile(hdr, [50, 99], group_cols=["event_type"]).count() == 0
+    # join-size estimate over empty sides: one defined zero row
+    jz = sketches.kmv_join_size(ev, ev, "user_id").collect()
+    assert len(jz) == 1 and jz[0].join_rows_est == 0.0 and jz[0].n_shared_sampled == 0
     bloom = sketches.bloom_build(ev, "user_id")
     assert bloom.count() == 0
     # an empty bloom rejects everything: pruning a live probe yields 0 rows

@@ -296,6 +296,32 @@ def test_hdr_state_bounded_merge_equals_concat_and_drops_negatives(spark):
     assert [(r.lo, r.cnt) for r in sk.collect()] == [(3, 2)]
 
 
+def test_kmv_join_size_exact_under_k_and_sampled_above(spark):
+    # two-sided, both under k: estimate == true join output size EXACTLY
+    a = spark.range(200).select((F.col("id") % 40).alias("ka"))        # 5 rows/key
+    b = spark.range(120).select((F.col("id") % 60).alias("kb"))        # 2 rows/key
+    est = sketches.kmv_join_size(a, b, "ka", "kb", k=512).collect()[0]
+    true_n = a.join(b, a["ka"] == b["kb"]).count()
+    assert est.join_rows_est == float(true_n) and true_n == 40 * 5 * 2
+    assert est.n_shared_sampled == 40
+
+    # self-join Σ cnt² exact under k
+    s = sketches.kmv_join_size(a, a, "ka", k=512).collect()[0]
+    assert s.join_rows_est == float(40 * 5 * 5)
+
+    # sampled branch (keys ≫ k): within 30% of the true self-join size
+    big = spark.range(60_000).select((F.col("id") % 3_000).alias("k"))  # 20 rows/key
+    e = sketches.kmv_join_size(big, big, "k", k=256).collect()[0]
+    true_big = 3_000 * 20 * 20
+    assert abs(e.join_rows_est - true_big) / true_big < 0.30
+    assert e.n_shared_sampled <= 256
+
+    # disjoint key sets: a defined zero estimate, still one row
+    d = spark.range(50).select((F.col("id") + 10_000).alias("kb"))
+    z = sketches.kmv_join_size(a, d, "ka", "kb", k=512).collect()
+    assert len(z) == 1 and z[0].join_rows_est == 0.0 and z[0].n_shared_sampled == 0
+
+
 def test_kmv_intersect_exact_when_exhaustive_and_bounded_above_k(spark):
     # Two groups sharing exactly 120 of 200/250 values, k large enough to
     # hold both exhaustively -> theta = full span -> estimate is EXACT.
