@@ -2873,6 +2873,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_join_size_est"] = x_join_size_est
 
+    def x_ppr(spark, sf):
+        # Personalized PageRank from supplier seeds 1-50 over the
+        # supplier→customer fulfillment graph (operators/model.py:
+        # personalized_pagerank): teleport AND dangling mass restricted
+        # to the seed set, fixed 8 rounds — rank concentrates around the
+        # seeds (the related-item scoring a who-to-follow feature runs).
+        # The oracle unrolls all 8 rounds as MATERIALIZED CTEs with the
+        # identical (1-d)·p + d·(s + dm·p) float-op order; seeds mirror
+        # as node BETWEEN 1 AND 50 (suppliers are raw ids, customers are
+        # offset by 1e6).
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select(
+                F.col("l_suppkey").alias("src"),
+                (F.col("o_custkey") + 1_000_000).alias("dst"),
+            )
+            .distinct()  # the operator weights by edge multiplicity; the
+            # oracle's edge CTE is DISTINCT — keep them aligned
+        )
+        seeds = spark.range(1, 51).select(F.col("id").alias("node"))
+        return model.personalized_pagerank(edges, seeds, n_iter=8)
+
+    q["x_ppr"] = x_ppr
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -5267,6 +5293,52 @@ def oracle_sql() -> dict[str, str]:
         return head + body + f"\n        SELECT node, rank FROM r{n_iter}"
 
     o["x_pagerank"] = _pagerank_sql()
+
+    def _ppr_sql(n_iter: int = 8, damping: float = 0.85) -> str:
+        # Fixed-round unroll of personalized PageRank (the _pagerank_sql
+        # technique): teleport vector p materialized ONCE (the Spark
+        # operator's cached p frame), per round the dangling sum and the
+        # same (1.0 - d)·p + d·(s + dm·p) float-op order. Seeds = node
+        # BETWEEN 1 AND 50, mirroring range(1,51) ∩ nodes.
+        head = """
+        WITH edges AS (
+          SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+        ),
+        deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+        params AS (
+          SELECT count(*)::DOUBLE AS ns FROM nodes WHERE node BETWEEN 1 AND 50
+        ),
+        pv AS MATERIALIZED (
+          SELECT node,
+                 CASE WHEN node BETWEEN 1 AND 50 THEN 1.0 / ns ELSE 0.0 END AS p
+          FROM nodes CROSS JOIN params
+        ),
+        r0 AS MATERIALIZED (SELECT node, p AS rank FROM pv)"""
+        body = ""
+        for i in range(n_iter):
+            body += f""",
+        d{i} AS MATERIALIZED (
+          SELECT coalesce(sum(rank), 0.0) AS dm FROM r{i}
+          WHERE node NOT IN (SELECT src FROM deg)
+        ),
+        r{i + 1} AS MATERIALIZED (
+          SELECT pv.node,
+                 (1.0 - {damping}) * p + {damping} * (coalesce(s, 0.0) + dm * p) AS rank
+          FROM pv
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+            FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+          ) sums USING (node)
+          CROSS JOIN d{i}
+        )"""
+        return head + body + f"\n        SELECT node, rank FROM r{n_iter}"
+
+    o["x_ppr"] = _ppr_sql()
 
     def _kcore_sql(k: int = 5, n_rounds: int = 12) -> str:
         # Fixed-round unroll of the monotone peel (VERDICT r3 item 2):

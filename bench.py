@@ -135,6 +135,7 @@ HEADLINE = [
     "x_hll_rollup",
     "x_hdr_quantiles",
     "x_join_size_est",
+    "x_ppr",
 ]
 
 

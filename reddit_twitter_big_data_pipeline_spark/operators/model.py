@@ -563,6 +563,97 @@ def pagerank(
     return out
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002, "Topic-sensitive
+    PageRank"): `pagerank` with the teleport vector restricted to
+    `sources` (a frame with a `node` column, intersected with the graph)
+    — rank concentrates around the seed set, the similarity-to-S scoring
+    behind who-to-follow / related-item features. Teleport AND dangling
+    mass both redistribute over the seeds: rank(v) =
+    (1-d)·p(v) + d·(Σ_in rank/deg + dm·p(v)) with p = 1/|S| on S else 0.
+
+    Same iterative discipline as `pagerank`: degree-joined edges cached
+    once, per-round payloads are (id, double), the dangling mass is a
+    collected 1-row scalar, the teleport column p rides the cached node
+    frame (computed once, never re-derived), lineage truncates every 4th
+    round. Fixed n_iter → a fixed-round unrolled oracle reproduces it
+    exactly. Returns (node, rank); ranks sum to ~1 over the whole graph.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    s = sources.select("node").distinct().join(nodes, "node").cache()
+    ns = s.count()
+    if ns == 0 or nodes.count() == 0:
+        # no seeds in the graph -> no teleport, no mass: empty result
+        # (not an all-zeros node list, which would suggest a valid run)
+        empty = nodes.filter(F.lit(False)).withColumn("rank", F.lit(0.0))
+        nodes.unpersist()
+        s.unpersist()
+        return empty
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    ed = e.join(out_deg, "src").cache()
+    ed.count()
+    p = (
+        nodes.join(s.withColumn("__s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__s").isNotNull(), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        .cache()
+    )
+    ranks = p.select("node", F.col("p").alias("rank")).cache()  # start at teleport
+    caches = [nodes, s, out_deg, ed, p, ranks]
+    for it in range(n_iter):
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        sums = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            p.join(sums, p["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling) * F.col("p"))
+                ).alias("rank"),
+            )
+            .cache()
+        )
+        caches.append(nxt)
+        if (it + 1) % 4 == 0:
+            nxt = _truncate(nxt, checkpoint_dir)
+        nxt.count()
+        ranks = nxt
+    out = _truncate(ranks, checkpoint_dir)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

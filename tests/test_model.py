@@ -367,6 +367,40 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_personalized_pagerank_matches_numpy_and_localizes(spark):
+    import numpy as np
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4),
+        (5, 6), (6, 5),  # a second component, disconnected from seed 0
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.rank for r in model.personalized_pagerank(df, seeds, n_iter=12).collect()}
+
+    # independent reference: teleport AND dangling mass to the seed only
+    n, d = 7, 0.85
+    out_deg = {u: sum(1 for s, _ in edges if s == u) for u in range(n)}
+    p = np.zeros(n)
+    p[0] = 1.0
+    r = p.copy()
+    for _ in range(12):
+        dangling = sum(r[u] for u in range(n) if out_deg[u] == 0)
+        nxt = (1.0 - d) * p + d * dangling * p
+        for s, t in edges:
+            nxt[t] += d * r[s] / out_deg[s]
+        r = nxt
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+    # locality: the disconnected component gets exactly zero mass, and
+    # total mass stays ~1 (teleport + dangling both return to the seed)
+    assert got[5] == 0.0 and got[6] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # empty seed set -> empty result, no crash
+    none = spark.createDataFrame([], "node long")
+    assert model.personalized_pagerank(df, none, n_iter=3).count() == 0
+
+
 def test_snapshot_diff_null_keys_survive(spark):
     # a NULL key component must classify AND keep its payload — plain
     # equi-joins would drop it at the re-attach step
