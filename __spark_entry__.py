@@ -2899,6 +2899,198 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["x_ppr"] = x_ppr
 
+    # --- r8 wave 1: langid + URL/domain curation (VERDICT r7 items 5-6) ---
+    #
+    # The synthetic corpus is monolingual-ish (same vocab every row), so a
+    # langid gate over the raw table would grade only the all-'en' branch.
+    # The registrations therefore PLANT deterministic multilingual
+    # prefixes / messy URLs (the dedup oracles' planted-dup-CTE trick):
+    # Spark and the oracle derive the same planted column from doc_id, so
+    # every argmax branch, diacritic counter, and URL-normalization case
+    # is exercised by the hash gate at every SF.
+
+    def _planted_lang_text(doc_id, text):
+        # doc_id%5: 0 → original text; 1-4 → a real de/fr/es/it sentence
+        # (function words + diacritics) prepended 3× so the planted
+        # language outscores the base text's English markers
+        phrases = {
+            1: "der hund läuft über die straße und ist nicht müde ",
+            2: "le chat est dans la maison et ne veut pas sortir ",
+            3: "el perro está en la casa y no quiere salir más ",
+            4: "il gatto è nel giardino e non vuole più uscire ",
+        }
+        expr = None
+        for k, ph in phrases.items():
+            c = doc_id % 5 == k
+            v = F.concat(F.lit(ph * 3), text)
+            expr = F.when(c, v) if expr is None else expr.when(c, v)
+        return expr.otherwise(text)
+
+    def text_langid(spark, sf):
+        # Derived language label (operators/text.py:langid_profile): word-
+        # profile n-gram-free langid — integer marker-word + diacritic
+        # counts with literal weights in the plan (no UDF, scan speed),
+        # argmax by priority CASE chain, 'und' when all scores are 0.
+        # All-integer scoring: no float tie boundary exists.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.select(
+            "doc_id", _planted_lang_text(F.col("doc_id"), F.col("text")).alias("text")
+        )
+        return text_ops.langid_profile(planted)
+
+    q["text_langid"] = text_langid
+
+    def text_langid_gate(spark, sf):
+        # The point of deriving lang: the per-language quality gate
+        # (text_quality_gate's 75th-percentile rule) keyed on the DERIVED
+        # lang_pred instead of the trusted input column — lang is now an
+        # output of the pipeline, not an assumption. Threshold table ≤ 6
+        # rows → broadcast; corpus streams once.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.select(
+            "doc_id", _planted_lang_text(F.col("doc_id"), F.col("text")).alias("text")
+        )
+        scored = planted.join(
+            text_ops.langid_profile(planted).select("doc_id", "lang_pred"), "doc_id"
+        ).withColumn("__q", text_ops.quality_score("text"))
+        thr = scored.groupBy("lang_pred").agg(
+            F.expr("percentile(__q, 0.75)").alias("__thr")
+        )
+        return (
+            scored.join(F.broadcast(thr), "lang_pred")
+            .filter(F.col("__q") >= F.col("__thr"))
+            .select("doc_id", "lang_pred", F.round("__q", 6).alias("quality"))
+        )
+
+    q["text_langid_gate"] = text_langid_gate
+
+    def _planted_url(doc_id):
+        # doc_id%6 exercises every normalization/extraction branch:
+        # uppercase scheme+host+query+fragment, ccTLD second-level suffix
+        # + trailing slash, userinfo+port, IPv4 literal, .com.br suffix,
+        # and a non-URL row
+        ds = doc_id.cast("string")
+        return (
+            F.when(
+                doc_id % 6 == 0,
+                F.concat(
+                    F.lit("HTTP://WWW.News-"), (doc_id % 7).cast("string"),
+                    F.lit(".COM/Art/"), ds, F.lit("/?utm_source=x#top"),
+                ),
+            )
+            .when(
+                doc_id % 6 == 1,
+                F.concat(
+                    F.lit("https://blog.example"), (doc_id % 5).cast("string"),
+                    F.lit(".co.uk/Posts/"), ds, F.lit("/"),
+                ),
+            )
+            .when(
+                doc_id % 6 == 2,
+                F.concat(
+                    F.lit("https://User@Media.Site"), (doc_id % 4).cast("string"),
+                    F.lit(".ORG:8443/v/"), ds,
+                ),
+            )
+            .when(
+                doc_id % 6 == 3,
+                F.concat(F.lit("http://192.168."), (doc_id % 3).cast("string"), F.lit(".7/page")),
+            )
+            .when(
+                doc_id % 6 == 4,
+                F.concat(
+                    F.lit("https://Docs.Example"), (doc_id % 5).cast("string"),
+                    F.lit(".COM.BR/x?y=1"),
+                ),
+            )
+            .otherwise(F.concat(F.lit("not a url "), ds))
+        )
+
+    def text_url_domains(spark, sf):
+        # URL canonicalization + registered-domain extraction
+        # (operators/text.py:normalize_url/registered_domain): pure
+        # regexp_* exprs in the Java∩RE2 subset (the scrub_pii discipline)
+        # — fragment/query strip, scheme+authority lowercase, trailing-
+        # slash strip, public-suffix-plus-one domain with an embedded
+        # ccTLD second-level suffix subset, IPv4 passthrough.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        urls = docs.select("doc_id", _planted_url(F.col("doc_id")).alias("url"))
+        return urls.select(
+            "doc_id",
+            text_ops.normalize_url("url").alias("url_norm"),
+            text_ops.registered_domain("url").alias("domain"),
+        )
+
+    q["text_url_domains"] = text_url_domains
+
+    def sample_domain_cap(spark, sf):
+        # Per-domain quota (RefinedWeb/Dolma-style): registered_domain
+        # feeds sampling.cap_per_group — at most 3 docs per registered
+        # domain, chosen by deterministic md5-hash order. Composition of
+        # the two r8 curation ops with the existing quota operator; the
+        # non-URL rows ('' domain) form their own capped group, which is
+        # exactly how an unattributed-source quota should behave.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        urls = docs.select("doc_id", _planted_url(F.col("doc_id")).alias("url"))
+        dom = urls.select(
+            "doc_id", text_ops.registered_domain("url").alias("domain")
+        )
+        return sampling.cap_per_group(dom, "domain", 3, hash_fn="md5")
+
+    q["sample_domain_cap"] = sample_domain_cap
+
+    # --- r8 wave 2: curation compositions over the wave-1 primitives ------
+
+    def text_langid_margin(spark, sf):
+        # Confidence-gated language ID (operators/text.py:langid_margin):
+        # margin = top − second of the integer language scores (sort_array
+        # of ints), lang_conf downgrades to 'und' below min_margin. The
+        # planted multilingual prefixes make every branch live: planted
+        # rows carry big margins, the doc_id%5==0 rows keep the base
+        # text's en-vs-nl/fr spread, and all-integer arithmetic keeps the
+        # hash gate exact at every SF.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.select(
+            "doc_id", _planted_lang_text(F.col("doc_id"), F.col("text")).alias("text")
+        )
+        return text_ops.langid_margin(planted, min_margin=2)
+
+    q["text_langid_margin"] = text_langid_margin
+
+    def text_domain_stats(spark, sf):
+        # Per-registered-domain curation rollup (operators/text.py:
+        # domain_stats): n_docs / n_tokens / mean_quality / corpus share —
+        # the table a RefinedWeb-style pipeline ranks and caps sources
+        # from. One domain-keyed shuffle with map-side combine; the
+        # corpus total is a broadcast 1-row crossJoin. Quality is fixed
+        # per-row to floor-micro-units (exact long sum — no
+        # order-dependent double aggregation anywhere).
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        urls = docs.select(
+            "doc_id", "text", _planted_url(F.col("doc_id")).alias("url")
+        )
+        return text_ops.domain_stats(urls)
+
+    q["text_domain_stats"] = text_domain_stats
+
+    def text_domain_blocklist(spark, sf):
+        # Registered-domain blocklist screen (operators/text.py:
+        # domain_blocklist_filter): subdomain-inclusive by construction
+        # (the key IS the registered domain), ''-domain rows always pass.
+        # The blocked literals hit 3 of the 6 planted URL branches (a
+        # .com, a .co.uk second-level registry, an IPv4 literal) so the
+        # filter's kept/dropped sides both stay populated at every SF.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        urls = docs.select("doc_id", _planted_url(F.col("doc_id")).alias("url"))
+        kept = text_ops.domain_blocklist_filter(
+            urls, ("news-1.com", "example2.co.uk", "192.168.1.7")
+        )
+        return kept.select(
+            "doc_id", text_ops.registered_domain("url").alias("domain")
+        )
+
+    q["text_domain_blocklist"] = text_domain_blocklist
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3009,6 +3201,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_cube": "x_hits",
     }
     for out_name, in_name in _R7_SWAPS.items():
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
+    # ROUND-8 ROTATION #6 (VERDICT r7 item 1, same pairwise-swap mechanism):
+    # twenty swaps — the largest rotation yet, prioritizing the novel
+    # oracle machinery the driver has never seen. IN: the r7 hash-gated
+    # sketch family (x_cms_freq, x_kmv_users_daily, x_hll_parts_monthly,
+    # x_kmv_overlap, x_hdr_quantiles, x_hll_rollup, x_bloom_prune_join,
+    # x_join_size_est), the codebook-literal IVF oracle (sim_ivf_topk),
+    # the distributed-global-rank histogram (x_equidepth_hist), PSI drift
+    # (x_psi_drift), x_ppr (its loop dropped the redundant eager count
+    # this round — code-changed queries re-earn the gate), the four NEW r8
+    # curation queries (text_langid, text_langid_gate, text_url_domains,
+    # sample_domain_cap, plus wave-2's text_langid_margin /
+    # text_domain_stats / text_domain_blocklist — new queries now enter
+    # the window immediately so the tail stops growing with each wave),
+    # and x_cube re-enters after its mid-r7 rotation-out (still locally
+    # green throughout). OUT: twenty queries driver-green 3-6
+    # consecutive rounds whose code paths are untouched this round.
+    # Deliberately KEPT in-window despite
+    # eligibility: dedup_minhash_pairs + dedup_containment_pairs +
+    # sample_split_leakproof — their shared internals (minhash_dedup_pairs
+    # persists, _flat_intersections) gained the r8 cache-registry hooks,
+    # and touched paths re-earn the gate (the r7 precedent).
+    _R8_SWAPS = {
+        "dedup_simhash_pairs": "x_cms_freq",
+        "sim_ann_topk": "x_kmv_users_daily",
+        "emb_near_dup": "x_hll_parts_monthly",
+        "media_features": "x_kmv_overlap",
+        "media_frame_sample": "x_hdr_quantiles",
+        "x_grouping_sets": "x_hll_rollup",
+        "x_salted_join": "x_bloom_prune_join",
+        "x_json_path": "x_join_size_est",
+        "temporal_asof_join": "sim_ivf_topk",
+        "temporal_range_join": "x_equidepth_hist",
+        "tpch_q9_product_profit": "x_psi_drift",
+        "tpch_q21_sole_returner": "x_ppr",
+        "sem_dedup_pairs": "x_cube",
+        "sim_self_knn": "text_langid",
+        "x_scd2_apply": "text_langid_gate",
+        "text_bm25_topk": "text_url_domains",
+        "text_segment_dedup": "sample_domain_cap",
+        # wave-2 extension (same round): the three curation compositions
+        # enter immediately; out go three 3-round-green untouched queries
+        "x_kmeans": "text_langid_margin",
+        "x_heavy_hitters": "text_domain_stats",
+        "x_triangle_count": "text_domain_blocklist",
+    }
+    for out_name, in_name in _R8_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]
     return {n: q[n] for n in names}
@@ -5339,6 +5579,216 @@ def oracle_sql() -> dict[str, str]:
         return head + body + f"\n        SELECT node, rank FROM r{n_iter}"
 
     o["x_ppr"] = _ppr_sql()
+
+    # --- r8 wave 1 oracles: langid + URL/domain curation -------------------
+    # Generated from the SAME literal tables the Spark plan uses
+    # (text_ops.LANGID_MARKERS / LANGID_CHARS / LANGID_NORM_RE), so model
+    # weights cannot drift between engines. All-integer scoring → the hash
+    # gate is exact, no tie margins.
+
+    _LANGID_PLANTED_CTE = """planted AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 1 THEN repeat('der hund läuft über die straße und ist nicht müde ', 3) || text
+                   WHEN 2 THEN repeat('le chat est dans la maison et ne veut pas sortir ', 3) || text
+                   WHEN 3 THEN repeat('el perro está en la casa y no quiere salir más ', 3) || text
+                   WHEN 4 THEN repeat('il gatto è nel giardino e non vuole più uscire ', 3) || text
+                   ELSE text
+                 END AS text
+          FROM documents
+        )"""
+
+    def _langid_scores_sql() -> str:
+        # one integer score column per language, replaying
+        # langid_word_hits + 2*langid_char_hits verbatim
+        cols = []
+        for lang in text_ops.LANGID_LANGS:
+            words = ", ".join(f"'{w}'" for w in text_ops.LANGID_MARKERS[lang])
+            word_hits = f"len(list_filter(tk, t -> t IN ({words})))"
+            chars = text_ops.LANGID_CHARS[lang]
+            char_hits = f"len(regexp_extract_all(lt, '[{chars}]'))" if chars else "0"
+            cols.append(f"({word_hits} + 2*{char_hits})::INTEGER AS s_{lang}")
+        return ",\n                 ".join(cols)
+
+    def _langid_pred_sql() -> str:
+        # priority CASE chain: branch ℓ beats only LOWER-priority langs
+        branches = []
+        langs = text_ops.LANGID_LANGS
+        for i, lang in enumerate(langs):
+            conds = [f"s_{lang} > 0"] + [
+                f"s_{lang} >= s_{m}" for m in langs[i + 1 :]
+            ]
+            branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+        return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+    _LANGID_SCORED_CTE = f"""{_LANGID_PLANTED_CTE},
+        toks AS (
+          SELECT doc_id, text,
+                 string_split(regexp_replace(lower(text), '{text_ops.LANGID_NORM_RE}', ' ', 'g'), ' ') AS tk,
+                 lower(text) AS lt
+          FROM planted
+        ),
+        scored AS (
+          SELECT doc_id, text,
+                 {_langid_scores_sql()}
+          FROM toks
+        )"""
+
+    _langid_s_cols = ", ".join(f"s_{lang}" for lang in text_ops.LANGID_LANGS)
+    _langid_greatest = "greatest(" + ", ".join(
+        f"s_{lang}" for lang in text_ops.LANGID_LANGS
+    ) + ")::INTEGER"
+
+    o["text_langid"] = f"""
+        WITH {_LANGID_SCORED_CTE}
+        SELECT doc_id, {_langid_s_cols},
+               {_langid_pred_sql()} AS lang_pred,
+               {_langid_greatest} AS score
+        FROM scored
+    """
+
+    o["text_langid_gate"] = f"""
+        WITH {_LANGID_SCORED_CTE},
+        pred AS (
+          SELECT doc_id, text, {_langid_pred_sql()} AS lang_pred FROM scored
+        ),
+        quality AS (
+          SELECT doc_id, lang_pred,
+                 least(1.0, len(string_split(text, ' ')) / 100.0)
+                 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                        / greatest(length(lower(text)), 1)) AS q
+          FROM pred
+        ),
+        thr AS (
+          SELECT lang_pred, quantile_cont(q, 0.75) AS t FROM quality GROUP BY lang_pred
+        )
+        SELECT s.doc_id, s.lang_pred, round(s.q, 6) AS quality
+        FROM quality s JOIN thr USING (lang_pred)
+        WHERE s.q >= thr.t
+    """
+
+    _URL_PLANTED_CTE = """urls AS (
+          SELECT doc_id,
+                 CASE doc_id % 6
+                   WHEN 0 THEN 'HTTP://WWW.News-' || CAST(doc_id % 7 AS VARCHAR) || '.COM/Art/' || CAST(doc_id AS VARCHAR) || '/?utm_source=x#top'
+                   WHEN 1 THEN 'https://blog.example' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/Posts/' || CAST(doc_id AS VARCHAR) || '/'
+                   WHEN 2 THEN 'https://User@Media.Site' || CAST(doc_id % 4 AS VARCHAR) || '.ORG:8443/v/' || CAST(doc_id AS VARCHAR)
+                   WHEN 3 THEN 'http://192.168.' || CAST(doc_id % 3 AS VARCHAR) || '.7/page'
+                   WHEN 4 THEN 'https://Docs.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM.BR/x?y=1'
+                   ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+                 END AS url
+          FROM documents
+        )"""
+
+    # registered-domain SQL over a `host` column (shared by both URL
+    # oracles) — replays text_ops.registered_domain verbatim
+    _URL_DOMAIN_SQL = """CASE
+                   WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+                   WHEN regexp_matches(host, '\\.(ac|co|com|edu|gov|net|org)\\.[a-z]{2}$')
+                     THEN regexp_extract(host, '([^.]+\\.(ac|co|com|edu|gov|net|org)\\.[a-z]{2})$', 1)
+                   ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                 END"""
+
+    _URL_NORM_CTE = f"""{_URL_PLANTED_CTE},
+        nq AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_replace(trim(url), '#.*$', ''), '\\?.*$', '') AS u
+          FROM urls
+        ),
+        norm AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+                   || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '/+$', '') AS url_norm,
+                 lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+          FROM nq
+        )"""
+
+    o["text_url_domains"] = f"""
+        WITH {_URL_NORM_CTE}
+        SELECT doc_id, url_norm,
+               {_URL_DOMAIN_SQL} AS domain
+        FROM norm
+    """
+
+    o["sample_domain_cap"] = f"""
+        WITH {_URL_NORM_CTE},
+        dom AS (
+          SELECT doc_id, {_URL_DOMAIN_SQL} AS domain FROM norm
+        )
+        SELECT doc_id, domain FROM (
+          SELECT doc_id, domain,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000000 ASC,
+                            doc_id ASC) AS rn
+          FROM dom
+        ) WHERE rn <= 3
+    """
+
+    # --- r8 wave 2 oracles: curation compositions ---------------------------
+
+    _langid_sorted = (
+        "list_sort(["
+        + ", ".join(f"s_{lang}" for lang in text_ops.LANGID_LANGS)
+        + "], 'DESC')"
+    )
+
+    o["text_langid_margin"] = f"""
+        WITH {_LANGID_SCORED_CTE},
+        m AS (
+          SELECT doc_id,
+                 {_langid_pred_sql()} AS lang_pred,
+                 {_langid_greatest} AS score,
+                 ({_langid_sorted}[1] - {_langid_sorted}[2])::INTEGER AS margin
+          FROM scored
+        )
+        SELECT doc_id, lang_pred, score, margin,
+               CASE WHEN lang_pred <> 'und' AND margin >= 2
+                    THEN lang_pred ELSE 'und' END AS lang_conf
+        FROM m
+    """
+
+    # domain_stats: replays quality_score per-row (the text_langid_gate
+    # formula), fixes it to floor-micro-units BEFORE aggregation (exact
+    # BIGINT sums — no order-dependent double SUM), casts DuckDB's
+    # HUGEINT sums back to BIGINT for the dtype-sensitive gate
+    o["text_domain_stats"] = f"""
+        WITH {_URL_PLANTED_CTE.replace("SELECT doc_id,", "SELECT doc_id, text,")},
+        rows_q AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+                 len(string_split(text, ' ')) AS tok,
+                 floor(
+                   least(1.0, len(string_split(text, ' ')) / 100.0)
+                   * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                          / greatest(length(lower(text)), 1))
+                   * 1000000.0
+                 )::BIGINT AS q_micro
+          FROM urls
+        ),
+        dom AS (
+          SELECT doc_id, {_URL_DOMAIN_SQL} AS domain, tok, q_micro FROM rows_q
+        )
+        SELECT domain,
+               count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               round(CAST(sum(q_micro) AS BIGINT) / count(*) / 1000000.0, 6) AS mean_quality,
+               round(count(*) / (SELECT count(*) FROM dom), 6) AS share
+        FROM dom
+        GROUP BY domain
+    """
+
+    o["text_domain_blocklist"] = f"""
+        WITH {_URL_NORM_CTE},
+        dom AS (
+          SELECT doc_id, {_URL_DOMAIN_SQL} AS domain FROM norm
+        )
+        SELECT doc_id, domain FROM dom
+        WHERE domain NOT IN ('news-1.com', 'example2.co.uk', '192.168.1.7')
+    """
 
     def _kcore_sql(k: int = 5, n_rounds: int = 12) -> str:
         # Fixed-round unroll of the monotone peel (VERDICT r3 item 2):

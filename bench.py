@@ -136,6 +136,13 @@ HEADLINE = [
     "x_hdr_quantiles",
     "x_join_size_est",
     "x_ppr",
+    # round-8 additions (first recorded baselines this round): derived
+    # language ID + the per-language gate keyed on it, URL normalization /
+    # registered-domain extraction, and the per-domain quota cap
+    "text_langid",
+    "text_langid_gate",
+    "text_url_domains",
+    "sample_domain_cap",
 ]
 
 
@@ -211,6 +218,32 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "full_surface": full_surface,
+            }
+        )
+    )
+    # The driver's BENCH_r{N}.json artifact keeps only the LAST 2000 chars
+    # of stdout; the full_surface dict above fills that window, so the r6
+    # and r7 artifacts lost every headline total (ADVICE r7). Repeat a
+    # compact headline-only summary LAST — no per-query dicts, so the line
+    # is a few hundred bytes and the truncated tail always carries the
+    # totals that matter. The top-5 slowest headline queries ride along as
+    # a bounded diagnostic.
+    top5 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "headline_queries": len(timings),
+                "full_surface_queries": len(full_surface),
+                "full_surface_total": round(
+                    sum(t for t in full_surface.values() if t >= 0), 3
+                ),
+                "top5_slowest": top5,
             }
         )
     )

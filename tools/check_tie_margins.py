@@ -67,7 +67,7 @@ def _knn_boundary_margins(con, scored_sql: str, k: int) -> np.ndarray:
 
 def check_sf(sf_dir: str) -> None:
     con = duckdb.connect()
-    for t in ("events", "embeddings"):
+    for t in ("events", "embeddings", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
@@ -174,6 +174,30 @@ def check_sf(sf_dir: str) -> None:
         if len(sims) > 5:
             kb.append(sims[4] - sims[5])
     assert_margin("sim_ivf_topk", np.array(kb), "k-boundary")
+
+    # call site 5 (r8): the percentile-threshold quality gates — row
+    # membership flips on `q >= thr`, a float cut between a per-row double
+    # and an interpolated 75th percentile the two engines each compute
+    # themselves. The margin is every row's |q − thr| within its group.
+    # The oracles' OWN CTEs are reused verbatim (everything before the
+    # final SELECT), so the boundary measured IS the gate's boundary —
+    # no duplicated formula to drift. Exact ties (q == thr, the
+    # frac=0-interpolation case where both engines return the order
+    # statistic itself bit-exactly) are excluded by assert_margin's rule.
+    import __spark_entry__ as E
+
+    oracles = E.oracle_sql()
+    for qname, rows_cte, grp in (
+        ("text_quality_gate", "scored", "lang"),
+        ("text_langid_gate", "quality", "lang_pred"),
+    ):
+        sql = oracles[qname]
+        head = sql[: sql.rindex("SELECT")]
+        m = con.execute(
+            head
+            + f"SELECT s.q - thr.t AS m FROM {rows_cte} s JOIN thr USING ({grp})"
+        ).fetchnumpy()["m"]
+        assert_margin(qname, np.abs(np.asarray(m, dtype=np.float64)), "gate-cut")
     con.close()
 
 
