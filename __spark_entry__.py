@@ -220,6 +220,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries — one entry per SURVEY §2 operator / north-star extension
 
 
+# PSL rules for the broadcast-join registered-domain form (shared by the
+# text_url_domains_psl registration and its oracle so the rule set cannot
+# drift between engines): a plain-rule subset of publicsuffix.org
+# (wildcard/exception rules are a documented non-goal) including a
+# 3-LEVEL suffix (k12.ma.us) that no fixed regex alternation can express —
+# the point of the table form.
+_PSL_RULES = (
+    "com", "org", "net", "uk", "co.uk", "org.uk",
+    "br", "com.br", "us", "ma.us", "k12.ma.us",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -3091,6 +3103,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_domain_blocklist"] = text_domain_blocklist
 
+    def _planted_url_psl(doc_id):
+        # %4 exercises the four PSL decision paths: a 1-label rule, a
+        # 2-label ccTLD rule, the 3-level k12.ma.us rule (beyond the
+        # regex form), and an unknown TLD that falls back to last-2
+        ds = doc_id.cast("string")
+        return (
+            F.when(
+                doc_id % 4 == 0,
+                F.concat(
+                    F.lit("https://a.News-"), (doc_id % 7).cast("string"),
+                    F.lit(".COM/p/"), ds,
+                ),
+            )
+            .when(
+                doc_id % 4 == 1,
+                F.concat(
+                    F.lit("https://blog.Example"), (doc_id % 5).cast("string"),
+                    F.lit(".co.uk/q/"), ds,
+                ),
+            )
+            .when(
+                doc_id % 4 == 2,
+                F.concat(
+                    F.lit("https://Files.School"), (doc_id % 3).cast("string"),
+                    F.lit(".K12.MA.US/r/"), ds,
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://weird.example"), (doc_id % 3).cast("string"),
+                    F.lit(".zz/s/"), ds,
+                )
+            )
+        )
+
+    def text_url_domains_psl(spark, sf):
+        # Registered domain via the public-suffix TABLE (operators/
+        # text.py:registered_domain_psl) — the production form: rules are
+        # broadcast DATA (longest-matching dot-suffix wins), not a regex,
+        # so suffixes of any depth work. Corpus side explodes to ≤n-label
+        # candidates, broadcast-joins the 11-rule table, and the map-side
+        # partial of the doc-keyed max_by collapses the explode before
+        # the exchange.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        urls = docs.select("doc_id", _planted_url_psl(F.col("doc_id")).alias("url"))
+        psl = spark.createDataFrame([(s,) for s in _PSL_RULES], ["suffix"])
+        return text_ops.registered_domain_psl(urls, psl).select("doc_id", "domain")
+
+    q["text_url_domains_psl"] = text_url_domains_psl
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3247,6 +3309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_kmeans": "text_langid_margin",
         "x_heavy_hitters": "text_domain_stats",
         "x_triangle_count": "text_domain_blocklist",
+        # wave-3 extension: the PSL broadcast-join domain form enters for
+        # a 3-round-green untouched iterative query
+        "x_kcore": "text_url_domains_psl",
     }
     for out_name, in_name in _R8_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
@@ -5788,6 +5853,56 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, domain FROM dom
         WHERE domain NOT IN ('news-1.com', 'example2.co.uk', '192.168.1.7')
+    """
+
+    # PSL-table registered domain: candidates = every dot-suffix of the
+    # host (k labels, k = 1..n), LEFT-joined to the shared _PSL_RULES
+    # VALUES list; the longest hit wins, k == n means the host IS a
+    # public suffix ('' domain), no hit falls back to last-2-labels —
+    # replaying registered_domain_psl decision-for-decision in pure
+    # string/integer ops (no floats anywhere).
+    _psl_values = ", ".join(f"('{s}')" for s in _PSL_RULES)
+
+    o["text_url_domains_psl"] = f"""
+        WITH urls AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'https://a.News-' || CAST(doc_id % 7 AS VARCHAR) || '.COM/p/' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN 'https://blog.Example' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/q/' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN 'https://Files.School' || CAST(doc_id % 3 AS VARCHAR) || '.K12.MA.US/r/' || CAST(doc_id AS VARCHAR)
+                   ELSE 'https://weird.example' || CAST(doc_id % 3 AS VARCHAR) || '.zz/s/' || CAST(doc_id AS VARCHAR)
+                 END AS url
+          FROM documents
+        ),
+        psl(sfx) AS (VALUES {_psl_values}),
+        lab AS (
+          SELECT doc_id,
+                 lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+          FROM urls
+        ),
+        cand AS (
+          SELECT doc_id, host,
+                 string_split(host, '.') AS labels,
+                 t.k AS k,
+                 array_to_string(string_split(host, '.')[len(string_split(host, '.')) - t.k + 1 : len(string_split(host, '.'))], '.') AS sfx
+          FROM lab, unnest(generate_series(1, len(string_split(host, '.')))) AS t(k)
+        ),
+        best AS (
+          SELECT c.doc_id, c.host, c.labels,
+                 max(CASE WHEN p.sfx IS NOT NULL THEN c.k END) AS kbest
+          FROM cand c LEFT JOIN psl p ON c.sfx = p.sfx
+          GROUP BY c.doc_id, c.host, c.labels
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+                 WHEN kbest IS NOT NULL THEN
+                   CASE WHEN kbest = len(labels) THEN ''
+                        ELSE array_to_string(labels[len(labels) - kbest : len(labels)], '.')
+                   END
+                 ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+               END AS domain
+        FROM best
     """
 
     def _kcore_sql(k: int = 5, n_rounds: int = 12) -> str:

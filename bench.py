@@ -143,6 +143,10 @@ HEADLINE = [
     "text_langid_gate",
     "text_url_domains",
     "sample_domain_cap",
+    "text_langid_margin",
+    "text_domain_stats",
+    "text_domain_blocklist",
+    "text_url_domains_psl",
 ]
 
 
