@@ -2538,7 +2538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # customers pure authorities). Fixed 6 rounds with L1
         # normalization each half-step; the oracle unrolls all six as
         # materialized CTEs with scalar-subquery norms
-        # (operators/model.py:hits).
+        # (operators/model.py:hits). The ~10 s sf0.1 bench entry is
+        # MEASURED to be sequential local-mode job overhead, not data
+        # cost: 16x the edges costs 1.65x the time
+        # (tools/bench_graph_scaled.py, BASELINE.md r8 row).
         li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
         orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
         edges = (
@@ -2894,7 +2897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The oracle unrolls all 8 rounds as MATERIALIZED CTEs with the
         # identical (1-d)·p + d·(s + dm·p) float-op order; seeds mirror
         # as node BETWEEN 1 AND 50 (suppliers are raw ids, customers are
-        # offset by 1e6).
+        # offset by 1e6). Bench cost is MEASURED fixed overhead, not
+        # data: 16x edges = 2.19x time (tools/bench_graph_scaled.py,
+        # BASELINE.md r8 row); the r8 loop drops the redundant per-round
+        # eager count (tools/ab_ppr.py, 0.849x) with scores
+        # bit-identical.
         li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
         orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
         edges = (
