@@ -229,6 +229,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _PSL_RULES = (
     "com", "org", "net", "uk", "co.uk", "org.uk",
     "br", "com.br", "us", "ma.us", "k12.ma.us",
+    # r9 (VERDICT r8 item 4 stretch): publicsuffix.org wildcard and
+    # exception syntax — '*.ck' makes any single label under .ck a
+    # public suffix; '!www.ck' carves www.ck back out as registrable
+    # (the real list's Cook Islands pair)
+    "*.ck", "!www.ck",
 )
 
 
@@ -2964,14 +2969,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (text_quality_gate's 75th-percentile rule) keyed on the DERIVED
         # lang_pred instead of the trusted input column — lang is now an
         # output of the pipeline, not an assumption. Threshold table ≤ 6
-        # rows → broadcast; corpus streams once.
+        # rows → broadcast; corpus streams once. r9 (VERDICT r8 item 3):
+        # lang_pred is a pure column expression of text, so it rides the
+        # scan via langid_profile(keep=("text",)) instead of the r8
+        # doc_id self-join — one fewer Exchange of the whole corpus.
         docs = _t(spark, sf, "documents").select("doc_id", "text")
         planted = docs.select(
             "doc_id", _planted_lang_text(F.col("doc_id"), F.col("text")).alias("text")
         )
-        scored = planted.join(
-            text_ops.langid_profile(planted).select("doc_id", "lang_pred"), "doc_id"
-        ).withColumn("__q", text_ops.quality_score("text"))
+        scored = text_ops.langid_profile(planted, keep=("text",)).select(
+            "doc_id", "lang_pred", text_ops.quality_score("text").alias("__q")
+        )
         thr = scored.groupBy("lang_pred").agg(
             F.expr("percentile(__q, 0.75)").alias("__thr")
         )
@@ -3111,30 +3119,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_domain_blocklist"] = text_domain_blocklist
 
     def _planted_url_psl(doc_id):
-        # %4 exercises the four PSL decision paths: a 1-label rule, a
+        # %6 exercises the six PSL decision paths: a 1-label rule, a
         # 2-label ccTLD rule, the 3-level k12.ma.us rule (beyond the
-        # regex form), and an unknown TLD that falls back to last-2
+        # regex form), the '*.ck' WILDCARD (fooN.ck is a public suffix ⇒
+        # the whole 3-label host is the registered domain), the '!www.ck'
+        # EXCEPTION (www.ck registrable despite the covering wildcard —
+        # subdomain rows resolve to www.ck), and an unknown TLD that
+        # falls back to last-2
         ds = doc_id.cast("string")
         return (
             F.when(
-                doc_id % 4 == 0,
+                doc_id % 6 == 0,
                 F.concat(
                     F.lit("https://a.News-"), (doc_id % 7).cast("string"),
                     F.lit(".COM/p/"), ds,
                 ),
             )
             .when(
-                doc_id % 4 == 1,
+                doc_id % 6 == 1,
                 F.concat(
                     F.lit("https://blog.Example"), (doc_id % 5).cast("string"),
                     F.lit(".co.uk/q/"), ds,
                 ),
             )
             .when(
-                doc_id % 4 == 2,
+                doc_id % 6 == 2,
                 F.concat(
                     F.lit("https://Files.School"), (doc_id % 3).cast("string"),
                     F.lit(".K12.MA.US/r/"), ds,
+                ),
+            )
+            .when(
+                doc_id % 6 == 3,
+                F.concat(
+                    F.lit("https://Shop.Foo"), (doc_id % 4).cast("string"),
+                    F.lit(".CK/w/"), ds,
+                ),
+            )
+            .when(
+                doc_id % 6 == 4,
+                F.concat(
+                    F.lit("http://sub"), (doc_id % 3).cast("string"),
+                    F.lit(".WWW.CK/e/"), ds,
                 ),
             )
             .otherwise(
@@ -3148,15 +3174,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_url_domains_psl(spark, sf):
         # Registered domain via the public-suffix TABLE (operators/
         # text.py:registered_domain_psl) — the production form: rules are
-        # broadcast DATA (longest-matching dot-suffix wins), not a regex,
-        # so suffixes of any depth work. Corpus side explodes to ≤n-label
-        # candidates, broadcast-joins the 11-rule table, and the map-side
-        # partial of the doc-keyed max_by collapses the explode before
-        # the exchange.
+        # broadcast DATA, not a regex, so suffixes of any depth work,
+        # including publicsuffix.org '*.' wildcard and '!' exception
+        # rules (r9). Corpus side explodes to ≤n-label exact candidates
+        # plus their '*.'-form wildcard keys, broadcast-joins the 13-rule
+        # table, and the map-side partial of the id-keyed longest-match
+        # aggregate collapses the explode before the exchange; the r9
+        # contract keys that aggregate on (id, host-derived) only, so a
+        # wide caller's text can never ride a grouping key.
         docs = _t(spark, sf, "documents").select("doc_id")
         urls = docs.select("doc_id", _planted_url_psl(F.col("doc_id")).alias("url"))
         psl = spark.createDataFrame([(s,) for s in _PSL_RULES], ["suffix"])
-        return text_ops.registered_domain_psl(urls, psl).select("doc_id", "domain")
+        return text_ops.registered_domain_psl(urls, psl)
 
     q["text_url_domains_psl"] = text_url_domains_psl
 
@@ -5863,9 +5892,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # PSL-table registered domain: candidates = every dot-suffix of the
-    # host (k labels, k = 1..n), LEFT-joined to the shared _PSL_RULES
-    # VALUES list; the longest hit wins, k == n means the host IS a
-    # public suffix ('' domain), no hit falls back to last-2-labels —
+    # host (k labels, k = 1..n) PLUS for k >= 2 its '*.'-form wildcard
+    # key, LEFT-joined to the shared _PSL_RULES VALUES list parsed into
+    # (key, kind 0=plain / 1=wildcard / 2=exception). Prevailing rule
+    # per publicsuffix.org: an exception match wins with suffix length
+    # k-1, else the longest plain/wildcard hit; k == n means the host IS
+    # a public suffix ('' domain), no hit falls back to last-2-labels —
     # replaying registered_domain_psl decision-for-decision in pure
     # string/integer ops (no floats anywhere).
     _psl_values = ", ".join(f"('{s}')" for s in _PSL_RULES)
@@ -5873,15 +5905,24 @@ def oracle_sql() -> dict[str, str]:
     o["text_url_domains_psl"] = f"""
         WITH urls AS (
           SELECT doc_id,
-                 CASE doc_id % 4
+                 CASE doc_id % 6
                    WHEN 0 THEN 'https://a.News-' || CAST(doc_id % 7 AS VARCHAR) || '.COM/p/' || CAST(doc_id AS VARCHAR)
                    WHEN 1 THEN 'https://blog.Example' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/q/' || CAST(doc_id AS VARCHAR)
                    WHEN 2 THEN 'https://Files.School' || CAST(doc_id % 3 AS VARCHAR) || '.K12.MA.US/r/' || CAST(doc_id AS VARCHAR)
+                   WHEN 3 THEN 'https://Shop.Foo' || CAST(doc_id % 4 AS VARCHAR) || '.CK/w/' || CAST(doc_id AS VARCHAR)
+                   WHEN 4 THEN 'http://sub' || CAST(doc_id % 3 AS VARCHAR) || '.WWW.CK/e/' || CAST(doc_id AS VARCHAR)
                    ELSE 'https://weird.example' || CAST(doc_id % 3 AS VARCHAR) || '.zz/s/' || CAST(doc_id AS VARCHAR)
                  END AS url
           FROM documents
         ),
-        psl(sfx) AS (VALUES {_psl_values}),
+        psl_raw(rule) AS (VALUES {_psl_values}),
+        psl AS (
+          SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END AS sfx,
+                 CASE WHEN rule LIKE '!%' THEN 2
+                      WHEN rule LIKE '*.%' THEN 1
+                      ELSE 0 END AS kind
+          FROM psl_raw
+        ),
         lab AS (
           SELECT doc_id,
                  lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
@@ -5891,14 +5932,30 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, host,
                  string_split(host, '.') AS labels,
                  t.k AS k,
-                 array_to_string(string_split(host, '.')[len(string_split(host, '.')) - t.k + 1 : len(string_split(host, '.'))], '.') AS sfx
+                 array_to_string(string_split(host, '.')[len(string_split(host, '.')) - t.k + 1 : len(string_split(host, '.'))], '.') AS sfx,
+                 0 AS wild
           FROM lab, unnest(generate_series(1, len(string_split(host, '.')))) AS t(k)
+          UNION ALL
+          SELECT doc_id, host,
+                 string_split(host, '.') AS labels,
+                 t.k AS k,
+                 '*.' || array_to_string(string_split(host, '.')[len(string_split(host, '.')) - t.k + 2 : len(string_split(host, '.'))], '.') AS sfx,
+                 1 AS wild
+          FROM lab, unnest(generate_series(2, len(string_split(host, '.')))) AS t(k)
         ),
         best AS (
           SELECT c.doc_id, c.host, c.labels,
-                 max(CASE WHEN p.sfx IS NOT NULL THEN c.k END) AS kbest
-          FROM cand c LEFT JOIN psl p ON c.sfx = p.sfx
+                 max(CASE WHEN p.kind IN (0, 1) THEN c.k END) AS knorm,
+                 max(CASE WHEN p.kind = 2 THEN c.k END) AS kexc
+          FROM cand c LEFT JOIN psl p
+            ON c.sfx = p.sfx
+           AND ((c.wild = 0 AND p.kind IN (0, 2)) OR (c.wild = 1 AND p.kind = 1))
           GROUP BY c.doc_id, c.host, c.labels
+        ),
+        fin AS (
+          SELECT doc_id, host, labels,
+                 CASE WHEN kexc IS NOT NULL THEN kexc - 1 ELSE knorm END AS kbest
+          FROM best
         )
         SELECT doc_id,
                CASE
@@ -5909,7 +5966,7 @@ def oracle_sql() -> dict[str, str]:
                    END
                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
                END AS domain
-        FROM best
+        FROM fin
     """
 
     def _kcore_sql(k: int = 5, n_rounds: int = 12) -> str:

@@ -151,20 +151,70 @@ def langid_score(col: str, lang: str) -> Column:
     )
 
 
-def langid_profile(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+def _langid_scored(
+    df: DataFrame, col: str, id_col: str, keep: tuple = ()
 ) -> DataFrame:
-    """Per-document language identification: (id, s_<lang>… , lang_pred,
-    score). Argmax by CASE chain in priority order — branch ℓ needs only
-    `s_ℓ >= s_m` against LOWER-priority languages m (higher-priority ones
-    already claimed the row), plus `s_ℓ > 0`; rows where every score is 0
-    predict 'und'. First-match CASE semantics are identical in Spark and
-    ANSI SQL, and every comparison is integer-vs-integer — no tie margin
-    exists for tools/check_tie_margins.py to even check."""
-    scores = {lang: langid_score(col, lang) for lang in LANGID_LANGS}
-    return df.select(
+    """Two-level staging shared by ``langid_profile`` / ``langid_margin``
+    (the r3 ``quality_signals`` lesson, re-learned on this family in r8:
+    higher-order-function folds sit OUTSIDE codegen subexpression
+    elimination, so the naive fused projection re-derived the
+    split(regexp_replace(lower(text))) token array once per score
+    REFERENCE — the argmax CASE chain alone references scores ~28×).
+
+    Stage 1 projects ``lower(text)`` and the langid token array ONCE;
+    stage 2 computes the 7 integer language scores over those columns.
+    CollapseProject deliberately keeps multi-referenced non-trivial
+    aliases staged, so both levels survive optimization, and consumers
+    (argmax chain, greatest, sort_array margin) compare plain integer
+    attributes. Arithmetic is identical to the fused form — same integer
+    scores, same oracle."""
+    low = F.lower(F.col(col))
+    staged = df.select(
         F.col(id_col),
-        *[scores[lang].alias(f"s_{lang}") for lang in LANGID_LANGS],
+        *[F.col(k) for k in keep],
+        low.alias("__low"),
+        F.split(F.regexp_replace(low, LANGID_NORM_RE, " "), " ").alias("__toks"),
+    )
+
+    def _score(lang: str) -> Column:
+        markers = LANGID_MARKERS[lang]  # bound per call — a default-arg
+        # lambda param would read as pyspark's (element, index) HOF form
+        w = F.size(F.filter(F.col("__toks"), lambda t: t.isin(*markers)))
+        chars = LANGID_CHARS[lang]
+        c = (
+            F.size(F.regexp_extract_all(F.col("__low"), F.lit(f"[{chars}]"), 0))
+            if chars
+            else F.lit(0)
+        )
+        return (w + F.lit(2) * c).cast("int")
+
+    return staged.select(
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        *[_score(lang).alias(f"s_{lang}") for lang in LANGID_LANGS],
+    )
+
+
+def langid_profile(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", keep: tuple = ()
+) -> DataFrame:
+    """Per-document language identification: (id, [keep…,] s_<lang>… ,
+    lang_pred, score). Argmax by CASE chain in priority order — branch ℓ
+    needs only `s_ℓ >= s_m` against LOWER-priority languages m
+    (higher-priority ones already claimed the row), plus `s_ℓ > 0`; rows
+    where every score is 0 predict 'und'. First-match CASE semantics are
+    identical in Spark and ANSI SQL, and every comparison is
+    integer-vs-integer — no tie margin exists for
+    tools/check_tie_margins.py to even check. ``keep`` columns pass
+    through the staging untouched so a caller can gate on the prediction
+    without re-joining by id (the r8 ``text_langid_gate`` shuffled the
+    whole corpus to attach a label derivable in the scan)."""
+    scored = _langid_scored(df, col, id_col, keep)
+    scores = {lang: F.col(f"s_{lang}") for lang in LANGID_LANGS}
+    return scored.select(
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        *[F.col(f"s_{lang}") for lang in LANGID_LANGS],
         _langid_pred(scores).alias("lang_pred"),
         F.greatest(*scores.values()).cast("int").alias("score"),
     )
@@ -198,11 +248,12 @@ def langid_margin(
     AND margin ≥ min_margin, else downgrades to 'und'. All-integer
     arithmetic end to end (sort_array of ints, integer subtraction), so
     the DuckDB oracle replays it exactly — no tie margin exists."""
-    scores = {lang: langid_score(col, lang) for lang in LANGID_LANGS}
+    scored = _langid_scored(df, col, id_col)
+    scores = {lang: F.col(f"s_{lang}") for lang in LANGID_LANGS}
     arr = F.sort_array(F.array(*scores.values()), asc=False)
     margin = (arr[0] - arr[1]).cast("int")
     pred = _langid_pred(scores)
-    return df.select(
+    return scored.select(
         F.col(id_col),
         pred.alias("lang_pred"),
         F.greatest(*scores.values()).cast("int").alias("score"),
@@ -503,89 +554,144 @@ def registered_domain_psl(
     psl: DataFrame,
     url_col: str = "url",
     suffix_col: str = "suffix",
+    id_col: str = "doc_id",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Registered-domain extraction against a public-suffix TABLE — the
     production form of `registered_domain`: the real publicsuffix.org
     list is ~10k rules with suffixes up to 4 labels deep ('k12.ma.us'),
     which no fixed regex can encode; here the rules are DATA. `psl` is
-    a one-column frame of plain suffix rules (wildcard '*.' and
-    exception '!' rules are out of scope — documented subset).
+    a one-column frame of rules in publicsuffix.org syntax: plain
+    suffixes ('co.uk'), wildcard rules ('*.ck' — any single label under
+    the base is a public suffix), and exception rules ('!www.ck' — the
+    named host is registrable despite a covering wildcard). Prevailing-
+    rule semantics per the spec: an exception match wins outright (its
+    public suffix is the rule minus its leftmost label); otherwise the
+    longest plain/wildcard match; otherwise the implicit '*' default
+    (last label), realized as the last-two-labels fallback below.
 
-    Scale shape: each host expands to its ≤ n-label dot-suffix
-    candidates (real hosts: 3-6), the candidates BROADCAST-join the
-    suffix table (10k rules ≪ any broadcast threshold; the corpus side
-    never shuffles for the match), and the longest matching suffix wins
-    via max_by in a doc-keyed aggregate whose partial (map-side) stage
-    collapses the explode back to one row per doc before the exchange.
-    Rows whose host matches no rule fall back to last-two-labels (the
-    regex form's ELSE); IPv4 hosts pass through; registered domain is
-    '' when the host IS a public suffix or has a single label.
+    Scale shape (r9 contract fix, VERDICT r8 item 4): the match pipeline
+    runs on a SLIM (id, url) projection regardless of input width — each
+    host expands to its ≤ n-label dot-suffix candidates (real hosts:
+    3-6) plus their '*.'-prefixed wildcard forms, the candidates
+    BROADCAST-join the rule table (10k rules ≪ any broadcast threshold;
+    the corpus side never shuffles for the match), and the longest
+    matching suffix wins in an aggregate keyed ONLY on
+    (id, host-derived) columns, whose partial (map-side) stage collapses
+    the explode back to one row per doc before the exchange. A caller's
+    document text can therefore never enter a grouping key (the repo's
+    slim-shuffle discipline, pinned in tests/test_plans.py). IPv4 hosts
+    pass through; registered domain is '' when the host IS a public
+    suffix or has a single label.
 
-    Adds a `domain` column; all other columns pass through."""
+    Returns (id_col, domain). With ``passthrough=True`` the remaining
+    input columns are re-attached by an id-keyed join — text crosses the
+    wire once as payload, never as a key."""
     host = url_host(url_col)
     labels = F.split(host, "\\.")
-    n = F.size(labels)
-    with_c = (
-        df.withColumn("__host", host)
-        .withColumn("__labels", labels)
-        .withColumn("__n", n)
-        .withColumn(
-            "__cand",
-            # suffix of k labels, k = 1..n (k == n ⇒ the whole host; a
-            # match there means "host IS a public suffix" ⇒ domain '')
+    slim = df.select(
+        F.col(id_col),
+        host.alias("__host"),
+        labels.alias("__labels"),
+        F.size(labels).alias("__n"),
+    )
+    with_c = slim.withColumn(
+        "__cand",
+        # per k = 1..n: the k-label suffix as an EXACT candidate (k == n
+        # ⇒ the whole host; a plain-rule match there means "host IS a
+        # public suffix" ⇒ domain ''), plus for k >= 2 the wildcard form
+        # '*.' + (k-1)-label suffix, which is exactly the text of a
+        # covering '*.' rule — so both rule kinds join on one string key
+        F.flatten(
             F.transform(
                 F.sequence(F.lit(1), F.col("__n")),
-                lambda k: F.struct(
-                    k.alias("k"),
-                    F.array_join(
-                        F.slice(F.col("__labels"), F.col("__n") - k + 1, k), "."
-                    ).alias("sfx"),
+                lambda k: F.array(
+                    F.struct(
+                        k.alias("k"),
+                        F.array_join(
+                            F.slice(F.col("__labels"), F.col("__n") - k + 1, k), "."
+                        ).alias("sfx"),
+                        F.lit(0).alias("wild"),
+                    ),
+                    F.struct(
+                        k.alias("k"),
+                        F.concat(
+                            F.lit("*."),
+                            F.array_join(
+                                F.slice(
+                                    F.col("__labels"), F.col("__n") - k + 2, k - 1
+                                ),
+                                ".",
+                            ),
+                        ).alias("sfx"),
+                        F.lit(1).alias("wild"),
+                    ),
                 ),
-            ),
-        )
+            )
+        ),
     )
     exploded = with_c.select(
-        *df.columns, "__host", "__labels", "__n", F.explode("__cand").alias("c")
+        id_col, "__host", "__labels", "__n", F.explode("__cand").alias("c")
     ).select(
-        *df.columns,
+        F.col(id_col),
         "__host",
         "__labels",
         "__n",
         F.col("c.k").alias("__k"),
         F.col("c.sfx").alias("__sfx"),
+        F.col("c.wild").alias("__wild"),
+    ).filter((F.col("__wild") == 0) | (F.col("__k") >= 2))
+    # rule kinds: 0 plain, 1 wildcard (key kept in its '*.' form so wild
+    # candidates match it textually), 2 exception (key = rule minus '!')
+    rules = psl.select(
+        F.when(
+            F.col(suffix_col).startswith("!"),
+            F.expr(f"substring({suffix_col}, 2)"),
+        )
+        .otherwise(F.col(suffix_col))
+        .alias("__sfx"),
+        F.when(F.col(suffix_col).startswith("!"), F.lit(2))
+        .when(F.col(suffix_col).startswith("*."), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__kind"),
     )
-    # LEFT join with a constant hit flag: non-matching candidates must
-    # survive (a doc with zero rule hits still needs its fallback row)
-    matched = exploded.join(
-        F.broadcast(
-            psl.select(F.col(suffix_col).alias("__sfx"), F.lit(1).alias("__hit"))
-        ),
-        "__sfx",
-        "left",
+    # LEFT join with the kind flag: non-matching candidates must survive
+    # (a doc with zero rule hits still needs its fallback row). Exact
+    # candidates may only claim plain/exception rules, wildcard-form
+    # candidates only wildcard rules — the post-join filter keeps the
+    # join itself a plain broadcast equi-join.
+    matched = exploded.join(F.broadcast(rules), "__sfx", "left").filter(
+        F.col("__kind").isNull()
+        | ((F.col("__wild") == 0) & F.col("__kind").isin(0, 2))
+        | ((F.col("__wild") == 1) & (F.col("__kind") == 1))
     )
-    best = matched.groupBy(*df.columns, "__host", "__labels", "__n").agg(
-        F.max(F.when(F.col("__hit") == 1, F.col("__k"))).alias("__kbest")
+    best = matched.groupBy(id_col, "__host", "__labels", "__n").agg(
+        F.max(F.when(F.col("__kind").isin(0, 1), F.col("__k"))).alias("__knorm"),
+        F.max(F.when(F.col("__kind") == 2, F.col("__k"))).alias("__kexc"),
+    )
+    # prevailing rule: exception ⇒ public suffix is the rule minus its
+    # leftmost label (k-1); else the longest plain/wildcard match
+    kbest = F.when(F.col("__kexc").isNotNull(), F.col("__kexc") - 1).otherwise(
+        F.col("__knorm")
     )
     reg_join = F.when(
-        F.col("__kbest") == F.col("__n"), F.lit("")  # host IS a suffix
+        kbest == F.col("__n"), F.lit("")  # host IS a suffix
     ).otherwise(
         F.array_join(
-            F.slice(
-                F.col("__labels"),
-                F.col("__n") - F.col("__kbest"),
-                F.col("__kbest") + 1,
-            ),
-            ".",
+            F.slice(F.col("__labels"), F.col("__n") - kbest, kbest + 1), "."
         )
     )
     fallback = F.regexp_extract(F.col("__host"), "([^.]+\\.[^.]+)$", 1)
-    return best.select(
-        *df.columns,
+    dom = best.select(
+        F.col(id_col),
         F.when(F.col("__host").rlike("^[0-9.]+$"), F.col("__host"))
-        .when(F.col("__kbest").isNotNull(), reg_join)
+        .when(kbest.isNotNull(), reg_join)
         .otherwise(fallback)
         .alias("domain"),
     )
+    if passthrough:
+        return df.join(dom, id_col)
+    return dom
 
 
 def domain_blocklist_filter(

@@ -2153,7 +2153,7 @@ def test_domain_stats_exact(spark):
 def test_registered_domain_psl_matches_and_fallback(spark):
     psl = spark.createDataFrame(
         [("com",), ("org",), ("uk",), ("co.uk",), ("br",), ("com.br",),
-         ("us",), ("ma.us",), ("k12.ma.us",)],
+         ("us",), ("ma.us",), ("k12.ma.us",), ("*.ck",), ("!www.ck",)],
         ["suffix"],
     )
     cases = [
@@ -2165,11 +2165,37 @@ def test_registered_domain_psl_matches_and_fallback(spark):
         (6, "https://co.uk/", ""),  # host IS a public suffix
         (7, "not a url", ""),
         (8, "http://localhost/x", ""),  # single label, no rule
+        # publicsuffix.org wildcard/exception semantics (r9):
+        (9, "https://Shop.Foo.CK/w", "shop.foo.ck"),  # *.ck: foo.ck IS a suffix
+        (10, "https://foo.ck/w", ""),  # host matches *.ck ⇒ is a suffix
+        (11, "http://WWW.CK/e", "www.ck"),  # !www.ck beats *.ck
+        (12, "http://a.b.WWW.CK/e", "www.ck"),  # exception as strict suffix
     ]
     df = spark.createDataFrame([(i, u) for i, u, _ in cases], ["doc_id", "url"])
     out = {r.doc_id: r.domain for r in text_ops.registered_domain_psl(df, psl).collect()}
     for i, _, want in cases:
         assert out[i] == want, (i, out[i], want)
-    # column contract: pass-through columns intact, one row per input
-    assert sorted(text_ops.registered_domain_psl(df, psl).columns) == ["doc_id", "domain", "url"]
+    # column contract (r9): slim (id, domain) by default, one row per input;
+    # passthrough=True re-attaches the other columns via an id-keyed join
+    assert sorted(text_ops.registered_domain_psl(df, psl).columns) == ["doc_id", "domain"]
     assert text_ops.registered_domain_psl(df, psl).count() == len(cases)
+    wide = text_ops.registered_domain_psl(df, psl, passthrough=True)
+    assert sorted(wide.columns) == ["doc_id", "domain", "url"]
+    assert wide.count() == len(cases)
+
+
+def test_registered_domain_psl_slim_shuffle_contract(spark):
+    # VERDICT r8 item 4: a WIDE caller (frame carrying document text) must
+    # never see its text column enter a grouping/partitioning key — the
+    # match pipeline runs on a slim (id, url) projection by construction.
+    psl = spark.createDataFrame([("com",), ("co.uk",)], ["suffix"])
+    df = spark.createDataFrame(
+        [(1, "https://a.ex.com/x", "some very long document text " * 50)],
+        ["doc_id", "url", "text"],
+    )
+    out = text_ops.registered_domain_psl(df, psl, passthrough=True)
+    assert out.collect()[0].domain == "ex.com"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
