@@ -236,6 +236,19 @@ _PSL_RULES = (
     "*.ck", "!www.ck",
 )
 
+# Shared by the text_langid_script registration and its oracle (the
+# _PSL_RULES discipline — planted data cannot drift between engines):
+# real sentences in four non-Latin scripts. Planted rows REPLACE the
+# (Latin) base text so the range counts are clean — a prepended prefix
+# could lose the argmax to a long English body, which is exactly the
+# case the pre-classifier exists to call 'latin', not a branch to test.
+_SCRIPT_SENTENCES = {
+    1: "это предложение написано на русском языке для проверки ",
+    2: "αυτή η πρόταση είναι γραμμένη στα ελληνικά για δοκιμή ",
+    3: "هذه الجملة مكتوبة باللغة العربية للاختبار ",
+    4: "这是一个用中文写的测试句子用于语言识别 ",
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -3118,6 +3131,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_domain_blocklist"] = text_domain_blocklist
 
+    def text_domain_blocklist_anti(spark, sf):
+        # Production-cardinality blocklist (VERDICT r8 item 6;
+        # operators/text.py:domain_blocklist_filter_table): the list is
+        # a 5,004-entry TABLE — 5,000 generated spam domains (the
+        # realistic shape: most of a UT1-scale list matches nothing)
+        # plus the four literals that hit planted URL branches — far
+        # past the literal-IN comfort zone, screened with a broadcast
+        # LEFT-ANTI join on the registered domain. The corpus never
+        # shuffles; same subdomain-inclusive semantics as the literal
+        # form.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        urls = docs.select("doc_id", _planted_url(F.col("doc_id")).alias("url"))
+        spam = spark.range(0, 5000).select(
+            F.concat(F.lit("spam"), F.col("id").cast("string"), F.lit(".com")).alias(
+                "domain"
+            )
+        )
+        hits = spark.createDataFrame(
+            [("news-1.com",), ("news-3.com",), ("example2.co.uk",), ("192.168.1.7",)],
+            ["domain"],
+        )
+        kept = text_ops.domain_blocklist_filter_table(
+            urls, spam.unionByName(hits)
+        )
+        return kept.select(
+            "doc_id", text_ops.registered_domain("url").alias("domain")
+        )
+
+    q["text_domain_blocklist_anti"] = text_domain_blocklist_anti
+
+    # --- r9: script-range langid pre-classifier (VERDICT r8 item 8) -------
+
+    def _planted_script_text(doc_id, text):
+        expr = None
+        for k, s in _SCRIPT_SENTENCES.items():
+            c = doc_id % 5 == k
+            v = F.lit(s * 3)
+            expr = F.when(c, v) if expr is None else expr.when(c, v)
+        return expr.otherwise(text)
+
+    def text_langid_script(spark, sf):
+        # Unicode-script pre-classifier composed with the word-profile
+        # langid (operators/text.py:langid_with_script): integer
+        # range-counts per script (\\x{hhhh} classes — Java∩RE2), argmax
+        # with fixed priority; non-Latin rows take the script tag as the
+        # language and the Latin word profiles never fire for them.
+        # doc_id%5 plants Cyrillic/Greek/Arabic/CJK rows; %5==0 keeps
+        # the Latin base text so the word-profile branch stays graded.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.select(
+            "doc_id",
+            _planted_script_text(F.col("doc_id"), F.col("text")).alias("text"),
+        )
+        return text_ops.langid_with_script(planted)
+
+    q["text_langid_script"] = text_langid_script
+
     def _planted_url_psl(doc_id):
         # %6 exercises the six PSL decision paths: a 1-label rule, a
         # 2-label ccTLD rule, the 3-level k12.ma.us rule (beyond the
@@ -5852,6 +5922,59 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
 
+    # r9 script-range pre-classifier: per-script integer range counts
+    # (same \x{hhhh} classes — RE2 reads them identically to Java),
+    # priority argmax, non-Latin rows take the script tag, Latin rows
+    # fall through to the word-profile CASE. Generated from the SAME
+    # text_ops.SCRIPT_RANGES / SCRIPT_PRIORITY literals the plan uses.
+    def _script_pred_sql() -> str:
+        branches = []
+        scripts = text_ops.SCRIPT_PRIORITY
+        for i, s in enumerate(scripts):
+            conds = [f"n_{s} > 0"] + [f"n_{s} >= n_{m}" for m in scripts[i + 1 :]]
+            branches.append(f"WHEN {' AND '.join(conds)} THEN '{s}'")
+        return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+    _script_counts_sql = ",\n                 ".join(
+        f"len(regexp_extract_all(text, '[{text_ops.SCRIPT_RANGES[s]}]'))::INTEGER AS n_{s}"
+        for s in text_ops.SCRIPT_PRIORITY
+    )
+    _script_n_cols = ", ".join(f"n_{s}" for s in text_ops.SCRIPT_PRIORITY)
+    _script_planted_case = " ".join(
+        f"WHEN {k} THEN repeat('{s}', 3)" for k, s in _SCRIPT_SENTENCES.items()
+    )
+
+    o["text_langid_script"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE doc_id % 5 {_script_planted_case} ELSE text END AS text
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, text,
+                 string_split(regexp_replace(lower(text), '{text_ops.LANGID_NORM_RE}', ' ', 'g'), ' ') AS tk,
+                 lower(text) AS lt
+          FROM planted
+        ),
+        scored AS (
+          SELECT doc_id, text,
+                 {_langid_scores_sql()},
+                 {_script_counts_sql}
+          FROM toks
+        ),
+        fin AS (
+          SELECT doc_id, {_script_n_cols},
+                 {_script_pred_sql()} AS script,
+                 {_langid_pred_sql()} AS wp
+          FROM scored
+        )
+        SELECT doc_id, {_script_n_cols}, script,
+               CASE WHEN script = 'latin' THEN wp
+                    WHEN script = 'und' THEN 'und'
+                    ELSE script END AS lang_pred
+        FROM fin
+    """
+
     # domain_stats: replays quality_score per-row (the text_langid_gate
     # formula), fixes it to floor-micro-units BEFORE aggregation (exact
     # BIGINT sums — no order-dependent double SUM), casts DuckDB's
@@ -5889,6 +6012,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, domain FROM dom
         WHERE domain NOT IN ('news-1.com', 'example2.co.uk', '192.168.1.7')
+    """
+
+    # production-shape blocklist: the list as a generated 5,004-row
+    # relation, anti-joined (NOT IN over a NULL-free subquery ≡ the
+    # Spark plan's broadcast left-anti join)
+    o["text_domain_blocklist_anti"] = f"""
+        WITH {_URL_NORM_CTE},
+        dom AS (
+          SELECT doc_id, {_URL_DOMAIN_SQL} AS domain FROM norm
+        ),
+        bl AS (
+          SELECT 'spam' || CAST(t.i AS VARCHAR) || '.com' AS domain
+          FROM unnest(generate_series(0, 4999)) AS t(i)
+          UNION ALL
+          SELECT * FROM (VALUES ('news-1.com'), ('news-3.com'),
+                                ('example2.co.uk'), ('192.168.1.7')) v(domain)
+        )
+        SELECT doc_id, domain FROM dom
+        WHERE domain NOT IN (SELECT domain FROM bl)
     """
 
     # PSL-table registered domain: candidates = every dot-suffix of the

@@ -264,6 +264,95 @@ def langid_margin(
     )
 
 
+# --- script-range pre-classification (r9, VERDICT r8 item 8) ---------------
+#
+# The word-profile langid above is Latin-script-only by construction; a
+# real web corpus is full of CJK/Cyrillic/Arabic/Greek text that would
+# otherwise score 'und'/noise. A Unicode-range pre-classifier fixes that
+# with the same plan-literal discipline: per script, an INTEGER count of
+# characters in the script's ranges (one regexp_extract_all per script —
+# the \x{hhhh} class syntax is in the Java∩RE2 subset both engines run),
+# argmax with a fixed priority, 'und' when every count is 0. Non-Latin
+# rows take their script as the language tag and the Latin word profiles
+# never fire for them (CASE branches evaluate lazily per row).
+
+SCRIPT_RANGES = {
+    "latin": "A-Za-z\\x{00c0}-\\x{024f}",
+    "cjk": "\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}",
+    "cyrillic": "\\x{0400}-\\x{04ff}",
+    "arabic": "\\x{0600}-\\x{06ff}",
+    "greek": "\\x{0370}-\\x{03ff}",
+}
+SCRIPT_PRIORITY = ("latin", "cjk", "cyrillic", "arabic", "greek")  # tie order
+
+
+def script_count(col: str, script: str) -> Column:
+    """Integer count of `script`'s characters in `col` (plan literal)."""
+    return F.size(
+        F.regexp_extract_all(F.col(col), F.lit(f"[{SCRIPT_RANGES[script]}]"), 0)
+    ).cast("int")
+
+
+def _script_pred(counts: dict) -> Column:
+    """Priority-ordered argmax CASE chain over per-script integer counts
+    (the `_langid_pred` shape — branch s beats only lower-priority
+    scripts; all-zero rows predict 'und')."""
+    expr = None
+    for i, s in enumerate(SCRIPT_PRIORITY):
+        cond = counts[s] > 0
+        for m in SCRIPT_PRIORITY[i + 1 :]:
+            cond = cond & (counts[s] >= counts[m])
+        expr = F.when(cond, F.lit(s)) if expr is None else expr.when(cond, F.lit(s))
+    return expr.otherwise(F.lit("und"))
+
+
+def script_profile(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_<script>…, script): the standalone pre-classifier."""
+    staged = df.select(
+        F.col(id_col),
+        *[script_count(col, s).alias(f"n_{s}") for s in SCRIPT_PRIORITY],
+    )
+    counts = {s: F.col(f"n_{s}") for s in SCRIPT_PRIORITY}
+    return staged.select(
+        F.col(id_col),
+        *[F.col(f"n_{s}") for s in SCRIPT_PRIORITY],
+        _script_pred(counts).alias("script"),
+    )
+
+
+def langid_with_script(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Script pre-classifier composed with the Latin word-profile langid:
+    (id, n_<script>…, script, lang_pred). lang_pred = the word-profile
+    argmax for Latin-script rows, the script tag itself for non-Latin
+    rows ('cjk'/'cyrillic'/'arabic'/'greek' — the granularity a
+    range-count model can honestly claim), 'und' when no script fires.
+    All-integer decisions, staged like `_langid_scored` (script counts
+    ride the first projection; the CASE reads staged attributes), so
+    the DuckDB oracle replays every branch exactly."""
+    pre = df.select(
+        F.col(id_col),
+        F.col(col),
+        *[script_count(col, s).alias(f"n_{s}") for s in SCRIPT_PRIORITY],
+    )
+    scored = _langid_scored(
+        pre, col, id_col, keep=tuple(f"n_{s}" for s in SCRIPT_PRIORITY)
+    )
+    counts = {s: F.col(f"n_{s}") for s in SCRIPT_PRIORITY}
+    script = _script_pred(counts)
+    word_pred = _langid_pred({lang: F.col(f"s_{lang}") for lang in LANGID_LANGS})
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"n_{s}") for s in SCRIPT_PRIORITY],
+        script.alias("script"),
+        F.when(script == F.lit("latin"), word_pred)
+        .when(script == F.lit("und"), F.lit("und"))
+        .otherwise(script)
+        .alias("lang_pred"),
+    )
+
+
 # --- quality scoring -------------------------------------------------------
 
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
@@ -704,9 +793,44 @@ def domain_blocklist_filter(
     no extractable domain ('' — non-URLs, single-label hosts) always
     pass: a blocklist can only assert about domains it names. A
     production-size list (UT1 ships ~4M entries) swaps the literal IN
-    for a broadcast left-anti join on the same key; the filter shape and
-    column contract are unchanged."""
+    for a broadcast left-anti join on the same key
+    (``domain_blocklist_filter_table``); the filter shape and column
+    contract are unchanged."""
     return df.filter(~registered_domain(url_col).isin(*blocked))
+
+
+def domain_blocklist_filter_table(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    blocked_col: str = "domain",
+    broadcast: bool = True,
+) -> DataFrame:
+    """The production-cardinality form of ``domain_blocklist_filter``:
+    the blocklist is a TABLE (UT1's adult/spam list ships ~4M registered
+    domains — far past the point where a literal ``isin`` chain is
+    plannable, let alone fast), screened with a LEFT-ANTI join on the
+    registered domain. Same semantics as the literal form: keying on
+    `registered_domain` blocks every subdomain of a blocked domain, and
+    rows with no extractable domain ('') pass unless the list names ''.
+
+    Scale shape: the corpus NEVER shuffles — with ``broadcast=True``
+    (default) the list ships to executors once (~4M short strings is
+    tens of MB serialized, comfortably inside executor memory) and the
+    anti-join runs map-side as a BroadcastHashJoin LeftAnti. For a
+    list too large to broadcast, pass ``broadcast=False``: the
+    anti-join shuffles on the slim (domain) key — the corpus crosses
+    the wire once as payload, the discipline every dedup operator here
+    follows. Duplicate list entries are harmless in an anti-join (no
+    fan-out), so no dedup pass is spent on the list."""
+    right = blocked.select(F.col(blocked_col).alias("__dom"))
+    if broadcast:
+        right = F.broadcast(right)
+    return (
+        df.withColumn("__dom", registered_domain(url_col))
+        .join(right, "__dom", "left_anti")
+        .drop("__dom")
+    )
 
 
 def domain_stats(

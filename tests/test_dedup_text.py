@@ -2083,6 +2083,71 @@ def test_registered_domain_cases(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+# --- r9: script-range pre-classifier + production blocklist -----------------
+
+SCRIPT_FIXTURE = [
+    # hand-labeled real sentences across five scripts; the composed
+    # lang_pred resolves Latin rows through the word-profile langid
+    (1, "The cat is on the mat and it is not his.", "latin", "en"),
+    (2, "Der Hund läuft über die Straße und ist nicht müde.", "latin", "de"),
+    (3, "это предложение написано на русском языке", "cyrillic", "cyrillic"),
+    (4, "αυτή η πρόταση είναι γραμμένη στα ελληνικά", "greek", "greek"),
+    (5, "هذه الجملة مكتوبة باللغة العربية", "arabic", "arabic"),
+    (6, "这是一个用中文写的测试句子", "cjk", "cjk"),
+    (7, "これは日本語のテスト文です", "cjk", "cjk"),  # kana range
+    (8, "한국어로 작성된 테스트 문장입니다", "cjk", "cjk"),  # hangul range
+    (9, "12345 !!!", "und", "und"),
+    (10, "", "und", "und"),
+]
+
+
+def test_script_profile_and_composed_langid(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in SCRIPT_FIXTURE], ["doc_id", "text"]
+    )
+    scripts = {r.doc_id: r.script for r in text_ops.script_profile(df).collect()}
+    assert scripts == {i: s for i, _, s, _ in SCRIPT_FIXTURE}
+    rows = {r.doc_id: r for r in text_ops.langid_with_script(df).collect()}
+    for i, _, script, lang in SCRIPT_FIXTURE:
+        assert rows[i].script == script, (i, rows[i])
+        assert rows[i].lang_pred == lang, (i, rows[i])
+    # mixed doc: a long English body with a short CJK quote stays latin —
+    # the argmax counts characters, and Latin dominates
+    mixed = spark.createDataFrame(
+        [(1, "The meeting notes said 你好 and nothing else in Chinese, "
+             "while the rest of the document continued in plain English.")],
+        ["doc_id", "text"],
+    )
+    r = text_ops.langid_with_script(mixed).collect()[0]
+    assert r.script == "latin" and r.n_cjk == 2 and r.lang_pred == "en"
+
+
+def test_domain_blocklist_filter_table(spark):
+    blocked = spark.createDataFrame(
+        [("blocked.com",), ("bad.co.uk",)], ["domain"]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.Blocked.COM/x"),  # subdomain of blocked -> out
+            (2, "http://blocked.com/y"),     # exact blocked -> out
+            (3, "https://fine.org/z"),       # different domain -> kept
+            (4, "not a url"),                # '' domain -> kept
+            (5, "https://x.bad.co.uk/q"),    # blocked ccTLD domain -> out
+        ],
+        ["doc_id", "url"],
+    )
+    kept = text_ops.domain_blocklist_filter_table(df, blocked)
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 4]
+    assert kept.columns == ["doc_id", "url"]
+    # plan contract: the screen is a broadcast LEFT-ANTI join — the corpus
+    # side must not shuffle for the match
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # non-broadcast form: same rows, anti-join on the slim domain key
+    kept2 = text_ops.domain_blocklist_filter_table(df, blocked, broadcast=False)
+    assert sorted(r.doc_id for r in kept2.collect()) == [3, 4]
+
+
 # --- r8 wave 2: curation compositions ---------------------------------------
 
 
