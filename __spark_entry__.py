@@ -3188,6 +3188,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_langid_script"] = text_langid_script
 
+    def train_curation_v2(spark, sf):
+        # The RefinedWeb/Dolma end-to-end curation shape (VERDICT r8
+        # item 7; plans/training.py:curate_corpus_v2): confidence-gated
+        # langid → domain blocklist (broadcast anti-join, list as DATA)
+        # → per-domain quota → integer-micro-unit quality gate → exact
+        # dedupe → split, as ONE lazy plan. Planted multilingual text
+        # (doc_id%5) and planted URLs (doc_id%6) make every stage's
+        # kept/dropped sides live at every SF; md5 hash seams so the
+        # oracle replays quota order and split membership exactly.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.select(
+            "doc_id",
+            _planted_lang_text(F.col("doc_id"), F.col("text")).alias("text"),
+            _planted_url(F.col("doc_id")).alias("url"),
+        )
+        blocked = spark.createDataFrame(
+            [("news-1.com",), ("news-3.com",), ("example2.co.uk",), ("192.168.1.7",)],
+            ["domain"],
+        )
+        from reddit_twitter_big_data_pipeline_spark.plans import training
+
+        return training.curate_corpus_v2(
+            planted, blocked, min_margin=2, domain_cap=5, hash_fn="md5"
+        )
+
+    q["train_curation_v2"] = train_curation_v2
+
     def _planted_url_psl(doc_id):
         # %6 exercises the six PSL decision paths: a 1-label rule, a
         # 2-label ccTLD rule, the 3-level k12.ma.us rule (beyond the
@@ -5973,6 +6000,87 @@ def oracle_sql() -> dict[str, str]:
                     WHEN script = 'und' THEN 'und'
                     ELSE script END AS lang_pred
         FROM fin
+    """
+
+    # r9 composed curation v2: every stage replays an already-gated
+    # fragment — langid margin (text_langid_margin), registered domain
+    # (_URL_DOMAIN_SQL), quota order (sample_domain_cap's md5 bucket),
+    # the integer micro-unit quality cut (text_domain_stats' floor
+    # discipline as a FILTER — no float tie boundary), min-id dedupe and
+    # split cutoffs (train_curation). Stage order mirrors
+    # curate_corpus_v2 exactly.
+    o["train_curation_v2"] = f"""
+        WITH {_LANGID_SCORED_CTE},
+        conf AS (
+          SELECT doc_id,
+                 {_langid_pred_sql()} AS lang_pred,
+                 ({_langid_sorted}[1] - {_langid_sorted}[2])::INTEGER AS margin
+          FROM scored
+        ),
+        lang AS (
+          SELECT doc_id,
+                 CASE WHEN lang_pred <> 'und' AND margin >= 2
+                      THEN lang_pred ELSE 'und' END AS lang
+          FROM conf
+        ),
+        {_URL_PLANTED_CTE},
+        base AS (
+          SELECT p.doc_id, p.text, u.url, l.lang
+          FROM planted p JOIN urls u USING (doc_id) JOIN lang l USING (doc_id)
+          WHERE l.lang <> 'und'
+        ),
+        dom AS (
+          SELECT doc_id, text, lang, {_URL_DOMAIN_SQL} AS domain
+          FROM (
+            SELECT doc_id, text, lang,
+                   lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+            FROM base
+          )
+        ),
+        keptbl AS (
+          SELECT doc_id, text, lang, domain FROM dom
+          WHERE domain NOT IN ('news-1.com', 'news-3.com', 'example2.co.uk', '192.168.1.7')
+        ),
+        quota AS (
+          SELECT doc_id, text, lang, domain FROM (
+            SELECT doc_id, text, lang, domain,
+                   row_number() OVER (
+                     PARTITION BY domain
+                     ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                              % 1000000 ASC,
+                              doc_id ASC) AS rn
+            FROM keptbl
+          ) WHERE rn <= 5
+        ),
+        qual AS (
+          SELECT doc_id, text, lang, domain FROM quota
+          WHERE floor(
+                  least(1.0, len(string_split(text, ' ')) / 100.0)
+                  * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                         / greatest(length(lower(text)), 1))
+                  * 1000000.0
+                )::BIGINT >= 150000
+        ),
+        deduped AS (
+          SELECT doc_id, text, lang, domain FROM (
+            SELECT doc_id, text, lang, domain,
+                   row_number() OVER (
+                     PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id ASC) AS rn
+            FROM qual
+          ) WHERE rn = 1
+        )
+        SELECT doc_id, lang, domain,
+               CASE WHEN bk < 980000 THEN 'train'
+                    WHEN bk < 990000 THEN 'val'
+                    ELSE 'test' END AS split,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM (
+          SELECT doc_id, lang, domain, text,
+                 ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bk
+          FROM deduped
+        )
     """
 
     # domain_stats: replays quality_score per-row (the text_langid_gate

@@ -239,6 +239,7 @@ def langid_margin(
     col: str = "text",
     id_col: str = "doc_id",
     min_margin: int = 1,
+    keep: tuple = (),
 ) -> DataFrame:
     """Language-ID with a CONFIDENCE gate: (id, lang_pred, score, margin,
     lang_conf). `margin` = top score − second score after sorting the
@@ -247,14 +248,18 @@ def langid_margin(
     `lang_conf` keeps `lang_pred` only when the prediction is non-'und'
     AND margin ≥ min_margin, else downgrades to 'und'. All-integer
     arithmetic end to end (sort_array of ints, integer subtraction), so
-    the DuckDB oracle replays it exactly — no tie margin exists."""
-    scored = _langid_scored(df, col, id_col)
+    the DuckDB oracle replays it exactly — no tie margin exists.
+    ``keep`` columns pass through the staging untouched (the
+    langid_profile contract — a curation pipeline gates on lang_conf
+    without re-joining by id)."""
+    scored = _langid_scored(df, col, id_col, keep)
     scores = {lang: F.col(f"s_{lang}") for lang in LANGID_LANGS}
     arr = F.sort_array(F.array(*scores.values()), asc=False)
     margin = (arr[0] - arr[1]).cast("int")
     pred = _langid_pred(scores)
     return scored.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         pred.alias("lang_pred"),
         F.greatest(*scores.values()).cast("int").alias("score"),
         margin.alias("margin"),

@@ -50,6 +50,83 @@ def curate_corpus(
     )
 
 
+def curate_corpus_v2(
+    docs: DataFrame,
+    blocked: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    blocked_col: str = "domain",
+    min_margin: int = 2,
+    domain_cap: int = 20,
+    q_micro_min: int = 150_000,
+    split_weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The RefinedWeb/Dolma-shape curation pipeline over (id, text, url)
+    rows, composing the r8/r9 primitives into ONE lazy plan:
+
+    1. confidence-gated language ID (``langid_margin`` with
+       ``keep=(text, url)`` — the label rides the scan, no re-join);
+       rows whose lang_conf is 'und' drop;
+    2. registered-domain BLOCKLIST as a broadcast left-anti join
+       (``domain_blocklist_filter_table`` semantics, list = DATA);
+    3. per-domain QUOTA (``cap_per_group`` — deterministic hash order,
+       one domain-keyed window);
+    4. QUALITY gate on exact integer micro-units:
+       floor(quality_score·1e6) >= q_micro_min — floor is binary-exact
+       in both engines, so the gate has NO float tie boundary (the
+       domain_stats discipline applied to a filter);
+    5. exact DEDUPE (min-id keeps, slim fingerprint exchange);
+    6. deterministic SPLIT label.
+
+    Returns (id, lang, domain, split, n_tokens) for surviving docs.
+
+    Scale shape: langid + domain + quality are scan-level projections;
+    the blocklist never shuffles the corpus (broadcast anti-join); the
+    quota window is the pipeline's one domain-keyed corpus exchange
+    (text rides as PAYLOAD, never a key — pair with AQE skew split for
+    celebrity domains); the dedupe windows a slim (id, fp) projection
+    and anti-joins losers back by id. Stage order is the curation-
+    standard one: cheap row-local gates first, the per-domain rules
+    before dedupe (a domain's quota should not be refilled by its own
+    near-identical pages), split LAST so losers don't consume split
+    capacity."""
+    lang_ok = (
+        text_ops.langid_margin(
+            docs.select(id_col, text_col, url_col),
+            col=text_col,
+            id_col=id_col,
+            min_margin=min_margin,
+            keep=(text_col, url_col),
+        )
+        .filter(F.col("lang_conf") != "und")
+        .select(id_col, text_col, url_col, F.col("lang_conf").alias("lang"))
+    )
+    dom = lang_ok.withColumn("domain", text_ops.registered_domain(url_col))
+    if blocked is not None:
+        dom = dom.join(
+            F.broadcast(blocked.select(F.col(blocked_col).alias("domain"))),
+            "domain",
+            "left_anti",
+        )
+    quota = sampling.cap_per_group(
+        dom, "domain", domain_cap, id_col=id_col, hash_fn=hash_fn
+    )
+    qual = quota.filter(
+        F.floor(text_ops.quality_score(text_col) * F.lit(1_000_000.0)).cast("long")
+        >= F.lit(q_micro_min)
+    )
+    deduped = dedup_ops.exact_dedupe(qual, id_col=id_col, text_col=text_col)
+    return deduped.select(
+        F.col(id_col),
+        "lang",
+        "domain",
+        sampling.split_label(id_col, split_weights, hash_fn=hash_fn).alias("split"),
+        text_ops.token_count(text_col).cast("long").alias("n_tokens"),
+    )
+
+
 def write_training_shards(
     df,
     path: str,

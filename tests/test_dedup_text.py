@@ -975,6 +975,41 @@ def test_curate_corpus_composes_stages(spark):
             assert labels[r.doc_id] == lab
 
 
+def test_curate_corpus_v2_each_stage_fires(spark):
+    from reddit_twitter_big_data_pipeline_spark.plans import training
+
+    long_en = "the cat and the dog sat on the mat with all of the others " * 4
+    de = "der hund läuft über die straße und ist nicht müde " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, long_en, "https://a.keep.com/1"),          # survives (en)
+            (2, "xyzzy 12345 qqq", "https://b.keep.com/2"),  # langid 'und' -> out
+            (3, long_en, "https://x.Blocked.COM/3"),        # blocklist -> out
+            (4, de, "https://c.keep.com/4"),                # survives (de)
+            (5, long_en + "extra tail words here", "https://d.keep.com/5"),  # survives
+            (6, long_en, "https://e.keep.com/6"),           # dup of 1 -> dedupe keeps min id 1
+            (7, "the of and to in is that it was for", "https://f.keep.com/7"),  # quality gate -> out (10 tokens)
+        ],
+        ["doc_id", "text", "url"],
+    )
+    blocked = spark.createDataFrame([("blocked.com",)], ["domain"])
+    out = {
+        r.doc_id: r
+        for r in training.curate_corpus_v2(
+            docs, blocked, domain_cap=5, q_micro_min=150_000
+        ).collect()
+    }
+    assert set(out) == {1, 4, 5}
+    assert out[1].lang == "en" and out[4].lang == "de"
+    assert out[1].domain == "keep.com"
+    assert all(r.split in ("train", "val", "test") for r in out.values())
+    # quota stage: same frame with domain_cap=1 keeps ONE doc per domain —
+    # all seven urls above share registered domain keep.com except the
+    # blocked one, so the survivor set collapses
+    capped = training.curate_corpus_v2(docs, blocked, domain_cap=1).collect()
+    assert len(capped) < len(out)
+
+
 def test_bm25_topk_matches_reference_formula(spark):
     import math
 
