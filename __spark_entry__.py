@@ -3449,6 +3449,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for out_name, in_name in _R8_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]
+    # ROUND-9 ROTATION #7 (VERDICT r8 item 1, same pairwise-swap
+    # mechanism): twenty-eight swaps. IN: the entire never-driver-graded
+    # adapted-TPC-H block (15 queries — the largest remaining tail
+    # cluster), the graph-coefficient pair (x_clustering_coeff,
+    # x_adamic_adar), the text tail (text_bigram_logprob,
+    # text_boilerplate_ngrams, text_source_overlap), x_key_skew_profile,
+    # the monitoring quartet (x_cusum_drift, x_trend_ols, x_corr_matrix,
+    # x_sessionize_batch), and the three NEW r9 queries
+    # (train_curation_v2, text_domain_blocklist_anti, text_langid_script
+    # — new queries enter the window immediately, the r8 rule). OUT:
+    # twenty-eight queries driver-green 2-8 consecutive rounds whose
+    # code paths are untouched this round. Deliberately KEPT in-window:
+    # text_url_domains_psl (wildcard/exception rules + slim-agg contract
+    # landed this round), text_langid / text_langid_margin (token-array
+    # staging), text_langid_gate (join elimination) — code-changed
+    # queries re-earn the gate (the r7/r8 precedent); x_hits and
+    # text_hybrid_rrf stay as the 2-round-green remainder (out-slot
+    # budget exhausted).
+    _R9_SWAPS = {
+        "x_connected_components": "tpch_q4_order_priority",
+        "x_label_prop": "tpch_q6_forecast_revenue",
+        "x_cube": "tpch_q7_volume_shipping",
+        "tpch_q8_market_share": "tpch_q10_returned_items",
+        "tpch_q2_min_cost_supplier": "tpch_q11_important_stock",
+        "x_funnel": "tpch_q12_priority_counts",
+        "text_bpe_tokens": "tpch_q13_order_distribution",
+        "dedup_incremental_pairs": "tpch_q14_promo_revenue",
+        "x_pagerank": "tpch_q15_top_supplier",
+        "x_snapshot_diff": "tpch_q16_supplier_count",
+        "x_cdc_apply": "tpch_q17_small_qty_revenue",
+        "text_quality_gopher": "tpch_q18_large_orders",
+        "x_cohort_retention": "tpch_q19_discounted_revenue",
+        "text_unigram_logprob": "tpch_q20_part_suppliers",
+        "text_importance_weights": "tpch_q22_idle_balance",
+        "train_curation": "train_curation_v2",
+        "x_column_profile": "text_bigram_logprob",
+        "sim_quantized_topk": "x_clustering_coeff",
+        "x_rolling_zscore": "x_adamic_adar",
+        "x_bloom_join": "text_boilerplate_ngrams",
+        "text_bpe_train_small": "text_source_overlap",
+        "ts_profile_knn": "x_key_skew_profile",
+        "dedup_containment_pairs": "x_cusum_drift",
+        "sample_split_leakproof": "x_trend_ols",
+        "dedup_minhash_pairs": "x_corr_matrix",
+        "temporal_asof_forward": "x_sessionize_batch",
+        "x_winsorize": "text_domain_blocklist_anti",
+        "x_skew_agg_salted": "text_langid_script",
+    }
+    for out_name, in_name in _R9_SWAPS.items():
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
     return {n: q[n] for n in names}
 
 
