@@ -3215,6 +3215,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_curation_v2"] = train_curation_v2
 
+    def sample_global_shuffle(spark, sf):
+        # Deterministic global training-order permutation (operators/
+        # sampling.py:global_permutation): rank = two-level (bucket
+        # offsets + within-bucket row_number) — NOT a single-partition
+        # global sort; the histogram window is bounded by the 1e6 bucket
+        # space, the corpus exchange keys on the 8-byte bucket. md5 hash
+        # seam so the oracle's ORDER BY replays the exact order.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        return sampling.global_permutation(docs, hash_fn="md5").select(
+            "doc_id", "perm_rank"
+        )
+
+    q["sample_global_shuffle"] = sample_global_shuffle
+
     def _planted_url_psl(doc_id):
         # %6 exercises the six PSL decision paths: a 1-label rule, a
         # 2-label ccTLD rule, the 3-level k12.ma.us rule (beyond the
@@ -3464,9 +3478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_url_domains_psl (wildcard/exception rules + slim-agg contract
     # landed this round), text_langid / text_langid_margin (token-array
     # staging), text_langid_gate (join elimination) — code-changed
-    # queries re-earn the gate (the r7/r8 precedent); x_hits and
-    # text_hybrid_rrf stay as the 2-round-green remainder (out-slot
-    # budget exhausted).
+    # queries re-earn the gate (the r7/r8 precedent); x_hits stays as
+    # the 2-round-green remainder (out-slot budget exhausted after
+    # text_hybrid_rrf's slot went to the late-round
+    # sample_global_shuffle addition).
     _R9_SWAPS = {
         "x_connected_components": "tpch_q4_order_priority",
         "x_label_prop": "tpch_q6_forecast_revenue",
@@ -3496,6 +3511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof_forward": "x_sessionize_batch",
         "x_winsorize": "text_domain_blocklist_anti",
         "x_skew_agg_salted": "text_langid_script",
+        # late-round addition: the deterministic global training-order
+        # permutation enters for the 2-round-green untouched RRF query
+        "text_hybrid_rrf": "sample_global_shuffle",
     }
     for out_name, in_name in _R9_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
@@ -6051,6 +6069,18 @@ def oracle_sql() -> dict[str, str]:
                     WHEN script = 'und' THEN 'und'
                     ELSE script END AS lang_pred
         FROM fin
+    """
+
+    # r9 global permutation: ORDER BY (md5 bucket, id) replays the
+    # two-level rank's total order directly (DuckDB's window is the
+    # semantic spec; the Spark plan distributes the same order)
+    o["sample_global_shuffle"] = """
+        SELECT doc_id,
+               (row_number() OVER (
+                  ORDER BY ('0x' || substr(md5('perm' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 1000000 ASC,
+                           doc_id ASC) - 1)::BIGINT AS perm_rank
+        FROM documents
     """
 
     # r9 composed curation v2: every stage replays an already-gated

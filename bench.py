@@ -147,6 +147,13 @@ HEADLINE = [
     "text_domain_stats",
     "text_domain_blocklist",
     "text_url_domains_psl",
+    # round-9 additions (first recorded baselines this round): the
+    # script-range langid pre-classifier, the production broadcast-anti
+    # blocklist, and the composed RefinedWeb-shape curation pipeline
+    "text_langid_script",
+    "text_domain_blocklist_anti",
+    "train_curation_v2",
+    "sample_global_shuffle",
 ]
 
 

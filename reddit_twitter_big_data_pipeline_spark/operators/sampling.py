@@ -262,6 +262,54 @@ def cap_per_group(
     )
 
 
+def global_permutation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "perm",
+    hash_fn: str = "xxhash64",
+    rank_col: str = "perm_rank",
+) -> DataFrame:
+    """Deterministic GLOBAL permutation rank in [0, n): the training-order
+    shuffle a corpus gets before sharding (training loaders want documents
+    in pseudo-random order, but the order must be REPRODUCIBLE — the same
+    epoch-0 order on any cluster size, any partitioning, any rerun).
+    Order = (hash bucket of (salt, id), id) — a new salt is a fresh
+    epoch's permutation over the same corpus.
+
+    Scale shape — a naive `row_number() OVER (ORDER BY …)` is a
+    single-partition global sort, the one window shape this repo bans.
+    Instead, the classic two-level rank: (1) per-bucket row counts →
+    cumulative OFFSETS via a window over the BUCKET HISTOGRAM (≤ 1e6
+    rows — bounded by the bucket space, NOT the data; a single-partition
+    window over ≤1e6 16-byte rows is a driver-scale footnote at any
+    corpus size), broadcast to executors; (2) within-bucket
+    `row_number()` partitioned BY bucket — fully distributed, ~n/1e6
+    rows per bucket. rank = offset + rn − 1. One corpus exchange (the
+    bucket window; rows ride as payload, the key is the 8-byte bucket),
+    one broadcast. Ranks are a bijection onto [0, n) because ties within
+    a bucket break on the unique id."""
+    withb = df.withColumn("__b", _bucket(id_col, salt, hash_fn))
+    counts = withb.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    offsets = counts.select(
+        "__b",
+        (
+            F.sum("__c").over(
+                Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("__c")
+        ).alias("__off"),
+    )
+    w = Window.partitionBy("__b").orderBy(F.col(id_col).asc())
+    return (
+        withb.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            rank_col,
+            (F.col("__off") + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .drop("__b", "__off")
+    )
+
+
 def cluster_split_label(
     df: DataFrame,
     components: DataFrame,

@@ -172,3 +172,38 @@ def test_cluster_split_label_keeps_near_dups_together(spark):
     for i, s in labels.items():
         if i not in clustered_ids:
             assert s == plain_labels[i]
+
+
+def test_global_permutation_bijection_and_stability(spark):
+    docs = spark.createDataFrame([(i,) for i in range(257)], ["doc_id"])
+    out = sampling.global_permutation(docs, hash_fn="md5")
+    rows = {r.doc_id: r.perm_rank for r in out.collect()}
+    # bijection onto [0, n)
+    assert sorted(rows.values()) == list(range(257))
+    # partitioning-independent: a different physical layout yields the
+    # SAME permutation (the reproducible-epoch-order contract)
+    rows7 = {
+        r.doc_id: r.perm_rank
+        for r in sampling.global_permutation(
+            docs.repartition(7), hash_fn="md5"
+        ).collect()
+    }
+    assert rows7 == rows
+    # a different salt is a genuinely different epoch order
+    rows_e1 = {
+        r.doc_id: r.perm_rank
+        for r in sampling.global_permutation(
+            docs, salt="epoch1", hash_fn="md5"
+        ).collect()
+    }
+    assert sorted(rows_e1.values()) == list(range(257))
+    assert rows_e1 != rows
+    # order matches the semantic spec: rank sorts by (bucket, id)
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(f"perm{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    want = [i for i, _ in sorted(((i, bucket(i)) for i in range(257)), key=lambda t: (t[1], t[0]))]
+    got = [doc for doc, _ in sorted(rows.items(), key=lambda t: t[1])]
+    assert got == want
