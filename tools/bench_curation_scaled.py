@@ -1,0 +1,138 @@
+"""Scaled bench for the composed curation pipeline (r9,
+`plans/training.py:curate_corpus_v2`): the 100-TB claim is that the
+pipeline is scan-dominated with exactly three slim-keyed exchanges
+(domain-quota window, dedupe fingerprint window, final stage), so wall
+time grows AT MOST linearly with corpus size — no stage is quadratic or
+driver-bound. This script measures it the `tools/bench_graph_scaled.py`
+way.
+
+Method: the documents table is replicated 1x/4x/16x with disjoint
+doc_id offsets; replicas r>0 inject a replica token between words
+(the bench.py:246 salted-replica pattern) so replicas are mutually
+NOVEL and the dedupe stage cannot collapse the scale-up. Planted
+multilingual prefixes keep every langid branch live at every scale;
+planted URLs spread over `20·scale` registered domains so the
+per-domain quota output SCALES with the corpus instead of clamping at
+a fixed domain set (a fixed set would make every post-quota stage
+constant-size and the measurement vacuous); the blocklist blocks every
+5th domain. Reps are INTERLEAVED across scales (rep 0: 1x,4x,16x;
+rep 1: ...) with min-per-cell, so ambient drift on this box cannot
+masquerade as a scaling trend.
+
+If the linear story is true, t(16x)/t(1x) <= 16 with room to spare
+(stage-scheduling overhead amortizes); a ratio near or above 16 means
+a stage degrades superlinearly and the plan needs work.
+
+Usage: python tools/bench_curation_scaled.py [sf_dir] [reps]
+Prints one JSON line: {scale: min_sec}, input/output rows, ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from reddit_twitter_big_data_pipeline_spark import schemas, session  # noqa: E402
+from reddit_twitter_big_data_pipeline_spark.plans import training  # noqa: E402
+
+SCALES = (1, 4, 16)
+OFF = 1_000_000
+
+PHRASES = {
+    1: "der hund läuft über die straße und ist nicht müde ",
+    2: "le chat est dans la maison et ne veut pas sortir ",
+    3: "el perro está en la casa y no quiere salir más ",
+    4: "il gatto è nel giardino e non vuole più uscire ",
+}
+
+
+def corpus(spark, sf_dir: str, scale: int) -> DataFrame:
+    docs = schemas.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reps = [
+        F.struct(
+            (F.col("doc_id") + r * OFF).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.regexp_replace(F.col("text"), F.lit(" "), F.lit(f" r{r} "))
+            ).alias("text"),
+        )
+        for r in range(scale)
+    ]
+    scaled = docs.select(F.explode(F.array(*reps)).alias("s")).select(
+        "s.doc_id", "s.text"
+    )
+    lang_expr = None
+    for k, ph in PHRASES.items():
+        c = F.col("doc_id") % 5 == k
+        v = F.concat(F.lit(ph * 3), F.col("text"))
+        lang_expr = F.when(c, v) if lang_expr is None else lang_expr.when(c, v)
+    n_domains = 20 * scale
+    return scaled.select(
+        "doc_id",
+        lang_expr.otherwise(F.col("text")).alias("text"),
+        F.concat(
+            F.lit("https://sub.site"),
+            (F.col("doc_id") % n_domains).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = session.get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
+    frames, blocked, meta = {}, {}, {}
+    for s in SCALES:
+        frames[s] = corpus(spark, sf_dir, s)
+        blocked[s] = spark.range(0, 20 * s, 5).select(
+            F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".com")).alias(
+                "domain"
+            )
+        )
+        meta[s] = {"rows_in": frames[s].count()}
+
+    def run(s: int) -> int:
+        out = training.curate_corpus_v2(
+            frames[s], blocked[s], domain_cap=20, q_micro_min=150_000
+        )
+        out.write.format("noop").mode("overwrite").save()
+        return s
+
+    # warm every scale once (JIT, page cache), record output rows
+    for s in SCALES:
+        meta[s]["rows_out"] = training.curate_corpus_v2(
+            frames[s], blocked[s], domain_cap=20, q_micro_min=150_000
+        ).count()
+        print(f"warm {s}x: in={meta[s]['rows_in']} out={meta[s]['rows_out']}",
+              file=sys.stderr, flush=True)
+
+    times = {s: [] for s in SCALES}
+    for rep in range(reps):
+        for s in SCALES:
+            t0 = time.time()
+            run(s)
+            times[s].append(time.time() - t0)
+            print(f"rep{rep} {s}x: {times[s][-1]:.2f}s", file=sys.stderr, flush=True)
+
+    out = {
+        "min_sec": {str(s): round(min(ts), 3) for s, ts in times.items()},
+        "rows_in": {str(s): meta[s]["rows_in"] for s in SCALES},
+        "rows_out": {str(s): meta[s]["rows_out"] for s in SCALES},
+    }
+    out["ratio_16x_over_1x"] = round(min(times[16]) / min(times[1]), 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
