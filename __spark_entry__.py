@@ -3229,6 +3229,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_global_shuffle"] = sample_global_shuffle
 
+    def train_curation_increment(spark, sf):
+        # Incremental batch admission against a standing curated corpus
+        # (plans/training.py:curate_increment) — the steady-state
+        # production shape: the corpus contributes ONLY its fingerprint
+        # set and per-domain counts; batch rows pass the row-local gates,
+        # dedupe within-batch and against the corpus, then consume each
+        # domain's REMAINING quota in deterministic hash order. The
+        # planted batch exercises every drop reason: doc_id%4==0 rows
+        # duplicate corpus text verbatim (corpus-dup anti-join), +20M
+        # rows clone +10M rows' text (in-batch dedupe, min-id keeps),
+        # multilingual prefixes hit every langid branch, doc_id%7==6
+        # rows land on FRESH domains absent from the corpus (admit up to
+        # cap) while the rest share the corpus's planted domains whose
+        # existing counts partially or fully exhaust cap=15.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        corpus = docs.select(
+            "doc_id", "text", _planted_url(F.col("doc_id")).alias("url")
+        )
+        src = F.col("src")
+        base_a = docs.select(F.col("doc_id").alias("src"), "text")
+        both = base_a.select(
+            "src", "text", (src + 10_000_000).alias("bid")
+        ).unionByName(
+            base_a.filter(src % 8 == 1).select(
+                "src", "text", (src + 20_000_000).alias("bid")
+            )
+        )
+        btext = F.when(src % 4 == 0, F.col("text")).otherwise(
+            F.concat(
+                _planted_lang_text(src, F.lit("")),
+                F.col("text"),
+                F.lit(" b"),
+                src.cast("string"),
+            )
+        )
+        burl = F.when(
+            src % 7 == 6,
+            F.concat(
+                F.lit("https://fresh"), (src % 9).cast("string"),
+                F.lit(".org/b/"), src.cast("string"),
+            ),
+        ).otherwise(_planted_url(src))
+        batch = both.select(
+            F.col("bid").alias("doc_id"), btext.alias("text"), burl.alias("url")
+        )
+        from reddit_twitter_big_data_pipeline_spark.plans import training
+
+        return training.curate_increment(
+            batch, corpus, min_margin=2, domain_cap=15, hash_fn="md5"
+        )
+
+    q["train_curation_increment"] = train_curation_increment
+
     def _planted_url_psl(doc_id):
         # %6 exercises the six PSL decision paths: a 1-label rule, a
         # 2-label ccTLD rule, the 3-level k12.ma.us rule (beyond the
@@ -3478,10 +3531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_url_domains_psl (wildcard/exception rules + slim-agg contract
     # landed this round), text_langid / text_langid_margin (token-array
     # staging), text_langid_gate (join elimination) — code-changed
-    # queries re-earn the gate (the r7/r8 precedent); x_hits stays as
-    # the 2-round-green remainder (out-slot budget exhausted after
-    # text_hybrid_rrf's slot went to the late-round
-    # sample_global_shuffle addition).
+    # queries re-earn the gate (the r7/r8 precedent). The two remaining
+    # 2-round-green slots (text_hybrid_rrf, x_hits) went to the
+    # late-round additions sample_global_shuffle and
+    # train_curation_increment — every out-slot is spent.
     _R9_SWAPS = {
         "x_connected_components": "tpch_q4_order_priority",
         "x_label_prop": "tpch_q6_forecast_revenue",
@@ -3511,9 +3564,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof_forward": "x_sessionize_batch",
         "x_winsorize": "text_domain_blocklist_anti",
         "x_skew_agg_salted": "text_langid_script",
-        # late-round addition: the deterministic global training-order
-        # permutation enters for the 2-round-green untouched RRF query
+        # late-round additions: the deterministic global training-order
+        # permutation and the incremental-admission pipeline enter for
+        # the two remaining 2-round-green untouched queries
         "text_hybrid_rrf": "sample_global_shuffle",
+        "x_hits": "train_curation_increment",
     }
     for out_name, in_name in _R9_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
@@ -6081,6 +6136,113 @@ def oracle_sql() -> dict[str, str]:
                            % 1000000 ASC,
                            doc_id ASC) - 1)::BIGINT AS perm_rank
         FROM documents
+    """
+
+    # r9 incremental admission: corpus reduces to fingerprints + domain
+    # counts; the batch replays the row-local gates, within-batch
+    # dedupe, corpus anti-join, then remaining-quota ranking. The batch
+    # CTE derives text/url from src exactly as the registration does.
+    o["train_curation_increment"] = f"""
+        WITH {_URL_PLANTED_CTE},
+        corpus_fp AS (
+          SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        corpus_have AS (
+          SELECT {_URL_DOMAIN_SQL} AS domain, count(*) AS have
+          FROM (
+            SELECT lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+            FROM urls
+          )
+          GROUP BY 1
+        ),
+        batch0 AS (
+          SELECT doc_id AS src, doc_id + 10000000 AS bid FROM documents
+          UNION ALL
+          SELECT doc_id, doc_id + 20000000 FROM documents WHERE doc_id % 8 = 1
+        ),
+        batch AS (
+          SELECT b.bid AS doc_id,
+                 CASE WHEN b.src % 4 = 0 THEN d.text
+                      ELSE CASE b.src % 5
+                             WHEN 1 THEN repeat('der hund läuft über die straße und ist nicht müde ', 3)
+                             WHEN 2 THEN repeat('le chat est dans la maison et ne veut pas sortir ', 3)
+                             WHEN 3 THEN repeat('el perro está en la casa y no quiere salir más ', 3)
+                             WHEN 4 THEN repeat('il gatto è nel giardino e non vuole più uscire ', 3)
+                             ELSE '' END
+                           || d.text || ' b' || CAST(b.src AS VARCHAR)
+                 END AS text,
+                 CASE WHEN b.src % 7 = 6
+                      THEN 'https://fresh' || CAST(b.src % 9 AS VARCHAR) || '.org/b/' || CAST(b.src AS VARCHAR)
+                      ELSE u.url END AS url
+          FROM batch0 b
+          JOIN documents d ON d.doc_id = b.src
+          JOIN urls u ON u.doc_id = b.src
+        ),
+        toksb AS (
+          SELECT doc_id, text, url,
+                 string_split(regexp_replace(lower(text), '{text_ops.LANGID_NORM_RE}', ' ', 'g'), ' ') AS tk,
+                 lower(text) AS lt
+          FROM batch
+        ),
+        scoredb AS (
+          SELECT doc_id, text, url, {_langid_scores_sql()}
+          FROM toksb
+        ),
+        confb AS (
+          SELECT doc_id, text, url,
+                 {_langid_pred_sql()} AS lang_pred,
+                 ({_langid_sorted}[1] - {_langid_sorted}[2])::INTEGER AS margin
+          FROM scoredb
+        ),
+        langb AS (
+          SELECT doc_id, text, url, lang_pred AS lang FROM confb
+          WHERE lang_pred <> 'und' AND margin >= 2
+        ),
+        domb AS (
+          SELECT doc_id, text, lang, {_URL_DOMAIN_SQL} AS domain
+          FROM (
+            SELECT doc_id, text, lang,
+                   lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+            FROM langb
+          )
+        ),
+        qualb AS (
+          SELECT doc_id, text, lang, domain FROM domb
+          WHERE floor(
+                  least(1.0, len(string_split(text, ' ')) / 100.0)
+                  * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                         / greatest(length(lower(text)), 1))
+                  * 1000000.0
+                )::BIGINT >= 150000
+        ),
+        withinb AS (
+          SELECT doc_id, text, lang, domain FROM (
+            SELECT doc_id, text, lang, domain,
+                   row_number() OVER (
+                     PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id ASC) AS rn
+            FROM qualb
+          ) WHERE rn = 1
+        ),
+        novelb AS (
+          SELECT doc_id, text, lang, domain FROM withinb
+          WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                NOT IN (SELECT fp FROM corpus_fp)
+        ),
+        rankedb AS (
+          SELECT doc_id, text, lang, domain,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000000 ASC,
+                            doc_id ASC) AS rn
+          FROM novelb
+        )
+        SELECT r.doc_id, r.lang, r.domain,
+               len(string_split(r.text, ' '))::BIGINT AS n_tokens
+        FROM rankedb r LEFT JOIN corpus_have h USING (domain)
+        WHERE r.rn <= 15 - coalesce(h.have, 0)
     """
 
     # r9 composed curation v2: every stage replays an already-gated

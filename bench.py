@@ -154,6 +154,7 @@ HEADLINE = [
     "text_domain_blocklist_anti",
     "train_curation_v2",
     "sample_global_shuffle",
+    "train_curation_increment",
 ]
 
 

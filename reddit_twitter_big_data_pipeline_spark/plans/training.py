@@ -16,6 +16,7 @@ one fingerprint-keyed dedup exchange.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as dedup_ops, sampling, text as text_ops
 
@@ -124,6 +125,101 @@ def curate_corpus_v2(
         "domain",
         sampling.split_label(id_col, split_weights, hash_fn=hash_fn).alias("split"),
         text_ops.token_count(text_col).cast("long").alias("n_tokens"),
+    )
+
+
+def curate_increment(
+    batch: DataFrame,
+    corpus: DataFrame,
+    blocked: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    blocked_col: str = "domain",
+    min_margin: int = 2,
+    domain_cap: int = 20,
+    q_micro_min: int = 150_000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental ADMISSION of a new crawl batch against an existing
+    curated corpus — the steady-state production shape (a pipeline
+    curates the whole web once, then admits daily crawls forever; the
+    `dedup_incremental_pairs` marginal-cost thesis applied to the whole
+    curation stack):
+
+    1. row-local gates on the BATCH only: confidence langid, optional
+       blocklist anti-join, integer micro-unit quality;
+    2. exact dedupe WITHIN the batch (min-id keeps), then against the
+       CORPUS — the corpus contributes only its 32-byte fingerprint
+       set, reduced map-side, never its documents;
+    3. per-domain quota ACCOUNTING: the corpus contributes only
+       (domain, count); a batch row is admitted while
+       existing + hash-order-rank ≤ domain_cap, so a domain the corpus
+       already filled admits nothing and a fresh domain admits up to
+       the cap.
+
+    Returns (id, lang, domain, n_tokens) of ADMITTED batch rows.
+
+    Scale shape: batch-side work is the same three slim-keyed exchanges
+    as `curate_corpus_v2`; the corpus is scanned once per reduction
+    (fingerprints, domain counts — both collapse map-side to
+    ~|distinct| rows) and NEVER re-shuffled in full. Marginal cost is
+    proportional to the batch, not the corpus — the property that makes
+    daily admission affordable at a 100-TB standing corpus. Stage order
+    differs from `curate_corpus_v2` deliberately: dedupe runs BEFORE
+    quota here so near-identical recrawls cannot consume a domain's
+    remaining quota."""
+    lang_ok = (
+        text_ops.langid_margin(
+            batch.select(id_col, text_col, url_col),
+            col=text_col,
+            id_col=id_col,
+            min_margin=min_margin,
+            keep=(text_col, url_col),
+        )
+        .filter(F.col("lang_conf") != "und")
+        .select(id_col, text_col, url_col, F.col("lang_conf").alias("lang"))
+    )
+    dom = lang_ok.withColumn("domain", text_ops.registered_domain(url_col))
+    if blocked is not None:
+        dom = dom.join(
+            F.broadcast(blocked.select(F.col(blocked_col).alias("domain"))),
+            "domain",
+            "left_anti",
+        )
+    qual = dom.filter(
+        F.floor(text_ops.quality_score(text_col) * F.lit(1_000_000.0)).cast("long")
+        >= F.lit(q_micro_min)
+    )
+    within = dedup_ops.exact_dedupe(qual, id_col=id_col, text_col=text_col)
+    corpus_fp = corpus.select(
+        text_ops.fingerprint(text_col).alias("__fp")
+    ).distinct()
+    novel = (
+        within.withColumn("__fp", text_ops.fingerprint(text_col))
+        .join(corpus_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+    have = (
+        corpus.select(text_ops.registered_domain(url_col).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("__have"))
+    )
+    w = Window.partitionBy("domain").orderBy(
+        sampling._bucket(id_col, "cap", hash_fn).asc(), F.col(id_col).asc()
+    )
+    return (
+        novel.withColumn("__rn", F.row_number().over(w))
+        .join(have, "domain", "left")
+        .filter(
+            F.col("__rn") <= F.lit(domain_cap) - F.coalesce(F.col("__have"), F.lit(0))
+        )
+        .select(
+            F.col(id_col),
+            "lang",
+            "domain",
+            text_ops.token_count(text_col).cast("long").alias("n_tokens"),
+        )
     )
 
 

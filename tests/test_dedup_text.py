@@ -1010,6 +1010,50 @@ def test_curate_corpus_v2_each_stage_fires(spark):
     assert len(capped) < len(out)
 
 
+def test_curate_increment_admission_paths(spark):
+    from reddit_twitter_big_data_pipeline_spark.plans import training
+
+    long_en = "the cat and the dog sat on the mat with all of the others " * 4
+    corpus = spark.createDataFrame(
+        [
+            (1, long_en, "https://a.full.com/1"),
+            (2, long_en + "two", "https://b.full.com/2"),
+            (3, long_en + "three", "https://c.full.com/3"),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, long_en, "https://x.fresh.org/101"),          # corpus dup -> out
+            (102, long_en + "novel one", "https://x.fresh.org/102"),   # admitted
+            (103, long_en + "novel one", "https://y.fresh.org/103"),   # in-batch dup of 102 -> out (min id keeps 102)
+            (104, long_en + "novel two", "https://z.full.com/104"),    # domain full (3 existing, cap 3) -> out
+            (105, "xyzzy 123", "https://q.fresh.org/105"),             # langid und -> out
+            (106, long_en + "novel three", "https://w.fresh.org/106"), # admitted
+        ],
+        ["doc_id", "text", "url"],
+    )
+    out = {
+        r.doc_id: r
+        for r in training.curate_increment(batch, corpus, domain_cap=3).collect()
+    }
+    assert set(out) == {102, 106}
+    assert out[102].domain == "fresh.org" and out[102].lang == "en"
+    # remaining-quota accounting: raising the cap re-opens the full domain
+    out5 = {
+        r.doc_id
+        for r in training.curate_increment(batch, corpus, domain_cap=5).collect()
+    }
+    assert 104 in out5
+    # fresh-domain quota still caps: cap=1 admits exactly one fresh.org row
+    out1 = [
+        r
+        for r in training.curate_increment(batch, corpus, domain_cap=1).collect()
+        if r.domain == "fresh.org"
+    ]
+    assert len(out1) == 1
+
+
 def test_bm25_topk_matches_reference_formula(spark):
     import math
 
