@@ -3282,6 +3282,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_curation_increment"] = train_curation_increment
 
+    def dedup_url_exact(spark, sf):
+        # URL-level recrawl dedup (operators/dedup.py:url_dedupe) — the
+        # FIRST pass a CommonCrawl-style pipeline runs: min-id per
+        # NORMALIZED url (query/fragment/case collapse). The planted
+        # URLs make both sides live: the IPv4 (%6==3) and .com.br
+        # (%6==4) branches embed no doc_id so they collide across docs;
+        # the other branches stay unique.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        urls = docs.select("doc_id", _planted_url(F.col("doc_id")).alias("url"))
+        kept = dedup.url_dedupe(urls)
+        return kept.select(
+            "doc_id", text_ops.normalize_url("url").alias("url_norm")
+        )
+
+    q["dedup_url_exact"] = dedup_url_exact
+
+    def text_domain_quality_gate(spark, sf):
+        # Domain-REPUTATION screen (operators/text.py:
+        # domain_quality_gate): keep docs whose registered domain's MEAN
+        # quality clears the cut — compared as exact integers
+        # (sum(q_micro) >= thr·n, the mean inequality cross-multiplied:
+        # no division, no float boundary). %6==1 rows (exactly the
+        # .co.uk domains) carry a planted 2-token spam text, so those
+        # domains' means sit at ~0.02 vs ~0.5 for the rest — the spam
+        # FARM drops as a unit even though a per-doc gate would judge
+        # each page alone.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 6 == 1, F.lit("spam spam"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            _planted_url(F.col("doc_id")).alias("url"),
+        )
+        kept = text_ops.domain_quality_gate(planted)
+        return kept.select(
+            "doc_id", text_ops.registered_domain("url").alias("domain")
+        )
+
+    q["text_domain_quality_gate"] = text_domain_quality_gate
+
+    def text_token_count_cjk(spark, sf):
+        # Script-aware token budgeting (operators/text.py:
+        # token_count_cjk): whitespace words + one token per CJK char —
+        # whitespace counting alone scores a Chinese document as ~1
+        # token and wrecks any token-budget or packing decision. %5==4
+        # rows are pure CJK, %5==3 rows mix scripts mid-sentence, the
+        # rest exercise the plain-word path; both counts are output so
+        # the divergence is visible in the gate.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        mixed = "The report quoted 你好世界 and then continued in English 测试"
+        planted = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 4, F.lit(_SCRIPT_SENTENCES[4] * 3))
+            .when(F.col("doc_id") % 5 == 3, F.lit(mixed))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return planted.select(
+            "doc_id",
+            text_ops.token_count("text").cast("long").alias("n_ws"),
+            text_ops.token_count_cjk("text").alias("n_cjk_aware"),
+        )
+
+    q["text_token_count_cjk"] = text_token_count_cjk
+
     def _planted_url_psl(doc_id):
         # %6 exercises the six PSL decision paths: a 1-label rule, a
         # 2-label ccTLD rule, the 3-level k12.ma.us rule (beyond the
@@ -6136,6 +6202,69 @@ def oracle_sql() -> dict[str, str]:
                            % 1000000 ASC,
                            doc_id ASC) - 1)::BIGINT AS perm_rank
         FROM documents
+    """
+
+    # r9 URL-level recrawl dedup: min-id per normalized url (md5 of the
+    # normalized form keys the Spark window — md5 equality is string
+    # equality, so the oracle partitions on url_norm directly)
+    o["dedup_url_exact"] = f"""
+        WITH {_URL_NORM_CTE}
+        SELECT doc_id, url_norm FROM (
+          SELECT doc_id, url_norm,
+                 row_number() OVER (PARTITION BY url_norm ORDER BY doc_id ASC) AS rn
+          FROM norm
+        ) WHERE rn = 1
+    """
+
+    # r9 domain-reputation gate: mean-quality cut as the cross-
+    # multiplied integer inequality sum(q_micro) >= thr * n
+    o["text_domain_quality_gate"] = f"""
+        WITH {_URL_PLANTED_CTE.replace("SELECT doc_id,", "SELECT doc_id, text,")},
+        rows_q AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 1 THEN 'spam spam' ELSE text END AS ptext,
+                 lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+          FROM urls
+        ),
+        qm AS (
+          SELECT doc_id, {_URL_DOMAIN_SQL} AS domain,
+                 floor(
+                   least(1.0, len(string_split(ptext, ' ')) / 100.0)
+                   * (1.0 - length(regexp_replace(lower(ptext), '[a-z0-9 ]', '', 'g'))
+                          / greatest(length(lower(ptext)), 1))
+                   * 1000000.0
+                 )::BIGINT AS q_micro
+          FROM rows_q
+        ),
+        good AS (
+          SELECT domain FROM qm
+          GROUP BY domain
+          HAVING CAST(sum(q_micro) AS BIGINT) >= 150000 * count(*)
+        )
+        SELECT doc_id, domain FROM qm
+        WHERE domain IN (SELECT domain FROM good)
+    """
+
+    # r9 script-aware token counting: whitespace words over the
+    # CJK-blanked text (empty fragments filtered) + one per CJK char
+    _cjk_cls = f"[{text_ops.SCRIPT_RANGES['cjk']}]"
+    o["text_token_count_cjk"] = f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 4 THEN repeat('这是一个用中文写的测试句子用于语言识别 ', 3)
+                   WHEN 3 THEN 'The report quoted 你好世界 and then continued in English 测试'
+                   ELSE text
+                 END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_ws,
+               (len(list_filter(
+                      string_split(regexp_replace(text, '{_cjk_cls}', ' ', 'g'), ' '),
+                      t -> t <> ''))
+                + len(regexp_extract_all(text, '{_cjk_cls}')))::BIGINT AS n_cjk_aware
+        FROM planted
     """
 
     # r9 incremental admission: corpus reduces to fingerprints + domain

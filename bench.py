@@ -155,6 +155,9 @@ HEADLINE = [
     "train_curation_v2",
     "sample_global_shuffle",
     "train_curation_increment",
+    "dedup_url_exact",
+    "text_domain_quality_gate",
+    "text_token_count_cjk",
 ]
 
 

@@ -136,6 +136,28 @@ def exact_dedupe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def url_dedupe(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup — the FIRST pass a CommonCrawl-style
+    curation pipeline runs (FineWeb/CCNet drop recrawls of the same
+    page by URL before any content pass touches text). Keys on
+    ``normalize_url`` (scheme/host lowercased, query/fragment and
+    trailing slashes stripped), so trivially-different crawl records of
+    one page — tracking params, fragments, case — collapse to the
+    min-id row. Same anti-join shape as ``exact_dedupe``: the window
+    runs over a slim (id, 32-byte url-hash) projection and reduces to
+    the loser id set; documents never ride the exchange."""
+    slim = df.select(
+        F.col(id_col), F.md5(text_ops.normalize_url(url_col)).alias("__uf")
+    )
+    w = Window.partitionBy("__uf").orderBy(F.col(id_col).asc())
+    losers = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # --- shingles --------------------------------------------------------------
 
 

@@ -880,6 +880,60 @@ def domain_stats(
     )
 
 
+def domain_quality_gate(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_mean_micro: int = 150_000,
+) -> DataFrame:
+    """Domain-REPUTATION gate: keep documents whose registered domain's
+    MEAN quality clears the threshold — the RefinedWeb-style source-
+    level screen (a spam farm's individual pages can each sneak past a
+    per-doc gate; its domain mean cannot). The comparison is EXACT
+    integer arithmetic: sum(floor(q·1e6)) >= threshold · n_docs — the
+    mean inequality cross-multiplied so no division and no float
+    boundary exists (the `domain_stats` micro-unit discipline applied
+    to a gate).
+
+    Scale shape: one domain-keyed aggregate over a slim
+    (domain, q_micro) projection (map-side combine collapses each task
+    to its distinct domains), then the GOOD-domain set — far smaller
+    than the corpus — semi-joins back; with AQE the semi-join
+    broadcasts. Documents never ride a grouping key."""
+    d = df.withColumn("__dom", registered_domain(url_col)).withColumn(
+        "__qm",
+        F.floor(quality_score(text_col) * F.lit(1_000_000.0)).cast("long"),
+    )
+    stats = d.groupBy("__dom").agg(
+        F.sum("__qm").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    good = stats.filter(
+        F.col("__s") >= F.lit(min_mean_micro) * F.col("__n")
+    ).select("__dom")
+    return d.join(good, "__dom", "left_semi").drop("__dom", "__qm")
+
+
+def token_count_cjk(col: str = "text") -> Column:
+    """Script-aware token count: whitespace words over the non-CJK text
+    PLUS one token per CJK character — the convention CJK tokenizers
+    approximate (no whitespace to split on; per-character is the
+    standard budget proxy). CJK characters are replaced by spaces
+    before the word split, so mixed text like '中文 words 中文' counts
+    its words and its characters separately; empty fragments from the
+    replacement are filtered (unlike the corpus `token_count`, which
+    assumes single-space-normalized input). Pure column expression —
+    token budgeting stays at scan speed."""
+    cjk = SCRIPT_RANGES["cjk"]
+    words = F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.col(col), f"[{cjk}]", " "), " "),
+            lambda t: t != F.lit(""),
+        )
+    )
+    chars = F.size(F.regexp_extract_all(F.col(col), F.lit(f"[{cjk}]"), 0))
+    return (words + chars).cast("long")
+
+
 def strip_control_chars(col: str = "text") -> Column:
     """Remove control and zero-width characters (keeps \\t \\n): the invisible
     junk that breaks tokenizers and dedup keys."""

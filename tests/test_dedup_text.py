@@ -1010,6 +1010,65 @@ def test_curate_corpus_v2_each_stage_fires(spark):
     assert len(capped) < len(out)
 
 
+def test_url_dedupe_normalized_recrawls(spark):
+    from reddit_twitter_big_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Ex.COM/a?utm_source=x"),   # kept (min id of the group)
+            (2, "https://ex.com/a#frag"),            # same page after normalize -> out
+            (3, "https://ex.com/a/"),                # trailing slash -> same -> out
+            (4, "https://ex.com/b"),                 # different path -> kept
+            (5, "not a url"),                        # kept (its own group)
+        ],
+        ["doc_id", "url"],
+    )
+    kept = dedup.url_dedupe(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 5]
+    assert kept.columns == ["doc_id", "url"]
+
+
+def test_domain_quality_gate_drops_spam_farm(spark):
+    long_en = "the cat and the dog sat on the mat with all of the others " * 4
+    df = spark.createDataFrame(
+        [
+            (1, long_en, "https://a.good.com/1"),
+            (2, long_en + "more", "https://b.good.com/2"),
+            (3, "spam spam", "https://x.farm.net/3"),
+            (4, "spam spam", "https://y.farm.net/4"),
+            # one GOOD page on the farm: the domain MEAN still fails, so
+            # it drops with its domain — the point of a reputation gate
+            (5, long_en, "https://z.farm.net/5"),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    # farm mean = (0.02 + 0.02 + 0.56)/3 = 0.2; good mean ≈ 0.56 — the
+    # 0.3 cut drops the whole farm (good page included) and keeps good.com
+    kept = text_ops.domain_quality_gate(df, min_mean_micro=300_000)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+    assert sorted(kept.columns) == ["doc_id", "text", "url"]
+
+
+def test_token_count_cjk_cases(spark):
+    cases = [
+        (1, "hello big world", 3),
+        (2, "你好世界", 4),                 # pure CJK: one per char
+        (3, "你好 world", 3),               # 2 chars + 1 word
+        (4, "これはテスト", 6),              # kana range
+        (5, "한국어 테스트", 6),             # hangul: 3 + 3 chars, no words
+        (6, "", 0),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], ["doc_id", "text"])
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", text_ops.token_count_cjk("text").alias("n")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_curate_increment_admission_paths(spark):
     from reddit_twitter_big_data_pipeline_spark.plans import training
 
