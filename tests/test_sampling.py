@@ -207,3 +207,20 @@ def test_global_permutation_bijection_and_stability(spark):
     want = [i for i, _ in sorted(((i, bucket(i)) for i in range(257)), key=lambda t: (t[1], t[0]))]
     got = [doc for doc, _ in sorted(rows.items(), key=lambda t: t[1])]
     assert got == want
+
+
+def test_global_permutation_bijection_at_scale(spark):
+    # 100k rows through the two-level rank: still a bijection onto
+    # [0, n) — one aggregate checks it without collecting rows
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = sampling.global_permutation(docs)
+    row = out.agg(
+        F.countDistinct("perm_rank").alias("d"),
+        F.min("perm_rank").alias("lo"),
+        F.max("perm_rank").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (row.d, row.lo, row.hi, row.n) == (n, 0, n - 1, n)

@@ -218,6 +218,28 @@ def check_sf(sf_dir: str) -> None:
     assert_margin(
         "train_curation_v2", np.abs(np.asarray(m, dtype=np.float64)), "quality-cut"
     )
+
+    # call site 7 (r9): text_domain_quality_gate's cross-multiplied mean
+    # cut — sum(q_micro) >= 150000·n per domain. Each row's q_micro is
+    # an identically-computed floor'd integer in both engines, so the
+    # domain SUM is exact; the hazard is again a per-row 1-ulp
+    # divergence flipping one floor and moving a domain's sum across
+    # the cut. Margin = |sum(q_micro) − 150000·n| per domain, measured
+    # from the oracle's own qm CTE (head reused verbatim).
+    sql = oracles["text_domain_quality_gate"]
+    head = sql[: sql.index("good AS")]
+    m = con.execute(
+        head
+        + """gm AS (
+              SELECT CAST(sum(q_micro) AS DOUBLE) - 150000.0 * count(*) AS m
+              FROM qm GROUP BY domain
+            ) SELECT m FROM gm"""
+    ).fetchnumpy()["m"]
+    assert_margin(
+        "text_domain_quality_gate",
+        np.abs(np.asarray(m, dtype=np.float64)),
+        "mean-cut",
+    )
     con.close()
 
 
