@@ -2839,6 +2839,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
+    def sim_pq_topk(spark, sf):
+        # Product-quantization ADC top-k (operators/similarity.py:
+        # pq_topk): 4 spherical 16-entry per-subspace codebooks
+        # (pq_codebooks — deterministic seeded literals, the
+        # sim_ivf_topk seam), codes by first-max dot-argmax on the
+        # normalized vector, score = sum of per-subspace LUT entries /
+        # ||q||. The output is the APPROXIMATE cosine — the stored-codes
+        # path (4 bytes/vector, 64× compression) has no floats to
+        # rescore with — and the oracle replays codes and ADC sums from
+        # the same centroid literals, so even the approximation is
+        # hash-gated. Trained codebooks stay pytest-only.
+        emb = _t(spark, sf, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        cbs = similarity.pq_codebooks(64, m=4, n_centroids=16, seed=11)
+        return similarity.pq_topk(probes, emb, k=5, codebooks=cbs)
+
+    q["sim_pq_topk"] = sim_pq_topk
+
     def x_hll_rollup(spark, sf):
         # Continuous-aggregate (hypertable-style) rollup: daily active
         # users computed FROM stored hourly HLL register state, not from
@@ -7541,6 +7559,72 @@ def oracle_sql() -> dict[str, str]:
           JOIN c_cell cc ON cc.cell = p.cell
           JOIN n c ON c.vec_id = cc.vec_id AND c.vec_id <> p.vec_id
           JOIN n q ON q.vec_id = p.vec_id
+        )
+        SELECT query_id, neighbor_id, round(s, 6) AS sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """
+
+    # PQ-ADC: per-subspace codebook literals (pq_codebooks seed=11 — the
+    # sim_ivf seam), code = first-max argmax of the 16 raw subvector
+    # dots per subspace (argmax-invariant to the row's positive full
+    # norm, so raw dots replay the normalized assignment), ADC score =
+    # the FOUR subspace LUT dots summed in one fixed-order expression
+    # (d0+d1+d2+d3 — a GROUP-BY sum could reassociate and split
+    # exact-code ties that both engines must break identically by
+    # neighbor_id) divided by ||q||. round(s, 6) absorbs the
+    # numpy-matmul vs list_dot_product summation seam.
+    from reddit_twitter_big_data_pipeline_spark.operators.similarity import pq_codebooks
+
+    _pq = pq_codebooks(64, m=4, n_centroids=16, seed=11)
+    _pq_values = ", ".join(
+        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[])"
+        for j, cbj in enumerate(_pq)
+        for c, vec in enumerate(cbj)
+    )
+    _pq_adc = " + ".join(
+        f"list_dot_product(q.e[{j * 16 + 1}:{j * 16 + 16}], cb{j}.v)"
+        for j in range(4)
+    )
+    _pq_cb_joins = " ".join(
+        f"JOIN cb cb{j} ON cb{j}.j = {j} AND cb{j}.c = x.c{j}" for j in range(4)
+    )
+
+    o["sim_pq_topk"] = f"""
+        WITH cb(j, c, v) AS (VALUES {_pq_values}),
+        n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ),
+        ex AS (
+          SELECT n.vec_id, cb.j, cb.c,
+                 list_dot_product(n.e[cb.j*16+1 : cb.j*16+16], cb.v) AS d
+          FROM n CROSS JOIN cb
+        ),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d DESC, c ASC) AS rn
+            FROM ex
+          ) WHERE rn = 1
+        ),
+        codes_w AS (
+          SELECT vec_id,
+                 max(CASE WHEN j = 0 THEN code END) AS c0,
+                 max(CASE WHEN j = 1 THEN code END) AS c1,
+                 max(CASE WHEN j = 2 THEN code END) AS c2,
+                 max(CASE WHEN j = 3 THEN code END) AS c3
+          FROM codes GROUP BY vec_id
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                 ({_pq_adc}) / q.nrm AS s
+          FROM codes_w x
+          {_pq_cb_joins}
+          CROSS JOIN (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10) q
+          WHERE x.vec_id <> q.vec_id
         )
         SELECT query_id, neighbor_id, round(s, 6) AS sim FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn

@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_url_exact",
     "text_domain_quality_gate",
     "text_token_count_cjk",
+    "sim_pq_topk",
 ]
 
 

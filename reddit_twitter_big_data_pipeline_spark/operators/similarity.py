@@ -789,6 +789,88 @@ def quantized_topk(
     return _global_topk(scored, k)
 
 
+def pq_codebooks(
+    dim: int, m: int = 4, n_centroids: int = 16, seed: int = 11
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks for the ORACLE-GATED PQ path:
+    m spherical (unit-row) codebooks of `n_centroids` × (dim/m), seeded
+    per subspace. For unit-norm centroids, L2-argmin over a codebook ==
+    dot-argmax (||x − c||² = ||x||² + 1 − 2·x·c), so code assignment is
+    the same argmax-over-literal-dots arithmetic the IVF oracle already
+    replays. A TRAINED per-subspace k-means codebook (the production
+    path) comes from numpy RNG no SQL engine can replay — same seam as
+    `centroid_codebook`."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    return [
+        centroid_codebook(dim // m, n_centroids, seed=seed + j) for j in range(m)
+    ]
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the third point on the
+    compression/recall curve after SQ8 (`quantized_topk`, 1 byte/dim)
+    and IVF (`ivf_topk`, pruning): PQ stores only m small centroid CODES
+    per vector (64-dim float32 → m=4 bytes, a 64× compression), and
+    scores a query against the whole corpus via asymmetric distance
+    computation — per subspace, a |codebook|-entry lookup table of
+    query-to-centroid dots, summed at the code positions (Jégou et al.
+    2011). Returned `sim` is the APPROXIMATE cosine (the stored-codes
+    production path has no float vectors to rescore with; compose with
+    `quantized_topk`'s rescore shape when vectors are fetchable).
+
+    Plan shape is the `brute_force_topk` streaming shape: probes
+    broadcast once (LUTs are |Q|·m·16 doubles), the corpus streams once
+    through mapInPandas — per batch, m tiny (n × 16) GEMMs assign codes
+    on the NORMALIZED vector (first-max argmax, np.argmax order) and an
+    LUT gather scores all probes; partial top-k pushes down losslessly;
+    one tiny window at the end. At 100 TB the scan reads 4 bytes/vector
+    of codes instead of 256 bytes of floats — the I/O story IS the
+    operator."""
+    cbs = codebooks if codebooks is not None else None
+    q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
+    if cbs is None:
+        cbs = pq_codebooks(q_mat.shape[1], m=m)
+    C = [np.asarray(cj, dtype=np.float64) for cj in cbs]
+    m = len(C)
+    q_norm = _safe_norms(q_mat)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        ids, qm, qn = bq.value
+        ds = qm.shape[1] // m
+        # per-subspace LUT: query-to-centroid dots (|Q| × n_centroids)
+        luts = [qm[:, j * ds : (j + 1) * ds] @ C[j].T for j in range(m)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = _to_matrix(pdf[vec_col])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_norm = _safe_norms(c_mat)
+            cm = c_mat / c_norm[:, None]
+            approx = np.zeros((c_mat.shape[0], len(ids)))
+            for j in range(m):
+                dots = cm[:, j * ds : (j + 1) * ds] @ C[j].T  # n × 16
+                codes = np.argmax(dots, axis=1)  # first-max, ties to low idx
+                approx += luts[j][:, codes].T  # n × |Q|
+            approx = approx / qn[None, :]
+            out = _batch_topk_rows(ids, c_ids, approx, k)
+            if out is not None:
+                yield out
+
+    scored = _spread(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(score, _TOPK_SCHEMA)
+    return _global_topk(scored, k)
+
+
 def kmeans_fixed(
     df: DataFrame,
     k: int = 8,

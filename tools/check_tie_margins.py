@@ -240,6 +240,39 @@ def check_sf(sf_dir: str) -> None:
         np.abs(np.asarray(m, dtype=np.float64)),
         "mean-cut",
     )
+
+    # call site 8 (r9): sim_pq_topk — two float decision families: the
+    # per-(row, subspace) code ARGMAX over 16 centroid dots, and the
+    # per-probe ADC k-boundary (5th vs 6th approximate score). Exact-code
+    # ties produce EXACTLY equal ADC sums in both engines (fixed-order
+    # 4-term expression) and break by neighbor_id — assert_margin's
+    # exact-tie exclusion covers them; the danger zone is distinct-code
+    # near-ties at ulp scale.
+    from reddit_twitter_big_data_pipeline_spark.operators.similarity import pq_codebooks
+
+    C = [np.array(cj) for cj in pq_codebooks(64, m=4, n_centroids=16, seed=11)]
+    Xn2 = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+    code_margins, luts, codes = [], [], []
+    qmask = ids < 10
+    qn = np.maximum(np.linalg.norm(X[qmask], axis=1), 1e-12)
+    for j, Cj in enumerate(C):
+        d = Xn2[:, j * 16 : (j + 1) * 16] @ Cj.T
+        srt = np.sort(d, axis=1)[:, ::-1]
+        code_margins.append(srt[:, 0] - srt[:, 1])
+        codes.append(np.argmax(d, axis=1))
+        luts.append(X[qmask][:, j * 16 : (j + 1) * 16] @ Cj.T)
+    assert_margin(
+        "sim_pq_topk", np.concatenate(code_margins), "code-argmax"
+    )
+    adc = np.zeros((X.shape[0], int(qmask.sum())))
+    for j in range(4):
+        adc += luts[j][:, codes[j]].T
+    adc = adc / qn[None, :]
+    kb = []
+    for qi, gi in enumerate(np.nonzero(qmask)[0]):
+        s = np.sort(np.delete(adc[:, qi], gi))[::-1]
+        kb.append(s[4] - s[5])
+    assert_margin("sim_pq_topk", np.array(kb), "k-boundary")
     con.close()
 
 
