@@ -6398,7 +6398,8 @@ def oracle_sql() -> dict[str, str]:
     # the integer micro-unit quality cut (text_domain_stats' floor
     # discipline as a FILTER — no float tie boundary), min-id dedupe and
     # split cutoffs (train_curation). Stage order mirrors
-    # curate_corpus_v2 exactly.
+    # curate_corpus_v2 exactly (ADVICE r9: quality BEFORE quota, so a
+    # low-quality page never consumes a domain's cap).
     o["train_curation_v2"] = f"""
         WITH {_LANGID_SCORED_CTE},
         conf AS (
@@ -6431,6 +6432,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, text, lang, domain FROM dom
           WHERE domain NOT IN ('news-1.com', 'news-3.com', 'example2.co.uk', '192.168.1.7')
         ),
+        qual AS (
+          SELECT doc_id, text, lang, domain FROM keptbl
+          WHERE floor(
+                  least(1.0, len(string_split(text, ' ')) / 100.0)
+                  * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                         / greatest(length(lower(text)), 1))
+                  * 1000000.0
+                )::BIGINT >= 150000
+        ),
         quota AS (
           SELECT doc_id, text, lang, domain FROM (
             SELECT doc_id, text, lang, domain,
@@ -6439,17 +6449,8 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                               % 1000000 ASC,
                               doc_id ASC) AS rn
-            FROM keptbl
+            FROM qual
           ) WHERE rn <= 5
-        ),
-        qual AS (
-          SELECT doc_id, text, lang, domain FROM quota
-          WHERE floor(
-                  least(1.0, len(string_split(text, ' ')) / 100.0)
-                  * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-                         / greatest(length(lower(text)), 1))
-                  * 1000000.0
-                )::BIGINT >= 150000
         ),
         deduped AS (
           SELECT doc_id, text, lang, domain FROM (
@@ -6457,7 +6458,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (
                      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                      ORDER BY doc_id ASC) AS rn
-            FROM qual
+            FROM quota
           ) WHERE rn = 1
         )
         SELECT doc_id, lang, domain,

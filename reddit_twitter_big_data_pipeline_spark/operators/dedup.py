@@ -145,9 +145,20 @@ def url_dedupe(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> D
     one page — tracking params, fragments, case — collapse to the
     min-id row. Same anti-join shape as ``exact_dedupe``: the window
     runs over a slim (id, 32-byte url-hash) projection and reduces to
-    the loser id set; documents never ride the exchange."""
-    slim = df.select(
-        F.col(id_col), F.md5(text_ops.normalize_url(url_col)).alias("__uf")
+    the loser id set; documents never ride the exchange.
+
+    NULL urls are NOT duplicates of each other (ADVICE r9): a nullable
+    url column would otherwise hash every url-less document to one NULL
+    window partition and silently drop all but one. Null-url rows are
+    excluded from the loser computation entirely, so they always pass
+    through — only rows that genuinely share a normalized URL dedupe.
+    The same guard covers empty normalizations (whitespace-only or
+    fragment-only strings normalize to '' — no shared page identity)."""
+    slim = (
+        df.filter(F.col(url_col).isNotNull())
+        .select(F.col(id_col), text_ops.normalize_url(url_col).alias("__un"))
+        .filter(F.col("__un") != "")
+        .select(F.col(id_col), F.md5("__un").alias("__uf"))
     )
     w = Window.partitionBy("__uf").orderBy(F.col(id_col).asc())
     losers = (

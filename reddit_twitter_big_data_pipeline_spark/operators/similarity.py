@@ -834,12 +834,17 @@ def pq_topk(
     one tiny window at the end. At 100 TB the scan reads 4 bytes/vector
     of codes instead of 256 bytes of floats — the I/O story IS the
     operator."""
-    cbs = codebooks if codebooks is not None else None
     q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
-    if cbs is None:
-        cbs = pq_codebooks(q_mat.shape[1], m=m)
+    # explicit codebooks OVERRIDE m (ADVICE r9: validated, not silently
+    # rebound — a caller whose codebook count disagrees with m gets an
+    # error, not a quiet reinterpretation)
+    if codebooks is not None and len(codebooks) != m:
+        raise ValueError(
+            f"pq_topk: {len(codebooks)} codebooks passed but m={m}; pass "
+            "m=len(codebooks) (m is the subspace count)"
+        )
+    cbs = codebooks if codebooks is not None else pq_codebooks(q_mat.shape[1], m=m)
     C = [np.asarray(cj, dtype=np.float64) for cj in cbs]
-    m = len(C)
     q_norm = _safe_norms(q_mat)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 

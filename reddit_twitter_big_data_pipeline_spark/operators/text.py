@@ -282,7 +282,11 @@ def langid_margin(
 # never fire for them (CASE branches evaluate lazily per row).
 
 SCRIPT_RANGES = {
-    "latin": "A-Za-z\\x{00c0}-\\x{024f}",
+    # Latin-1/Extended letters only — U+00D7 (×) and U+00F7 (÷) are
+    # arithmetic symbols inside the Latin-1 letter block and must not
+    # count (ADVICE r9: '× ÷' would otherwise classify symbol-only text
+    # as 'latin' and inflate Latin counts in mixed-script argmax)
+    "latin": "A-Za-z\\x{00c0}-\\x{00d6}\\x{00d8}-\\x{00f6}\\x{00f8}-\\x{024f}",
     "cjk": "\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}",
     "cyrillic": "\\x{0400}-\\x{04ff}",
     "arabic": "\\x{0600}-\\x{06ff}",

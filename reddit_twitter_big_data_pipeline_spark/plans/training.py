@@ -72,12 +72,12 @@ def curate_corpus_v2(
        rows whose lang_conf is 'und' drop;
     2. registered-domain BLOCKLIST as a broadcast left-anti join
        (``domain_blocklist_filter_table`` semantics, list = DATA);
-    3. per-domain QUOTA (``cap_per_group`` — deterministic hash order,
-       one domain-keyed window);
-    4. QUALITY gate on exact integer micro-units:
+    3. QUALITY gate on exact integer micro-units:
        floor(quality_score·1e6) >= q_micro_min — floor is binary-exact
        in both engines, so the gate has NO float tie boundary (the
        domain_stats discipline applied to a filter);
+    4. per-domain QUOTA (``cap_per_group`` — deterministic hash order,
+       one domain-keyed window);
     5. exact DEDUPE (min-id keeps, slim fingerprint exchange);
     6. deterministic SPLIT label.
 
@@ -89,10 +89,13 @@ def curate_corpus_v2(
     (text rides as PAYLOAD, never a key — pair with AQE skew split for
     celebrity domains); the dedupe windows a slim (id, fp) projection
     and anti-joins losers back by id. Stage order is the curation-
-    standard one: cheap row-local gates first, the per-domain rules
-    before dedupe (a domain's quota should not be refilled by its own
-    near-identical pages), split LAST so losers don't consume split
-    capacity."""
+    standard one: cheap row-local gates first (langid, blocklist,
+    quality — ADVICE r9: the quality gate runs BEFORE the quota so a
+    low-quality page can never consume a domain's cap and evict a
+    high-quality one, matching `curate_increment`), the per-domain
+    rules before dedupe (a domain's quota should not be refilled by
+    its own near-identical pages), split LAST so losers don't consume
+    split capacity."""
     lang_ok = (
         text_ops.langid_margin(
             docs.select(id_col, text_col, url_col),
@@ -111,14 +114,14 @@ def curate_corpus_v2(
             "domain",
             "left_anti",
         )
-    quota = sampling.cap_per_group(
-        dom, "domain", domain_cap, id_col=id_col, hash_fn=hash_fn
-    )
-    qual = quota.filter(
+    qual = dom.filter(
         F.floor(text_ops.quality_score(text_col) * F.lit(1_000_000.0)).cast("long")
         >= F.lit(q_micro_min)
     )
-    deduped = dedup_ops.exact_dedupe(qual, id_col=id_col, text_col=text_col)
+    quota = sampling.cap_per_group(
+        qual, "domain", domain_cap, id_col=id_col, hash_fn=hash_fn
+    )
+    deduped = dedup_ops.exact_dedupe(quota, id_col=id_col, text_col=text_col)
     return deduped.select(
         F.col(id_col),
         "lang",

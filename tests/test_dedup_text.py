@@ -1066,6 +1066,33 @@ def test_url_dedupe_normalized_recrawls(spark):
     assert kept.columns == ["doc_id", "url"]
 
 
+def test_url_dedupe_null_and_empty_urls_pass_through(spark):
+    # ADVICE r9: NULL urls all hash to one NULL window partition — without
+    # the guard, a nullable url column silently dedupes every url-less doc
+    # to a single survivor. Same for strings that NORMALIZE to '' (blank /
+    # fragment-only). They carry no page identity; all must pass through.
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from reddit_twitter_big_data_pipeline_spark.operators import dedup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("url", StringType())]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, None),                      # null url -> pass through
+            (2, None),                      # null url -> pass through
+            (3, "   "),                     # normalizes to '' -> pass through
+            (4, "#frag-only"),              # normalizes to '' -> pass through
+            (5, "https://ex.com/a"),        # real group: kept (min id)
+            (6, "https://EX.com/a/"),       # same page -> out
+        ],
+        schema,
+    )
+    kept = dedup.url_dedupe(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3, 4, 5]
+
+
 def test_domain_quality_gate_drops_spam_farm(spark):
     long_en = "the cat and the dog sat on the mat with all of the others " * 4
     df = spark.createDataFrame(
@@ -2274,6 +2301,8 @@ SCRIPT_FIXTURE = [
     (8, "한국어로 작성된 테스트 문장입니다", "cjk", "cjk"),  # hangul range
     (9, "12345 !!!", "und", "und"),
     (10, "", "und", "und"),
+    # ADVICE r9: × (U+00D7) and ÷ (U+00F7) are symbols, not Latin letters
+    (11, "× ÷ ×", "und", "und"),
 ]
 
 

@@ -203,17 +203,19 @@ def check_sf(sf_dir: str) -> None:
     # — floor(q·1e6) >= 150000. floor of an identically-computed double is
     # binary-exact in both engines, so the ONLY hazard is a 1-ulp double
     # divergence landing q·1e6 on opposite sides of the 150000 boundary;
-    # the margin is each surviving-quota row's |q·1e6 − 150000|. The q
-    # expression is SLICED OUT of the oracle's own qual CTE (between
-    # 'floor(' and ')::BIGINT'), so there is no duplicated formula to
-    # drift — the boundary measured IS the gate's boundary.
+    # the margin is each gated row's |q·1e6 − 150000| (rows on BOTH
+    # sides of the cut — r10: the gate moved above the quota per ADVICE
+    # r9, so it now reads keptbl and every candidate row is measured).
+    # The q expression is SLICED OUT of the oracle's own qual CTE
+    # (between 'floor(' and ')::BIGINT'), so there is no duplicated
+    # formula to drift — the boundary measured IS the gate's boundary.
     sql = oracles["train_curation_v2"]
     head = sql[: sql.index("qual AS")]
     fstart = sql.index("floor(", sql.index("qual AS")) + len("floor(")
     fend = sql.index(")::BIGINT", fstart)
     qexpr = sql[fstart:fend]
     m = con.execute(
-        head + f"sel AS (SELECT ({qexpr}) - 150000.0 AS m FROM quota) SELECT m FROM sel"
+        head + f"sel AS (SELECT ({qexpr}) - 150000.0 AS m FROM keptbl) SELECT m FROM sel"
     ).fetchnumpy()["m"]
     assert_margin(
         "train_curation_v2", np.abs(np.asarray(m, dtype=np.float64)), "quality-cut"
