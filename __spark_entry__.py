@@ -238,16 +238,22 @@ _PSL_RULES = (
 
 # Shared by the text_langid_script registration and its oracle (the
 # _PSL_RULES discipline — planted data cannot drift between engines):
-# real sentences in four non-Latin scripts. Planted rows REPLACE the
-# (Latin) base text so the range counts are clean — a prepended prefix
+# real sentences in six non-Latin scripts/languages. Planted rows REPLACE
+# the (Latin) base text so the range counts are clean — a prepended prefix
 # could lose the argmax to a long English body, which is exactly the
 # case the pre-classifier exists to call 'latin', not a branch to test.
+# r10: slots 5/6 add Japanese (kana+han — the majority-han case the
+# presence rule exists for) and Korean (hangul) so the CJK split's three
+# labels are all live; the modulus widened 5→7 (%7==0 keeps Latin).
 _SCRIPT_SENTENCES = {
     1: "это предложение написано на русском языке для проверки ",
     2: "αυτή η πρόταση είναι γραμμένη στα ελληνικά για δοκιμή ",
     3: "هذه الجملة مكتوبة باللغة العربية للاختبار ",
     4: "这是一个用中文写的测试句子用于语言识别 ",
+    5: "これは言語識別の試験のための日本語の文章です ",
+    6: "이것은 언어 식별 테스트를 위한 한국어 문장입니다 ",
 }
+_SCRIPT_MOD = 7
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3184,7 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _planted_script_text(doc_id, text):
         expr = None
         for k, s in _SCRIPT_SENTENCES.items():
-            c = doc_id % 5 == k
+            c = doc_id % _SCRIPT_MOD == k
             v = F.lit(s * 3)
             expr = F.when(c, v) if expr is None else expr.when(c, v)
         return expr.otherwise(text)
@@ -3195,8 +3201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # range-counts per script (\\x{hhhh} classes — Java∩RE2), argmax
         # with fixed priority; non-Latin rows take the script tag as the
         # language and the Latin word profiles never fire for them.
-        # doc_id%5 plants Cyrillic/Greek/Arabic/CJK rows; %5==0 keeps
-        # the Latin base text so the word-profile branch stays graded.
+        # r10: CJK rows split ja/ko/zh by sub-range PRESENCE (kana→ja,
+        # hangul→ko, han-only→zh — kana/hangul are language-exclusive).
+        # doc_id%7 plants Cyrillic/Greek/Arabic/zh/ja/ko rows; %7==0
+        # keeps the Latin base text so the word-profile branch stays
+        # graded.
         docs = _t(spark, sf, "documents").select("doc_id", "text")
         planted = docs.select(
             "doc_id",
@@ -6174,7 +6183,23 @@ def oracle_sql() -> dict[str, str]:
         f"len(regexp_extract_all(text, '[{text_ops.SCRIPT_RANGES[s]}]'))::INTEGER AS n_{s}"
         for s in text_ops.SCRIPT_PRIORITY
     )
-    _script_n_cols = ", ".join(f"n_{s}" for s in text_ops.SCRIPT_PRIORITY)
+    # r10 CJK sub-range counts (kana/hangul/han) — same literals the plan
+    # stages; the ja/ko/zh CASE below replays CJK_LANG's presence order
+    _cjk_sub_counts_sql = ",\n                 ".join(
+        f"len(regexp_extract_all(text, '[{text_ops.CJK_SUBRANGES[p]}]'))::INTEGER AS n_{p}"
+        for p in text_ops.CJK_LANG
+    )
+    _cjk_lang_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN n_{p} > 0 THEN '{lang}'" for p, lang in text_ops.CJK_LANG.items()
+        )
+        + " ELSE 'zh' END"
+    )
+    _script_n_cols = ", ".join(
+        [f"n_{s}" for s in text_ops.SCRIPT_PRIORITY]
+        + [f"n_{p}" for p in text_ops.CJK_LANG]
+    )
     _script_planted_case = " ".join(
         f"WHEN {k} THEN repeat('{s}', 3)" for k, s in _SCRIPT_SENTENCES.items()
     )
@@ -6182,7 +6207,7 @@ def oracle_sql() -> dict[str, str]:
     o["text_langid_script"] = f"""
         WITH planted AS (
           SELECT doc_id,
-                 CASE doc_id % 5 {_script_planted_case} ELSE text END AS text
+                 CASE doc_id % {_SCRIPT_MOD} {_script_planted_case} ELSE text END AS text
           FROM documents
         ),
         toks AS (
@@ -6194,7 +6219,8 @@ def oracle_sql() -> dict[str, str]:
         scored AS (
           SELECT doc_id, text,
                  {_langid_scores_sql()},
-                 {_script_counts_sql}
+                 {_script_counts_sql},
+                 {_cjk_sub_counts_sql}
           FROM toks
         ),
         fin AS (
@@ -6206,6 +6232,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_script_n_cols}, script,
                CASE WHEN script = 'latin' THEN wp
                     WHEN script = 'und' THEN 'und'
+                    WHEN script = 'cjk' THEN {_cjk_lang_sql}
                     ELSE script END AS lang_pred
         FROM fin
     """

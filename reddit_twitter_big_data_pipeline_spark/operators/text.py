@@ -294,6 +294,19 @@ SCRIPT_RANGES = {
 }
 SCRIPT_PRIORITY = ("latin", "cjk", "cyrillic", "arabic", "greek")  # tie order
 
+# r10 (VERDICT r9 item 4): the 'cjk' union splits into its three disjoint
+# sub-ranges for LANGUAGE disambiguation — kana is used only by Japanese,
+# hangul only by Korean, so presence (not argmax: Japanese text is often
+# majority-han) decides: kana→ja, else hangul→ko, else han-only→zh. The
+# union range stays the SCRIPT argmax key (and token_count_cjk's literal);
+# the sub-counts ride the same staged projection as plan literals.
+CJK_SUBRANGES = {
+    "kana": "\\x{3040}-\\x{30ff}",
+    "hangul": "\\x{ac00}-\\x{d7a3}",
+    "han": "\\x{4e00}-\\x{9fff}",
+}
+CJK_LANG = {"kana": "ja", "hangul": "ko", "han": "zh"}  # presence order
+
 
 def script_count(col: str, script: str) -> Column:
     """Integer count of `script`'s characters in `col` (plan literal)."""
@@ -329,34 +342,63 @@ def script_profile(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def cjk_subrange_count(col: str, part: str) -> Column:
+    """Integer count of one CJK sub-range's characters (plan literal)."""
+    return F.size(
+        F.regexp_extract_all(F.col(col), F.lit(f"[{CJK_SUBRANGES[part]}]"), 0)
+    ).cast("int")
+
+
+def _cjk_lang(counts: dict) -> Column:
+    """ja/ko/zh by sub-range PRESENCE in CJK_LANG order — kana fires only
+    in Japanese and hangul only in Korean, so presence beats argmax (a
+    Japanese sentence is often majority-han); han-only falls to zh."""
+    expr = None
+    for part, lang in CJK_LANG.items():
+        cond = counts[part] > 0
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("zh"))  # unreachable when n_cjk > 0 holds
+
+
 def langid_with_script(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Script pre-classifier composed with the Latin word-profile langid:
-    (id, n_<script>…, script, lang_pred). lang_pred = the word-profile
-    argmax for Latin-script rows, the script tag itself for non-Latin
-    rows ('cjk'/'cyrillic'/'arabic'/'greek' — the granularity a
-    range-count model can honestly claim), 'und' when no script fires.
+    (id, n_<script>…, n_kana, n_hangul, n_han, script, lang_pred).
+    lang_pred = the word-profile argmax for Latin-script rows; for CJK
+    rows the union splits by sub-range presence into ja/ko/zh (r10 —
+    kana only occurs in Japanese, hangul only in Korean, han-only is
+    Chinese); other non-Latin rows take the script tag itself
+    ('cyrillic'/'arabic'/'greek'); 'und' when no script fires.
     All-integer decisions, staged like `_langid_scored` (script counts
     ride the first projection; the CASE reads staged attributes), so
     the DuckDB oracle replays every branch exactly."""
+    subparts = tuple(CJK_LANG)  # ("kana", "hangul", "han")
     pre = df.select(
         F.col(id_col),
         F.col(col),
         *[script_count(col, s).alias(f"n_{s}") for s in SCRIPT_PRIORITY],
+        *[cjk_subrange_count(col, p).alias(f"n_{p}") for p in subparts],
     )
     scored = _langid_scored(
-        pre, col, id_col, keep=tuple(f"n_{s}" for s in SCRIPT_PRIORITY)
+        pre,
+        col,
+        id_col,
+        keep=tuple(f"n_{s}" for s in SCRIPT_PRIORITY)
+        + tuple(f"n_{p}" for p in subparts),
     )
     counts = {s: F.col(f"n_{s}") for s in SCRIPT_PRIORITY}
+    sub = {p: F.col(f"n_{p}") for p in subparts}
     script = _script_pred(counts)
     word_pred = _langid_pred({lang: F.col(f"s_{lang}") for lang in LANGID_LANGS})
     return scored.select(
         F.col(id_col),
         *[F.col(f"n_{s}") for s in SCRIPT_PRIORITY],
+        *[F.col(f"n_{p}") for p in subparts],
         script.alias("script"),
         F.when(script == F.lit("latin"), word_pred)
         .when(script == F.lit("und"), F.lit("und"))
+        .when(script == F.lit("cjk"), _cjk_lang(sub))
         .otherwise(script)
         .alias("lang_pred"),
     )

@@ -2296,13 +2296,18 @@ SCRIPT_FIXTURE = [
     (3, "это предложение написано на русском языке", "cyrillic", "cyrillic"),
     (4, "αυτή η πρόταση είναι γραμμένη στα ελληνικά", "greek", "greek"),
     (5, "هذه الجملة مكتوبة باللغة العربية", "arabic", "arabic"),
-    (6, "这是一个用中文写的测试句子", "cjk", "cjk"),
-    (7, "これは日本語のテスト文です", "cjk", "cjk"),  # kana range
-    (8, "한국어로 작성된 테스트 문장입니다", "cjk", "cjk"),  # hangul range
+    # r10 CJK split: han-only -> zh; kana presence -> ja (even with more
+    # han than kana); hangul presence -> ko
+    (6, "这是一个用中文写的测试句子", "cjk", "zh"),
+    (7, "これは日本語のテスト文です", "cjk", "ja"),  # kana range
+    (8, "한국어로 작성된 테스트 문장입니다", "cjk", "ko"),  # hangul range
     (9, "12345 !!!", "und", "und"),
     (10, "", "und", "und"),
     # ADVICE r9: × (U+00D7) and ÷ (U+00F7) are symbols, not Latin letters
     (11, "× ÷ ×", "und", "und"),
+    # majority-HAN Japanese: presence of kana (の) wins over the han
+    # majority — the case a han/kana ARGMAX would get wrong
+    (12, "日本国憲法の改正手続に関する法律", "cjk", "ja"),
 ]
 
 
