@@ -28,7 +28,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -222,19 +222,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # PSL rules for the broadcast-join registered-domain form (shared by the
 # text_url_domains_psl registration and its oracle so the rule set cannot
-# drift between engines): a plain-rule subset of publicsuffix.org
-# (wildcard/exception rules are a documented non-goal) including a
-# 3-LEVEL suffix (k12.ma.us) that no fixed regex alternation can express —
-# the point of the table form.
-_PSL_RULES = (
-    "com", "org", "net", "uk", "co.uk", "org.uk",
-    "br", "com.br", "us", "ma.us", "k12.ma.us",
-    # r9 (VERDICT r8 item 4 stretch): publicsuffix.org wildcard and
-    # exception syntax — '*.ck' makes any single label under .ck a
-    # public suffix; '!www.ck' carves www.ck back out as registrable
-    # (the real list's Cook Islands pair)
-    "*.ck", "!www.ck",
-)
+# drift between engines). r10 (VERDICT r9 item 3): LIST-SCALE fixture —
+# the real publicsuffix.org list is ~9k rules with suffixes up to 5
+# labels; this deterministic fixture matches that shape (a core of real
+# well-known rules — gTLDs, ccTLD second-level registries, the US
+# k12/cc/lib state schema incl. the 4-label pvt.k12.<state>.us entries,
+# the Japanese geo wildcard/exception pairs, the Cook Islands pair —
+# plus synthetic registry fill to list scale) so broadcast size and the
+# ×2 wildcard-form candidate explosion are exercised at production
+# cardinality, not at a planted handful.
+def _psl_fixture_rules() -> tuple[str, ...]:
+    rules: list[str] = []
+    # --- real, well-known publicsuffix.org entries -----------------------
+    rules += ["com", "org", "net", "edu", "gov", "mil", "int", "info", "biz"]
+    cc = ("uk", "br", "jp", "au", "nz", "za", "kr", "in", "il", "mx")
+    rules += list(cc) + ["us", "ck", "de", "fr", "it", "nl", "es", "se", "ch"]
+    for c in cc:
+        for sld in ("ac", "co", "com", "edu", "gov", "net", "org"):
+            rules.append(f"{sld}.{c}")
+    # US state schema: <scheme>.<state>.us, 3 labels; pvt.k12.<state>.us, 4
+    states = (
+        "al ak az ar ca co ct de fl ga hi id il in ia ks ky la me md ma mi "
+        "mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri sc sd tn tx ut "
+        "vt va wa wv wi wy dc"
+    ).split()
+    for st in states:
+        rules.append(f"{st}.us")
+        for scheme in ("k12", "cc", "lib"):
+            rules.append(f"{scheme}.{st}.us")
+        rules.append(f"pvt.k12.{st}.us")
+    # Japanese geographic wildcard/exception pairs (real list entries)
+    jp_geo = ("kawasaki", "kitakyushu", "kobe", "nagoya", "sapporo", "sendai", "yokohama")
+    for city in jp_geo:
+        rules.append(f"*.{city}.jp")
+        rules.append(f"!city.{city}.jp")
+    # Cook Islands pair: any label under .ck is a suffix except www.ck
+    rules += ["*.ck", "!www.ck"]
+    # --- synthetic registry fill to real-list scale (~9k rules) ----------
+    rules += [f"xtld{i}" for i in range(100)]  # 1-label
+    for t in range(100):  # 2-label: 76 registries under each synthetic TLD
+        for s in range(76):
+            rules.append(f"reg{s}.xtld{t}")
+    for j in range(1000):  # 3-label
+        rules.append(f"zone{j}.reg{j % 76}.xtld{j % 100}")
+    for j in range(80):  # 4-label
+        rules.append(f"deep{j}.zone{j}.reg{j % 76}.xtld{j % 100}")
+    for j in range(12):  # 5-label (the real list's max depth)
+        rules.append(f"five{j}.deep{j}.zone{j}.reg{j % 76}.xtld{j % 100}")
+    for j in range(20):  # synthetic wildcards at depth 2-3
+        rules.append(f"*.wild{j}.xtld{j % 100}")
+    for j in range(8):  # synthetic exceptions under those wildcards
+        rules.append(f"!ok.wild{j}.xtld{j % 100}")
+    # distinct, order-stable (dict preserves first occurrence)
+    return tuple(dict.fromkeys(rules))
+
+
+_PSL_RULES = _psl_fixture_rules()
 
 # Shared by the text_langid_script registration and its oracle (the
 # _PSL_RULES discipline — planted data cannot drift between engines):
@@ -3376,56 +3419,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_count_cjk"] = text_token_count_cjk
 
     def _planted_url_psl(doc_id):
-        # %6 exercises the six PSL decision paths: a 1-label rule, a
-        # 2-label ccTLD rule, the 3-level k12.ma.us rule (beyond the
-        # regex form), the '*.ck' WILDCARD (fooN.ck is a public suffix ⇒
-        # the whole 3-label host is the registered domain), the '!www.ck'
-        # EXCEPTION (www.ck registrable despite the covering wildcard —
-        # subdomain rows resolve to www.ck), and an unknown TLD that
-        # falls back to last-2
+        # %10 exercises the PSL decision paths at full list scale: a
+        # 1-label rule, a 2-label ccTLD rule, the 3-level k12.ma.us rule
+        # (beyond the regex form), the '*.ck' WILDCARD (fooN.ck is a
+        # public suffix ⇒ the whole 3-label host is the registered
+        # domain), the '!www.ck' EXCEPTION (www.ck registrable despite
+        # the covering wildcard — subdomain rows resolve to www.ck), an
+        # unknown TLD that falls back to last-2, and — r10 with the
+        # ~9k-rule fixture — the 4-LABEL pvt.k12.ma.us suffix, the jp
+        # geo wildcard (*.kawasaki.jp ⇒ foo.kawasaki.jp is a suffix),
+        # the jp geo exception (!city.kawasaki.jp), and a 5-LABEL
+        # synthetic suffix (the real list's max depth).
         ds = doc_id.cast("string")
+
+        def u(*parts):
+            return F.concat(*[p if isinstance(p, Column) else F.lit(p) for p in parts])
+
+        m3 = (doc_id % 3).cast("string")
         return (
-            F.when(
-                doc_id % 6 == 0,
-                F.concat(
-                    F.lit("https://a.News-"), (doc_id % 7).cast("string"),
-                    F.lit(".COM/p/"), ds,
-                ),
-            )
-            .when(
-                doc_id % 6 == 1,
-                F.concat(
-                    F.lit("https://blog.Example"), (doc_id % 5).cast("string"),
-                    F.lit(".co.uk/q/"), ds,
-                ),
-            )
-            .when(
-                doc_id % 6 == 2,
-                F.concat(
-                    F.lit("https://Files.School"), (doc_id % 3).cast("string"),
-                    F.lit(".K12.MA.US/r/"), ds,
-                ),
-            )
-            .when(
-                doc_id % 6 == 3,
-                F.concat(
-                    F.lit("https://Shop.Foo"), (doc_id % 4).cast("string"),
-                    F.lit(".CK/w/"), ds,
-                ),
-            )
-            .when(
-                doc_id % 6 == 4,
-                F.concat(
-                    F.lit("http://sub"), (doc_id % 3).cast("string"),
-                    F.lit(".WWW.CK/e/"), ds,
-                ),
-            )
-            .otherwise(
-                F.concat(
-                    F.lit("https://weird.example"), (doc_id % 3).cast("string"),
-                    F.lit(".zz/s/"), ds,
-                )
-            )
+            F.when(doc_id % 10 == 0, u("https://a.News-", (doc_id % 7).cast("string"), ".COM/p/", ds))
+            .when(doc_id % 10 == 1, u("https://blog.Example", (doc_id % 5).cast("string"), ".co.uk/q/", ds))
+            .when(doc_id % 10 == 2, u("https://Files.School", m3, ".K12.MA.US/r/", ds))
+            .when(doc_id % 10 == 3, u("https://Shop.Foo", (doc_id % 4).cast("string"), ".CK/w/", ds))
+            .when(doc_id % 10 == 4, u("http://sub", m3, ".WWW.CK/e/", ds))
+            .when(doc_id % 10 == 5, u("https://Host", m3, ".pvt.K12.MA.US/f/", ds))
+            .when(doc_id % 10 == 6, u("https://shop", m3, ".Foo.Kawasaki.JP/g/", ds))
+            .when(doc_id % 10 == 7, u("https://sub", m3, ".City.Kawasaki.JP/h/", ds))
+            .when(doc_id % 10 == 8, u("https://a", m3, ".b.five3.deep3.zone3.reg3.xtld3/i/", ds))
+            .otherwise(u("https://weird.example", m3, ".zz/s/", ds))
         )
 
     def text_url_domains_psl(spark, sf):
@@ -3434,11 +3455,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast DATA, not a regex, so suffixes of any depth work,
         # including publicsuffix.org '*.' wildcard and '!' exception
         # rules (r9). Corpus side explodes to ≤n-label exact candidates
-        # plus their '*.'-form wildcard keys, broadcast-joins the 13-rule
-        # table, and the map-side partial of the id-keyed longest-match
-        # aggregate collapses the explode before the exchange; the r9
-        # contract keys that aggregate on (id, host-derived) only, so a
-        # wide caller's text can never ride a grouping key.
+        # plus their '*.'-form wildcard keys, broadcast-joins the rule
+        # table — r10: the ~9,200-rule LIST-SCALE fixture (~150 KB, the
+        # real publicsuffix.org shape incl. 4- and 5-label suffixes),
+        # still far inside any broadcast threshold — and the map-side
+        # partial of the id-keyed longest-match aggregate collapses the
+        # explode before the exchange; the r9 contract keys that
+        # aggregate on (id, host-derived) only, so a wide caller's text
+        # can never ride a grouping key.
         docs = _t(spark, sf, "documents").select("doc_id")
         urls = docs.select("doc_id", _planted_url_psl(F.col("doc_id")).alias("url"))
         psl = spark.createDataFrame([(s,) for s in _PSL_RULES], ["suffix"])
@@ -6573,12 +6597,16 @@ def oracle_sql() -> dict[str, str]:
     o["text_url_domains_psl"] = f"""
         WITH urls AS (
           SELECT doc_id,
-                 CASE doc_id % 6
+                 CASE doc_id % 10
                    WHEN 0 THEN 'https://a.News-' || CAST(doc_id % 7 AS VARCHAR) || '.COM/p/' || CAST(doc_id AS VARCHAR)
                    WHEN 1 THEN 'https://blog.Example' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/q/' || CAST(doc_id AS VARCHAR)
                    WHEN 2 THEN 'https://Files.School' || CAST(doc_id % 3 AS VARCHAR) || '.K12.MA.US/r/' || CAST(doc_id AS VARCHAR)
                    WHEN 3 THEN 'https://Shop.Foo' || CAST(doc_id % 4 AS VARCHAR) || '.CK/w/' || CAST(doc_id AS VARCHAR)
                    WHEN 4 THEN 'http://sub' || CAST(doc_id % 3 AS VARCHAR) || '.WWW.CK/e/' || CAST(doc_id AS VARCHAR)
+                   WHEN 5 THEN 'https://Host' || CAST(doc_id % 3 AS VARCHAR) || '.pvt.K12.MA.US/f/' || CAST(doc_id AS VARCHAR)
+                   WHEN 6 THEN 'https://shop' || CAST(doc_id % 3 AS VARCHAR) || '.Foo.Kawasaki.JP/g/' || CAST(doc_id AS VARCHAR)
+                   WHEN 7 THEN 'https://sub' || CAST(doc_id % 3 AS VARCHAR) || '.City.Kawasaki.JP/h/' || CAST(doc_id AS VARCHAR)
+                   WHEN 8 THEN 'https://a' || CAST(doc_id % 3 AS VARCHAR) || '.b.five3.deep3.zone3.reg3.xtld3/i/' || CAST(doc_id AS VARCHAR)
                    ELSE 'https://weird.example' || CAST(doc_id % 3 AS VARCHAR) || '.zz/s/' || CAST(doc_id AS VARCHAR)
                  END AS url
           FROM documents
