@@ -3470,6 +3470,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_url_domains_psl"] = text_url_domains_psl
 
+    # --- r10: IVF-PQ composition (VERDICT r9 item 5) -----------------------
+
+    def sim_ivfpq_topk(spark, sf):
+        # IVF-PQ composition (operators/similarity.py:ivfpq_topk, r10 —
+        # VERDICT r9 item 5, Jégou et al.'s IVFADC): coarse cell pruning
+        # (sim_ivf_topk's seeded 16-cell codebook, probes search their 4
+        # nearest cells) THEN PQ-ADC scoring over the surviving rows
+        # (sim_pq_topk's 4×16 per-subspace codebooks, fixed-order LUT
+        # sum). Both quantizers are deterministic literals, so the
+        # oracle replays cell argmax AND codes/ADC exactly; trained
+        # quantizers stay pytest-only.
+        emb = _t(spark, sf, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 10)
+        coarse = similarity.centroid_codebook(64, 16, seed=7)
+        cbs = similarity.pq_codebooks(64, m=4, n_centroids=16, seed=11)
+        return similarity.ivfpq_topk(
+            probes, emb, k=5, n_probe=4, coarse_codebook=coarse, codebooks=cbs
+        )
+
+    q["sim_ivfpq_topk"] = sim_ivfpq_topk
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -7680,6 +7701,68 @@ def oracle_sql() -> dict[str, str]:
           FROM codes_w x
           {_pq_cb_joins}
           CROSS JOIN (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10) q
+          WHERE x.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, round(s, 6) AS sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """
+
+    # r10 IVF-PQ: the sim_ivf_topk cell CTEs (coarse codebook seed=7 —
+    # cell = raw-dot argmax per corpus row, each probe's 4 nearest cells
+    # by the rank window) composed with the sim_pq_topk code/ADC CTEs
+    # (pq_codebooks seed=11, fixed-order d0+d1+d2+d3 sum / ||q||) — the
+    # scored pair set is restricted to (probe, row) pairs sharing a
+    # probed cell, exactly the mapInPandas isin() mask.
+    o["sim_ivfpq_topk"] = f"""
+        WITH cb(j, c, v) AS (VALUES {_pq_values}),
+        n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+                 {_cb_dots} AS dots
+          FROM embeddings
+        ),
+        ex_cell AS (
+          SELECT vec_id, CAST(t.idx AS BIGINT) AS cell,
+                 list_extract(dots, CAST(t.idx AS INTEGER) + 1) AS d
+          FROM n, range(16) t(idx)
+        ),
+        ranked AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+          FROM ex_cell
+        ),
+        c_cell AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        p_cells AS (SELECT vec_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 10),
+        ex AS (
+          SELECT n.vec_id, cb.j, cb.c,
+                 list_dot_product(n.e[cb.j*16+1 : cb.j*16+16], cb.v) AS d
+          FROM n CROSS JOIN cb
+        ),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d DESC, c ASC) AS rn
+            FROM ex
+          ) WHERE rn = 1
+        ),
+        codes_w AS (
+          SELECT vec_id,
+                 max(CASE WHEN j = 0 THEN code END) AS c0,
+                 max(CASE WHEN j = 1 THEN code END) AS c1,
+                 max(CASE WHEN j = 2 THEN code END) AS c2,
+                 max(CASE WHEN j = 3 THEN code END) AS c3
+          FROM codes GROUP BY vec_id
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                 ({_pq_adc}) / q.nrm AS s
+          FROM codes_w x
+          {_pq_cb_joins}
+          JOIN c_cell cc ON cc.vec_id = x.vec_id
+          JOIN p_cells p ON p.cell = cc.cell
+          JOIN n q ON q.vec_id = p.vec_id
           WHERE x.vec_id <> q.vec_id
         )
         SELECT query_id, neighbor_id, round(s, 6) AS sim FROM (

@@ -876,6 +876,114 @@ def pq_topk(
     return _global_topk(scored, k)
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_codebook: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    n_centroids: int = 64,
+    train_size: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (Jégou et al. 2011's
+    IVFADC shape): a coarse quantizer prunes the search to each probe's
+    `n_probe` nearest cells (the `ivf_topk` stage), and the surviving
+    rows are scored by PQ asymmetric distance over stored codes (the
+    `pq_topk` stage) — so a 100-TB scan reads m bytes/vector of codes
+    AND touches only n_probe/n_centroids of them per probe: the two
+    orthogonal cost reductions multiplied, which is why this is what
+    FAISS deploys at billion scale.
+
+    Plan shape: both stages' small state broadcasts once (coarse
+    codebook + per-probe cell lists + per-subspace LUTs); the corpus
+    streams ONCE through mapInPandas — per Arrow batch, one matmul
+    assigns coarse cells and m tiny GEMMs assign PQ codes on the
+    normalized vector (first-max argmax, the `pq_topk` discipline);
+    each probe then LUT-gathers scores for rows in its cells only.
+    Partial top-k pushes down losslessly; one tiny window at the end.
+    Scored `sim` is the APPROXIMATE cosine (stored codes have no floats
+    to rescore with — compose with `quantized_topk`'s rescore shape when
+    vectors are fetchable).
+
+    Pass `coarse_codebook` (`centroid_codebook`) and `codebooks`
+    (`pq_codebooks`) for the fully-deterministic oracle-gated seam;
+    omit them to train the coarse quantizer exactly as `ivf_topk` does
+    (driver-side seeded k-means on a bounded deterministic sample —
+    the production path, pytest-pinned)."""
+    if coarse_codebook is not None:
+        cent = np.array(coarse_codebook, dtype=np.float64)
+    else:
+        sample_rows = (
+            corpus.select(vec_col).orderBy(F.col(id_col).asc()).limit(train_size).collect()
+        )
+        sample = np.array([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+        cent = _kmeans(sample, n_centroids, iters, seed)
+
+    q_ids, q_mat = _collect_probes(queries, id_col, vec_col)
+    if len(q_ids) == 0:
+        return corpus.sparkSession.createDataFrame([], _TOPK_SCHEMA)
+    if codebooks is not None and len(codebooks) != m:
+        raise ValueError(
+            f"ivfpq_topk: {len(codebooks)} codebooks passed but m={m}; pass "
+            "m=len(codebooks) (m is the subspace count)"
+        )
+    cbs = codebooks if codebooks is not None else pq_codebooks(q_mat.shape[1], m=m)
+    C = [np.asarray(cj, dtype=np.float64) for cj in cbs]
+    q_norm = _safe_norms(q_mat)
+    q_normed = q_mat / q_norm[:, None]
+    n_probe_eff = min(n_probe, len(cent))
+    q_cells = np.argsort(-(q_normed @ cent.T), axis=1, kind="stable")[:, :n_probe_eff]
+    bq = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norm, q_cells, cent)
+    )
+
+    def score(batches):
+        ids, qm, qn, qcells, cb = bq.value
+        ds = qm.shape[1] // m
+        # per-subspace LUT: query-to-centroid dots (|Q| × n_centroids)
+        luts = [qm[:, j * ds : (j + 1) * ds] @ C[j].T for j in range(m)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = _to_matrix(pdf[vec_col])
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_norm = _safe_norms(c_mat)
+            cm = c_mat / c_norm[:, None]
+            c_cell = np.argmax(cm @ cb.T, axis=1)
+            codes = [
+                np.argmax(cm[:, j * ds : (j + 1) * ds] @ C[j].T, axis=1)
+                for j in range(m)
+            ]
+            for jp in range(len(ids)):
+                in_cells = np.nonzero(np.isin(c_cell, qcells[jp]))[0]
+                if in_cells.size == 0:
+                    continue
+                # sequential LUT accumulation — the same fixed summation
+                # order as pq_topk (and the oracle's d0+d1+d2+d3), so
+                # equal-code rows are bitwise-equal and ties break by
+                # neighbor_id identically in both engines
+                s = luts[0][jp, codes[0][in_cells]]
+                for j in range(1, m):
+                    s = s + luts[j][jp, codes[j][in_cells]]
+                s = s / qn[jp]
+                out = _batch_topk_rows(
+                    ids, c_ids[in_cells], s[:, None], k, q_subset=np.array([jp])
+                )
+                if out is not None:
+                    yield out
+
+    scored = _spread(
+        corpus.select(id_col, vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(score, _TOPK_SCHEMA)
+    return _global_topk(scored, k)
+
+
 def kmeans_fixed(
     df: DataFrame,
     k: int = 8,

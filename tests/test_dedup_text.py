@@ -396,6 +396,57 @@ def test_pq_topk_matches_numpy_adc_reference(spark):
         assert all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in cj)
 
 
+def test_ivfpq_full_probing_equals_pq_and_recall_floor(spark):
+    """IVF-PQ (r10): with every cell probed the composition degenerates to
+    pure PQ-ADC — result must equal pq_topk EXACTLY (same codebooks, same
+    fixed-order LUT sum). With pruning (n_probe=4 of 8), recall@10 vs the
+    exact brute force stays above a pinned floor on clustered data — the
+    compound of both approximations (cell pruning × ADC), measured 0.54
+    mean at this seed, pinned at 0.40."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 64)) * 5
+    rows = [
+        (i, (centers[i % 8] + rng.standard_normal(64)).tolist()) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.filter(F.col("vec_id") < 5)
+    coarse = similarity.centroid_codebook(64, 8, seed=7)
+    cbs = similarity.pq_codebooks(64, m=4, n_centroids=16, seed=11)
+
+    full = similarity.ivfpq_topk(
+        probes, emb, k=5, n_probe=8, coarse_codebook=coarse, codebooks=cbs
+    )
+    pq = similarity.pq_topk(probes, emb, k=5, codebooks=cbs)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pq.collect()))
+
+    bf = {}
+    for r in similarity.brute_force_topk(probes, emb, k=10).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    pruned = similarity.ivfpq_topk(
+        probes, emb, k=10, n_probe=4, coarse_codebook=coarse, codebooks=cbs
+    )
+    for r in pruned.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recs = [len(bf[q] & got.get(q, set())) / 10 for q in bf]
+    assert sum(recs) / len(recs) >= 0.40, recs
+
+    # trained-coarse production path (driver-side seeded k-means, the
+    # ivf_topk seam): runs end-to-end, k rows per probe, stable schema
+    tr = similarity.ivfpq_topk(probes, emb, k=3, n_probe=2, n_centroids=4, train_size=64)
+    assert tr.columns == ["query_id", "neighbor_id", "sim"]
+    assert tr.count() == 15
+
+    # codebook-count validation (the pq_topk contract)
+    try:
+        similarity.ivfpq_topk(probes, emb, m=8, codebooks=cbs)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_ivf_codebook_restricts_to_probed_cells(spark):
     """With n_probe=1 every reported neighbor's assigned cell equals the
     probe's nearest cell — the inverted-file contract the oracle checks."""

@@ -275,6 +275,20 @@ def check_sf(sf_dir: str) -> None:
         s = np.sort(np.delete(adc[:, qi], gi))[::-1]
         kb.append(s[4] - s[5])
     assert_margin("sim_pq_topk", np.array(kb), "k-boundary")
+
+    # call site 9 (r10): sim_ivfpq_topk — the composition's decision
+    # boundaries are the UNION of site 4's (cell argmax + probe cut,
+    # same coarse codebook literals) and site 8's (code argmax), both
+    # already asserted above on this data; the one NEW boundary is the
+    # k=5 cut of ADC scores restricted to each probe's 4 probed cells
+    # (a different candidate set than site 8's whole-corpus cut).
+    kb9 = []
+    for qi, gi in enumerate(np.nonzero(qmask)[0]):
+        cand = np.isin(cell, pcells[qi]) & (ids != ids[gi])
+        s = np.sort(adc[cand, qi])[::-1]
+        if len(s) > 5:
+            kb9.append(s[4] - s[5])
+    assert_margin("sim_ivfpq_topk", np.array(kb9), "k-boundary")
     con.close()
 
 
