@@ -3491,6 +3491,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivfpq_topk"] = sim_ivfpq_topk
 
+    # --- r10: incremental admission with the near-dup corpus screen -------
+
+    def train_curation_increment_v2(spark, sf):
+        # curate_increment composed with the incremental MinHash probe
+        # (plans/training.py:curate_increment_v2, r10 — VERDICT r9 item
+        # 7): a recrawl differing from a corpus page only by a token
+        # survives the exact-fp anti-join but must not be admitted. The
+        # planted batch keeps every v1 drop reason live (verbatim corpus
+        # dups %4==0, multilingual prefixes, fresh vs exhausted domains)
+        # and adds the near-dup ones: %4==2 rows append one token to
+        # corpus text (corpus NEAR-dup — probe drops them wherever the
+        # doc is long enough that J = s/(s+1) ≥ 0.9), and the +20M wave
+        # appends ' q' to its +10M sibling's text (within-batch
+        # near-dup — min-id keeps, +20M drops). Oracle = the v1 CTEs
+        # plus the exact-Jaccard screen (the dedup_incremental
+        # discipline: at J ≥ 0.9 the 64/16 LSH recall is ≈1).
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        corpus = docs.select(
+            "doc_id", "text", _planted_url(F.col("doc_id")).alias("url")
+        )
+        src = F.col("src")
+        base_a = docs.select(F.col("doc_id").alias("src"), "text")
+        both = base_a.select(
+            "src", "text", (src + 10_000_000).alias("bid"), F.lit(0).alias("wave")
+        ).unionByName(
+            base_a.filter(src % 8 == 1).select(
+                "src", "text", (src + 20_000_000).alias("bid"), F.lit(1).alias("wave")
+            )
+        )
+        btext0 = (
+            F.when(src % 4 == 0, F.col("text"))
+            .when(src % 4 == 2, F.concat(F.col("text"), F.lit(" nd")))
+            .otherwise(
+                F.concat(
+                    _planted_lang_text(src, F.lit("")),
+                    F.col("text"),
+                    F.lit(" b"),
+                    src.cast("string"),
+                )
+            )
+        )
+        btext = F.when(
+            F.col("wave") == 1, F.concat(btext0, F.lit(" q"))
+        ).otherwise(btext0)
+        burl = F.when(
+            src % 7 == 6,
+            F.concat(
+                F.lit("https://fresh"), (src % 9).cast("string"),
+                F.lit(".org/b/"), src.cast("string"),
+            ),
+        ).otherwise(_planted_url(src))
+        batch = both.select(
+            F.col("bid").alias("doc_id"), btext.alias("text"), burl.alias("url")
+        )
+        from reddit_twitter_big_data_pipeline_spark.plans import training
+
+        return training.curate_increment_v2(
+            batch, corpus, min_margin=2, domain_cap=15, hash_fn="md5"
+        )
+
+    q["train_curation_increment_v2"] = train_curation_increment_v2
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -6461,6 +6523,155 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.doc_id, r.lang, r.domain,
                len(string_split(r.text, ' '))::BIGINT AS n_tokens
         FROM rankedb r LEFT JOIN corpus_have h USING (domain)
+        WHERE r.rn <= 15 - coalesce(h.have, 0)
+    """
+
+    # r10 incremental admission v2: the v1 CTEs (gates → within-dedupe →
+    # corpus-fp anti-join → remaining-quota) with the NEAR-dup screen
+    # composed in between — exact 3-shingle Jaccard over corpus ∪ novel
+    # batch rows (the _jaccard_oracle shingle SQL), pairs restricted to
+    # batch b-sides (batch ids sit above corpus ids, so 'b is a batch
+    # row' ⟺ 'at least one new side' — the probe's pair space), drop
+    # every distinct b with J ≥ 0.9. At that threshold the 64-perm/
+    # 16-band LSH candidate recall is ≈1, so the exact oracle gates the
+    # whole composition (the dedup_incremental discipline).
+    o["train_curation_increment_v2"] = f"""
+        WITH {_URL_PLANTED_CTE},
+        corpus_fp AS (
+          SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        corpus_have AS (
+          SELECT {_URL_DOMAIN_SQL} AS domain, count(*) AS have
+          FROM (
+            SELECT lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+            FROM urls
+          )
+          GROUP BY 1
+        ),
+        batch0 AS (
+          SELECT doc_id AS src, doc_id + 10000000 AS bid, 0 AS wave FROM documents
+          UNION ALL
+          SELECT doc_id, doc_id + 20000000, 1 FROM documents WHERE doc_id % 8 = 1
+        ),
+        batch AS (
+          SELECT b.bid AS doc_id,
+                 (CASE WHEN b.src % 4 = 0 THEN d.text
+                       WHEN b.src % 4 = 2 THEN d.text || ' nd'
+                       ELSE CASE b.src % 5
+                              WHEN 1 THEN repeat('der hund läuft über die straße und ist nicht müde ', 3)
+                              WHEN 2 THEN repeat('le chat est dans la maison et ne veut pas sortir ', 3)
+                              WHEN 3 THEN repeat('el perro está en la casa y no quiere salir más ', 3)
+                              WHEN 4 THEN repeat('il gatto è nel giardino e non vuole più uscire ', 3)
+                              ELSE '' END
+                            || d.text || ' b' || CAST(b.src AS VARCHAR)
+                  END)
+                 || CASE WHEN b.wave = 1 THEN ' q' ELSE '' END AS text,
+                 CASE WHEN b.src % 7 = 6
+                      THEN 'https://fresh' || CAST(b.src % 9 AS VARCHAR) || '.org/b/' || CAST(b.src AS VARCHAR)
+                      ELSE u.url END AS url
+          FROM batch0 b
+          JOIN documents d ON d.doc_id = b.src
+          JOIN urls u ON u.doc_id = b.src
+        ),
+        toksb AS (
+          SELECT doc_id, text, url,
+                 string_split(regexp_replace(lower(text), '{text_ops.LANGID_NORM_RE}', ' ', 'g'), ' ') AS tk,
+                 lower(text) AS lt
+          FROM batch
+        ),
+        scoredb AS (
+          SELECT doc_id, text, url, {_langid_scores_sql()}
+          FROM toksb
+        ),
+        confb AS (
+          SELECT doc_id, text, url,
+                 {_langid_pred_sql()} AS lang_pred,
+                 ({_langid_sorted}[1] - {_langid_sorted}[2])::INTEGER AS margin
+          FROM scoredb
+        ),
+        langb AS (
+          SELECT doc_id, text, url, lang_pred AS lang FROM confb
+          WHERE lang_pred <> 'und' AND margin >= 2
+        ),
+        domb AS (
+          SELECT doc_id, text, lang, {_URL_DOMAIN_SQL} AS domain
+          FROM (
+            SELECT doc_id, text, lang,
+                   lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+            FROM langb
+          )
+        ),
+        qualb AS (
+          SELECT doc_id, text, lang, domain FROM domb
+          WHERE floor(
+                  least(1.0, len(string_split(text, ' ')) / 100.0)
+                  * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                         / greatest(length(lower(text)), 1))
+                  * 1000000.0
+                )::BIGINT >= 150000
+        ),
+        withinb AS (
+          SELECT doc_id, text, lang, domain FROM (
+            SELECT doc_id, text, lang, domain,
+                   row_number() OVER (
+                     PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id ASC) AS rn
+            FROM qualb
+          ) WHERE rn = 1
+        ),
+        novelb AS (
+          SELECT doc_id, text, lang, domain FROM withinb
+          WHERE md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                NOT IN (SELECT fp FROM corpus_fp)
+        ),
+        poolv2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM novelb
+        ),
+        normp AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM poolv2
+        ),
+        shp AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE [array_to_string(toks[i:i+2], ' ')
+                            FOR i IN range(1, len(toks) - 1)] END) AS shingles
+          FROM normp
+        ),
+        exp0 AS (SELECT doc_id, unnest(shingles) AS s FROM shp),
+        szp AS (SELECT doc_id, count(*) AS sz FROM exp0 GROUP BY 1),
+        interp AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+          FROM exp0 a JOIN exp0 b ON a.s = b.s AND a.doc_id < b.doc_id
+          WHERE b.doc_id >= 10000000
+          GROUP BY 1, 2
+        ),
+        losersv2 AS (
+          SELECT DISTINCT i.b AS b FROM interp i
+          JOIN szp sa ON sa.doc_id = i.a
+          JOIN szp sb ON sb.doc_id = i.b
+          WHERE i.common / (sa.sz + sb.sz - i.common) >= 0.9
+        ),
+        screenedb AS (
+          SELECT doc_id, text, lang, domain FROM novelb
+          WHERE doc_id NOT IN (SELECT b FROM losersv2)
+        ),
+        rankedb2 AS (
+          SELECT doc_id, text, lang, domain,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000000 ASC,
+                            doc_id ASC) AS rn
+          FROM screenedb
+        )
+        SELECT r.doc_id, r.lang, r.domain,
+               len(string_split(r.text, ' '))::BIGINT AS n_tokens
+        FROM rankedb2 r LEFT JOIN corpus_have h USING (domain)
         WHERE r.rn <= 15 - coalesce(h.have, 0)
     """
 

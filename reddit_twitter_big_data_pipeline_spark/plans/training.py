@@ -172,6 +172,32 @@ def curate_increment(
     differs from `curate_corpus_v2` deliberately: dedupe runs BEFORE
     quota here so near-identical recrawls cannot consume a domain's
     remaining quota."""
+    novel = _increment_gated_novel(
+        batch, corpus, blocked, id_col, text_col, url_col, blocked_col,
+        min_margin, q_micro_min,
+    )
+    return _admit_by_quota(
+        novel, corpus, id_col, text_col, url_col, domain_cap, hash_fn
+    )
+
+
+def _increment_gated_novel(
+    batch: DataFrame,
+    corpus: DataFrame,
+    blocked: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    url_col: str,
+    blocked_col: str,
+    min_margin: int,
+    q_micro_min: int,
+) -> DataFrame:
+    """Stages 1-2 of incremental admission, shared by `curate_increment`
+    and `curate_increment_v2`: row-local gates on the batch (confidence
+    langid, optional broadcast blocklist anti-join, integer micro-unit
+    quality), within-batch exact dedupe, then the corpus-fingerprint
+    anti-join. Returns the gated NOVEL batch rows
+    (id, text, url, lang, domain)."""
     lang_ok = (
         text_ops.langid_margin(
             batch.select(id_col, text_col, url_col),
@@ -198,11 +224,25 @@ def curate_increment(
     corpus_fp = corpus.select(
         text_ops.fingerprint(text_col).alias("__fp")
     ).distinct()
-    novel = (
+    return (
         within.withColumn("__fp", text_ops.fingerprint(text_col))
         .join(corpus_fp, "__fp", "left_anti")
         .drop("__fp")
     )
+
+
+def _admit_by_quota(
+    novel: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    url_col: str,
+    domain_cap: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Stage 3 of incremental admission: per-domain remaining-quota
+    ranking. The corpus contributes only (domain, count) — reduced
+    map-side, never re-shuffled in full."""
     have = (
         corpus.select(text_ops.registered_domain(url_col).alias("domain"))
         .groupBy("domain")
@@ -223,6 +263,73 @@ def curate_increment(
             "domain",
             text_ops.token_count(text_col).cast("long").alias("n_tokens"),
         )
+    )
+
+
+def curate_increment_v2(
+    batch: DataFrame,
+    corpus: DataFrame,
+    blocked: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    blocked_col: str = "domain",
+    min_margin: int = 2,
+    domain_cap: int = 20,
+    q_micro_min: int = 150_000,
+    hash_fn: str = "xxhash64",
+    neardup_threshold: float = 0.9,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    corpus_state: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """`curate_increment` with the NEAR-dup corpus screen composed into
+    admission (VERDICT r9 item 7): a recrawl that differs from a corpus
+    page only by boilerplate survives the exact-fingerprint anti-join
+    but should not be admitted — exactly what `minhash_incremental_pairs`
+    screens for at batch-proportional cost. Stage order: row-local
+    gates → within-batch exact dedupe → corpus exact-fp anti-join →
+    incremental MinHash probe (drop every batch row that near-dups a
+    corpus doc or a smaller-id batch row, J ≥ `neardup_threshold`) →
+    remaining-quota ranking.
+
+    Requires batch ids above corpus ids (the incremental convention —
+    pair b-sides are then always batch rows, so the corpus is never
+    evicted by its own recrawls). Pass `corpus_state` =
+    ``minhash_corpus_state(corpus)`` (persisted/stored at ingest) for
+    the production shape: the corpus text is then never re-shingled and
+    per-batch cost collapses to batch shingles + one bucket-keyed probe
+    against the stored band table. Without it the corpus state derives
+    here — still only slim (id, hash) rows ride any exchange; corpus
+    TEXT never shuffles in either form.
+
+    Same oracle discipline as the dedup_incremental family: at
+    threshold ≥ 0.9 the 64-perm/16-band LSH candidate recall is ≈ 1,
+    so an exact-Jaccard oracle gates the whole composition."""
+    novel = _increment_gated_novel(
+        batch, corpus, blocked, id_col, text_col, url_col, blocked_col,
+        min_margin, q_micro_min,
+    )
+    pairs = dedup_ops.minhash_incremental_pairs(
+        novel.select(id_col, text_col),
+        corpus.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        k=shingle_k,
+        bands=bands,
+        threshold=neardup_threshold,
+        corpus_state=corpus_state,
+    )
+    # canonical pairs (a < b) with at least one batch side; batch ids sit
+    # above corpus ids, so b is ALWAYS a batch row: dropping distinct
+    # b-sides evicts corpus near-dups and keeps the min-id batch row of
+    # every within-batch near-dup group (the exact-dedupe convention)
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    screened = novel.join(losers, id_col, "left_anti")
+    return _admit_by_quota(
+        screened, corpus, id_col, text_col, url_col, domain_cap, hash_fn
     )
 
 

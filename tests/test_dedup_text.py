@@ -1229,6 +1229,61 @@ def test_curate_increment_admission_paths(spark):
     assert len(out1) == 1
 
 
+def test_curate_increment_v2_near_dup_screen(spark):
+    """r10: the near-dup composition drops batch rows that near-dup a
+    CORPUS page (survive the exact-fp anti-join, J >= 0.9) and keeps the
+    min-id row of within-batch near-dup groups; genuinely novel rows
+    admit. The stored-index (corpus_state) form returns the identical
+    admission set."""
+    from reddit_twitter_big_data_pipeline_spark.operators import dedup
+    from reddit_twitter_big_data_pipeline_spark.plans import training
+
+    long_en = "the cat and the dog sat on the mat with all of the others " * 4
+    corpus = spark.createDataFrame(
+        [
+            (1, long_en, "https://a.full.com/1"),
+            (2, long_en + "two two two", "https://b.full.com/2"),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    novel_text = (
+        "a completely different story about rivers and the mountains "
+        "where the sun sets over all of the quiet valleys every day " * 3
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, long_en, "https://x.fresh.org/101"),            # exact corpus dup -> out
+            (102, long_en + "nd", "https://x.fresh.org/102"),      # corpus NEAR-dup -> out
+            (103, novel_text, "https://y.fresh.org/103"),          # admitted (min of 103/104)
+            (104, novel_text + " q", "https://z.fresh.org/104"),   # in-batch near-dup -> out
+            (105, "xyzzy 123", "https://q.fresh.org/105"),         # langid und -> out
+        ],
+        ["doc_id", "text", "url"],
+    )
+    out = {
+        r.doc_id
+        for r in training.curate_increment_v2(batch, corpus, domain_cap=5).collect()
+    }
+    assert out == {103}
+    # v1 (no near-dup screen) admits the corpus near-dup and both siblings
+    out_v1 = {
+        r.doc_id
+        for r in training.curate_increment(batch, corpus, domain_cap=5).collect()
+    }
+    assert out_v1 == {102, 103, 104}
+    # stored-index production path: identical admission set
+    state = dedup.minhash_corpus_state(corpus)
+    out_state = {
+        r.doc_id
+        for r in training.curate_increment_v2(
+            batch, corpus, domain_cap=5, corpus_state=state
+        ).collect()
+    }
+    assert out_state == out
+    for frame in state:
+        frame.unpersist()
+
+
 def test_bm25_topk_matches_reference_formula(spark):
     import math
 
