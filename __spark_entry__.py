@@ -3773,6 +3773,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for out_name, in_name in _R9_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]
+    # ROUND-10 ROTATION #8 (VERDICT r9 item 1, same pairwise-swap
+    # mechanism): thirty-nine swaps — the tail-clearing rotation. After
+    # r9 the never-driver-graded tail was 37; this rotation swaps ALL of
+    # them in (the four late-wave r9 queries first, then the pivot/HOF
+    # trio, the text_chunks/top_terms/clean_training/token_budget block,
+    # the sample_* variants, the sliding/resample/sequences/transitions
+    # block, the dedup tail, and the remaining 14) plus the two NEW r10
+    # queries (sim_ivfpq_topk, train_curation_increment_v2 — new queries
+    # enter the window immediately, the r8 rule) — leaving the
+    # never-graded tail at ZERO: after this window grades, every
+    # registered query has earned the driver's hard gate at least once.
+    # OUT: the sketch family and the r8 curation block (driver-green r8 +
+    # r9, untouched this round), sim_ivf/equidepth/psi/ppr (same), the
+    # text_langid trio (2-round green; the r10 latin-range fix touches
+    # SCRIPT_RANGES only — the word-profile scorers these gate are
+    # untouched), and the r9-green TPC-H/monitoring blocks (1-round
+    # green, untouched — the r9 precedent of spending young slots to
+    # finish a tail cluster). Deliberately KEPT in-window: the four
+    # queries whose code changed this round — text_langid_script (CJK
+    # ja/ko/zh split + latin range), train_curation_v2 (quality-before-
+    # quota reorder), train_curation_increment (gate/quota stages
+    # factored into shared helpers), text_url_domains_psl (list-scale
+    # rule fixture) — code-changed queries re-earn the gate (the
+    # r7/r8/r9 precedent). Swap-ins with changed code this round also
+    # land in-window by construction: dedup_url_exact (null-url guard)
+    # and sim_pq_topk (codebook-count validation).
+    _R10_SWAPS = {
+        # late-wave r9 four first (VERDICT r9 item 1 priority)
+        "x_cms_freq": "dedup_url_exact",
+        "x_kmv_users_daily": "text_domain_quality_gate",
+        "x_hll_parts_monthly": "text_token_count_cjk",
+        "x_kmv_overlap": "sim_pq_topk",
+        # relational/HOF trio + the text-curation block
+        "x_hdr_quantiles": "x_pivot",
+        "x_hll_rollup": "x_unpivot",
+        "x_bloom_prune_join": "x_array_hof",
+        "x_join_size_est": "text_chunks",
+        "sim_ivf_topk": "text_top_terms",
+        "x_equidepth_hist": "text_clean_training",
+        "x_psi_drift": "text_token_budget",
+        # sampling variants
+        "x_ppr": "sample_split_label",
+        "text_langid": "sample_source_mix",
+        "text_langid_margin": "sample_source_cap",
+        "text_langid_gate": "sample_gumbel_topk",
+        "text_url_domains": "sample_temperature_mix",
+        # windowed/sequence analytics block
+        "sample_domain_cap": "x_sliding_window",
+        "text_domain_stats": "x_resample_ffill",
+        "text_domain_blocklist": "x_event_sequences",
+        "tpch_q4_order_priority": "x_transitions",
+        # dedup tail
+        "tpch_q6_forecast_revenue": "dedup_editdist_pairs",
+        "tpch_q7_volume_shipping": "dedup_cluster_sizes",
+        "tpch_q10_returned_items": "dedup_incremental_probe",
+        # the two NEW r10 queries enter immediately
+        "tpch_q11_important_stock": "sim_ivfpq_topk",
+        "tpch_q12_priority_counts": "train_curation_increment_v2",
+        # the remaining never-graded fourteen
+        "tpch_q13_order_distribution": "text_decontaminate",
+        "tpch_q14_promo_revenue": "text_quality_gate",
+        "tpch_q15_top_supplier": "text_quality_classifier",
+        "tpch_q16_supplier_count": "text_word_counts",
+        "tpch_q17_small_qty_revenue": "text_bpe_merge_select",
+        "tpch_q18_large_orders": "x_mad_outliers",
+        "tpch_q19_discounted_revenue": "x_group_percentiles",
+        "tpch_q20_part_suppliers": "x_funnel_latency",
+        "tpch_q22_idle_balance": "text_lang_mix",
+        "x_cusum_drift": "x_hourly_profile",
+        "x_trend_ols": "x_skew_agg_unsalted",
+        "x_corr_matrix": "text_bpe_train_batched",
+        "x_sessionize_batch": "x_zorder_key",
+        "text_domain_blocklist_anti": "text_pii_redact",
+    }
+    for out_name, in_name in _R10_SWAPS.items():
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
     return {n: q[n] for n in names}
 
 

@@ -159,6 +159,10 @@ HEADLINE = [
     "text_domain_quality_gate",
     "text_token_count_cjk",
     "sim_pq_topk",
+    # round-10 additions (first recorded baselines this round): the IVF-PQ
+    # composition and the near-dup-screened incremental admission
+    "sim_ivfpq_topk",
+    "train_curation_increment_v2",
 ]
 
 

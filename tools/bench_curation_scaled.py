@@ -1,10 +1,11 @@
-"""Scaled bench for the composed curation pipeline (r9,
-`plans/training.py:curate_corpus_v2`): the 100-TB claim is that the
-pipeline is scan-dominated with exactly three slim-keyed exchanges
-(domain-quota window, dedupe fingerprint window, final stage), so wall
-time grows AT MOST linearly with corpus size — no stage is quadratic or
-driver-bound. This script measures it the `tools/bench_graph_scaled.py`
-way.
+"""Scaled bench for the composed curation pipelines.
+
+Mode `v2` (r9, `plans/training.py:curate_corpus_v2`): the 100-TB claim
+is that the pipeline is scan-dominated with exactly three slim-keyed
+exchanges (domain-quota window, dedupe fingerprint window, final
+stage), so wall time grows AT MOST linearly with corpus size — no stage
+is quadratic or driver-bound. This script measures it the
+`tools/bench_graph_scaled.py` way.
 
 Method: the documents table is replicated 1x/4x/16x with disjoint
 doc_id offsets; replicas r>0 inject a replica token between words
@@ -23,8 +24,23 @@ If the linear story is true, t(16x)/t(1x) <= 16 with room to spare
 (stage-scheduling overhead amortizes); a ratio near or above 16 means
 a stage degrades superlinearly and the plan needs work.
 
-Usage: python tools/bench_curation_scaled.py [sf_dir] [reps]
-Prints one JSON line: {scale: min_sec}, input/output rows, ratios.
+Mode `increment` (r10, VERDICT r9 item 2 —
+`plans/training.py:curate_increment`): the operator's THESIS is that
+admitting a FIXED batch costs ~the batch, not the corpus: the corpus
+contributes only map-side-reduced fingerprints and (domain, count)
+rows, never a full shuffle. Method: the same 1x/4x/16x salted corpus
+replicas, one fixed-size batch derived from the base table (verbatim
+corpus dups keep the anti-join live, multilingual prefixes keep every
+gate live, half the urls land on corpus-exhausted domains and half on
+fresh ones so both quota branches fire at every scale), interleaved
+reps. Done-bar: near-flat wall time — t(16x)/t(1x) far below the 16x
+a corpus-proportional stage would show (the corpus-side scan+reduce
+does grow with the corpus, but it is the cheap map-side path; the
+batch-side windows and joins dominate).
+
+Usage: python tools/bench_curation_scaled.py [sf_dir] [reps] [mode]
+       mode in {v2, increment, both} (default both)
+Prints one JSON line per mode: {scale: min_sec}, rows, ratios.
 """
 
 from __future__ import annotations
@@ -87,11 +103,42 @@ def corpus(spark, sf_dir: str, scale: int) -> DataFrame:
     )
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    spark = session.get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+def fixed_batch(spark, sf_dir: str) -> DataFrame:
+    """One FIXED admission batch (size = |base documents|), identical at
+    every corpus scale: %4==0 rows duplicate replica-0 corpus text
+    verbatim (the corpus anti-join stays live at every scale — replica 0
+    is verbatim in every corpus), the rest are novel with multilingual
+    prefixes (every langid branch live); urls alternate between the base
+    corpus domains (quota-exhausted at every scale: 'have' >= cap) and
+    fresh ones (admit up to cap)."""
+    docs = schemas.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = F.col("doc_id")
+    lang_expr = None
+    for k, ph in PHRASES.items():
+        c = src % 5 == k
+        v = F.concat(F.lit(ph * 3), F.col("text"), F.lit(" b"), src.cast("string"))
+        lang_expr = F.when(c, v) if lang_expr is None else lang_expr.when(c, v)
+    btext = F.when(src % 4 == 0, F.col("text")).otherwise(
+        lang_expr.otherwise(F.concat(F.col("text"), F.lit(" b"), src.cast("string")))
+    )
+    burl = F.when(
+        src % 3 == 0,
+        F.concat(
+            F.lit("https://x.fresh"), (src % 50).cast("string"),
+            F.lit(".org/b/"), src.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://sub.site"), (src % 20).cast("string"),
+            F.lit(".com/b/"), src.cast("string"),
+        )
+    )
+    return docs.select(
+        (src + 50_000_000).alias("doc_id"), btext.alias("text"), burl.alias("url")
+    )
 
+
+def bench_mode(spark, sf_dir: str, reps: int, mode: str) -> None:
     frames, blocked, meta = {}, {}, {}
     for s in SCALES:
         frames[s] = corpus(spark, sf_dir, s)
@@ -101,37 +148,51 @@ def main() -> None:
             )
         )
         meta[s] = {"rows_in": frames[s].count()}
+    batch = fixed_batch(spark, sf_dir) if mode == "increment" else None
 
-    def run(s: int) -> int:
-        out = training.curate_corpus_v2(
+    def build(s: int) -> DataFrame:
+        if mode == "increment":
+            return training.curate_increment(
+                batch, frames[s], domain_cap=20, q_micro_min=150_000
+            )
+        return training.curate_corpus_v2(
             frames[s], blocked[s], domain_cap=20, q_micro_min=150_000
         )
-        out.write.format("noop").mode("overwrite").save()
-        return s
 
     # warm every scale once (JIT, page cache), record output rows
     for s in SCALES:
-        meta[s]["rows_out"] = training.curate_corpus_v2(
-            frames[s], blocked[s], domain_cap=20, q_micro_min=150_000
-        ).count()
-        print(f"warm {s}x: in={meta[s]['rows_in']} out={meta[s]['rows_out']}",
+        meta[s]["rows_out"] = build(s).count()
+        print(f"[{mode}] warm {s}x: in={meta[s]['rows_in']} out={meta[s]['rows_out']}",
               file=sys.stderr, flush=True)
 
     times = {s: [] for s in SCALES}
     for rep in range(reps):
         for s in SCALES:
             t0 = time.time()
-            run(s)
+            build(s).write.format("noop").mode("overwrite").save()
             times[s].append(time.time() - t0)
-            print(f"rep{rep} {s}x: {times[s][-1]:.2f}s", file=sys.stderr, flush=True)
+            print(f"[{mode}] rep{rep} {s}x: {times[s][-1]:.2f}s",
+                  file=sys.stderr, flush=True)
 
     out = {
+        "mode": mode,
         "min_sec": {str(s): round(min(ts), 3) for s, ts in times.items()},
         "rows_in": {str(s): meta[s]["rows_in"] for s in SCALES},
         "rows_out": {str(s): meta[s]["rows_out"] for s in SCALES},
     }
+    if mode == "increment":
+        out["batch_rows"] = batch.count()
     out["ratio_16x_over_1x"] = round(min(times[16]) / min(times[1]), 3)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    mode = sys.argv[3] if len(sys.argv) > 3 else "both"
+    spark = session.get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    for m in ("v2", "increment") if mode == "both" else (mode,):
+        bench_mode(spark, sf_dir, reps, m)
 
 
 if __name__ == "__main__":
