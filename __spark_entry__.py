@@ -3553,6 +3553,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_curation_increment_v2"] = train_curation_increment_v2
 
+    # --- r10: repetition-quality signals + sequence packing ----------------
+
+    def text_repetition_signals(spark, sf):
+        # Gopher/MassiveText repetition filters (operators/text.py:
+        # repetition_signals, r10): dup-line fraction (row and
+        # char-weighted) + characters covered by the most frequent word
+        # bigram — the quality axis SEO spam passes shape-based scoring
+        # on. All-integer decisions (occurrence counts; the top-bigram
+        # argmax breaks count ties by gram string); every ratio is one
+        # int/int division, bit-identical in both engines. Planted rows
+        # keep each signal live: %4==1 duplicates the whole doc as two
+        # '\n'-lines plus a unique tail; %4==2 appends ' click here'
+        # ×10 (keyword stuffing).
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        d = F.col("doc_id")
+        planted = (
+            F.when(
+                d % 4 == 1,
+                F.concat_ws(
+                    "\n",
+                    F.col("text"),
+                    F.col("text"),
+                    F.concat(F.lit("tail "), d.cast("string")),
+                ),
+            )
+            .when(
+                d % 4 == 2,
+                F.concat(F.col("text"), F.expr("repeat(' click here', 10)")),
+            )
+            .otherwise(F.col("text"))
+        )
+        return text_ops.repetition_signals(
+            docs.select("doc_id", planted.alias("text"))
+        )
+
+    q["text_repetition_signals"] = text_repetition_signals
+
+    def train_pack_sequences(spark, sf):
+        # GPT-style sequence-packing placement (plans/training.py:
+        # pack_sequences, r10): docs concatenate into 8 deterministic
+        # per-shard token streams (md5 bucket order) and split at
+        # ctx_len=256 boundaries; each doc's (shard, start_tok,
+        # seq_first, seq_last, seq_offset) is a pure integer function of
+        # the data — one shard-keyed exchange, a running-sum window per
+        # shard, text never in the plan.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        from reddit_twitter_big_data_pipeline_spark.plans import training
+
+        return training.pack_sequences(docs, ctx_len=256, n_shards=8, hash_fn="md5")
+
+    q["train_pack_sequences"] = train_pack_sequences
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3846,6 +3898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_corr_matrix": "text_bpe_train_batched",
         "x_sessionize_batch": "x_zorder_key",
         "text_domain_blocklist_anti": "text_pii_redact",
+        # wave-2 extension (same round): the repetition-quality signals
+        # and sequence-packing placement enter immediately (the r8 rule)
+        # for two 1-round-green untouched graph-coefficient queries
+        "x_clustering_coeff": "text_repetition_signals",
+        "x_adamic_adar": "train_pack_sequences",
     }
     for out_name, in_name in _R10_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
@@ -6750,6 +6807,86 @@ def oracle_sql() -> dict[str, str]:
                len(string_split(r.text, ' '))::BIGINT AS n_tokens
         FROM rankedb2 r LEFT JOIN corpus_have h USING (domain)
         WHERE r.rn <= 15 - coalesce(h.have, 0)
+    """
+
+    # r10 repetition signals: same planted CASE, line counts via
+    # (id, line) grouping, bigram argmax via the same count-desc/
+    # gram-asc window; each ratio is the identical int/int double
+    # division (bit-exact both engines).
+    o["text_repetition_signals"] = """
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 1
+                        THEN text || chr(10) || text || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 4 = 2
+                        THEN text || repeat(' click here', 10)
+                      ELSE text END AS text
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id,
+                 string_split(text, chr(10)) AS lines,
+                 length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nchars,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM planted
+        ),
+        lx AS (SELECT doc_id, unnest(lines) AS l FROM base),
+        lc AS (SELECT doc_id, l, count(*) AS c FROM lx GROUP BY 1, 2),
+        ls AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+                 CAST(sum(c * length(l)) AS BIGINT) AS line_chars,
+                 CAST(sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS BIGINT) AS dup_line_chars
+          FROM lc GROUP BY 1
+        ),
+        gx AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                        ELSE [array_to_string(toks[i:i+1], ' ')
+                              FOR i IN range(1, len(toks))] END) AS g
+          FROM base
+        ),
+        gc AS (SELECT doc_id, g, count(*) AS c FROM gx GROUP BY 1, 2),
+        tg AS (
+          SELECT doc_id, c AS top_cnt, length(g) AS top_len FROM (
+            SELECT doc_id, g, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+            FROM gc
+          ) WHERE rn = 1
+        )
+        SELECT b.doc_id, ls.n_lines,
+               ls.dup_lines::DOUBLE / ls.n_lines AS dup_line_frac,
+               ls.dup_line_chars::DOUBLE / greatest(ls.line_chars, 1) AS dup_line_char_frac,
+               coalesce((tg.top_cnt * tg.top_len)
+                        / greatest(b.nchars, 1)::DOUBLE, 0.0) AS top_bigram_char_frac
+        FROM base b JOIN ls USING (doc_id) LEFT JOIN tg USING (doc_id)
+    """
+
+    # r10 sequence packing: shard + stream order from the two md5 bucket
+    # salts, running-sum window per shard, all-integer ctx arithmetic.
+    o["train_pack_sequences"] = """
+        WITH slim AS (
+          SELECT doc_id,
+                 len(string_split(text, ' '))::BIGINT AS n_tokens,
+                 CAST((('0x' || substr(md5('pack-shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000) % 8 AS INTEGER) AS shard,
+                 ('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS b
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id, shard, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY b ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+          FROM slim
+        )
+        SELECT doc_id, shard, n_tokens, start_tok,
+               (start_tok // 256)::BIGINT AS seq_first,
+               ((start_tok + greatest(n_tokens, 1) - 1) // 256)::BIGINT AS seq_last,
+               (start_tok % 256)::INTEGER AS seq_offset
+        FROM packed
     """
 
     # r9 composed curation v2: every stage replays an already-gated

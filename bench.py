@@ -160,9 +160,12 @@ HEADLINE = [
     "text_token_count_cjk",
     "sim_pq_topk",
     # round-10 additions (first recorded baselines this round): the IVF-PQ
-    # composition and the near-dup-screened incremental admission
+    # composition, the near-dup-screened incremental admission, the
+    # repetition-quality signals, and sequence-packing placement
     "sim_ivfpq_topk",
     "train_curation_increment_v2",
+    "text_repetition_signals",
+    "train_pack_sequences",
 ]
 
 

@@ -430,6 +430,101 @@ def quality_score(col: str = "text") -> Column:
     )
 
 
+def repetition_signals(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/MassiveText REPETITION filters (r10) — the quality family's
+    missing axis: `quality_score`/`gopher_signals` measure shape (length,
+    punctuation, stopwords), but SEO spam and template farms pass those
+    while repeating themselves. Per doc:
+
+    - ``n_lines``, ``dup_line_frac`` — fraction of '\\n'-lines whose exact
+      text occurs more than once (boilerplate/template repetition);
+    - ``dup_line_char_frac`` — the same weighted by characters (one long
+      duplicated paragraph matters more than two short ones);
+    - ``top_bigram_char_frac`` — characters covered by the most frequent
+      word 2-gram (cnt × len(gram)) over the normalized text length
+      (keyword-stuffing: 'click here click here …').
+
+    All decisions are INTEGER (occurrence counts; the top-bigram argmax
+    breaks count ties by gram string) and every ratio is one int/int
+    division — bit-identical in both engines, no float tie surface.
+
+    Scale shape: two slim doc-keyed aggregation pipelines (line explode →
+    (id, line) counts → per-doc sums; bigram explode → (id, gram) counts
+    → per-doc max_by) joined back on id — grouping keys are (id, short
+    string); the document text itself never rides an exchange."""
+    base = df.select(
+        F.col(id_col),
+        F.split(F.col(col), "\n").alias("__lines"),
+        F.length(normalize_text(col)).alias("__nchars"),
+    )
+    lines = base.select(id_col, F.explode("__lines").alias("__l"))
+    line_stats = (
+        lines.groupBy(id_col, "__l")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+            .cast("long")
+            .alias("__dup_lines"),
+            F.sum(F.col("__c") * F.length("__l")).cast("long").alias("__line_chars"),
+            F.sum(
+                F.when(F.col("__c") > 1, F.col("__c") * F.length("__l")).otherwise(0)
+            )
+            .cast("long")
+            .alias("__dup_line_chars"),
+        )
+    )
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    grams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )
+    )
+    gr = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    # integer argmax: count desc, then gram string asc — ties break
+    # identically in both engines, no float surface
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy(id_col).orderBy(F.col("__c").desc(), F.col("__g").asc())
+    top_gram = (
+        gr.groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__c").alias("__top_cnt"),
+            F.length("__g").alias("__top_len"),
+        )
+    )
+    return (
+        base.select(id_col, "__nchars")
+        .join(line_stats, id_col, "left")
+        .join(top_gram, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_lines"),
+            (F.col("__dup_lines").cast("double") / F.col("n_lines")).alias(
+                "dup_line_frac"
+            ),
+            (
+                F.col("__dup_line_chars").cast("double")
+                / F.greatest(F.col("__line_chars"), F.lit(1))
+            ).alias("dup_line_char_frac"),
+            F.coalesce(
+                F.col("__top_cnt") * F.col("__top_len")
+                / F.greatest(F.col("__nchars"), F.lit(1)).cast("double"),
+                F.lit(0.0),
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
 # --- fingerprinting --------------------------------------------------------
 
 

@@ -333,6 +333,77 @@ def curate_increment_v2(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    salt: str = "pack",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """GPT-style sequence PACKING assignment (r10) — the step between a
+    curated corpus and a training loader: documents concatenate into one
+    token stream per shard and the stream splits into fixed `ctx_len`
+    sequences; a document may span a sequence boundary (the standard
+    pretraining layout — no padding waste). This operator computes each
+    document's PLACEMENT deterministically:
+
+      (id, shard, n_tokens, start_tok, seq_first, seq_last, seq_offset)
+
+    where `start_tok` is the document's running token offset within its
+    shard's stream, `seq_first/seq_last` the ctx-sequences it touches,
+    and `seq_offset` its position inside seq_first. Placement is a pure
+    function of the data: shard = hash(salt, id) % n_shards, stream
+    order within a shard = (hash bucket, id) — the `split_label`/
+    `cap_per_group` determinism discipline, reproducible on any
+    partitioning and replayable in ANSI SQL (all-integer arithmetic).
+
+    Scale shape: ONE shard-keyed exchange, then a per-shard running-sum
+    window. A shard's window is sequential by nature (it defines the
+    stream), so `n_shards` is the parallelism knob — size it so one
+    shard's (id, n_tokens) rows fit a task comfortably (they are 16
+    bytes/doc; even a billion-doc corpus at 1024 shards is ~16 MB per
+    task). Text never enters the plan: only the token counts ride."""
+    if ctx_len < 1 or n_shards < 1:
+        raise ValueError("pack_sequences: ctx_len >= 1 and n_shards >= 1 required")
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else text_ops.token_count(text_col)
+    ).cast("long")
+    slim = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        # shard and stream order from two decorrelated _bucket salts —
+        # the hash_fn='md5' path replays verbatim in any engine
+        (sampling._bucket(id_col, salt + "-shard", hash_fn) % F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        sampling._bucket(id_col, salt, hash_fn).alias("__b"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__b").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return slim.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        start.alias("start_tok"),
+        F.floor(start / F.lit(ctx_len)).cast("long").alias("seq_first"),
+        F.floor(
+            (start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / F.lit(ctx_len)
+        )
+        .cast("long")
+        .alias("seq_last"),
+        F.pmod(start, F.lit(ctx_len)).cast("int").alias("seq_offset"),
+    )
+
+
 def write_training_shards(
     df,
     path: str,

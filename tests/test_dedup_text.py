@@ -1284,6 +1284,69 @@ def test_curate_increment_v2_near_dup_screen(spark):
         frame.unpersist()
 
 
+def test_repetition_signals_hand_computed(spark):
+    """r10 Gopher repetition filters on hand-checkable docs: duplicate
+    lines, keyword stuffing, and a clean doc."""
+    df = spark.createDataFrame(
+        [
+            # 3 lines, 'aa bb' twice: dup_line_frac=2/3; line chars
+            # 5+5+2=12, dup chars 10 -> 10/12
+            (1, "aa bb\naa bb\ncc"),
+            # stuffing: 'click here' repeated; bigram 'click here' count 3
+            (2, "click here click here click here"),
+            (3, "a clean document with no repetition at all"),
+            (4, ""),  # degenerate: 1 empty line, no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text_ops.repetition_signals(df).collect()}
+    assert rows[1].n_lines == 3
+    assert abs(rows[1].dup_line_frac - 2 / 3) < 1e-12
+    assert abs(rows[1].dup_line_char_frac - 10 / 12) < 1e-12
+    # doc 2: normalized text is 32 chars; top bigram 'click here' (10
+    # chars) occurs 3 times -> 30/32; note 'here click' occurs only 2x
+    assert abs(rows[2].top_bigram_char_frac - 30 / 32) < 1e-12
+    # clean doc: every line/bigram unique
+    assert rows[3].dup_line_frac == 0.0
+    assert rows[3].top_bigram_char_frac * 42 <= 11  # any bigram occurs once
+    # empty doc: no division blowups, zeros everywhere
+    assert rows[4].n_lines == 1 and rows[4].dup_line_frac == 0.0
+    assert rows[4].top_bigram_char_frac == 0.0
+
+
+def test_pack_sequences_contiguous_streams(spark):
+    """r10 packing: per shard the docs tile the token stream exactly
+    (start offsets are the running sum, no gaps/overlaps), sequence ids
+    are consistent with ctx_len, and placement is partitioning-stable."""
+    from reddit_twitter_big_data_pipeline_spark.plans import training
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 37 + 1)) for i in range(200)], ["doc_id", "text"]
+    ).select("doc_id", F.expr("trim(text) || ' end'").alias("text"))
+    out = training.pack_sequences(df, ctx_len=16, n_shards=4, hash_fn="md5")
+    rows = out.collect()
+    assert len(rows) == 200
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.start_tok)
+        cum = 0
+        for r in rs:
+            assert r.start_tok == cum, (shard, r)
+            assert r.seq_first == r.start_tok // 16
+            assert r.seq_last == (r.start_tok + max(r.n_tokens, 1) - 1) // 16
+            assert r.seq_offset == r.start_tok % 16
+            cum += r.n_tokens
+    # partitioning-stability: a different physical layout yields the
+    # identical placement (determinism is the operator's contract)
+    out2 = training.pack_sequences(
+        df.repartition(13), ctx_len=16, n_shards=4, hash_fn="md5"
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
+
+
 def test_bm25_topk_matches_reference_formula(spark):
     import math
 
