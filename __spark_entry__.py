@@ -3262,11 +3262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The RefinedWeb/Dolma end-to-end curation shape (VERDICT r8
         # item 7; plans/training.py:curate_corpus_v2): confidence-gated
         # langid → domain blocklist (broadcast anti-join, list as DATA)
-        # → per-domain quota → integer-micro-unit quality gate → exact
-        # dedupe → split, as ONE lazy plan. Planted multilingual text
-        # (doc_id%5) and planted URLs (doc_id%6) make every stage's
-        # kept/dropped sides live at every SF; md5 hash seams so the
-        # oracle replays quota order and split membership exactly.
+        # → integer-micro-unit quality gate → per-domain quota (r10 /
+        # ADVICE r9: quality BEFORE quota, so a low-quality page never
+        # consumes a domain's cap) → exact dedupe → split, as ONE lazy
+        # plan. Planted multilingual text (doc_id%5) and planted URLs
+        # (doc_id%6) make every stage's kept/dropped sides live at
+        # every SF; md5 hash seams so the oracle replays quota order
+        # and split membership exactly.
         docs = _t(spark, sf, "documents").select("doc_id", "text")
         planted = docs.select(
             "doc_id",
@@ -3605,6 +3607,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pack_sequences"] = train_pack_sequences
 
+    def train_curation_v3(spark, sf):
+        # curate_corpus_v2 + the REPETITION gate (plans/training.py:
+        # curate_corpus_v3, r10): shape-based quality passes SEO spam
+        # that repeats itself; the gate cuts on floor(frac·1e6) integer
+        # micro-units of dup-line fraction and top-bigram char coverage
+        # (repetition_signals). doc_id%9==7 rows append ' click here'
+        # ×40 — they pass langid (non-marker tokens) and the quality
+        # gate (length saturates, punct clean) and drop ONLY at the
+        # repetition gate, which is the point. %9 is coprime to the %5
+        # lang and %6 url plants so every earlier branch stays live.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        d = F.col("doc_id")
+        base = _planted_lang_text(d, F.col("text"))
+        stuffed = F.when(
+            d % 9 == 7, F.concat(base, F.expr("repeat(' click here', 40)"))
+        ).otherwise(base)
+        planted = docs.select(
+            "doc_id", stuffed.alias("text"), _planted_url(d).alias("url")
+        )
+        blocked = spark.createDataFrame(
+            [("news-1.com",), ("news-3.com",), ("example2.co.uk",), ("192.168.1.7",)],
+            ["domain"],
+        )
+        from reddit_twitter_big_data_pipeline_spark.plans import training
+
+        return training.curate_corpus_v3(
+            planted, blocked, min_margin=2, domain_cap=5, hash_fn="md5"
+        )
+
+    q["train_curation_v3"] = train_curation_v3
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3903,6 +3936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for two 1-round-green untouched graph-coefficient queries
         "x_clustering_coeff": "text_repetition_signals",
         "x_adamic_adar": "train_pack_sequences",
+        # wave-3 extension: the repetition-gated curation composition
+        # enters for a 1-round-green untouched text query
+        "text_bigram_logprob": "train_curation_v3",
     }
     for out_name, in_name in _R10_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
@@ -6968,6 +7004,145 @@ def oracle_sql() -> dict[str, str]:
                  ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                    % 1000000 AS bk
           FROM deduped
+        )
+    """
+
+    # r10 curation v3: the v2 CTEs with the REPETITION gate composed in
+    # after the quality cut — the text_repetition_signals shingle/line
+    # SQL replayed over the quality survivors, cut on floor(frac·1e6)
+    # integer micro-units (frac is ONE int/int division — identical
+    # IEEE result in both engines, so the floor is binary-exact; the
+    # top-bigram argmax is an integer count with gram-string ties).
+    o["train_curation_v3"] = f"""
+        WITH {_LANGID_PLANTED_CTE.replace("planted AS", "planted0 AS")},
+        planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 7 THEN text || repeat(' click here', 40)
+                      ELSE text END AS text
+          FROM planted0
+        ),
+        toks AS (
+          SELECT doc_id, text,
+                 string_split(regexp_replace(lower(text), '{text_ops.LANGID_NORM_RE}', ' ', 'g'), ' ') AS tk,
+                 lower(text) AS lt
+          FROM planted
+        ),
+        scored AS (
+          SELECT doc_id, text, {_langid_scores_sql()}
+          FROM toks
+        ),
+        conf AS (
+          SELECT doc_id,
+                 {_langid_pred_sql()} AS lang_pred,
+                 ({_langid_sorted}[1] - {_langid_sorted}[2])::INTEGER AS margin
+          FROM scored
+        ),
+        lang AS (
+          SELECT doc_id,
+                 CASE WHEN lang_pred <> 'und' AND margin >= 2
+                      THEN lang_pred ELSE 'und' END AS lang
+          FROM conf
+        ),
+        {_URL_PLANTED_CTE},
+        base AS (
+          SELECT p.doc_id, p.text, u.url, l.lang
+          FROM planted p JOIN urls u USING (doc_id) JOIN lang l USING (doc_id)
+          WHERE l.lang <> 'und'
+        ),
+        dom AS (
+          SELECT doc_id, text, lang, {_URL_DOMAIN_SQL} AS domain
+          FROM (
+            SELECT doc_id, text, lang,
+                   lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+            FROM base
+          )
+        ),
+        keptbl AS (
+          SELECT doc_id, text, lang, domain FROM dom
+          WHERE domain NOT IN ('news-1.com', 'news-3.com', 'example2.co.uk', '192.168.1.7')
+        ),
+        qual AS (
+          SELECT doc_id, text, lang, domain FROM keptbl
+          WHERE floor(
+                  least(1.0, len(string_split(text, ' ')) / 100.0)
+                  * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                         / greatest(length(lower(text)), 1))
+                  * 1000000.0
+                )::BIGINT >= 150000
+        ),
+        rbase AS (
+          SELECT doc_id,
+                 string_split(text, chr(10)) AS lines,
+                 length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nchars,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks2
+          FROM qual
+        ),
+        rlx AS (SELECT doc_id, unnest(lines) AS l FROM rbase),
+        rlc AS (SELECT doc_id, l, count(*) AS c FROM rlx GROUP BY 1, 2),
+        rls AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines
+          FROM rlc GROUP BY 1
+        ),
+        rgx AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks2) < 2 THEN []::VARCHAR[]
+                        ELSE [array_to_string(toks2[i:i+1], ' ')
+                              FOR i IN range(1, len(toks2))] END) AS g
+          FROM rbase
+        ),
+        rgc AS (SELECT doc_id, g, count(*) AS c FROM rgx GROUP BY 1, 2),
+        rtg AS (
+          SELECT doc_id, c AS top_cnt, length(g) AS top_len FROM (
+            SELECT doc_id, g, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+            FROM rgc
+          ) WHERE rn = 1
+        ),
+        rsig AS (
+          SELECT b.doc_id,
+                 rls.dup_lines::DOUBLE / rls.n_lines AS dlf,
+                 coalesce((rtg.top_cnt * rtg.top_len)
+                          / greatest(b.nchars, 1)::DOUBLE, 0.0) AS tbf
+          FROM rbase b JOIN rls USING (doc_id) LEFT JOIN rtg USING (doc_id)
+        ),
+        kept3 AS (
+          SELECT q.doc_id, q.text, q.lang, q.domain
+          FROM qual q JOIN rsig r USING (doc_id)
+          WHERE floor(r.dlf * 1000000.0)::BIGINT <= 300000
+            AND floor(r.tbf * 1000000.0)::BIGINT <= 200000
+        ),
+        quota3 AS (
+          SELECT doc_id, text, lang, domain FROM (
+            SELECT doc_id, text, lang, domain,
+                   row_number() OVER (
+                     PARTITION BY domain
+                     ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                              % 1000000 ASC,
+                              doc_id ASC) AS rn
+            FROM kept3
+          ) WHERE rn <= 5
+        ),
+        deduped3 AS (
+          SELECT doc_id, text, lang, domain FROM (
+            SELECT doc_id, text, lang, domain,
+                   row_number() OVER (
+                     PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id ASC) AS rn
+            FROM quota3
+          ) WHERE rn = 1
+        )
+        SELECT doc_id, lang, domain,
+               CASE WHEN bk < 980000 THEN 'train'
+                    WHEN bk < 990000 THEN 'val'
+                    ELSE 'test' END AS split,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM (
+          SELECT doc_id, lang, domain, text,
+                 ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bk
+          FROM deduped3
         )
     """
 

@@ -166,6 +166,7 @@ HEADLINE = [
     "train_curation_increment_v2",
     "text_repetition_signals",
     "train_pack_sequences",
+    "train_curation_v3",
 ]
 
 

@@ -96,6 +96,100 @@ def curate_corpus_v2(
     rules before dedupe (a domain's quota should not be refilled by
     its own near-identical pages), split LAST so losers don't consume
     split capacity."""
+    qual = _corpus_gated(
+        docs, blocked, id_col, text_col, url_col, blocked_col,
+        min_margin, q_micro_min,
+    )
+    quota = sampling.cap_per_group(
+        qual, "domain", domain_cap, id_col=id_col, hash_fn=hash_fn
+    )
+    deduped = dedup_ops.exact_dedupe(quota, id_col=id_col, text_col=text_col)
+    return deduped.select(
+        F.col(id_col),
+        "lang",
+        "domain",
+        sampling.split_label(id_col, split_weights, hash_fn=hash_fn).alias("split"),
+        text_ops.token_count(text_col).cast("long").alias("n_tokens"),
+    )
+
+
+def curate_corpus_v3(
+    docs: DataFrame,
+    blocked: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    blocked_col: str = "domain",
+    min_margin: int = 2,
+    domain_cap: int = 20,
+    q_micro_min: int = 150_000,
+    rep_dup_line_micro_max: int = 300_000,
+    rep_top_bigram_micro_max: int = 200_000,
+    split_weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """`curate_corpus_v2` with the REPETITION gate composed in (r10):
+    shape-based quality (length/punctuation) passes SEO spam that
+    repeats itself; `repetition_signals` catches it. Stage order:
+    langid → blocklist → quality → REPETITION gate (dup-line fraction
+    and top-bigram char coverage, both cut on floor(frac·1e6) integer
+    micro-units — binary-exact in both engines, the quality-gate
+    discipline) → per-domain quota → exact dedupe → split.
+
+    The repetition stage joins the gated rows to their signal frame by
+    id (two slim doc-keyed aggregation pipelines inside
+    `repetition_signals`; the text itself never rides an exchange —
+    the join back is id-keyed with text as payload)."""
+    qual = _corpus_gated(
+        docs, blocked, id_col, text_col, url_col, blocked_col,
+        min_margin, q_micro_min,
+    )
+    rep_ok = (
+        text_ops.repetition_signals(
+            qual.select(id_col, text_col), col=text_col, id_col=id_col
+        )
+        .filter(
+            (
+                F.floor(F.col("dup_line_frac") * F.lit(1_000_000.0)).cast("long")
+                <= F.lit(rep_dup_line_micro_max)
+            )
+            & (
+                F.floor(F.col("top_bigram_char_frac") * F.lit(1_000_000.0)).cast(
+                    "long"
+                )
+                <= F.lit(rep_top_bigram_micro_max)
+            )
+        )
+        .select(id_col)
+    )
+    kept = qual.join(rep_ok, id_col)
+    quota = sampling.cap_per_group(
+        kept, "domain", domain_cap, id_col=id_col, hash_fn=hash_fn
+    )
+    deduped = dedup_ops.exact_dedupe(quota, id_col=id_col, text_col=text_col)
+    return deduped.select(
+        F.col(id_col),
+        "lang",
+        "domain",
+        sampling.split_label(id_col, split_weights, hash_fn=hash_fn).alias("split"),
+        text_ops.token_count(text_col).cast("long").alias("n_tokens"),
+    )
+
+
+def _corpus_gated(
+    docs: DataFrame,
+    blocked: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    url_col: str,
+    blocked_col: str,
+    min_margin: int,
+    q_micro_min: int,
+) -> DataFrame:
+    """Stages 1-3 of whole-corpus curation, shared by v2 and v3:
+    confidence langid (label rides the scan), optional broadcast
+    blocklist anti-join on the registered domain, integer micro-unit
+    quality gate. Returns (id, text, url, lang, domain)."""
     lang_ok = (
         text_ops.langid_margin(
             docs.select(id_col, text_col, url_col),
@@ -114,20 +208,9 @@ def curate_corpus_v2(
             "domain",
             "left_anti",
         )
-    qual = dom.filter(
+    return dom.filter(
         F.floor(text_ops.quality_score(text_col) * F.lit(1_000_000.0)).cast("long")
         >= F.lit(q_micro_min)
-    )
-    quota = sampling.cap_per_group(
-        qual, "domain", domain_cap, id_col=id_col, hash_fn=hash_fn
-    )
-    deduped = dedup_ops.exact_dedupe(quota, id_col=id_col, text_col=text_col)
-    return deduped.select(
-        F.col(id_col),
-        "lang",
-        "domain",
-        sampling.split_label(id_col, split_weights, hash_fn=hash_fn).alias("split"),
-        text_ops.token_count(text_col).cast("long").alias("n_tokens"),
     )
 
 
@@ -307,10 +390,18 @@ def curate_increment_v2(
     Same oracle discipline as the dedup_incremental family: at
     threshold ≥ 0.9 the 64-perm/16-band LSH candidate recall is ≈ 1,
     so an exact-Jaccard oracle gates the whole composition."""
+    # The gated-novel subtree (langid scoring, windows, two anti-joins)
+    # feeds THREE consumers here — the probe's shingle side, the loser
+    # anti-join's left side, and (transitively) the final quota — so it
+    # is persisted once. The cache holds the BATCH's survivors (the
+    # contractually small side of incremental admission), never the
+    # corpus; Spark's plan-canonicalized cache keys mean repeated calls
+    # share one entry. Without this the gate pipeline re-executes per
+    # consumer (measured 94 s -> see SURVEY r10 for the A/B).
     novel = _increment_gated_novel(
         batch, corpus, blocked, id_col, text_col, url_col, blocked_col,
         min_margin, q_micro_min,
-    )
+    ).persist()
     pairs = dedup_ops.minhash_incremental_pairs(
         novel.select(id_col, text_col),
         corpus.select(id_col, text_col),

@@ -1229,6 +1229,30 @@ def test_curate_increment_admission_paths(spark):
     assert len(out1) == 1
 
 
+def test_curate_corpus_v3_repetition_gate(spark):
+    """r10: v3 drops keyword-stuffed and duplicate-line docs that pass
+    every shape-based gate; clean docs flow through unchanged."""
+    from reddit_twitter_big_data_pipeline_spark.plans import training
+
+    long_en = "the cat and the dog sat on the mat with all of the others " * 4
+    stuffed = long_en + " click here" * 40
+    dup_lines = (long_en.strip() + "\n") * 5 + "unique tail"
+    df = spark.createDataFrame(
+        [
+            (1, long_en, "https://a.keep.com/1"),
+            (2, stuffed, "https://b.keep.com/2"),     # top-bigram gate -> out
+            (3, dup_lines, "https://c.keep.com/3"),   # dup-line gate -> out
+            (4, long_en + "more", "https://d.keep.com/4"),
+        ],
+        ["doc_id", "text", "url"],
+    )
+    out = {r.doc_id for r in training.curate_corpus_v3(df).collect()}
+    assert out == {1, 4}
+    # v2 (no repetition gate) admits the spam rows — the gate is the diff
+    out_v2 = {r.doc_id for r in training.curate_corpus_v2(df).collect()}
+    assert out_v2 == {1, 2, 3, 4}
+
+
 def test_curate_increment_v2_near_dup_screen(spark):
     """r10: the near-dup composition drops batch rows that near-dup a
     CORPUS page (survive the exact-fp anti-join, J >= 0.9) and keeps the
