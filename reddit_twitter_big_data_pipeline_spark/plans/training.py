@@ -139,7 +139,16 @@ def curate_corpus_v3(
     The repetition stage joins the gated rows to their signal frame by
     id (two slim doc-keyed aggregation pipelines inside
     `repetition_signals`; the text itself never rides an exchange —
-    the join back is id-keyed with text as payload)."""
+    the join back is id-keyed with text as payload).
+
+    Plan-shape note: the gated subtree feeds BOTH the signal branch and
+    the kept-side of the semi-join, so it executes twice. That is
+    deliberate: unlike `curate_increment_v2`'s batch (small by
+    contract), this frame is CORPUS-scale with text — persisting it
+    would trade a second scan-and-project pass (row-local, pruned,
+    embarrassingly parallel) for corpus-sized cache pressure. At 100 TB
+    the extra pass is the cheap side of that trade; locally it shows up
+    as stage-count overhead only."""
     qual = _corpus_gated(
         docs, blocked, id_col, text_col, url_col, blocked_col,
         min_margin, q_micro_min,
