@@ -127,6 +127,7 @@ def curate_corpus_v3(
     rep_top_bigram_micro_max: int = 200_000,
     split_weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
     hash_fn: str = "xxhash64",
+    checkpoint_gated: bool = True,
 ) -> DataFrame:
     """`curate_corpus_v2` with the REPETITION gate composed in (r10):
     shape-based quality (length/punctuation) passes SEO spam that
@@ -142,17 +143,23 @@ def curate_corpus_v3(
     the join back is id-keyed with text as payload).
 
     Plan-shape note: the gated subtree feeds BOTH the signal branch and
-    the kept-side of the semi-join, so it executes twice. That is
-    deliberate: unlike `curate_increment_v2`'s batch (small by
-    contract), this frame is CORPUS-scale with text — persisting it
-    would trade a second scan-and-project pass (row-local, pruned,
-    embarrassingly parallel) for corpus-sized cache pressure. At 100 TB
-    the extra pass is the cheap side of that trade; locally it shows up
-    as stage-count overhead only."""
+    the kept-side of the semi-join. With ``checkpoint_gated`` (default)
+    the gated survivors are local-checkpointed to executor DISK once —
+    the langid/quality scoring then runs one time, not once per branch
+    (interleaved A/B at sf0.1, `tools/ab_curation_v3_ckpt.py`: 0.56×,
+    outputs row-identical). The checkpoint holds post-gate survivors
+    (a fraction of the corpus) on local disk, not in memory — the
+    standard lineage-truncation tactic for a branching pipeline. Pass
+    ``checkpoint_gated=False`` to keep the fully-lazy single plan
+    (recompute-per-branch: one extra scan-and-project pass, zero
+    materialization — preferable when executors are disk-constrained
+    or the gate survival rate is near 1)."""
     qual = _corpus_gated(
         docs, blocked, id_col, text_col, url_col, blocked_col,
         min_margin, q_micro_min,
     )
+    if checkpoint_gated:
+        qual = qual.localCheckpoint(eager=False)
     rep_ok = (
         text_ops.repetition_signals(
             qual.select(id_col, text_col), col=text_col, id_col=id_col
