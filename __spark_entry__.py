@@ -2413,6 +2413,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_containment_pairs"] = dedup_containment_pairs
 
+    def dedup_keep_best(spark, sf):
+        # Quality-aware near-dup canonicalization (operators/dedup.py:
+        # dedup_keep_best): exact-Jaccard >= 0.9 pairs -> connected
+        # components -> keep the LONGEST member per cluster (ties -> min
+        # doc_id), plus every unclustered doc. The production keep rule —
+        # curation pipelines keep the best member of a dup cluster, not
+        # whichever got the smallest id (dedup_keep_canonical's rule).
+        # Quality = character length: an integer, so the per-cluster
+        # argmax is a total order with no float-tie seam. Oracle = the
+        # leakproof CC unroll with a (len DESC, node ASC) row_number in
+        # place of the split-bucket hash, same poison-row fixpoint check.
+        docs = _docs_with_planted_dups(spark, sf)
+        pairs = dedup.jaccard_pairs(docs, threshold=0.9)
+        return dedup.dedup_keep_best(
+            docs.withColumn("q", F.length("text")), pairs, "q"
+        ).select("doc_id")
+
+    q["dedup_keep_best"] = dedup_keep_best
+
     def ts_profile_knn(spark, sf):
         # Time-series similarity search (the EDBT'19 shape, composed from
         # existing operators): each user's activity becomes a 24-dim
@@ -3939,6 +3958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wave-3 extension: the repetition-gated curation composition
         # enters for a 1-round-green untouched text query
         "text_bigram_logprob": "train_curation_v3",
+        # wave-4 extension: quality-aware near-dup canonicalization (new
+        # code enters immediately — the r8 rule) for an r8-green untouched
+        # window filler
+        "x_key_skew_profile": "dedup_keep_best",
     }
     for out_name, in_name in _R10_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
@@ -5585,6 +5608,48 @@ def oracle_sql() -> dict[str, str]:
               <> (SELECT sum(component) FROM l{n_rounds - 1})"""
 
     o["sample_split_leakproof"] = _leakproof_sql()
+
+    def _keep_best_sql(n_rounds: int = 8) -> str:
+        # Same jaccard-pairs CC unroll as _leakproof_sql; winner per
+        # component = row_number over (length(text) DESC, node ASC) —
+        # integer keys only, so the order is total and tie-free. Keep set
+        # = corpus ANTI JOIN losers; poison row on non-convergence.
+        head = f"""
+        WITH pr AS MATERIALIZED (SELECT a, b FROM ({_jaccard_oracle(0.9, max_freq=1000)})),
+        cedges AS (SELECT a AS s, b AS d FROM pr UNION SELECT b AS s, a AS d FROM pr),
+        l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS component FROM cedges)"""
+        body = ""
+        for i in range(n_rounds):
+            body += f""",
+        l{i + 1} AS MATERIALIZED (
+          SELECT l.node,
+                 least(l.component, coalesce(m.nmin, l.component)) AS component
+          FROM l{i} l LEFT JOIN (
+            SELECT e.s AS node, min(x.component) AS nmin
+            FROM cedges e JOIN l{i} x ON e.d = x.node
+            GROUP BY e.s
+          ) m USING (node)
+        )"""
+        return head + body + f""",
+        alldocs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        ),
+        ranked AS (
+          SELECT c.node, row_number() OVER (
+            PARTITION BY c.component
+            ORDER BY length(d.text) DESC, c.node ASC) AS rn
+          FROM l{n_rounds} c JOIN alldocs d ON d.doc_id = c.node
+        )
+        SELECT a.doc_id FROM alldocs a
+        ANTI JOIN (SELECT node FROM ranked WHERE rn > 1) lo ON lo.node = a.doc_id
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS doc_id
+        WHERE (SELECT sum(component) FROM l{n_rounds})
+              <> (SELECT sum(component) FROM l{n_rounds - 1})"""
+
+    o["dedup_keep_best"] = _keep_best_sql()
 
     # containment twin: the jaccard oracle's CTE chain with the
     # overlap-coefficient formula (|∩| / min sizes) in place of |∩| / |∪|

@@ -1135,6 +1135,47 @@ def dedup_keep_canonical(
     return docs.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Keep the HIGHEST-QUALITY member of each near-dup cluster (ties break
+    to the smallest id) and every document in no cluster — the production
+    keep rule where ``dedup_keep_canonical``'s min-id pick is arbitrary:
+    curation pipelines keep the longest / best-scored member of a dup
+    cluster, not whichever happened to get the smallest id. The reference
+    has no near-dup handling at all (SURVEY §2.4 extension).
+
+    ``quality_col`` must be an integer-comparable column already on `docs`
+    (use micro-units for fractional scores, the curate_* precedent) so the
+    per-cluster argmax carries no float-tie seam; the (quality DESC, id ASC)
+    order is then a total order and the winner is deterministic.
+
+    Scale shape: only CLUSTERED ids flow through connected_components and
+    the argmax (near-dup clusters are a tiny fraction of the corpus). The
+    corpus is touched twice, both times on slim columns — one id-equi-join
+    fetching (id, quality) for clustered ids only, and one anti-join
+    removing losers. Text never rides any exchange; the winner selection is
+    one map-side-combined max_by over (component) — no window sort."""
+    comp = connected_components(pairs, a_col, b_col, checkpoint_dir=checkpoint_dir)
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q")),
+        "node",
+    )
+    winners = scored.groupBy("component").agg(
+        F.max_by(
+            "node", F.struct(F.col("__q"), (-F.col("node")).alias("__nid"))
+        ).alias("node")
+    )
+    losers = scored.select("node").join(winners.select("node"), "node", "left_anti")
+    return docs.join(losers.withColumnRenamed("node", id_col), id_col, "left_anti")
+
+
 # --- segment-level dedup (duplicated-span removal) --------------------------
 
 

@@ -618,6 +618,35 @@ def test_dedup_keep_canonical_end_to_end_minhash(spark):
     assert kept == [1, 3, 4]
 
 
+def test_dedup_keep_best_quality_argmax(spark):
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (5, 1), (10, 4), (11, 4)],
+        ["doc_id", "q"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    kept = sorted(
+        r.doc_id for r in dedup.dedup_keep_best(docs, pairs, "q").collect()
+    )
+    # cluster {1,2,3}: max q is 9 shared by 2 and 3 -> min-id tiebreak
+    # keeps 2 (NOT the min-id member 1 — distinguishes the rule from
+    # dedup_keep_canonical); cluster {10,11}: tie -> 10; singleton 5 kept
+    assert kept == [2, 5, 10]
+
+
+def test_dedup_keep_best_matches_canonical_on_uniform_quality(spark):
+    # with constant quality the tiebreak IS min-id, so the two keep rules
+    # must agree on any pair set
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", 7) for i in [1, 2, 3, 5, 10, 11]], ["doc_id", "text", "q"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    best = sorted(r.doc_id for r in dedup.dedup_keep_best(docs, pairs, "q").collect())
+    canon = sorted(
+        r.doc_id for r in dedup.dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert best == canon == [1, 5, 10]
+
+
 def test_scrub_pii_preserves_dates_and_number_lists(spark):
     """The phone patterns must not swallow ordinary numeric text."""
     df = spark.createDataFrame(
