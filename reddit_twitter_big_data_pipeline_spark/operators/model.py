@@ -823,27 +823,60 @@ def _degree_oriented(
     return e, deg, o
 
 
-def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
-    """Exact triangle count of an undirected graph, as three relational
-    joins (the social-graph clustering signal — reference's graph store
-    could answer this only with a Cypher full traversal). Returns one row
-    (n_triangles long).
+def triangle_count(
+    edges: DataFrame, a: str = "a", b: str = "b", adj_threshold: int = 1 << 15
+) -> DataFrame:
+    """Exact triangle count of an undirected graph (the social-graph
+    clustering signal — reference's graph store could answer this only
+    with a Cypher full traversal). Returns one row (n_triangles long).
 
-    Scale shape: the degree-oriented DAG from `_degree_oriented` caps the
-    wedge join's per-key fan-out at ~√(2m); payloads are id pairs
-    throughout; each triangle is counted exactly once (its unique cyclic
-    orientation under a total order is acyclic with exactly one source).
+    Two physical strategies over the same degree-oriented DAG, picked by
+    the orientation's out-degree bound √(2m) ≤ `adj_threshold`:
+
+    - ADJACENCY INTERSECTION (default whenever m ≤ adj_threshold²/2):
+      per-source sorted out-neighbor arrays (each ≤ √(2m) elements — the
+      orientation bound is the bucket cap, same discipline as the LSH
+      bucket caps), one m-row edge join against the array table, then
+      Σ size(array_intersect(N⁺(s), N⁺(t))). All JVM-side; avoids
+      materializing the wedge set entirely. Interleaved A/B at sf0.1
+      (tools/ab_triangle.py, min-of-3, identical counts 124,470,598 on
+      the 91%-complete co-supply graph): 6.6 s vs 26.4 s = 0.25× of the
+      wedge join.
+    - WEDGE JOIN (the unbounded-scale fallback): per-key fan-out capped
+      at ~√(2m); payloads are id pairs throughout; each triangle counted
+      exactly once (its unique cyclic orientation under a total order is
+      acyclic with exactly one source). At m beyond adj_threshold²/2 the
+      neighbor arrays would grow past ~adj_threshold elements per row, so
+      the slim-row join wins back.
+
     The scalar is computed eagerly and the caches released before
     returning.
     """
     e, _deg, o = _degree_oriented(edges, a, b)
-    wedges = o.alias("x").join(
-        o.alias("y"), F.col("x.t") == F.col("y.s")
-    ).select(F.col("x.s").alias("p"), F.col("x.t").alias("q"), F.col("y.t").alias("r"))
-    closed = wedges.join(
-        o.select(F.col("s").alias("p"), F.col("t").alias("r")), ["p", "r"]
-    )
-    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")).collect()[0][0]
+    m = o.count()  # o is cached+materialized by _degree_oriented — a cache scan
+    if m <= (adj_threshold * adj_threshold) // 2:
+        adj = o.groupBy("s").agg(F.array_sort(F.collect_list("t")).alias("ns"))
+        joined = o.join(adj.select("s", F.col("ns").alias("ns_s")), "s").join(
+            adj.select(F.col("s").alias("t"), F.col("ns").alias("ns_t")), "t"
+        )
+        n_tri = (
+            joined.select(F.size(F.array_intersect("ns_s", "ns_t")).alias("c"))
+            .agg(F.sum("c").cast("long").alias("n_triangles"))
+            .collect()[0][0]
+        )
+        n_tri = 0 if n_tri is None else n_tri  # sum over zero rows is NULL
+    else:
+        wedges = o.alias("x").join(
+            o.alias("y"), F.col("x.t") == F.col("y.s")
+        ).select(
+            F.col("x.s").alias("p"), F.col("x.t").alias("q"), F.col("y.t").alias("r")
+        )
+        closed = wedges.join(
+            o.select(F.col("s").alias("p"), F.col("t").alias("r")), ["p", "r"]
+        )
+        n_tri = closed.agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles")
+        ).collect()[0][0]
     e.unpersist()
     o.unpersist()
     return edges.sparkSession.range(1).select(F.lit(n_tri).cast("long").alias("n_triangles"))

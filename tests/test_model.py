@@ -517,6 +517,25 @@ def test_triangle_count_known_graphs(spark):
     assert model.triangle_count(star).first().n_triangles == 0
 
 
+def test_triangle_count_paths_agree(spark):
+    # the adjacency-intersection default and the forced wedge-join
+    # fallback (adj_threshold=0) must count identically on an irregular
+    # graph: two K4s sharing a vertex, plus a chord and pendants
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i, j) for i in (0, 10, 11, 12) for j in (0, 10, 11, 12) if i < j]
+    edges = k4a + k4b + [(1, 10), (12, 20), (20, 21)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    n_adj = model.triangle_count(df).first().n_triangles
+    n_wedge = model.triangle_count(df, adj_threshold=0).first().n_triangles
+    assert n_adj == n_wedge == 9  # 4 per K4 + {0,1,10} closed by the chord
+
+
+def test_triangle_count_empty_graph_both_paths(spark):
+    empty = spark.createDataFrame([], "a INT, b INT")
+    assert model.triangle_count(empty).first().n_triangles == 0
+    assert model.triangle_count(empty, adj_threshold=0).first().n_triangles == 0
+
+
 def test_label_propagation_matches_synchronous_reference(spark):
     # two triangles bridged by one edge — LPA should find two communities
     edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
