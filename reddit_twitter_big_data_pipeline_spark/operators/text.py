@@ -431,7 +431,7 @@ def quality_score(col: str = "text") -> Column:
 
 
 def repetition_signals(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", keep: tuple = ()
 ) -> DataFrame:
     """Gopher/MassiveText REPETITION filters (r10) — the quality family's
     missing axis: `quality_score`/`gopher_signals` measure shape (length,
@@ -450,78 +450,121 @@ def repetition_signals(
     breaks count ties by gram string) and every ratio is one int/int
     division — bit-identical in both engines, no float tie surface.
 
-    Scale shape: two slim doc-keyed aggregation pipelines (line explode →
-    (id, line) counts → per-doc sums; bigram explode → (id, gram) counts
-    → per-doc max_by) joined back on id — grouping keys are (id, short
-    string); the document text itself never rides an exchange."""
-    base = df.select(
-        F.col(id_col),
-        F.split(F.col(col), "\n").alias("__lines"),
-        F.length(normalize_text(col)).alias("__nchars"),
+    Scale shape: ZERO shuffles — both signals are per-row array folds in
+    the `max_word_frac` style: sort the line/gram array, fold once over it
+    counting runs of equal adjacent elements (a run of length c IS that
+    element's occurrence count, so run-flushing reproduces the explode →
+    groupBy(id, elem) counts exactly, and a strictly-greater best-run
+    update over the ASC-sorted gram array IS the (count desc, gram asc)
+    argmax). The explode + two-shuffle + window form this replaces was
+    measured row-identical on the full 5k-doc sf0.1 corpus and 0.94× warm
+    locally (tools/ab_repetition.py, interleaved min-of-4 — the per-row
+    gram construction dominates at toy scale); at scale the fold runs at
+    scan speed while the explode form shuffles the whole gram table.
+    ``keep`` columns pass through the staging untouched (the
+    langid_margin pattern), so a gate can filter on the signals without
+    joining them back — since the signals are row-local, the passthrough
+    costs nothing."""
+    # line-run fold: flush a finished run's duplicate contribution on
+    # element change; a trailing flush in finish() closes the last run.
+    # The "" init for prev is safe: a leading run of real "" lines differs
+    # only in taking the same-branch (run 0+1 = 1 = the change-branch).
+    lz = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("dupch"),
     )
-    lines = base.select(id_col, F.explode("__lines").alias("__l"))
-    line_stats = (
-        lines.groupBy(id_col, "__l")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("__c").cast("long").alias("n_lines"),
-            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
-            .cast("long")
-            .alias("__dup_lines"),
-            F.sum(F.col("__c") * F.length("__l")).cast("long").alias("__line_chars"),
-            F.sum(
-                F.when(F.col("__c") > 1, F.col("__c") * F.length("__l")).otherwise(0)
-            )
-            .cast("long")
-            .alias("__dup_line_chars"),
+
+    def _lstep(acc: Column, t: Column) -> Column:
+        same = t == acc["prev"]
+        flush = ~same & (acc["run"] > 1)
+        return F.struct(
+            t.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            (acc["dup"] + F.when(flush, acc["run"]).otherwise(F.lit(0).cast("long"))).alias("dup"),
+            (
+                acc["dupch"]
+                + F.when(flush, acc["run"] * F.length(acc["prev"])).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dupch"),
         )
-    )
+
+    def _lfin(acc: Column) -> Column:
+        last = acc["run"] > 1
+        return F.struct(
+            (acc["dup"] + F.when(last, acc["run"]).otherwise(F.lit(0).cast("long"))).alias("dup"),
+            (
+                acc["dupch"]
+                + F.when(last, acc["run"] * F.length(acc["prev"])).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("dupch"),
+        )
+
+    lines = F.split(F.col(col), "\n")
+    line_stats = F.aggregate(F.array_sort(lines), lz, _lstep, _lfin)
+
     toks = F.split(normalize_text(col), " ")
     n = F.size(toks)
     grams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        )
+        _gram_array(toks, n, 2)
     )
-    gr = df.select(F.col(id_col), F.explode(grams).alias("__g"))
-    # integer argmax: count desc, then gram string asc — ties break
-    # identically in both engines, no float surface
-    from pyspark.sql.window import Window
+    # best-run fold over the ASC-sorted grams: update only on run > best,
+    # so among equal counts the FIRST (smallest) gram wins — the same
+    # (count desc, gram asc) decision as the explode+window form
+    gz = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("bestg"),
+    )
 
-    wg = Window.partitionBy(id_col).orderBy(F.col("__c").desc(), F.col("__g").asc())
-    top_gram = (
-        gr.groupBy(id_col, "__g")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn("__rn", F.row_number().over(wg))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("__c").alias("__top_cnt"),
-            F.length("__g").alias("__top_len"),
+    def _gstep(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run > acc["best"]
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, t).otherwise(acc["bestg"]).alias("bestg"),
         )
+
+    top_gram = F.aggregate(
+        F.array_sort(grams),
+        gz,
+        _gstep,
+        lambda acc: F.struct(
+            acc["best"].alias("cnt"), F.length(acc["bestg"]).cast("long").alias("len")
+        ),
     )
-    return (
-        base.select(id_col, "__nchars")
-        .join(line_stats, id_col, "left")
-        .join(top_gram, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_lines"),
-            (F.col("__dup_lines").cast("double") / F.col("n_lines")).alias(
-                "dup_line_frac"
-            ),
-            (
-                F.col("__dup_line_chars").cast("double")
-                / F.greatest(F.col("__line_chars"), F.lit(1))
-            ).alias("dup_line_char_frac"),
-            F.coalesce(
-                F.col("__top_cnt") * F.col("__top_len")
-                / F.greatest(F.col("__nchars"), F.lit(1)).cast("double"),
-                F.lit(0.0),
-            ).alias("top_bigram_char_frac"),
-        )
+
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        F.size(lines).cast("long").alias("n_lines"),
+        F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        ).alias("__line_chars"),
+        F.length(normalize_text(col)).alias("__nchars"),
+        line_stats.alias("__ls"),
+        top_gram.alias("__gs"),
+    )
+    return staged.select(
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        F.col("n_lines"),
+        (F.col("__ls.dup").cast("double") / F.col("n_lines")).alias("dup_line_frac"),
+        (
+            F.col("__ls.dupch").cast("double")
+            / F.greatest(F.col("__line_chars"), F.lit(1))
+        ).alias("dup_line_char_frac"),
+        F.coalesce(
+            F.col("__gs.cnt") * F.col("__gs.len")
+            / F.greatest(F.col("__nchars"), F.lit(1)).cast("double"),
+            F.lit(0.0),
+        ).alias("top_bigram_char_frac"),
     )
 
 

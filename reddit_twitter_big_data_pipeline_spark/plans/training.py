@@ -137,32 +137,31 @@ def curate_corpus_v3(
     micro-units — binary-exact in both engines, the quality-gate
     discipline) → per-domain quota → exact dedupe → split.
 
-    The repetition stage joins the gated rows to their signal frame by
-    id (two slim doc-keyed aggregation pipelines inside
-    `repetition_signals`; the text itself never rides an exchange —
-    the join back is id-keyed with text as payload).
-
-    Plan-shape note: the gated subtree feeds BOTH the signal branch and
-    the kept-side of the semi-join. With ``checkpoint_gated`` (default)
-    the gated survivors are local-checkpointed to executor DISK once —
-    the langid/quality scoring then runs one time, not once per branch
-    (interleaved A/B at sf0.1, `tools/ab_curation_v3_ckpt.py`: 0.56×,
-    outputs row-identical). The checkpoint holds post-gate survivors
-    (a fraction of the corpus) on local disk, not in memory — the
-    standard lineage-truncation tactic for a branching pipeline. Pass
-    ``checkpoint_gated=False`` to keep the fully-lazy single plan
-    (recompute-per-branch: one extra scan-and-project pass, zero
-    materialization — preferable when executors are disk-constrained
-    or the gate survival rate is near 1)."""
+    Plan shape: the fold-form `repetition_signals` is a row-local
+    projection, so the gate FILTERS on passthrough columns — the
+    original signal-frame id-join (text as payload on that exchange) is
+    gone; the filter form measured parity with the join locally and
+    saves the shuffle at scale. The ``checkpoint_gated`` barrier
+    (lazy localCheckpoint of the gated survivors to executor disk)
+    REMAINS LOAD-BEARING for a different reason than the r10 branch
+    dedup: without it, predicate pushdown collapses the staged
+    langid/quality/fold projections and substitutes their expression
+    trees into every downstream reference (the executed plan carries
+    165 copies of the langid regexp machinery) — three-arm interleaved
+    A/B at sf0.1 (tools/ab_curation_v3_ckpt.py, min-of-4): barrier-less
+    linear 17.7 s vs checkpoint+filter 14.2 s vs the old
+    checkpoint+join 13.9 s (filter/join = 1.02×, within noise). Pass
+    ``checkpoint_gated=False`` for the fully-lazy single plan when
+    executors are disk-constrained."""
     qual = _corpus_gated(
         docs, blocked, id_col, text_col, url_col, blocked_col,
         min_margin, q_micro_min,
     )
     if checkpoint_gated:
         qual = qual.localCheckpoint(eager=False)
-    rep_ok = (
+    kept = (
         text_ops.repetition_signals(
-            qual.select(id_col, text_col), col=text_col, id_col=id_col
+            qual, col=text_col, id_col=id_col, keep=(text_col, "lang", "domain")
         )
         .filter(
             (
@@ -176,9 +175,8 @@ def curate_corpus_v3(
                 <= F.lit(rep_top_bigram_micro_max)
             )
         )
-        .select(id_col)
+        .select(id_col, text_col, "lang", "domain")
     )
-    kept = qual.join(rep_ok, id_col)
     quota = sampling.cap_per_group(
         kept, "domain", domain_cap, id_col=id_col, hash_fn=hash_fn
     )

@@ -1367,6 +1367,16 @@ def test_repetition_signals_hand_computed(spark):
     assert rows[4].top_bigram_char_frac == 0.0
 
 
+def test_repetition_signals_bigram_tie_breaks_to_smallest_gram(spark):
+    # three bigrams tie at count 2 ('bb ccc', 'ccc bb', 'bb dddd'); the
+    # argmax must pick the lexicographically smallest ('bb ccc', 6 chars),
+    # pinning the (count desc, gram asc) decision through the fold form
+    text = "bb ccc bb dddd bb ccc bb dddd"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = text_ops.repetition_signals(df).first()
+    assert abs(row.top_bigram_char_frac - 2 * 6 / len(text)) < 1e-12
+
+
 def test_pack_sequences_contiguous_streams(spark):
     """r10 packing: per shard the docs tile the token stream exactly
     (start offsets are the running sum, no gaps/overlaps), sequence ids

@@ -1,10 +1,17 @@
-"""Interleaved A/B: curate_corpus_v3's double-executed gated subtree —
-the committed recompute-both-branches form vs an eager localCheckpoint
-of the gated frame before the repetition semi-join. The checkpoint
-trades a second scan-and-project pass for materializing the gated
-survivors (corpus-scale WITH text — fine locally, a deliberate
-non-default at 100 TB; see the curate_corpus_v3 docstring). This A/B
-quantifies the LOCAL profile only.
+"""Three-arm interleaved A/B for curate_corpus_v3's plan shape, all on
+the fold-form repetition_signals:
+
+- `linear`      : no barrier — one lazy plan; predicate pushdown
+                  collapses the staged langid/quality/fold projections
+                  and duplicates their expression trees downstream
+                  (165 regexp_extract_all copies in the executed plan).
+- `ckpt_filter` : the COMMITTED form — lazy localCheckpoint barrier on
+                  the gated survivors, then the repetition gate as a
+                  FILTER on keep-passthrough columns (no join).
+- `ckpt_join`   : the original r10 form — same barrier, signal frame
+                  joined back by id (text as payload on that exchange).
+
+Outputs must match row-for-row across all three.
 
 Usage: python tools/ab_curation_v3_ckpt.py [sf_dir] [reps]
 """
@@ -61,7 +68,8 @@ def inputs(spark, sf_dir: str):
 
 
 def v3_tail(qual, domain_cap=5, hash_fn="md5"):
-    """The committed v3 stages downstream of the gated frame."""
+    """The original r10 branch-form stages downstream of the gated frame
+    (signal frame joined back by id) — the baseline arm."""
     rep_ok = (
         text_ops.repetition_signals(qual.select("doc_id", "text"))
         .filter(
@@ -89,30 +97,44 @@ def main() -> None:
     spark = session.get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     planted, blocked = inputs(spark, sf_dir)
 
-    def build(ckpt: bool):
+    def build(form: str):
+        if form == "ckpt_filter":
+            return training.curate_corpus_v3(
+                planted, blocked, min_margin=2, domain_cap=5, hash_fn="md5"
+            )
+        if form == "linear":
+            return training.curate_corpus_v3(
+                planted, blocked, min_margin=2, domain_cap=5, hash_fn="md5",
+                checkpoint_gated=False,
+            )
         qual = training._corpus_gated(
             planted, blocked, "doc_id", "text", "url", "domain", 2, 150_000
-        )
-        if ckpt:
-            qual = qual.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         return v3_tail(qual)
 
-    a = build(False)
-    b = build(True)
-    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
-    print(f"output diff rows: {diff}", file=sys.stderr, flush=True)
-    assert diff == 0, "variants disagree — A/B void"
+    arms = ("linear", "ckpt_filter", "ckpt_join")
+    frames = {k: build(k) for k in arms}
+    for x, y in (("linear", "ckpt_filter"), ("ckpt_filter", "ckpt_join")):
+        diff = (
+            frames[x].exceptAll(frames[y]).count()
+            + frames[y].exceptAll(frames[x]).count()
+        )
+        print(f"output diff rows {x}/{y}: {diff}", file=sys.stderr, flush=True)
+        assert diff == 0, "variants disagree — A/B void"
 
-    times = {"recompute": [], "checkpoint": []}
+    times = {k: [] for k in arms}
     for rep in range(reps):
-        for key, ck in (("recompute", False), ("checkpoint", True)):
+        for key in arms:
             t0 = time.time()
-            build(ck).write.format("noop").mode("overwrite").save()
+            build(key).write.format("noop").mode("overwrite").save()
             times[key].append(time.time() - t0)
             print(f"rep{rep} {key}: {times[key][-1]:.2f}s", file=sys.stderr, flush=True)
     mins = {k: round(min(v), 3) for k, v in times.items()}
-    mins["ratio_ckpt_over_recompute"] = round(
-        min(times["checkpoint"]) / min(times["recompute"]), 3
+    mins["ratio_filter_over_join"] = round(
+        min(times["ckpt_filter"]) / min(times["ckpt_join"]), 3
+    )
+    mins["ratio_linear_over_filter"] = round(
+        min(times["linear"]) / min(times["ckpt_filter"]), 3
     )
     print(json.dumps(mins))
 

@@ -1,9 +1,12 @@
-"""Interleaved A/B: repetition_signals' top-bigram argmax — the
-committed per-doc row_number WINDOW (exchange + sort on (id, gram))
-vs a min_by(struct(-count, gram)) AGGREGATION (hash agg, map-side
-partial, no sort). Both implement the identical integer decision
-(count desc, gram string asc on ties), so outputs must match
-row-for-row; the question is only the plan.
+"""Interleaved A/B: the committed repetition_signals (per-row sorted-array
+FOLD — zero shuffles) vs the explode + groupBy + min_by reconstruction
+(the best explode-family variant: hash agg, map-side partial, no window
+sort). Both implement the identical integer decisions (run length IS the
+occurrence count; strictly-greater best-run over ASC-sorted grams IS the
+count-desc/gram-asc argmax), so outputs must match row-for-row; the
+question is only the plan. History: the row_number-window vs min_by A/B
+measured parity (1.004x, r10), identifying the explode itself as the
+cost — this fold form removes it.
 
 Usage: python tools/ab_repetition.py [sf_dir] [reps]
 """
@@ -43,8 +46,9 @@ def planted(spark, sf_dir: str) -> DataFrame:
 
 
 def signals_minby(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """repetition_signals with the top-gram stage as min_by(struct(-c, g))
-    — same (count desc, gram asc) decision, no sort."""
+    """The explode-family baseline: line/gram explode + groupBy counts,
+    top-gram via min_by(struct(-c, g)) — the faster of the two explode
+    variants from the r10 parity A/B."""
     base = df.select(
         F.col(id_col),
         F.split(F.col(col), "\n").alias("__lines"),
@@ -129,18 +133,18 @@ def main() -> None:
     print(f"output diff rows: {diff}", file=sys.stderr, flush=True)
     assert diff == 0, "variants disagree — A/B void"
 
-    times = {"window": [], "min_by": []}
-    for key, frame in (("window", a), ("min_by", b)):  # warm both
+    times = {"fold": [], "explode_minby": []}
+    for key, frame in (("fold", a), ("explode_minby", b)):  # warm both
         frame.write.format("noop").mode("overwrite").save()
     for rep in range(reps):
-        for key, frame in (("window", a), ("min_by", b)):
+        for key, frame in (("fold", a), ("explode_minby", b)):
             t0 = time.time()
             frame.write.format("noop").mode("overwrite").save()
             times[key].append(time.time() - t0)
             print(f"rep{rep} {key}: {times[key][-1]:.2f}s", file=sys.stderr, flush=True)
     mins = {k: round(min(v), 3) for k, v in times.items()}
-    mins["ratio_minby_over_window"] = round(
-        min(times["min_by"]) / min(times["window"]), 3
+    mins["ratio_fold_over_explode"] = round(
+        min(times["fold"]) / min(times["explode_minby"]), 3
     )
     print(json.dumps(mins))
 
