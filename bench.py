@@ -46,6 +46,7 @@ HEADLINE = [
     "social_twitter_edges",
     "social_enriched_tweets",
     "dedup_exact_keep",
+    "dedup_keep_best",
     "dedup_minhash_pairs",
     "dedup_jaccard_pairs",
     "dedup_simhash_pairs",
