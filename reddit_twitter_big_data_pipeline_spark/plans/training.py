@@ -199,21 +199,27 @@ def _corpus_gated(
     blocked_col: str,
     min_margin: int,
     q_micro_min: int,
+    keep_extra: tuple = (),
 ) -> DataFrame:
-    """Stages 1-3 of whole-corpus curation, shared by v2 and v3:
-    confidence langid (label rides the scan), optional broadcast
-    blocklist anti-join on the registered domain, integer micro-unit
-    quality gate. Returns (id, text, url, lang, domain)."""
+    """Stages 1-3 of whole-corpus curation, shared by v2 and v3 (and the
+    streaming curate_stream — `keep_extra` threads the event-time column
+    through for its watermark): confidence langid (label rides the
+    scan), optional broadcast blocklist anti-join on the registered
+    domain, integer micro-unit quality gate. Returns
+    (id, text, url, *keep_extra, lang, domain)."""
     lang_ok = (
         text_ops.langid_margin(
-            docs.select(id_col, text_col, url_col),
+            docs.select(id_col, text_col, url_col, *keep_extra),
             col=text_col,
             id_col=id_col,
             min_margin=min_margin,
-            keep=(text_col, url_col),
+            keep=(text_col, url_col, *keep_extra),
         )
         .filter(F.col("lang_conf") != "und")
-        .select(id_col, text_col, url_col, F.col("lang_conf").alias("lang"))
+        .select(
+            id_col, text_col, url_col, *keep_extra,
+            F.col("lang_conf").alias("lang"),
+        )
     )
     dom = lang_ok.withColumn("domain", text_ops.registered_domain(url_col))
     if blocked is not None:
