@@ -840,8 +840,9 @@ def triangle_count(
       Σ size(array_intersect(N⁺(s), N⁺(t))). All JVM-side; avoids
       materializing the wedge set entirely. Interleaved A/B at sf0.1
       (tools/ab_triangle.py, min-of-3, identical counts 124,470,598 on
-      the 91%-complete co-supply graph): 6.6 s vs 26.4 s = 0.25× of the
-      wedge join.
+      the 91%-complete co-supply graph): 5.88 s vs 16.59 s = 0.354× of
+      the wedge join; scaled 1×/4×/16× growth is linear-or-better
+      (tools/bench_triangle_scaled.py, 16×/1× = 10.9).
     - WEDGE JOIN (the unbounded-scale fallback): per-key fan-out capped
       at ~√(2m); payloads are id pairs throughout; each triangle counted
       exactly once (its unique cyclic orientation under a total order is
@@ -854,7 +855,9 @@ def triangle_count(
     """
     e, _deg, o = _degree_oriented(edges, a, b)
     m = o.count()  # o is cached+materialized by _degree_oriented — a cache scan
-    if m <= (adj_threshold * adj_threshold) // 2:
+    # adj_threshold <= 0 forces the wedge join on ANY input (including
+    # m = 0), so tests and A/Bs can exercise the fallback unconditionally
+    if adj_threshold > 0 and m <= (adj_threshold * adj_threshold) // 2:
         adj = o.groupBy("s").agg(F.array_sort(F.collect_list("t")).alias("ns"))
         joined = o.join(adj.select("s", F.col("ns").alias("ns_s")), "s").join(
             adj.select(F.col("s").alias("t"), F.col("ns").alias("ns_t")), "t"

@@ -51,10 +51,13 @@ def domain_quota_admit(
 ) -> DataFrame:
     """Admit at most `cap` documents per domain over the STREAM's lifetime,
     emitting admitted rows with their full input schema. State = one long
-    per domain (admitted count); a domain at cap costs one counter read
-    per batch it appears in, never row buffering. Within a micro-batch,
-    rows are admitted in ascending `id_col` order so replays of the same
-    batch admit the same rows (the exact-dedupe min-id convention)."""
+    per domain (admitted count). Within a micro-batch, the `cap − n`
+    smallest `id_col` rows of the WHOLE group win (the exact-dedupe min-id
+    convention) — the group arrives as multiple Arrow chunks, so the
+    handler keeps a rolling buffer of the current best ≤ `cap − n` rows
+    across chunks (bounded by the cap, never by group size) and emits
+    once. Per-chunk admission would depend on chunk boundaries, which are
+    not deterministic across retries/replays."""
 
     out_schema = docs.schema
 
@@ -62,15 +65,18 @@ def domain_quota_admit(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            take = cap - n
-            if take <= 0:
-                continue
-            pdf = pdf.sort_values(id_col)
-            admitted = pdf.head(take)
-            n += len(admitted)
-            if len(admitted):
-                yield admitted
+        take = cap - n
+        if take > 0:
+            best: pd.DataFrame | None = None
+            for pdf in pdfs:
+                cand = pdf if best is None else pd.concat([best, pdf])
+                best = cand.sort_values(id_col).head(take)
+            if best is not None and len(best):
+                n += len(best)
+                yield best
+        else:
+            for _ in pdfs:  # drain the iterator; the group is at cap
+                pass
         state.update((int(n),))
 
     return docs.groupBy(domain_col).applyInPandasWithState(

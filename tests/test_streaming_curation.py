@@ -100,6 +100,41 @@ def test_domain_quota_admit_caps_across_batches(spark, tmp_path):
     assert got == [1, 2, 3, 10]
 
 
+def test_domain_quota_admit_min_ids_across_arrow_chunks(spark, tmp_path):
+    """The group arrives as MULTIPLE Arrow chunks when it exceeds
+    maxRecordsPerBatch; the admitted set must still be the globally
+    smallest ids of the whole micro-batch group, not per-chunk winners."""
+    land = tmp_path / "land"
+    # descending ids: the globally smallest ids sit in the LAST chunk,
+    # so a per-chunk head() would admit 9,8 instead of 1,2
+    _write_batch(
+        land, "1.json",
+        [{"doc_id": i, "domain": "a.com"} for i in (9, 8, 7, 6, 5, 4, 3, 2, 1)],
+        mtime=1,
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("domain", T.StringType())]
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        src = streams.read_json_stream(spark, str(land), schema)
+        out = curation.domain_quota_admit(src, cap=2)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("quota_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        streams.run_to_completion(q)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = sorted(r.doc_id for r in spark.sql("select * from quota_chunks").collect())
+    assert got == [1, 2]
+
+
 def test_curate_stream_gates_dedup_and_quota(spark, tmp_path):
     """End-to-end: garbage text drops at langid, a blocked domain drops at
     the anti-join, a cross-batch duplicate drops at the watermark fp-dedup

@@ -25,13 +25,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import SparkSession, functions as F  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
+from reddit_twitter_big_data_pipeline_spark import schemas, session  # noqa: E402
 from reddit_twitter_big_data_pipeline_spark.operators import model  # noqa: E402
 
 
 def _pairs(spark, sf_dir):
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+    # the x_triangle_count co-supply graph (same construction as
+    # tools/bench_triangle_scaled.py, via the shared nanos-safe loader)
+    li = schemas.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
     return (
@@ -52,13 +55,7 @@ def run_arm(pairs, adj_threshold):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = session.get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     pairs = _pairs(spark, sf_dir)
     times = {"adj": [], "wedge": []}
     for rep in range(reps):
