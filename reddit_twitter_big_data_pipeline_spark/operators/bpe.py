@@ -79,6 +79,41 @@ def _apply_merge(sym: Column, x: str, y: str) -> Column:
     return F.aggregate(sym, F.slice(sym, 1, 0), step)
 
 
+def _apply_merges(sym: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Apply a batch of pairwise-symbol-DISJOINT merges in ONE array fold.
+
+    Equivalent to chaining ``_apply_merge`` once per pair (property-tested
+    in tests/test_properties.py): because the batch is disjoint — no
+    component or merged symbol shared between pairs — a collapse by one
+    pair can neither create nor destroy an adjacency matched by another,
+    so a single left-to-right scan that collapses on *any* pair's (x, y)
+    reproduces the sequential result. One pass and one lambda expression
+    instead of len(pairs) nested folds keeps Catalyst analysis time flat
+    in the batch size (the r10 bench's 2 s/round driver cost was optimizer
+    time on the nested-fold tree, not execution)."""
+    if not pairs:
+        return sym
+    if len(pairs) == 1:
+        return _apply_merge(sym, *pairs[0])
+
+    def step(acc: Column, t: Column) -> Column:
+        last = F.get(acc, F.size(acc) - 1)
+        hit = F.lit(False)
+        for x, y in pairs:
+            hit = hit | ((last == F.lit(x)) & (t == F.lit(y)))
+        return (
+            F.when(
+                F.coalesce(hit, F.lit(False)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(last, t)),
+                ),
+            ).otherwise(F.concat(acc, F.array(t)))
+        )
+
+    return F.aggregate(sym, F.slice(sym, 1, 0), step)
+
+
 def pair_counts(vocab: DataFrame) -> DataFrame:
     """Weighted adjacent-pair counts (x, y, total) over a (s: array<string>,
     cnt: long) symbol-vocabulary frame — the per-round reduction of
@@ -132,7 +167,11 @@ def bpe_train(
         .select(_symbols(F.col("word")).alias("s"), "cnt")
         .cache()
     )
-    caches = [vocab]
+    # Rolling-release window (the x_hits/pagerank discipline,
+    # operators/model.py): once a round's collect has materialized the tip
+    # cache, every older cache is dead weight — release it immediately so
+    # peak cached state is ~2 vocab frames, not one per round.
+    live: list[DataFrame] = [vocab]
     merges: list[tuple[str, str]] = []
     r = 0
     while len(merges) < n_merges:
@@ -144,6 +183,9 @@ def bpe_train(
             .limit(max(4 * m, 16))
             .collect()
         )
+        # the collect materialized the tip (current vocab) — release the rest
+        while len(live) > 1:
+            live.pop(0).unpersist()
         if not cand:
             break
         taken: list[tuple[str, str]] = []
@@ -157,20 +199,26 @@ def bpe_train(
             if len(taken) >= m:
                 break
         merges.extend(taken)
-        s = F.col("s")
-        for x, y in taken:
-            s = _apply_merge(s, x, y)
-        nxt = vocab.select(s.alias("s"), "cnt").cache()
+        # all taken pairs are symbol-disjoint → ONE fold pass applies the
+        # whole batch (see _apply_merges; this is what keeps driver-side
+        # Catalyst time flat in batch_merges)
+        nxt = vocab.select(
+            _apply_merges(F.col("s"), taken).alias("s"), "cnt"
+        ).cache()
         # register the CACHED frame before any truncate rebinds nxt —
         # appending afterwards would leak the pre-checkpoint cache blocks
-        caches.append(nxt)
+        live.append(nxt)
         r += 1
         if r % 4 == 0:
-            # eager truncation materializes this round; otherwise the next
-            # round's collect fills the cache — no separate count() job
+            # eager truncation materializes this round and cuts lineage, so
+            # the pre-checkpoint cache (and everything older) releases now;
+            # otherwise the next round's collect fills the cache — no
+            # separate count() job
             nxt = _truncate(nxt, checkpoint_dir)
+            while live:
+                live.pop(0).unpersist()
         vocab = nxt
-    for c in caches:
+    for c in live:
         c.unpersist()
     return merges
 

@@ -993,6 +993,41 @@ def test_bpe_train_batched_rounds(spark):
         assert seen >= 2, f"merge {(x, y)} applied below min_count"
 
 
+def test_bpe_apply_merges_single_pass_matches_sequential(spark):
+    """_apply_merges (one fold, OR'd hit condition) must equal chaining
+    _apply_merge per pair, for any pairwise-symbol-disjoint batch — the
+    equivalence bpe_train's r11 single-pass optimization rests on.
+    Adversarial cases: repeated pairs, adjacent distinct merges, a merge
+    whose components wrap around another's collapse site, empty/1-symbol
+    arrays, and symbols that are prefixes of merged symbols."""
+    from reddit_twitter_big_data_pipeline_spark.operators import bpe
+
+    batch = [("a", "b"), ("c", "d"), ("e", "e")]
+    arrays = [
+        [],
+        ["a"],
+        ["a", "b"],
+        ["a", "b", "a", "b", "a"],
+        ["a", "a", "b", "b"],          # left-to-right non-overlap
+        ["a", "b", "c", "d"],          # adjacent distinct merges
+        ["c", "a", "b", "d"],          # collapse between another pair's parts
+        ["e", "e", "e", "e", "e"],     # self-pair chain: greedy pairing
+        ["x", "a", "b", "x", "c", "d", "x"],
+        ["ab", "a", "b", "cd"],        # literal merged-symbol lookalikes
+        ["b", "a", "d", "c"],          # reversed — no hits
+    ]
+    df = spark.createDataFrame([(a,) for a in arrays], "s: array<string>")
+    seq = F.col("s")
+    for x, y in batch:
+        seq = bpe._apply_merge(seq, x, y)
+    got = df.select(
+        bpe._apply_merges(F.col("s"), batch).alias("one_pass"),
+        seq.alias("sequential"),
+    ).collect()
+    for r in got:
+        assert r.one_pass == r.sequential
+
+
 def test_bpe_tokenize_unseen_words_fall_back(spark):
     from reddit_twitter_big_data_pipeline_spark.operators import bpe
 
@@ -1920,15 +1955,22 @@ def test_bucket_cap_no_per_call_cache_growth(spark):
     # frame per call; the grouped `_bucket_pairs` form has nothing to
     # persist). Run each capped pipeline twice and assert the persistent-
     # RDD census is unchanged.
+    # Assert on the *diff of persistent-RDD id sets*, not an absolute census:
+    # the shared session's async ContextCleaner may evict other tests'
+    # unreferenced caches between the snapshots (r10 VERDICT flake), which
+    # shrinks a raw count but can never add ids the capped pipelines created.
+    def _ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
     df = _docs(spark)
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    before = _ids()
     for _ in range(2):
         dedup.simhash_near_pairs(df, max_distance=0, max_bucket_size=1000).count()
         dedup.lsh_candidate_pairs(
             dedup.minhash_signatures(df), max_bucket_size=1000
         ).count()
-    after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert after == before
+    created = _ids() - before
+    assert not created, f"capped pipelines leaked cached RDD ids: {sorted(created)}"
 
 
 def test_bucket_cap_metric_not_pushed_below_observe(spark):
