@@ -837,13 +837,26 @@ def test_clustering_coefficient_matches_bruteforce_random(spark):
     )
     # noisy input: duplicates + reversed edges + a self-loop must not change it
     noisy = edges + [(v, u) for u, v in edges[:10]] + [(5, 5)]
+    df = spark.createDataFrame(noisy, ["a", "b"])
     got = {
         r.node: (r.degree, r.triangles, r.lcc)
-        for r in model.clustering_coefficient(
-            spark.createDataFrame(noisy, ["a", "b"])
-        ).collect()
+        for r in model.clustering_coefficient(df).collect()
     }
     assert got == _brute_lcc(edges)
+    # both forced strategies must produce identical rows on the same
+    # irregular graph — they share only the degree-oriented DAG
+    # (adj_threshold=0 forces the wedge join; wedge_factor=0 forces the
+    # adjacency intersection; the default density gate picks one of them)
+    wedge = {
+        r.node: (r.degree, r.triangles, r.lcc)
+        for r in model.clustering_coefficient(df, adj_threshold=0).collect()
+    }
+    assert wedge == got
+    adj = {
+        r.node: (r.degree, r.triangles, r.lcc)
+        for r in model.clustering_coefficient(df, wedge_factor=0).collect()
+    }
+    assert adj == got
 
 
 def _brute_adamic_adar(edges, max_degree=None):
