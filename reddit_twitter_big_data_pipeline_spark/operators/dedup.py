@@ -1154,22 +1154,37 @@ def dedup_keep_best(
     ``quality_col`` must be an integer-comparable column already on `docs`
     (use micro-units for fractional scores, the curate_* precedent) so the
     per-cluster argmax carries no float-tie seam; the (quality DESC, id ASC)
-    order is then a total order and the winner is deterministic.
+    order is then a total order and the winner is deterministic. Ids may be
+    of ANY orderable type (string, long, …): the tie-break is a min_by over
+    (−quality, id), so the id is compared natively, never negated — the
+    same id-type contract as ``dedup_keep_canonical`` (ADVICE r10).
+
+    A pair id ABSENT from `docs` (a stale pair set) is an automatic loser,
+    never the winner: the quality join is a LEFT join and missing-quality
+    rows rank behind every present row, so they cannot shift a cluster's
+    argmax silently — and since they don't exist in `docs`, the final
+    anti-join drops nothing extra for them (ADVICE r10).
 
     Scale shape: only CLUSTERED ids flow through connected_components and
     the argmax (near-dup clusters are a tiny fraction of the corpus). The
     corpus is touched twice, both times on slim columns — one id-equi-join
     fetching (id, quality) for clustered ids only, and one anti-join
     removing losers. Text never rides any exchange; the winner selection is
-    one map-side-combined max_by over (component) — no window sort."""
+    one map-side-combined min_by over (component) — no window sort."""
     comp = connected_components(pairs, a_col, b_col, checkpoint_dir=checkpoint_dir)
     scored = comp.join(
         docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q")),
         "node",
+        "left",
     )
     winners = scored.groupBy("component").agg(
-        F.max_by(
-            "node", F.struct(F.col("__q"), (-F.col("node")).alias("__nid"))
+        F.min_by(
+            "node",
+            F.struct(
+                F.col("__q").isNull().cast("int").alias("__missing"),
+                (-F.coalesce(F.col("__q"), F.lit(0))).alias("__negq"),
+                F.col("node").alias("__nid"),
+            ),
         ).alias("node")
     )
     losers = scored.select("node").join(winners.select("node"), "node", "left_anti")

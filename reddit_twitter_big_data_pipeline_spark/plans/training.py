@@ -294,13 +294,20 @@ def _increment_gated_novel(
     blocked_col: str,
     min_margin: int,
     q_micro_min: int,
+    corpus_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Stages 1-2 of incremental admission, shared by `curate_increment`
     and `curate_increment_v2`: row-local gates on the batch (confidence
     langid, optional broadcast blocklist anti-join, integer micro-unit
     quality), within-batch exact dedupe, then the corpus-fingerprint
     anti-join. Returns the gated NOVEL batch rows
-    (id, text, url, lang, domain)."""
+    (id, text, url, lang, domain).
+
+    `corpus_fps` is the stored-reduction form (one `__fp` column, the
+    distinct corpus fingerprint set): pass it when the pipeline persists
+    fingerprints at admission (`streaming/curation.py:curate_stream_v2`)
+    and the corpus text is never re-scanned here; `corpus` may then be
+    None. Without it the fingerprint set derives from `corpus`."""
     lang_ok = (
         text_ops.langid_margin(
             batch.select(id_col, text_col, url_col),
@@ -324,9 +331,11 @@ def _increment_gated_novel(
         >= F.lit(q_micro_min)
     )
     within = dedup_ops.exact_dedupe(qual, id_col=id_col, text_col=text_col)
-    corpus_fp = corpus.select(
-        text_ops.fingerprint(text_col).alias("__fp")
-    ).distinct()
+    corpus_fp = (
+        corpus_fps.select("__fp")
+        if corpus_fps is not None
+        else corpus.select(text_ops.fingerprint(text_col).alias("__fp")).distinct()
+    )
     return (
         within.withColumn("__fp", text_ops.fingerprint(text_col))
         .join(corpus_fp, "__fp", "left_anti")
@@ -342,15 +351,20 @@ def _admit_by_quota(
     url_col: str,
     domain_cap: int,
     hash_fn: str,
+    have: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 3 of incremental admission: per-domain remaining-quota
     ranking. The corpus contributes only (domain, count) — reduced
-    map-side, never re-shuffled in full."""
-    have = (
-        corpus.select(text_ops.registered_domain(url_col).alias("domain"))
-        .groupBy("domain")
-        .agg(F.count(F.lit(1)).alias("__have"))
-    )
+    map-side, never re-shuffled in full. `have` is the stored-reduction
+    form ((domain, __have) — per-domain admitted counts maintained at
+    admission time, `streaming/curation.py:curate_stream_v2`); `corpus`
+    may then be None and is never scanned."""
+    if have is None:
+        have = (
+            corpus.select(text_ops.registered_domain(url_col).alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("__have"))
+        )
     w = Window.partitionBy("domain").orderBy(
         sampling._bucket(id_col, "cap", hash_fn).asc(), F.col(id_col).asc()
     )

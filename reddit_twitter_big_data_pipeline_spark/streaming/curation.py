@@ -24,21 +24,34 @@ Stage map — every stage reuses the batch stack's single definition:
 State discipline (the 100-TB rules, matching stateful.py): quota state
 is a single counter per domain — never buffered rows; dedup state is
 watermark-bounded; handlers iterate Arrow batches.
+
+Minimum Spark version: 3.5 (ADVICE r10). `curate_stream` chains
+`dropDuplicatesWithinWatermark` (added in 3.5) into
+`applyInPandasWithState` in one update-mode query; both the operator and
+the multiple-stateful-operator combination are version-sensitive —
+pinned-version tests pass here (4.x), but a downgrade or port below 3.5
+fails analysis, and mid-3.x versions may reject the chaining. If you
+must run older, split the stages across two queries joined by a sink.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.utils import AnalysisException
 
 from .._serde import register_self
+from ..operators import dedup as dedup_ops
 from ..operators import text as text_ops
-from ..plans.training import _corpus_gated
+from ..plans.training import _admit_by_quota, _corpus_gated, _increment_gated_novel
+from ..sinks.writers import overwrite_partitions
 
 _QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 
@@ -88,6 +101,79 @@ def domain_quota_admit(
     )
 
 
+def domain_quota_admit_daily(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    delay: str = "1 day",
+) -> DataFrame:
+    """Admit at most `cap` documents per domain PER EVENT-TIME DAY — the
+    rolling-quota twin of `domain_quota_admit` at the reference's daily
+    cadence (the Glue jobs' one-partition-per-dataload-day rhythm,
+    reference: terraform/main.tf:419-439, glue/reddit_glue.py:204-213).
+
+    The reset is STRUCTURAL, not timer-driven: the group key is
+    (domain, event-date), so each day gets a fresh counter and the
+    admission semantics never depend on timer firing order. The
+    EventTimeTimeout is pure garbage collection — once the watermark
+    passes a day's end (+1 day of slack, covering any session-timezone
+    offset from the UTC epoch arithmetic), that (domain, day) counter is
+    removed, bounding state by domains × days inside the watermark
+    horizon instead of growing forever. Rows later than the watermark
+    are dropped by the engine before reaching the operator, so an
+    expired counter can never be re-created by stragglers.
+
+    Within a micro-batch the `cap − n` smallest `id_col` rows of the
+    whole group win (chunk-safe, same contract as
+    `domain_quota_admit`); across batches arrival order decides.
+    `delay` is the watermark lateness bound applied to `ts_col`."""
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    out_schema = docs.schema
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        _domain, day = key
+        n = state.get[0] if state.exists else 0
+        take = cap - n
+        if take > 0:
+            best: pd.DataFrame | None = None
+            for pdf in pdfs:
+                cand = pdf if best is None else pd.concat([best, pdf])
+                best = cand.sort_values(id_col).head(take)
+            if best is not None and len(best):
+                n += len(best)
+                yield best.drop(columns=["__day"])
+        else:
+            for _ in pdfs:  # drain; the (domain, day) group is at cap
+                pass
+        state.update((int(n),))
+        # GC timer: end of the event day + 1 day of timezone slack; must
+        # exceed the current watermark or the engine rejects it
+        day_end_ms = ((day - epoch).days + 2) * 86_400_000
+        state.setTimeoutTimestamp(max(day_end_ms, state.getCurrentWatermarkMs() + 1))
+
+    return (
+        docs.withWatermark(ts_col, delay)
+        .withColumn("__day", F.to_date(ts_col))
+        .groupBy(domain_col, "__day")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_QUOTA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def curate_stream(
     stream: DataFrame,
     blocked: DataFrame | None = None,
@@ -116,6 +202,163 @@ def curate_stream(
         .drop("__fp")
     )
     return domain_quota_admit(deduped, domain_cap, domain_col="domain", id_col=id_col)
+
+
+def _read_state(
+    spark: SparkSession, path: str, schema: str, batch_id: int
+) -> DataFrame:
+    """Read one of curate_stream_v2's state tables as it stood BEFORE
+    `batch_id`: partitions `__batch >= batch_id` are excluded (partition
+    pruning makes the filter free), so a replayed batch sees exactly the
+    state its first run saw — even if it crashed after some of its own
+    state writes landed. A missing dir (first batch) reads as empty."""
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+    return df.filter(F.col("__batch") < F.lit(batch_id)).drop("__batch")
+
+
+def curate_stream_v2(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    blocked: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    blocked_col: str = "domain",
+    min_margin: int = 2,
+    q_micro_min: int = 150_000,
+    domain_cap: int = 20,
+    neardup_threshold: float = 0.9,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    bands: int = 16,
+    hash_fn: str = "xxhash64",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """`curate_increment_v2` as a STREAM (VERDICT r10 item 5): each
+    micro-batch runs the BATCH admission stack — row-local gates,
+    within-batch exact dedupe, corpus exact-fp anti-join, incremental
+    MinHash near-dup probe, per-domain remaining-quota ranking — against
+    stored corpus state, then grows that state with what it admitted.
+    One definition of the semantics (`plans/training.py`), two cadences.
+
+    State under `state_dir` (all parquet, partitioned by `__batch`):
+      fps/       (__fp)            admitted-content fingerprints
+      shingles/  (id, h)           admitted docs' hashed shingles
+      bands/     (id, band, bucket) admitted docs' LSH band table
+      domains/   (domain, n)       per-batch admitted domain counts
+    Admitted rows land in `out_dir` as (doc_id, lang, domain, n_tokens),
+    partitioned by `__batch`. Per-batch cost is proportional to the
+    batch: the corpus contributes only its stored reductions — text is
+    shingled exactly once, at admission (`minhash_corpus_state`'s
+    stored-index thesis, `operators/dedup.py:656`).
+
+    Replay idempotence (the W5 discipline): every write is a dynamic
+    partition OVERWRITE at `__batch=batch_id`, and every state read
+    filters `__batch < batch_id` — so a batch that crashed mid-write
+    recomputes from exactly the pre-batch state and overwrites its own
+    half-landed partitions. Ids must be globally increasing across
+    batches (the incremental convention — pair b-sides are then always
+    current-batch rows); event-source ids (snowflakes) satisfy this.
+
+    Long-running streams accumulate one small file set per batch per
+    state table; compact with `sinks.writers.compact_table` on a
+    maintenance cadence."""
+    rows_per_band = num_perm // bands
+
+    def _admit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fps = _read_state(
+            spark, os.path.join(state_dir, "fps"), "__fp string", batch_id
+        )
+        ex_old = _read_state(
+            spark, os.path.join(state_dir, "shingles"), "id long, h long", batch_id
+        )
+        b_old = _read_state(
+            spark,
+            os.path.join(state_dir, "bands"),
+            "id long, band int, bucket long",
+            batch_id,
+        )
+        have = (
+            _read_state(
+                spark, os.path.join(state_dir, "domains"), "domain string, n long",
+                batch_id,
+            )
+            .groupBy("domain")
+            .agg(F.sum("n").alias("__have"))
+        )
+        novel = _increment_gated_novel(
+            batch, None, blocked, id_col, text_col, url_col, blocked_col,
+            min_margin, q_micro_min, corpus_fps=fps,
+        ).persist()
+        pairs = dedup_ops.minhash_incremental_pairs(
+            novel.select(id_col, text_col),
+            None,
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            k=shingle_k,
+            bands=bands,
+            threshold=neardup_threshold,
+            corpus_state=(ex_old, b_old),
+        )
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        screened = novel.join(losers, id_col, "left_anti").persist()
+        admitted = _admit_by_quota(
+            screened, None, id_col, text_col, url_col, domain_cap, hash_fn,
+            have=have,
+        ).persist()
+
+        bcol = F.lit(batch_id).alias("__batch")
+        overwrite_partitions(
+            admitted.select("*", bcol), os.path.join(out_dir), ["__batch"]
+        )
+        adm_docs = screened.join(admitted.select(id_col), id_col).persist()
+        overwrite_partitions(
+            adm_docs.select(
+                text_ops.fingerprint(text_col).alias("__fp")
+            ).distinct().select("*", bcol),
+            os.path.join(state_dir, "fps"),
+            ["__batch"],
+        )
+        ex_inc = dedup_ops.hashed_shingles(
+            adm_docs, id_col, text_col, shingle_k
+        ).persist()
+        overwrite_partitions(
+            ex_inc.select("*", bcol), os.path.join(state_dir, "shingles"), ["__batch"]
+        )
+        overwrite_partitions(
+            dedup_ops._band_frame(
+                dedup_ops.minhash_signatures_from_hashes(ex_inc, num_perm),
+                bands,
+                rows_per_band,
+            ).select("*", bcol),
+            os.path.join(state_dir, "bands"),
+            ["__batch"],
+        )
+        overwrite_partitions(
+            admitted.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("*", bcol),
+            os.path.join(state_dir, "domains"),
+            ["__batch"],
+        )
+        for c in (novel, screened, admitted, adm_docs, ex_inc):
+            c.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 register_self(__name__)

@@ -633,6 +633,34 @@ def test_dedup_keep_best_quality_argmax(spark):
     assert kept == [2, 5, 10]
 
 
+def test_dedup_keep_best_string_ids(spark):
+    # the tie-break is min_by over (-quality, id) with the id compared
+    # NATIVELY — string ids must work exactly like dedup_keep_canonical's
+    # (ADVICE r10: the old max_by over -id silently required numerics)
+    docs = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("z", 1)], ["doc_id", "q"]
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], ["a", "b"])
+    kept = sorted(
+        r.doc_id for r in dedup.dedup_keep_best(docs, pairs, "q").collect()
+    )
+    assert kept == ["b", "z"]  # max q 9 shared by b,c -> min-id keeps b
+
+
+def test_dedup_keep_best_stale_pair_ids_are_losers(spark):
+    # a pair id absent from docs (stale pair set) must never become a
+    # cluster's winner and must not evict the true argmax (ADVICE r10:
+    # the old inner join silently dropped it from the cluster — same
+    # final answer, but only by accident; now it ranks behind every
+    # present member explicitly)
+    docs = spark.createDataFrame([(1, 5), (2, 9)], ["doc_id", "q"])
+    pairs = spark.createDataFrame([(1, 2), (2, 99)], ["a", "b"])  # 99 not in docs
+    kept = sorted(
+        r.doc_id for r in dedup.dedup_keep_best(docs, pairs, "q").collect()
+    )
+    assert kept == [2]
+
+
 def test_dedup_keep_best_matches_canonical_on_uniform_quality(spark):
     # with constant quality the tiebreak IS min-id, so the two keep rules
     # must agree on any pair set

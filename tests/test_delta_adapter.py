@@ -1,0 +1,146 @@
+"""Delta adapter seam (sinks/delta_adapter.py): merge_upsert_auto routes
+through Delta MERGE INTO when delta-spark is importable and falls back to
+the manifested-parquet merge otherwise — tested with the import faked
+both ways (delta-spark is not installed in this container)."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from reddit_twitter_big_data_pipeline_spark.sinks import delta_adapter, writers
+
+
+def _updates(spark):
+    # duplicate key 1 among the updates: v=9 must win the pre-merge dedupe
+    return spark.createDataFrame(
+        [(1, "new", 9), (1, "stale", 3), (2, "two", 5)], ["k", "val", "v"]
+    )
+
+
+def test_fallback_without_delta_matches_merge_upsert(spark, tmp_path):
+    """No delta module importable (the container default): the adapter
+    must produce exactly writers.merge_upsert's result."""
+    assert not delta_adapter.delta_available()
+    base = spark.createDataFrame([(1, "old", 5), (3, "three", 1)], ["k", "val", "v"])
+    a_path, b_path = str(tmp_path / "auto"), str(tmp_path / "plain")
+    base.write.parquet(a_path)
+    base.write.parquet(b_path)
+    got = delta_adapter.merge_upsert_auto(
+        spark, a_path, _updates(spark), ["k"], order_col="v"
+    )
+    want = writers.merge_upsert(spark, b_path, _updates(spark), ["k"], order_col="v")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # update 1 beat existing 5<=9; 2 inserted; 3 untouched
+    assert sorted(map(tuple, got.collect())) == [
+        (1, "new", 9), (2, "two", 5), (3, "three", 1)
+    ]
+
+
+class _Recorder:
+    """Fake delta.tables.DeltaTable recording the merge call chain."""
+
+    calls: dict = {}
+    is_delta = True
+    table_df = None
+
+    @classmethod
+    def isDeltaTable(cls, spark, path):
+        cls.calls.setdefault("isDeltaTable", []).append(path)
+        return cls.is_delta
+
+    @classmethod
+    def forPath(cls, spark, path):
+        cls.calls.setdefault("forPath", []).append(path)
+        inst = cls()
+        return inst
+
+    def alias(self, a):
+        type(self).calls["target_alias"] = a
+        return self
+
+    def merge(self, src, cond):
+        type(self).calls["merge_src"] = src
+        type(self).calls["merge_cond"] = cond
+        return self
+
+    def whenMatchedUpdateAll(self, condition=None):
+        type(self).calls["matched_cond"] = condition
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        type(self).calls["insert_all"] = True
+        return self
+
+    def execute(self):
+        type(self).calls["executed"] = True
+
+    def toDF(self):
+        return type(self).table_df
+
+
+@pytest.fixture
+def fake_delta(monkeypatch):
+    _Recorder.calls = {}
+    pkg = types.ModuleType("delta")
+    tables = types.ModuleType("delta.tables")
+    tables.DeltaTable = _Recorder
+    pkg.tables = tables
+    monkeypatch.setitem(sys.modules, "delta", pkg)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables)
+    yield _Recorder
+
+
+def test_delta_route_builds_the_merge_chain(spark, tmp_path, fake_delta):
+    """With delta importable and an existing Delta table: the adapter
+    pre-dedupes the source (Delta rejects duplicate match keys), uses a
+    null-safe key condition, guards matched updates on order_col, always
+    inserts non-matches, and executes exactly once."""
+    assert delta_adapter.delta_available()
+    fake_delta.is_delta = True
+    fake_delta.table_df = spark.range(1)
+    out = delta_adapter.merge_upsert_auto(
+        spark, "/delta/t", _updates(spark), ["k"], order_col="v"
+    )
+    c = fake_delta.calls
+    assert c["merge_cond"] == "t.`k` <=> s.`k`"
+    assert c["matched_cond"] == "s.`v` >= t.`v`"
+    assert c["insert_all"] and c["executed"]
+    # source was deduped to one row per key, keeping the max-v winner
+    src_rows = {(r.k, r.val, r.v) for r in c["merge_src"].collect()}
+    assert src_rows == {(1, "new", 9), (2, "two", 5)}
+    assert out is fake_delta.table_df
+
+
+def test_delta_route_no_order_col_updates_unconditionally(spark, fake_delta):
+    fake_delta.is_delta = True
+    fake_delta.table_df = spark.range(1)
+    delta_adapter.merge_upsert_auto(
+        spark, "/delta/t", _updates(spark).drop("v"), ["k"]
+    )
+    assert fake_delta.calls["matched_cond"] is None
+    # without order_col, dedupe keeps one arbitrary row per key
+    assert {r.k for r in fake_delta.calls["merge_src"].collect()} == {1, 2}
+
+
+def test_delta_route_bootstraps_missing_table(spark, monkeypatch, fake_delta):
+    """Missing target: the adapter writes the deduped source as a new
+    Delta table (partitioned when asked) instead of merging."""
+    fake_delta.is_delta = False
+    fake_delta.table_df = spark.range(1)
+    writes: dict = {}
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    def fake_save(self, path):
+        writes["path"] = path
+
+    monkeypatch.setattr(DataFrameWriter, "save", fake_save)
+    out = delta_adapter.merge_upsert_auto(
+        spark, "/delta/new", _updates(spark), ["k"], order_col="v",
+        partition_cols=["val"],
+    )
+    assert writes["path"] == "/delta/new"
+    assert out is fake_delta.table_df

@@ -207,3 +207,223 @@ def test_curate_stream_replay_is_idempotent(spark, tmp_path):
     run()
     run()  # same checkpoint, no new files -> no batches replay
     assert spark.read.parquet(out_dir).count() == 1
+
+
+# --- curate_stream_v2: the near-dup-screening foreachBatch admission -------
+
+_LONG = " ".join(_EN)  # ~90 mostly-distinct trigrams: a 1-word edit keeps J>0.9
+
+
+def _near_dup_of_long() -> str:
+    words = _LONG.split(" ")
+    words[40] = "altered"
+    return " ".join(words)
+
+
+def _run_v2(spark, land, tmp_path, tag: str, **kw):
+    src = streams.read_json_stream(
+        spark, str(land), DOC_SCHEMA, max_files_per_trigger=1
+    )
+    q = curation.curate_stream_v2(
+        src,
+        state_dir=str(tmp_path / f"state_{tag}"),
+        out_dir=str(tmp_path / f"out_{tag}"),
+        checkpoint=str(tmp_path / f"ckpt_{tag}"),
+        **kw,
+    )
+    streams.run_to_completion(q)
+    return spark.read.parquet(str(tmp_path / f"out_{tag}"))
+
+
+def test_curate_stream_v2_screens_and_grows_state(spark, tmp_path):
+    """Cross-batch admission: batch 2's exact dup of admitted content
+    drops at the stored-fp anti-join, its near-dup (1-word edit of a
+    ~90-word admitted doc, J > 0.9) drops at the stored-band MinHash
+    probe, a filled domain admits nothing more, and a fresh doc admits."""
+    land = tmp_path / "land_v2"
+    _write_batch(
+        land, "1.json",
+        [
+            _doc(1, _LONG, "a.site1.com", 0),
+            _doc(2, _EN[1], "b.site1.com", 1),
+        ],
+        mtime=1,
+    )
+    _write_batch(
+        land, "2.json",
+        [
+            _doc(11, _LONG, "c.other1.com", 5),            # exact dup -> fp screen
+            _doc(12, _near_dup_of_long(), "d.other2.com", 6),  # near dup -> probe
+            _doc(13, _EN[3], "e.site1.com", 7),            # site1.com at cap
+            _doc(14, _EN[4], "f.site9.com", 8),            # fresh -> admitted
+        ],
+        mtime=2,
+    )
+    out = _run_v2(
+        spark, land, tmp_path, "grow",
+        min_margin=1, q_micro_min=1, domain_cap=2,
+    )
+    got = sorted((r.doc_id, r.domain, int(r["__batch"])) for r in out.collect())
+    assert got == [
+        (1, "site1.com", 0),
+        (2, "site1.com", 0),
+        (14, "site9.com", 1),
+    ]
+    # state grew only with ADMITTED docs: 3 fingerprints, 3 banded ids
+    state = tmp_path / "state_grow"
+    assert spark.read.parquet(str(state / "fps")).count() == 3
+    band_ids = {
+        r.id for r in spark.read.parquet(str(state / "bands")).select("id").distinct().collect()
+    }
+    assert band_ids == {1, 2, 14}
+
+
+def test_curate_stream_v2_batch_parity_with_increment_v2(spark, tmp_path):
+    """Per-batch streaming admission == curate_increment_v2 of that batch
+    against the previously-admitted corpus (one semantics definition, two
+    cadences). Batch 1 parity uses an empty corpus; batch 2 parity uses
+    batch 1's admitted docs as the corpus."""
+    from reddit_twitter_big_data_pipeline_spark.plans import training
+
+    b1 = [
+        _doc(1, _LONG, "a.site1.com", 0),
+        _doc(2, _EN[1], "b.site1.com", 1),
+        _doc(3, _EN[2], "c.site1.com", 2),  # over the site1.com cap
+        _doc(4, "zzz qqq xxx vvv", "d.site2.com", 3),  # fails langid
+    ]
+    b2 = [
+        _doc(11, _near_dup_of_long(), "e.other.com", 5),
+        _doc(12, _EN[3], "f.site1.com", 6),
+        _doc(13, _EN[4], "g.site3.com", 7),
+        _doc(14, _EN[4], "h.site4.com", 8),  # within-batch exact dup of 13
+    ]
+    land = tmp_path / "land_parity"
+    _write_batch(land, "1.json", b1, mtime=1)
+    _write_batch(land, "2.json", b2, mtime=2)
+    out = _run_v2(
+        spark, land, tmp_path, "parity",
+        min_margin=1, q_micro_min=1, domain_cap=2,
+    )
+    stream_rows = {
+        int(r["__batch"]): set()
+        for r in out.select("__batch").distinct().collect()
+    }
+    for r in out.collect():
+        stream_rows[int(r["__batch"])].add((r.doc_id, r.lang, r.domain, r.n_tokens))
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(d["doc_id"], d["text"], d["url"]) for d in rows],
+            ["doc_id", "text", "url"],
+        )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, url string")
+    adm1 = training.curate_increment_v2(
+        df_of(b1), empty, min_margin=1, q_micro_min=1, domain_cap=2
+    ).collect()
+    adm1_ids = {r.doc_id for r in adm1}
+    corpus2 = df_of([d for d in b1 if d["doc_id"] in adm1_ids])
+    adm2 = training.curate_increment_v2(
+        df_of(b2), corpus2, min_margin=1, q_micro_min=1, domain_cap=2
+    ).collect()
+    assert stream_rows.get(0, set()) == {
+        (r.doc_id, r.lang, r.domain, r.n_tokens) for r in adm1
+    }
+    assert stream_rows.get(1, set()) == {
+        (r.doc_id, r.lang, r.domain, r.n_tokens) for r in adm2
+    }
+
+
+def test_curate_stream_v2_replay_is_idempotent(spark, tmp_path):
+    """Replays are exact: re-running on the same checkpoint is a no-op,
+    and a from-scratch rerun (checkpoint wiped, state/output left on
+    disk from the first run) overwrites its own partitions and reads
+    only pre-batch state — identical output, no double-admission."""
+    import shutil
+
+    land = tmp_path / "land_replay"
+    _write_batch(
+        land, "1.json",
+        [_doc(1, _LONG, "a.site1.com", 0)],
+        mtime=1,
+    )
+    _write_batch(
+        land, "2.json",
+        [_doc(11, _LONG, "b.other.com", 5), _doc(12, _EN[1], "c.site2.com", 6)],
+        mtime=2,
+    )
+    out1 = _run_v2(
+        spark, land, tmp_path, "replay", min_margin=1, q_micro_min=1, domain_cap=2
+    )
+    first = sorted((r.doc_id, int(r["__batch"])) for r in out1.collect())
+    assert first == [(1, 0), (12, 1)]
+    # same checkpoint -> no batches replay, nothing changes
+    out2 = _run_v2(
+        spark, land, tmp_path, "replay", min_margin=1, q_micro_min=1, domain_cap=2
+    )
+    assert sorted((r.doc_id, int(r["__batch"])) for r in out2.collect()) == first
+    # wipe ONLY the checkpoint: every batch replays against a state dir
+    # that already holds its own writes — the __batch < batch_id read
+    # filter must hide them, else batch 0's own fp kills doc 1
+    shutil.rmtree(str(tmp_path / "ckpt_replay"))
+    out3 = _run_v2(
+        spark, land, tmp_path, "replay", min_margin=1, q_micro_min=1, domain_cap=2
+    )
+    assert sorted((r.doc_id, int(r["__batch"])) for r in out3.collect()) == first
+
+
+def test_domain_quota_admit_daily_resets_per_event_day(spark, tmp_path):
+    """The rolling daily quota: a domain at cap on day 1 admits a fresh
+    cap on day 2 (structural reset via the (domain, day) key); expired
+    days' counters are removed by the EventTimeTimeout once the
+    watermark passes (observable as the state-store row count of the
+    final batches)."""
+    land = tmp_path / "land_daily"
+
+    def _d(i, host, day, minute, hour=12):
+        return {
+            "doc_id": i,
+            "text": "x",
+            "url": f"https://{host}/p/{i}",
+            "date": f"2023-03-{day:02d} {hour:02d}:{minute:02d}:00",
+        }
+
+    _write_batch(
+        land, "1.json",
+        [_d(2, "a.com", 1, 1), _d(1, "a.com", 1, 2), _d(3, "a.com", 1, 3),
+         _d(5, "b.com", 1, 4)],
+        mtime=1,
+    )
+    _write_batch(
+        land, "2.json",
+        [_d(4, "a.com", 1, 30),  # day 1, still within watermark: at cap
+         _d(11, "a.com", 2, 1), _d(12, "a.com", 2, 2), _d(13, "a.com", 2, 3)],
+        mtime=2,
+    )
+    _write_batch(land, "3.json", [_d(21, "a.com", 3, 1)], mtime=3)
+    _write_batch(land, "4.json", [_d(22, "a.com", 3, 1, hour=13)], mtime=4)
+    src = (
+        streams.read_json_stream(spark, str(land), DOC_SCHEMA, max_files_per_trigger=1)
+        .withColumn("ts", F.to_timestamp("date", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    )
+    out = curation.domain_quota_admit_daily(src, cap=2, delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("daily_quota")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_daily"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    streams.run_to_completion(q)
+    rows = spark.sql("select * from daily_quota").collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 5, 11, 12, 21, 22]
+    # day-1 counters (a.com, b.com) expired once the watermark crossed
+    # end-of-day-2; day-2 and day-3 counters are still inside the horizon
+    finals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert finals and finals[-1] == 2, finals
