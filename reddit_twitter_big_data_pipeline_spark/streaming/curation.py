@@ -317,9 +317,7 @@ def curate_stream_v2(
         ).persist()
 
         bcol = F.lit(batch_id).alias("__batch")
-        overwrite_partitions(
-            admitted.select("*", bcol), os.path.join(out_dir), ["__batch"]
-        )
+        overwrite_partitions(admitted.select("*", bcol), out_dir, ["__batch"])
         adm_docs = screened.join(admitted.select(id_col), id_col).persist()
         overwrite_partitions(
             adm_docs.select(
