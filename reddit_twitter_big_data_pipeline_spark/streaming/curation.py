@@ -51,6 +51,7 @@ from .._serde import register_self
 from ..operators import dedup as dedup_ops
 from ..operators import text as text_ops
 from ..plans.training import _admit_by_quota, _corpus_gated, _increment_gated_novel
+from ..sinks import writers
 from ..sinks.writers import overwrite_partitions
 
 _QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
@@ -266,8 +267,8 @@ def curate_stream_v2(
     current-batch rows); event-source ids (snowflakes) satisfy this.
 
     Long-running streams accumulate one small file set per batch per
-    state table; compact with `sinks.writers.compact_table` on a
-    maintenance cadence."""
+    state table; compact with `compact_stream_state` during a stopped
+    maintenance window."""
     rows_per_band = num_perm // bands
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
@@ -357,6 +358,55 @@ def curate_stream_v2(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_STATE_TABLES = ("fps", "shingles", "bands", "domains")
+
+
+def compact_stream_state(
+    spark: SparkSession,
+    state_dir: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> dict[str, int]:
+    """Maintenance compaction for `curate_stream_v2`'s state tables: fold
+    every per-batch partition into the single pre-stream partition
+    `__batch=-1` (re-aggregating the domain counters), fixing the
+    one-file-set-per-batch-per-table accumulation a long-running stream
+    leaves behind. Returns per-table row counts after compaction.
+
+    Run ONLY while the stream is stopped after a clean completion (every
+    processed batch committed to the checkpoint): replay correctness
+    relies on `__batch < batch_id` hiding a replayed batch's own writes,
+    and compaction moves all history below every future batch id — which
+    is correct precisely when no committed batch can replay. The next
+    batch continues from the checkpoint's id sequence, landing new
+    partitions above −1 as before.
+
+    Crash safety: each table is rewritten to a staging dir and swapped
+    into place with the two-rename swap (`sinks.writers`), healed by
+    `recover_interrupted_swap` on the next access; a crash between
+    tables leaves some compacted and some not — identical CONTENT either
+    way, so readers are unaffected."""
+    counts: dict[str, int] = {}
+    for name in _STATE_TABLES:
+        path = os.path.join(state_dir, name)
+        writers.recover_interrupted_swap(spark, path)
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            continue
+        folded = df.drop("__batch")
+        if name == "domains":
+            folded = folded.groupBy("domain").agg(F.sum("n").alias("n"))
+        fs, p = writers._hadoop_fs(spark, path)
+        size = fs.getContentSummary(p).getLength()
+        n_files = max(1, int((size + target_file_bytes - 1) // target_file_bytes))
+        compacted = folded.repartition(n_files).withColumn("__batch", F.lit(-1))
+        staging = path + ".__staging__"
+        compacted.write.mode("overwrite").partitionBy("__batch").parquet(staging)
+        writers._swap_into_place(spark, path, staging)
+        counts[name] = spark.read.parquet(path).count()
+    return counts
 
 
 register_self(__name__)

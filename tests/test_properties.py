@@ -248,3 +248,46 @@ def test_bucket_pairs_equals_selfjoin_form(spark, corpus, cap):
         )
     )
     assert got == ref
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(st.integers(0, 3), min_size=12, max_size=12),
+)
+def test_keep_best_invariants_on_random_graphs(spark, pairs, qualities):
+    """dedup_keep_best over random pair graphs: exactly one survivor per
+    connected cluster; the survivor is the (max quality, min id) member;
+    unclustered docs always survive — checked against a brute-force
+    union-find + argmax replay."""
+    docs = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qualities)], ["doc_id", "q"]
+    )
+    pdf = spark.createDataFrame(pairs, "a long, b long") if pairs else (
+        spark.createDataFrame([], "a long, b long")
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.dedup_keep_best(docs, pdf, "q").collect()
+    )
+    parent = list(range(12))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    clusters: dict[int, list[int]] = {}
+    for i in range(12):
+        clusters.setdefault(find(i), []).append(i)
+    expect = sorted(
+        min(members, key=lambda i: (-qualities[i], i))
+        for members in clusters.values()
+    )
+    assert kept == expect

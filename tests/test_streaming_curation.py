@@ -427,3 +427,73 @@ def test_domain_quota_admit_daily_resets_per_event_day(spark, tmp_path):
         if p.get("stateOperators")
     ]
     assert finals and finals[-1] == 2, finals
+
+
+def test_compact_stream_state_preserves_admission_behavior(spark, tmp_path):
+    """Compaction folds all per-batch state into __batch=-1 without
+    changing content: a batch streamed AFTER compaction admits exactly
+    what it would have against the uncompacted state (control run),
+    and the per-table row counts are unchanged (domains re-aggregate)."""
+    b1 = [_doc(1, _LONG, "a.site1.com", 0), _doc(2, _EN[1], "b.site1.com", 1)]
+    b2 = [_doc(11, _EN[2], "c.site2.com", 5)]
+    b3 = [
+        _doc(21, _LONG, "d.other.com", 8),     # exact dup of admitted doc 1
+        _doc(22, _near_dup_of_long(), "e.other2.com", 9),  # near dup
+        _doc(23, _EN[3], "f.site1.com", 10),   # site1.com at cap
+        _doc(24, _EN[4], "g.site9.com", 11),   # fresh -> admitted
+    ]
+
+    def run(tag, batches, compact_before_last=False):
+        land = tmp_path / f"land_{tag}"
+        for i, rows in enumerate(batches[:-1], start=1):
+            _write_batch(land, f"{i}.json", rows, mtime=i)
+        _run_v2(spark, land, tmp_path, tag, min_margin=1, q_micro_min=1, domain_cap=2)
+        if compact_before_last:
+            before = {
+                t: spark.read.parquet(str(tmp_path / f"state_{tag}" / t)).count()
+                for t in ("fps", "shingles", "bands")
+            }
+            counts = curation.compact_stream_state(
+                spark, str(tmp_path / f"state_{tag}")
+            )
+            assert {t: counts[t] for t in before} == before
+            # everything now lives in the single pre-stream partition
+            batches_left = {
+                r["__batch"]
+                for r in spark.read.parquet(str(tmp_path / f"state_{tag}" / "bands"))
+                .select("__batch").distinct().collect()
+            }
+            assert batches_left == {-1}
+        _write_batch(land, f"{len(batches)}.json", batches[-1], mtime=len(batches))
+        _run_v2(spark, land, tmp_path, tag, min_margin=1, q_micro_min=1, domain_cap=2)
+        return sorted(
+            (r.doc_id, int(r["__batch"]))
+            for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+        )
+
+    control = run("nocompact", [b1, b2, b3], compact_before_last=False)
+    compacted = run("compact", [b1, b2, b3], compact_before_last=True)
+    assert compacted == control
+    assert [d for d, _ in control] == [1, 2, 11, 24]
+
+
+def test_curate_stream_v2_all_filtered_batch_is_harmless(spark, tmp_path):
+    """A micro-batch whose every row fails the gates admits nothing,
+    writes only empty partitions, and leaves later batches' admission
+    unaffected (state reads tolerate empty partition dirs)."""
+    land = tmp_path / "land_empty"
+    _write_batch(
+        land, "1.json",
+        [_doc(1, "zzz qqq xxx vvv", "a.site1.com", 0)],  # fails langid
+        mtime=1,
+    )
+    _write_batch(land, "2.json", [_doc(11, _EN[0], "b.site2.com", 5)], mtime=2)
+    out = _run_v2(
+        spark, land, tmp_path, "allfiltered",
+        min_margin=1, q_micro_min=1, domain_cap=2,
+    )
+    got = sorted((r.doc_id, int(r["__batch"])) for r in out.collect())
+    assert got == [(11, 1)]
+    # batch 0 contributed no state rows; batch 1's landed normally
+    bands = spark.read.parquet(str(tmp_path / "state_allfiltered" / "bands"))
+    assert {r.id for r in bands.select("id").distinct().collect()} == {11}
