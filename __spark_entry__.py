@@ -3657,6 +3657,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_curation_v3"] = train_curation_v3
 
+    # ---- round-11 additions (appended at the END per the frozen-order
+    # rule; entered into the window via the _R11_SWAPS wave-2 pairs) ----
+
+    def sample_water_fill(spark, sf):
+        # Data-mixture PLANNING: water-filling token-budget allocation
+        # across sources (operators/sampling.py:water_fill_allocation) —
+        # target weights derived deterministically from the source name,
+        # availability = per-source token supply, budget = 3/5 of the
+        # corpus (integer arithmetic, exact in both engines). The closed
+        # form is one window pass + a 1-row max (λ* = max over candidate
+        # water levels); undersupplied sources cap at availability and
+        # their shortfall redistributes weight-proportionally.
+        docs = _t(spark, sf, "documents").select("source", "text")
+        src = docs.groupBy("source").agg(
+            F.sum(text_ops.token_count("text")).cast("long").alias("available")
+        ).withColumn(
+            "weight", (F.length("source") % 4 + 1).cast("double")
+        )
+        total = src.agg(F.sum("available").cast("long")).collect()[0][0] or 0
+        return sampling.water_fill_allocation(
+            src, int(total) * 3 // 5
+        ).select("source", "weight", "available", "alloc")
+
+    q["sample_water_fill"] = sample_water_fill
+
+    def train_mixture_select(spark, sf):
+        # The execution half: budget-exact per-source document selection
+        # under the water-filled allocation (sampling.budget_select) —
+        # docs admit in md5-hash order while the running token total
+        # stays within the source's allocation; the boundary-crossing
+        # doc drops whole. Composes planning + selection end-to-end:
+        # the final "assemble the training mix" step.
+        docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+        with_tok = docs.withColumn(
+            "n_tokens", text_ops.token_count("text").cast("long")
+        )
+        src = with_tok.groupBy("source").agg(
+            F.sum("n_tokens").cast("long").alias("available")
+        ).withColumn(
+            "weight", (F.length("source") % 4 + 1).cast("double")
+        )
+        total = src.agg(F.sum("available").cast("long")).collect()[0][0] or 0
+        alloc = sampling.water_fill_allocation(src, int(total) * 3 // 5)
+        return sampling.budget_select(
+            with_tok.select("doc_id", "source", "n_tokens"), alloc, hash_fn="md5"
+        )
+
+    q["train_mixture_select"] = train_mixture_select
+
     # DRIVER-WINDOW ROTATION (VERDICT r2 item 6, deliberate and one-time):
     # the driver grades only the FIRST 50 registered queries. Swap
     # x_json_path (r1's single failed row — oracle fixed with CAST…AS
@@ -3997,6 +4046,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_funnel_latency": "text_bpe_tokens",
         "x_hourly_profile": "text_bpe_train_small",
         "x_pivot": "x_clustering_coeff",
+        # wave-2 extension: the two NEW r11 queries — water-filling
+        # budget allocation and budget-exact mixture selection — enter
+        # immediately (the r8 rule) for two r10-green untouched fillers
+        "x_unpivot": "sample_water_fill",
+        "x_sliding_window": "train_mixture_select",
     }
     for out_name, in_name in _R11_SWAPS.items():
         i, j = names.index(out_name), names.index(in_name)
@@ -8586,6 +8640,80 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 1.0462993238608057e+20 / CAST(s_tot AS DOUBLE)
                END AS n_distinct_est
         FROM tot t JOIN hours hrs ON hrs.day = t.day
+    """
+
+    # --- r11: water-filling budget allocation + mixture selection ----------
+    # λ* = max over candidate water levels (capping a truly-capped source
+    # raises the level; over-capping lowers it), so the whole allocation is
+    # one window pass + a scalar max — mirrored verbatim from
+    # operators/sampling.py:water_fill_allocation. Budget = 3/5 of total
+    # supply via integer floor-division (exact in both engines); weights
+    # are small integers as doubles (order-independent exact sums).
+    _WF_SRC = """
+        src AS (
+          SELECT source,
+                 CAST(length(source) % 4 + 1 AS DOUBLE) AS weight,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT sum(available) AS ta, sum(weight) AS tw,
+                 CAST((sum(available) * 3) // 5 AS DOUBLE) AS budget
+          FROM src
+        ),
+        ord AS (
+          SELECT src.*,
+                 sum(available) OVER w AS cum_a,
+                 sum(weight) OVER w AS cum_w
+          FROM src
+          WINDOW w AS (ORDER BY available / weight, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        lvl AS (
+          SELECT max((least(t.budget, t.ta) - o.cum_a) / (t.tw - o.cum_w))
+                   AS lam_rows
+          FROM ord o, tot t WHERE t.tw > o.cum_w
+        ),
+        lam AS (
+          SELECT greatest(least(t.budget, t.ta) / t.tw,
+                          coalesce(l.lam_rows, least(t.budget, t.ta) / t.tw))
+                   AS lam
+          FROM tot t, lvl l
+        ),
+        alloc AS (
+          SELECT s.source, s.weight, s.available,
+                 round(least(CAST(s.available AS DOUBLE), s.weight * lam.lam), 6)
+                   AS alloc
+          FROM src s, lam
+        )
+    """
+
+    o["sample_water_fill"] = f"""
+        WITH {_WF_SRC}
+        SELECT source, weight, available, alloc FROM alloc
+    """
+
+    o["train_mixture_select"] = f"""
+        WITH {_WF_SRC},
+        toks AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        sel AS (
+          SELECT t.doc_id, t.source, t.n_tokens,
+                 CAST(sum(t.n_tokens) OVER (
+                   PARTITION BY t.source
+                   ORDER BY ('0x' || substr(md5('budget' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000000 ASC,
+                            t.doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_tokens,
+                 a.alloc
+          FROM toks t JOIN alloc a ON t.source = a.source
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM sel WHERE cum_tokens <= alloc
     """
 
     return o

@@ -343,3 +343,108 @@ def cluster_split_label(
         .withColumn("split", split_label("__sk", weights, salt, hash_fn))
         .drop("__ck", "__sk")
     )
+
+
+def water_fill_allocation(
+    sources: DataFrame,
+    total_budget: int,
+    key_col: str = "source",
+    weight_col: str = "weight",
+    avail_col: str = "available",
+) -> DataFrame:
+    """Token-budget ALLOCATION across sources by water-filling — the
+    data-mixture planning step of assembling a training corpus (target
+    mixture weights per source, e.g. DoReMi/Pile-style domain weights;
+    the reference has no notion of budgets — SURVEY §2.4 extension):
+    allocate `total_budget` tokens proportionally to `weight_col`,
+    capped at each source's `avail_col`; the shortfall of undersupplied
+    sources redistributes to the rest, still weight-proportionally —
+    the exact water-filling solution, not a renormalize-and-clip
+    approximation. Returns (key, weight, available, alloc) with
+    Σ alloc = min(total_budget, Σ available) up to rounding.
+
+    Closed form, no iteration: with sources sorted by r_i = avail_i/w_i
+    (ties→key) and prefix sums (A_k, W_k), every candidate water level
+    λ(k) = (T − A_k)/(W − W_k) is computed in one window pass and the
+    true level is simply λ* = max_k λ(k) (capping a truly-capped source
+    RAISES the level, over-capping lowers it — so the valid prefix is
+    the argmax). alloc_i = least(avail_i, w_i·λ*), rounded to 6dp.
+
+    Scale shape: the sources table is a per-SOURCE aggregate (thousands
+    of rows at web scale, never corpus-sized) — the global window sort
+    is a driver-scale footnote; the corpus itself is only touched by
+    whatever aggregate produced `avail_col`. Cross-engine parity note:
+    prefix sums are frame-ordered (deterministic in any engine); the
+    full-table Σw is not order-defined at float precision, so use
+    dyadic/integer weights when bit-stable parity matters (integer
+    `available` is exact in any order)."""
+    s = sources.select(
+        F.col(key_col),
+        F.col(weight_col).cast("double").alias("__w"),
+        F.col(avail_col).cast("double").alias("__a"),
+        (F.col(avail_col) / F.col(weight_col)).cast("double").alias("__r"),
+    )
+    ww = Window.orderBy(F.col("__r").asc(), F.col(key_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = s.select(
+        "*",
+        F.sum("__a").over(ww).alias("__cum_a"),
+        F.sum("__w").over(ww).alias("__cum_w"),
+        F.sum("__a").over(wall).alias("__tot_a"),
+        F.sum("__w").over(wall).alias("__tot_w"),
+    )
+    t = F.least(F.lit(float(total_budget)), F.col("__tot_a"))
+    lam_rows = c.filter(F.col("__tot_w") > F.col("__cum_w")).agg(
+        F.max(
+            (t - F.col("__cum_a")) / (F.col("__tot_w") - F.col("__cum_w"))
+        ).alias("__lam_rows")
+    )
+    base = c.select(
+        "*", (t / F.col("__tot_w")).alias("__lam0")
+    ).crossJoin(F.broadcast(lam_rows))  # 1-row level frame (exempt pattern)
+    lam = F.greatest(F.col("__lam0"), F.coalesce(F.col("__lam_rows"), F.col("__lam0")))
+    return base.select(
+        F.col(key_col),
+        F.col("__w").alias(weight_col),
+        F.col("__a").cast("long").alias(avail_col),
+        F.round(F.least(F.col("__a"), F.col("__w") * lam), 6).alias("alloc"),
+    )
+
+
+def budget_select(
+    docs: DataFrame,
+    allocations: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    alloc_col: str = "alloc",
+    salt: str = "budget",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Budget-EXACT document selection under a per-source token
+    allocation (the execution half of `water_fill_allocation`): per
+    source, admit documents in deterministic hash order (salt, id) while
+    the running token total stays within the source's allocation; the
+    first boundary-crossing document is dropped whole (truncation never
+    splits a document — each source underfills by less than one doc).
+    Hash order makes the kept prefix an unbiased sample of the source
+    and stable across runs/partitionings (the `cap_per_group` rule, with
+    a token budget instead of a row count).
+
+    One group-keyed window over the corpus (the same shuffle any
+    per-group rule needs) + a broadcast join of the per-source
+    allocation table. Returns the admitted (id, source, n_tokens,
+    cum_tokens) rows."""
+    w = Window.partitionBy(source_col).orderBy(
+        _bucket(id_col, salt, hash_fn).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs.join(
+            F.broadcast(allocations.select(source_col, alloc_col)), source_col
+        )
+        .withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col(alloc_col))
+        .select(id_col, source_col, F.col(tokens_col).cast("long").alias(tokens_col), "cum_tokens")
+    )

@@ -224,3 +224,87 @@ def test_global_permutation_bijection_at_scale(spark):
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert (row.d, row.lo, row.hi, row.n) == (n, 0, n - 1, n)
+
+
+# --------------------------------------------- water-fill budget allocation
+
+
+def _brute_water_fill(items, total):
+    """Iterative reference: repeatedly cap sources below the water level."""
+    t = min(total, sum(a for _, _, a in items))
+    capped: dict = {}
+    uncapped = {k: (w, a) for k, w, a in items}
+    lam = 0.0
+    while True:
+        wsum = sum(w for w, _ in uncapped.values())
+        if wsum == 0:
+            break
+        lam = (t - sum(capped.values())) / wsum
+        newly = [k for k, (w, a) in uncapped.items() if a < w * lam]
+        if not newly:
+            break
+        for k in newly:
+            capped[k] = uncapped.pop(k)[1]
+    return {
+        k: (capped[k] if k in capped else uncapped[k][0] * lam)
+        for k, _, _ in items
+    }
+
+
+def test_water_fill_matches_iterative_reference(spark):
+    items = [
+        ("web", 8.0, 100_000),   # oversupplied
+        ("code", 4.0, 10_000),   # undersupplied -> capped
+        ("books", 2.0, 2_000),   # deeply undersupplied -> capped
+        ("wiki", 1.0, 50_000),   # oversupplied
+    ]
+    src = spark.createDataFrame(items, ["source", "weight", "available"])
+    got = {
+        r.source: r.alloc
+        for r in sampling.water_fill_allocation(src, 60_000).collect()
+    }
+    want = _brute_water_fill(items, 60_000)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-4, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 60_000) < 1e-3  # budget fully spent
+
+
+def test_water_fill_budget_exceeds_supply(spark):
+    # budget >= total supply: everyone gets exactly their availability
+    items = [("a", 1.0, 100), ("b", 3.0, 50)]
+    src = spark.createDataFrame(items, ["source", "weight", "available"])
+    got = {
+        r.source: r.alloc
+        for r in sampling.water_fill_allocation(src, 10_000).collect()
+    }
+    assert got == {"a": 100.0, "b": 50.0}
+
+
+def test_water_fill_single_source_and_zero_budget(spark):
+    src = spark.createDataFrame([("only", 2.0, 500)], ["source", "weight", "available"])
+    assert sampling.water_fill_allocation(src, 200).collect()[0].alloc == 200.0
+    assert sampling.water_fill_allocation(src, 0).collect()[0].alloc == 0.0
+
+
+def test_budget_select_prefix_and_boundary(spark):
+    # alloc 10 tokens for s1: hash-ordered docs admit while cum <= 10;
+    # the crossing doc drops whole. s2 has no allocation row -> dropped.
+    docs = spark.createDataFrame(
+        [(i, "s1", 4) for i in range(1, 6)] + [(10, "s2", 1)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    alloc = spark.createDataFrame([("s1", 10.0)], ["source", "alloc"])
+    rows = sampling.budget_select(docs, alloc).collect()
+    assert all(r.cum_tokens <= 10 for r in rows)
+    assert len(rows) == 2  # 4+4 <= 10, third crosses
+    # kept set = the 2 smallest in (bucket, id) hash order — recompute
+    got_ids = {r.doc_id for r in rows}
+    hash_order = [
+        r.doc_id
+        for r in docs.filter("source = 's1'")
+        .select("doc_id", sampling._bucket("doc_id", "budget").alias("b"))
+        .orderBy("b", "doc_id")
+        .collect()
+    ]
+    assert got_ids == set(hash_order[:2])

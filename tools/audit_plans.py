@@ -37,6 +37,8 @@ NESTED_LOOP_EXEMPT = {
     "x_hdr_quantiles",       # 3-row percentile frame broadcast cross join
     "x_join_size_est",       # 1-row theta frames broadcast cross join
     "text_domain_stats",     # 1-row corpus-total cross join (share column)
+    "sample_water_fill",     # 1-row water-level (λ*) frame broadcast cross join
+    "train_mixture_select",  # composes water_fill_allocation (same 1-row level)
 }
 
 
