@@ -351,6 +351,7 @@ def water_fill_allocation(
     key_col: str = "source",
     weight_col: str = "weight",
     avail_col: str = "available",
+    max_epochs: float = 1.0,
 ) -> DataFrame:
     """Token-budget ALLOCATION across sources by water-filling — the
     data-mixture planning step of assembling a training corpus (target
@@ -370,6 +371,13 @@ def water_fill_allocation(
     RAISES the level, over-capping lowers it — so the valid prefix is
     the argmax). alloc_i = least(avail_i, w_i·λ*), rounded to 6dp.
 
+    `max_epochs` > 1 allows REPEATING scarce sources (the
+    data-constrained scaling practice of running high-value sources for
+    a few epochs): each source's effective supply becomes
+    avail·max_epochs, so its allocation may exceed one pass over its
+    data — alloc/available is then the source's epoch count. The
+    default 1.0 never repeats.
+
     Scale shape: the sources table is a per-SOURCE aggregate (thousands
     of rows at web scale, never corpus-sized) — the global window sort
     is a driver-scale footnote; the corpus itself is only touched by
@@ -378,11 +386,15 @@ def water_fill_allocation(
     full-table Σw is not order-defined at float precision, so use
     dyadic/integer weights when bit-stable parity matters (integer
     `available` is exact in any order)."""
+    if max_epochs <= 0:
+        raise ValueError("water_fill_allocation: max_epochs must be > 0")
+    eff = (F.col(avail_col) * F.lit(float(max_epochs))).cast("double")
     s = sources.select(
         F.col(key_col),
         F.col(weight_col).cast("double").alias("__w"),
-        F.col(avail_col).cast("double").alias("__a"),
-        (F.col(avail_col) / F.col(weight_col)).cast("double").alias("__r"),
+        F.col(avail_col).cast("long").alias("__raw"),
+        eff.alias("__a"),
+        (eff / F.col(weight_col)).cast("double").alias("__r"),
     )
     ww = Window.orderBy(F.col("__r").asc(), F.col(key_col).asc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -408,9 +420,9 @@ def water_fill_allocation(
     return base.select(
         F.col(key_col),
         F.col("__w").alias(weight_col),
-        F.col("__a").cast("long").alias(avail_col),
+        F.col("__raw").alias(avail_col),  # RAW supply; alloc may exceed it
         F.round(F.least(F.col("__a"), F.col("__w") * lam), 6).alias("alloc"),
-    )
+    )  # when max_epochs > 1 — alloc/available is the source's epoch count
 
 
 def budget_select(

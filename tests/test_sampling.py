@@ -308,3 +308,25 @@ def test_budget_select_prefix_and_boundary(spark):
         .collect()
     ]
     assert got_ids == set(hash_order[:2])
+
+
+def test_water_fill_max_epochs_repeats_scarce_sources(spark):
+    # code (weight 4, supply 10k) is scarce: with max_epochs=4 its
+    # effective supply is 40k, so it can absorb its full weight share;
+    # alloc/available > 1 is the epoch count. Reference check vs the
+    # iterative brute force on the effective supplies.
+    items = [("web", 8.0, 100_000), ("code", 4.0, 10_000)]
+    src = spark.createDataFrame(items, ["source", "weight", "available"])
+    got = {
+        r.source: (r.available, r.alloc)
+        for r in sampling.water_fill_allocation(src, 60_000, max_epochs=4.0).collect()
+    }
+    eff = [(k, w, a * 4) for k, w, a in items]
+    want = _brute_water_fill(eff, 60_000)
+    for k, (avail_raw, alloc) in got.items():
+        assert abs(alloc - want[k]) < 1e-4
+    assert got["code"][0] == 10_000         # 'available' stays the RAW supply
+    assert got["code"][1] / got["code"][0] == pytest.approx(2.0)  # 2 epochs
+    assert abs(sum(a for _, a in got.values()) - 60_000) < 1e-3
+    with pytest.raises(ValueError):
+        sampling.water_fill_allocation(src, 10, max_epochs=0)
