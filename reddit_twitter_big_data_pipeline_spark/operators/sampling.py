@@ -388,6 +388,8 @@ def water_fill_allocation(
     `available` is exact in any order)."""
     if max_epochs <= 0:
         raise ValueError("water_fill_allocation: max_epochs must be > 0")
+    if total_budget < 0:
+        raise ValueError("water_fill_allocation: total_budget must be >= 0")
     eff = (F.col(avail_col) * F.lit(float(max_epochs))).cast("double")
     s = sources.select(
         F.col(key_col),

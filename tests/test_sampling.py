@@ -330,3 +330,9 @@ def test_water_fill_max_epochs_repeats_scarce_sources(spark):
     assert abs(sum(a for _, a in got.values()) - 60_000) < 1e-3
     with pytest.raises(ValueError):
         sampling.water_fill_allocation(src, 10, max_epochs=0)
+
+
+def test_water_fill_rejects_negative_budget(spark):
+    src = spark.createDataFrame([("a", 1.0, 10)], ["source", "weight", "available"])
+    with pytest.raises(ValueError, match="total_budget"):
+        sampling.water_fill_allocation(src, -5)
