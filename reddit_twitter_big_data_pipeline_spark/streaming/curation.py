@@ -129,7 +129,9 @@ def domain_quota_admit_daily(
     Within a micro-batch the `cap − n` smallest `id_col` rows of the
     whole group win (chunk-safe, same contract as
     `domain_quota_admit`); across batches arrival order decides.
-    `delay` is the watermark lateness bound applied to `ts_col`."""
+    `delay` is the watermark lateness bound applied to `ts_col`; pass
+    None when the stream already carries a watermark (Spark disallows
+    redefining one mid-plan — the `curate_stream` composition case)."""
     import datetime
 
     epoch = datetime.date(1970, 1, 1)
@@ -161,9 +163,9 @@ def domain_quota_admit_daily(
         day_end_ms = ((day - epoch).days + 2) * 86_400_000
         state.setTimeoutTimestamp(max(day_end_ms, state.getCurrentWatermarkMs() + 1))
 
+    src = docs if delay is None else docs.withWatermark(ts_col, delay)
     return (
-        docs.withWatermark(ts_col, delay)
-        .withColumn("__day", F.to_date(ts_col))
+        src.withColumn("__day", F.to_date(ts_col))
         .groupBy(domain_col, "__day")
         .applyInPandasWithState(
             update,
@@ -187,11 +189,19 @@ def curate_stream(
     q_micro_min: int = 150_000,
     domain_cap: int = 20,
     dedup_delay: str = "1 hour",
+    quota_mode: str = "lifetime",
 ) -> DataFrame:
     """The composed streaming curation pipeline: gates → fp-dedup within
     the watermark → per-domain quota. Returns admitted rows
     (id, text, url, ts, lang, domain). See the module docstring for the
-    stage map; thresholds share the batch stack's defaults."""
+    stage map; thresholds share the batch stack's defaults.
+
+    `quota_mode`: "lifetime" (default) caps each domain once over the
+    stream's life (`domain_quota_admit`); "daily" caps per event-time
+    day (`domain_quota_admit_daily` — the reference's daily-batch
+    cadence), with `dedup_delay` doubling as the quota day-keying (the watermark itself is set once, at the dedup stage)."""
+    if quota_mode not in ("lifetime", "daily"):
+        raise ValueError("curate_stream: quota_mode must be 'lifetime' or 'daily'")
     gated = _corpus_gated(
         stream, blocked, id_col, text_col, url_col, blocked_col,
         min_margin, q_micro_min, keep_extra=(ts_col,),
@@ -202,6 +212,11 @@ def curate_stream(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+    if quota_mode == "daily":
+        return domain_quota_admit_daily(
+            deduped, domain_cap, domain_col="domain", id_col=id_col,
+            ts_col=ts_col, delay=None,  # watermark already set by the dedup stage
+        )
     return domain_quota_admit(deduped, domain_cap, domain_col="domain", id_col=id_col)
 
 

@@ -497,3 +497,39 @@ def test_curate_stream_v2_all_filtered_batch_is_harmless(spark, tmp_path):
     # batch 0 contributed no state rows; batch 1's landed normally
     bands = spark.read.parquet(str(tmp_path / "state_allfiltered" / "bands"))
     assert {r.id for r in bands.select("id").distinct().collect()} == {11}
+
+
+def test_curate_stream_daily_quota_mode(spark, tmp_path):
+    """quota_mode='daily': a domain filled on day 1 admits a fresh cap on
+    day 2 inside the same composed pipeline (three chained stateful
+    operators: fp-dedup, then the (domain, day)-keyed quota)."""
+    land = tmp_path / "land_dq"
+
+    def _d(i, text, host, day, minute):
+        return {
+            "doc_id": i, "text": text,
+            "url": f"https://{host}/p/{i}",
+            "date": f"2023-03-{day:02d} 12:{minute:02d}:00",
+        }
+
+    _write_batch(
+        land, "1.json",
+        [_d(1, _EN[0], "a.site1.com", 1, 0), _d(2, _EN[1], "b.site1.com", 1, 1),
+         _d(3, _EN[2], "c.site1.com", 1, 2)],   # over the day-1 cap
+        mtime=1,
+    )
+    _write_batch(
+        land, "2.json",
+        [_d(11, _EN[3], "d.site1.com", 2, 0),   # fresh day -> admitted
+         _d(12, _EN[0], "e.site1.com", 2, 1)],  # dup content of doc 1 -> fp-dedup
+        mtime=2,
+    )
+    rows = _run(
+        spark, land, tmp_path, "daily_mode",
+        min_margin=1, q_micro_min=1, domain_cap=2, quota_mode="daily",
+    )
+    assert sorted(r.doc_id for r in rows) == [1, 2, 11]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quota_mode"):
+        curation.curate_stream(spark.range(1), quota_mode="weekly")
