@@ -3669,12 +3669,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # form is one window pass + a 1-row max (λ* = max over candidate
         # water levels); undersupplied sources cap at availability and
         # their shortfall redistributes weight-proportionally.
-        docs = _t(spark, sf, "documents").select("source", "text")
-        src = docs.groupBy("source").agg(
+        # one corpus scan: the per-source frame is ~20 rows — eager
+        # localCheckpoint materializes it so the total collect and the
+        # allocation windows both read the tiny checkpoint, not the corpus
+        src = _t(spark, sf, "documents").select("source", "text").groupBy(
+            "source"
+        ).agg(
             F.sum(text_ops.token_count("text")).cast("long").alias("available")
         ).withColumn(
             "weight", (F.length("source") % 4 + 1).cast("double")
-        )
+        ).localCheckpoint(eager=True)
         total = src.agg(F.sum("available").cast("long")).collect()[0][0] or 0
         return sampling.water_fill_allocation(
             src, int(total) * 3 // 5
@@ -3693,11 +3697,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         with_tok = docs.withColumn(
             "n_tokens", text_ops.token_count("text").cast("long")
         )
+        # the per-source aggregate is checkpointed eagerly (~20 rows), so
+        # the total collect + allocation windows don't re-tokenize the
+        # corpus; budget_select's scan is the one remaining corpus pass
         src = with_tok.groupBy("source").agg(
             F.sum("n_tokens").cast("long").alias("available")
         ).withColumn(
             "weight", (F.length("source") % 4 + 1).cast("double")
-        )
+        ).localCheckpoint(eager=True)
         total = src.agg(F.sum("available").cast("long")).collect()[0][0] or 0
         alloc = sampling.water_fill_allocation(src, int(total) * 3 // 5)
         return sampling.budget_select(

@@ -935,21 +935,22 @@ def clustering_coefficient(
     under `checkpoint_dir`) so the cached oriented frame can be released
     before returning."""
     e, deg, o = _degree_oriented(edges, a, b)
-    outd = o.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
-    st = (
-        o.join(outd.withColumnRenamed("s", "t2"), o["t"] == F.col("t2"), "left")
-        .agg(
-            F.count(F.lit(1)).alias("m"),
-            F.sum(F.coalesce("d", F.lit(0))).alias("w"),
+    use_adj = False
+    if adj_threshold > 0:  # forced-wedge callers skip the stat job entirely
+        outd = o.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        st = (
+            o.join(outd.withColumnRenamed("s", "t2"), o["t"] == F.col("t2"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.sum(F.coalesce("d", F.lit(0))).alias("w"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    m, w = st["m"], st["w"] or 0
-    if (
-        adj_threshold > 0
-        and m <= (adj_threshold * adj_threshold) // 2
-        and w >= wedge_factor * m
-    ):
+        m, w = st["m"], st["w"] or 0
+        use_adj = (
+            m <= (adj_threshold * adj_threshold) // 2 and w >= wedge_factor * m
+        )
+    if use_adj:
         adj = o.groupBy("s").agg(F.array_sort(F.collect_list("t")).alias("ns"))
         ws = (
             o.join(adj.select("s", F.col("ns").alias("ns_s")), "s")

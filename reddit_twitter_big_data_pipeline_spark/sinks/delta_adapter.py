@@ -71,18 +71,25 @@ def merge_upsert_auto(
     """`merge_upsert` through Delta `MERGE INTO` when delta-spark is
     importable; the crash-safe manifested-parquet merge otherwise.
 
-    With Delta: a missing target bootstraps as a new Delta table
+    With Delta: a MISSING target bootstraps as a new Delta table
     (partitioned by `partition_cols` when given — Delta then scopes the
     MERGE rewrite to touched partitions on its own, the job
-    `merge_upsert_manifested` does by hand for parquet); an existing
-    PLAIN-parquet dir at `target_path` is a migration Delta itself
-    reports (`CONVERT TO DELTA`, a one-time operation out of scope
-    here). Returns the merged table as a DataFrame either way."""
+    `merge_upsert_manifested` does by hand for parquet). An EXISTING
+    non-Delta dir at `target_path` — a table the parquet merge was
+    maintaining before delta-spark got installed — keeps routing through
+    `writers.merge_upsert`, so installing the dependency never breaks a
+    working upsert job; migrate such tables explicitly with Delta's
+    `CONVERT TO DELTA` when ready, after which calls route to MERGE."""
     DeltaTable = _delta_table_cls()
     if DeltaTable is None:
         return writers.merge_upsert(spark, target_path, updates, keys, order_col)
     src = _dedupe_updates(updates, keys, order_col)
     if not DeltaTable.isDeltaTable(spark, target_path):
+        fs, p = writers._hadoop_fs(spark, target_path)
+        if fs.exists(p):
+            # pre-existing plain-parquet table: the bootstrap save would
+            # hard-error on the non-empty dir — keep the parquet merge
+            return writers.merge_upsert(spark, target_path, updates, keys, order_col)
         w = src.write.format("delta")
         if partition_cols:
             w = w.partitionBy(*partition_cols)

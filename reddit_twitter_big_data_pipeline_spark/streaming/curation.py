@@ -57,6 +57,32 @@ from ..sinks.writers import overwrite_partitions
 _QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 
 
+def _admit_chunks(
+    pdfs: Iterator[pd.DataFrame],
+    take: int,
+    id_col: str,
+    drop_cols: list[str] | None = None,
+):
+    """The shared chunk-safe admission scan of both quota operators: keep
+    a rolling buffer of the current best ≤ `take` rows (smallest
+    `id_col`) across Arrow chunks — bounded by the cap, never by group
+    size; per-chunk admission would depend on nondeterministic chunk
+    boundaries (the r10 review fix, in ONE place so the two quota modes
+    cannot diverge). Returns the admitted frame (None when empty);
+    always drains the iterator."""
+    best: pd.DataFrame | None = None
+    if take > 0:
+        for pdf in pdfs:
+            cand = pdf if best is None else pd.concat([best, pdf])
+            best = cand.sort_values(id_col).head(take)
+    else:
+        for _ in pdfs:  # drain; the group is at cap
+            pass
+    if best is not None and len(best) and drop_cols:
+        best = best.drop(columns=drop_cols)
+    return best if best is not None and len(best) else None
+
+
 def domain_quota_admit(
     docs: DataFrame,
     cap: int,
@@ -79,18 +105,10 @@ def domain_quota_admit(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n = state.get[0] if state.exists else 0
-        take = cap - n
-        if take > 0:
-            best: pd.DataFrame | None = None
-            for pdf in pdfs:
-                cand = pdf if best is None else pd.concat([best, pdf])
-                best = cand.sort_values(id_col).head(take)
-            if best is not None and len(best):
-                n += len(best)
-                yield best
-        else:
-            for _ in pdfs:  # drain the iterator; the group is at cap
-                pass
+        best = _admit_chunks(pdfs, cap - n, id_col)
+        if best is not None:
+            n += len(best)
+            yield best
         state.update((int(n),))
 
     return docs.groupBy(domain_col).applyInPandasWithState(
@@ -145,18 +163,10 @@ def domain_quota_admit_daily(
             return
         _domain, day = key
         n = state.get[0] if state.exists else 0
-        take = cap - n
-        if take > 0:
-            best: pd.DataFrame | None = None
-            for pdf in pdfs:
-                cand = pdf if best is None else pd.concat([best, pdf])
-                best = cand.sort_values(id_col).head(take)
-            if best is not None and len(best):
-                n += len(best)
-                yield best.drop(columns=["__day"])
-        else:
-            for _ in pdfs:  # drain; the (domain, day) group is at cap
-                pass
+        best = _admit_chunks(pdfs, cap - n, id_col, drop_cols=["__day"])
+        if best is not None:
+            n += len(best)
+            yield best
         state.update((int(n),))
         # GC timer: end of the event day + 1 day of timezone slack; must
         # exceed the current watermark or the engine rejects it
@@ -290,16 +300,21 @@ def curate_stream_v2(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # empty-state fallback schemas must carry the STREAM's id type —
+        # hardcoding long would make a string-id stream (still valid under
+        # the globally-increasing convention, e.g. zero-padded ids) fail
+        # its first-ever batch on an incompatible unionByName
+        id_t = batch.schema[id_col].dataType.simpleString()
         fps = _read_state(
             spark, os.path.join(state_dir, "fps"), "__fp string", batch_id
         )
         ex_old = _read_state(
-            spark, os.path.join(state_dir, "shingles"), "id long, h long", batch_id
+            spark, os.path.join(state_dir, "shingles"), f"id {id_t}, h long", batch_id
         )
         b_old = _read_state(
             spark,
             os.path.join(state_dir, "bands"),
-            "id long, band int, bucket long",
+            f"id {id_t}, band int, bucket long",
             batch_id,
         )
         have = (

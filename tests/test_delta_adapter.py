@@ -144,3 +144,23 @@ def test_delta_route_bootstraps_missing_table(spark, monkeypatch, fake_delta):
     )
     assert writes["path"] == "/delta/new"
     assert out is fake_delta.table_df
+
+
+def test_delta_route_keeps_parquet_fallback_for_existing_plain_table(
+    spark, tmp_path, fake_delta
+):
+    """Installing delta-spark must not break a target the parquet merge
+    was maintaining: an existing non-Delta dir keeps routing through
+    writers.merge_upsert instead of hard-erroring on the bootstrap save
+    (the 'one dependency, zero code change' promise)."""
+    fake_delta.is_delta = False
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame([(1, "old", 5)], ["k", "val", "v"]).write.parquet(path)
+    got = delta_adapter.merge_upsert_auto(
+        spark, path, _updates(spark), ["k"], order_col="v"
+    )
+    assert sorted(map(tuple, got.collect())) == [(1, "new", 9), (2, "two", 5)]
+    # and the table on disk was actually merged by the parquet path
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == [
+        (1, "new", 9), (2, "two", 5)
+    ]
