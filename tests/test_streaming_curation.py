@@ -533,3 +533,82 @@ def test_curate_stream_daily_quota_mode(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="quota_mode"):
         curation.curate_stream(spark.range(1), quota_mode="weekly")
+
+
+def test_curate_stream_v2_rejects_nonmonotonic_ids(spark, tmp_path):
+    """ADVICE r11: the globally-increasing-id convention is enforced, not
+    just documented — a batch whose min id is <= the stored high-water
+    mark (logged per batch in the slim ids/ state table) fails the query
+    loudly instead of silently admitting near-duplicates as pair
+    a-sides. The high-water mark covers every SEEN id, not just admitted
+    ones."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    land = tmp_path / "land_mono"
+    _write_batch(
+        land, "1.json",
+        [_doc(1, _EN[0], "a.site1.com", 0), _doc(8, _EN[1], "b.site2.com", 1)],
+        mtime=1,
+    )
+    _write_batch(
+        land, "2.json",
+        [_doc(5, _EN[2], "c.site3.com", 5)],  # 5 <= stored hi 8 -> reject
+        mtime=2,
+    )
+    with pytest.raises(StreamingQueryException, match="globally increasing"):
+        _run_v2(spark, land, tmp_path, "mono", min_margin=1, q_micro_min=1)
+    # the invariant log itself: one hi row per completed batch
+    ids = spark.read.parquet(str(tmp_path / "state_mono" / "ids"))
+    assert [(r.hi, int(r["__batch"])) for r in ids.collect()] == [(8, 0)]
+
+
+def test_curate_stream_v2_monotonic_ids_pass_and_compact(spark, tmp_path):
+    """Increasing ids sail through the invariant, and compaction folds
+    the ids log to its running max so the check keeps working after a
+    maintenance window."""
+    land = tmp_path / "land_mono_ok"
+    _write_batch(land, "1.json", [_doc(1, _EN[0], "a.site1.com", 0)], mtime=1)
+    _write_batch(land, "2.json", [_doc(9, _EN[1], "b.site2.com", 5)], mtime=2)
+    out = _run_v2(spark, land, tmp_path, "mono_ok", min_margin=1, q_micro_min=1)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 9]
+    state = str(tmp_path / "state_mono_ok")
+    counts = curation.compact_stream_state(spark, state)
+    assert counts["ids"] == 1  # folded to the single running max
+    ids = spark.read.parquet(os.path.join(state, "ids"))
+    assert [(r.hi, int(r["__batch"])) for r in ids.collect()] == [(9, -1)]
+    # a replay-fresh batch below the folded max still rejects
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    _write_batch(land, "3.json", [_doc(4, _EN[2], "c.site3.com", 8)], mtime=3)
+    with pytest.raises(StreamingQueryException, match="globally increasing"):
+        _run_v2(spark, land, tmp_path, "mono_ok", min_margin=1, q_micro_min=1)
+
+
+def test_compact_stream_state_enforces_stopped_clean_checkpoint(spark, tmp_path):
+    """VERDICT r11 item 3: given the stream's checkpoint,
+    compact_stream_state refuses while the last started batch has no
+    commit (it would replay against folded state) and succeeds after a
+    clean completion; force=True overrides."""
+    import pytest
+
+    land = tmp_path / "land_ilock"
+    _write_batch(land, "1.json", [_doc(1, _EN[0], "a.site1.com", 0)], mtime=1)
+    _run_v2(spark, land, tmp_path, "ilock", min_margin=1, q_micro_min=1)
+    state = str(tmp_path / "state_ilock")
+    ckpt = str(tmp_path / "ckpt_ilock")
+    # clean completion: batch 0 started AND committed -> compaction runs
+    counts = curation.compact_stream_state(spark, state, checkpoint=ckpt)
+    assert counts["fps"] == 1
+    # fabricate a started-but-uncommitted batch: offsets/1 with no commits/1
+    off = os.path.join(ckpt, "offsets")
+    with open(os.path.join(off, "0")) as f:
+        payload = f.read()
+    with open(os.path.join(off, "1"), "w") as f:
+        f.write(payload)
+    with pytest.raises(RuntimeError, match="batch 1 started but never committed"):
+        curation.compact_stream_state(spark, state, checkpoint=ckpt)
+    # force overrides for operators abandoning the checkpoint
+    counts = curation.compact_stream_state(spark, state, checkpoint=ckpt, force=True)
+    assert counts["fps"] == 1
