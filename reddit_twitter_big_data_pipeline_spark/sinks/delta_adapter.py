@@ -1,12 +1,30 @@
-"""Optional Delta Lake routing for the merge-upsert family (VERDICT r10
-item 8): SURVEY §1-§2's Spark mapping for the reference's idempotent
-upserts (Cypher MERGE, reference: glue/reddit_glue.py:72-79; the T+2/3-day
-score re-crawl, reddit/lambda_function_aggregate.py:59-71) says "Delta
-MERGE"; the engine ships a crash-safe manifested-parquet MERGE so it has
-zero hard dependencies. This adapter closes the cluster-adoption gap:
-when `delta-spark` is importable, `merge_upsert_auto` routes through a
-real Delta `MERGE INTO` (one dependency, zero code change); otherwise it
-falls back to `writers.merge_upsert` unchanged.
+"""Optional Delta Lake routing for the write family (VERDICT r10 item 8,
+extended r12 per VERDICT r11 item 5): SURVEY §1-§2's Spark mapping for
+the reference's idempotent upserts (Cypher MERGE, reference:
+glue/reddit_glue.py:72-79; the T+2/3-day score re-crawl,
+reddit/lambda_function_aggregate.py:59-71) says "Delta MERGE"; the
+engine ships a crash-safe manifested-parquet MERGE so it has zero hard
+dependencies. This adapter closes the cluster-adoption gap: when
+`delta-spark` is importable, the `*_auto` entry points route through
+real Delta transactions (one dependency, zero code change); otherwise
+they fall back to the `writers` parquet implementations unchanged:
+
+  merge_upsert_auto             -> Delta MERGE INTO
+  merge_upsert_partitioned_auto -> Delta MERGE INTO with partition keys
+                                   in the match condition (Delta's file
+                                   pruning then scopes the rewrite to
+                                   touched partitions, the job
+                                   writers.merge_upsert_partitioned does
+                                   by hand)
+  replace_table_auto            -> transactional mode("overwrite")
+                                   (readers keep the old snapshot; the
+                                   plan may READ the table it replaces,
+                                   same contract as the two-rename swap)
+  overwrite_partitions_auto     -> dynamic partitionOverwriteMode (the
+                                   Delta-native equivalent of a
+                                   replaceWhere over df's partitions)
+  convert_to_delta              -> CONVERT TO DELTA migration for tables
+                                   the parquet path was maintaining
 
 Semantics contract (mirrors `writers.merge_upsert` exactly):
 - updates win over existing rows; among duplicate update keys the largest
@@ -22,6 +40,7 @@ Semantics contract (mirrors `writers.merge_upsert` exactly):
 from __future__ import annotations
 
 import importlib
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -78,18 +97,39 @@ def merge_upsert_auto(
     non-Delta dir at `target_path` — a table the parquet merge was
     maintaining before delta-spark got installed — keeps routing through
     `writers.merge_upsert`, so installing the dependency never breaks a
-    working upsert job; migrate such tables explicitly with Delta's
-    `CONVERT TO DELTA` when ready, after which calls route to MERGE."""
+    working upsert job; migrate such tables explicitly with
+    `convert_to_delta` when ready, after which calls route to MERGE.
+
+    `partition_cols` shapes ONLY the Delta bootstrap (ADVICE r11): both
+    fallback routes (`delta-spark` absent, or a pre-existing plain
+    parquet dir) run `writers.merge_upsert`, which writes an
+    UNPARTITIONED table — a `UserWarning` flags the dropped layout hint
+    so the divergence is never silent. Callers who need the partitioned
+    parquet layout want `merge_upsert_partitioned_auto` instead (its
+    fallback IS partition-scoped)."""
     DeltaTable = _delta_table_cls()
-    if DeltaTable is None:
+
+    def _fallback(reason: str) -> DataFrame:
+        if partition_cols:
+            warnings.warn(
+                "merge_upsert_auto: partition_cols is honored only on the "
+                f"Delta bootstrap path; {reason}, so the table stays "
+                "UNPARTITIONED plain parquet (use merge_upsert_partitioned_auto "
+                "for a partition-scoped fallback)",
+                UserWarning,
+                stacklevel=3,
+            )
         return writers.merge_upsert(spark, target_path, updates, keys, order_col)
+
+    if DeltaTable is None:
+        return _fallback("delta-spark is not importable")
     src = _dedupe_updates(updates, keys, order_col)
     if not DeltaTable.isDeltaTable(spark, target_path):
         fs, p = writers._hadoop_fs(spark, target_path)
         if fs.exists(p):
             # pre-existing plain-parquet table: the bootstrap save would
             # hard-error on the non-empty dir — keep the parquet merge
-            return writers.merge_upsert(spark, target_path, updates, keys, order_col)
+            return _fallback("the target is a pre-existing non-Delta table")
         w = src.write.format("delta")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
@@ -104,3 +144,147 @@ def merge_upsert_auto(
         m = m.whenMatchedUpdateAll()
     m.whenNotMatchedInsertAll().execute()
     return dt.toDF()
+
+
+def merge_upsert_partitioned_auto(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """`merge_upsert_partitioned` through Delta `MERGE INTO` when
+    delta-spark is importable; the partition-swapping parquet merge
+    otherwise (same fallback discipline as `merge_upsert_auto`: missing
+    targets bootstrap as a partitioned Delta table, pre-existing
+    non-Delta dirs keep the parquet path until `convert_to_delta`).
+
+    The Delta match condition includes `partition_cols` alongside `keys`
+    — semantically free under the operator's documented contract (an
+    update lands in the SAME partition as the row it replaces, the
+    late-refresh invariant; see writers.merge_upsert_partitioned), and
+    it is what lets Delta prune the MERGE's file scan to touched
+    partitions instead of rewriting the table. Keys that move across
+    partitions need `merge_upsert_auto`, exactly as they need plain
+    `merge_upsert` on the parquet path."""
+    DeltaTable = _delta_table_cls()
+    if DeltaTable is None:
+        return writers.merge_upsert_partitioned(
+            spark, target_path, updates, keys, partition_cols, order_col
+        )
+    src = _dedupe_updates(updates, keys, order_col)
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        fs, p = writers._hadoop_fs(spark, target_path)
+        if fs.exists(p):
+            return writers.merge_upsert_partitioned(
+                spark, target_path, updates, keys, partition_cols, order_col
+            )
+        src.write.format("delta").partitionBy(*partition_cols).save(target_path)
+        return DeltaTable.forPath(spark, target_path).toDF()
+    cond = " AND ".join(
+        f"t.`{k}` <=> s.`{k}`" for k in [*keys, *partition_cols]
+    )
+    dt = DeltaTable.forPath(spark, target_path)
+    m = dt.alias("t").merge(src.alias("s"), cond)
+    if order_col is not None:
+        m = m.whenMatchedUpdateAll(condition=f"s.`{order_col}` >= t.`{order_col}`")
+    else:
+        m = m.whenMatchedUpdateAll()
+    m.whenNotMatchedInsertAll().execute()
+    return dt.toDF()
+
+
+def replace_table_auto(spark: SparkSession, target_path: str, df: DataFrame) -> None:
+    """`writers.replace_table` through a transactional Delta
+    `mode("overwrite")` when the target is a Delta table: Delta commits
+    the new files atomically while readers (including `df`'s own plan,
+    the operator's reason to exist — new state = f(old state, batch))
+    keep the pre-commit snapshot, giving exactly the two-rename swap's
+    guarantee with time travel on top. `overwriteSchema` is set because
+    `replace_table` is a FULL replacement — the parquet swap never
+    carried the old schema either. Non-Delta targets (or no delta-spark)
+    use the staging-then-swap parquet path unchanged."""
+    DeltaTable = _delta_table_cls()
+    if DeltaTable is None or not DeltaTable.isDeltaTable(spark, target_path):
+        fs, p = writers._hadoop_fs(spark, target_path)
+        if (
+            DeltaTable is not None
+            and not fs.exists(p)
+        ):
+            df.write.format("delta").save(target_path)  # bootstrap as Delta
+            return
+        writers.replace_table(spark, target_path, df)
+        return
+    (
+        df.write.format("delta")
+        .mode("overwrite")
+        .option("overwriteSchema", "true")
+        .save(target_path)
+    )
+
+
+def overwrite_partitions_auto(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """`writers.overwrite_partitions` through Delta when the target is a
+    Delta table: the same write-scoped dynamic `partitionOverwriteMode`
+    (Delta ≥2.0 supports it natively and commits the replaced partitions
+    atomically — the engine-agnostic spelling of a `replaceWhere` over
+    exactly df's partition values, without the extra distinct-values
+    job computing that predicate would cost). Missing targets bootstrap
+    as a partitioned Delta table; non-Delta targets (or no delta-spark)
+    keep the dynamic-overwrite parquet write unchanged."""
+    spark = df.sparkSession
+    DeltaTable = _delta_table_cls()
+    if DeltaTable is None:
+        writers.overwrite_partitions(df, path, partition_cols)
+        return
+    if not DeltaTable.isDeltaTable(spark, path):
+        fs, p = writers._hadoop_fs(spark, path)
+        if fs.exists(p):
+            writers.overwrite_partitions(df, path, partition_cols)
+            return
+        df.write.format("delta").partitionBy(*partition_cols).save(path)
+        return
+    (
+        df.write.format("delta")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_schema: str | None = None,
+) -> None:
+    """Migrate a plain-parquet table the writers family was maintaining
+    into a Delta table IN PLACE (Delta's `CONVERT TO DELTA`: writes a
+    _delta_log over the existing files, no data rewrite) — after which
+    every `*_auto` call on the path routes through Delta transactions.
+
+    `partition_schema` is required for partitioned tables and uses
+    Delta's DDL spelling, e.g. ``"topic STRING, dataload DATE"`` — the
+    partition values live only in dir names, so their types cannot be
+    inferred. Raises when delta-spark is not importable (a migration is
+    an explicit ask — silently not migrating would leave the caller on
+    parquet believing otherwise); a target that is already Delta is a
+    no-op. Manifested tables (`merge_upsert_manifested`) hold versioned
+    snapshot dirs, not one flat table — `read_manifested` + a fresh
+    Delta write is the migration for those, not CONVERT."""
+    DeltaTable = _delta_table_cls()
+    if DeltaTable is None:
+        raise RuntimeError(
+            "convert_to_delta: delta-spark is not importable in this "
+            "environment — install it before migrating tables"
+        )
+    if DeltaTable.isDeltaTable(spark, path):
+        return
+    ident = f"parquet.`{path}`"
+    if partition_schema is None:
+        DeltaTable.convertToDelta(spark, ident)
+    else:
+        DeltaTable.convertToDelta(spark, ident, partition_schema)

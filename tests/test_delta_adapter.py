@@ -164,3 +164,208 @@ def test_delta_route_keeps_parquet_fallback_for_existing_plain_table(
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == [
         (1, "new", 9), (2, "two", 5)
     ]
+
+
+@pytest.fixture
+def spy_writer(monkeypatch):
+    """Record the DataFrameWriter call chain (format/mode/option/
+    partitionBy) and swallow save — format('delta') cannot execute in
+    this container, but the chain the adapter BUILDS is the contract."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    rec = {"options": {}, "partitionBy": None, "mode": None, "format": None, "path": None}
+    orig = {n: getattr(DataFrameWriter, n) for n in ("format", "mode", "option", "partitionBy")}
+
+    def _format(self, s):
+        rec["format"] = s
+        return orig["format"](self, s)
+
+    def _mode(self, s):
+        rec["mode"] = s
+        return orig["mode"](self, s)
+
+    def _option(self, k, v):
+        rec["options"][k] = v
+        return orig["option"](self, k, v)
+
+    def _pby(self, *cols):
+        rec["partitionBy"] = [c for c in cols]
+        return orig["partitionBy"](self, *cols)
+
+    def _save(self, path=None):
+        rec["path"] = path
+
+    monkeypatch.setattr(DataFrameWriter, "format", _format)
+    monkeypatch.setattr(DataFrameWriter, "mode", _mode)
+    monkeypatch.setattr(DataFrameWriter, "option", _option)
+    monkeypatch.setattr(DataFrameWriter, "partitionBy", _pby)
+    monkeypatch.setattr(DataFrameWriter, "save", _save)
+    return rec
+
+
+def _pupdates(spark):
+    return spark.createDataFrame(
+        [(1, "a", "new", 9), (2, "b", "two", 5)], ["k", "p", "val", "v"]
+    )
+
+
+def test_merge_upsert_auto_warns_when_partition_cols_dropped(spark, tmp_path):
+    """ADVICE r11: partition_cols shapes only the Delta bootstrap — both
+    fallback routes warn instead of silently producing an unpartitioned
+    table."""
+    path = str(tmp_path / "warned")
+    with pytest.warns(UserWarning, match="partition_cols is honored only"):
+        delta_adapter.merge_upsert_auto(
+            spark, path, _updates(spark), ["k"], order_col="v",
+            partition_cols=["val"],
+        )
+    # without partition_cols: no warning (fallback is the documented path)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        delta_adapter.merge_upsert_auto(
+            spark, str(tmp_path / "plain2"), _updates(spark), ["k"], order_col="v"
+        )
+
+
+def test_partitioned_fallback_without_delta_matches_parquet(spark, tmp_path):
+    assert not delta_adapter.delta_available()
+    base = spark.createDataFrame([(1, "a", "old", 5), (3, "a", "three", 1)],
+                                 ["k", "p", "val", "v"])
+    a_path, b_path = str(tmp_path / "auto_p"), str(tmp_path / "plain_p")
+    base.write.partitionBy("p").parquet(a_path)
+    base.write.partitionBy("p").parquet(b_path)
+    got = delta_adapter.merge_upsert_partitioned_auto(
+        spark, a_path, _pupdates(spark), ["k"], ["p"], order_col="v"
+    )
+    want = writers.merge_upsert_partitioned(
+        spark, b_path, _pupdates(spark), ["k"], ["p"], order_col="v"
+    )
+    key = lambda r: (r["k"], r["p"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert sorted(map(key, spark.read.parquet(a_path).collect())) == [
+        (1, "a"), (2, "b"), (3, "a")
+    ]
+
+
+def test_partitioned_delta_route_prunes_on_partition_keys(spark, fake_delta):
+    """The Delta MERGE condition must include the partition columns —
+    that inclusion IS the partition pruning (Delta scopes the rewrite to
+    matching files), and it is semantically free under the same-partition
+    update contract."""
+    fake_delta.is_delta = True
+    fake_delta.table_df = spark.range(1)
+    out = delta_adapter.merge_upsert_partitioned_auto(
+        spark, "/delta/t", _pupdates(spark), ["k"], ["p"], order_col="v"
+    )
+    c = fake_delta.calls
+    assert c["merge_cond"] == "t.`k` <=> s.`k` AND t.`p` <=> s.`p`"
+    assert c["matched_cond"] == "s.`v` >= t.`v`"
+    assert c["insert_all"] and c["executed"]
+    assert out is fake_delta.table_df
+
+
+def test_partitioned_delta_bootstrap_partitions_the_table(
+    spark, fake_delta, spy_writer
+):
+    fake_delta.is_delta = False
+    fake_delta.table_df = spark.range(1)
+    delta_adapter.merge_upsert_partitioned_auto(
+        spark, "/delta/newp", _pupdates(spark), ["k"], ["p"], order_col="v"
+    )
+    assert spy_writer["format"] == "delta"
+    assert spy_writer["partitionBy"] == ["p"]
+    assert spy_writer["path"] == "/delta/newp"
+
+
+def test_replace_table_auto_fallback_matches_replace_table(spark, tmp_path):
+    assert not delta_adapter.delta_available()
+    path = str(tmp_path / "rt")
+    spark.createDataFrame([(1, "old")], ["k", "val"]).write.parquet(path)
+    delta_adapter.replace_table_auto(
+        spark, path, spark.createDataFrame([(2, "new")], ["k", "val"])
+    )
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "new")]
+
+
+def test_replace_table_auto_delta_route_is_transactional_overwrite(
+    spark, fake_delta, spy_writer
+):
+    fake_delta.is_delta = True
+    delta_adapter.replace_table_auto(
+        spark, "/delta/rt", spark.createDataFrame([(1, "x")], ["k", "val"])
+    )
+    assert spy_writer["format"] == "delta"
+    assert spy_writer["mode"] == "overwrite"
+    assert spy_writer["options"].get("overwriteSchema") == "true"
+    assert spy_writer["path"] == "/delta/rt"
+
+
+def test_replace_table_auto_keeps_parquet_for_existing_plain_table(
+    spark, tmp_path, fake_delta
+):
+    fake_delta.is_delta = False
+    path = str(tmp_path / "rt_legacy")
+    spark.createDataFrame([(1, "old")], ["k", "val"]).write.parquet(path)
+    delta_adapter.replace_table_auto(
+        spark, path, spark.createDataFrame([(2, "new")], ["k", "val"])
+    )
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "new")]
+
+
+def test_overwrite_partitions_auto_fallback_and_delta_route(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    # delta importable but target is an existing plain table -> parquet path
+    fake_delta.is_delta = False
+    path = str(tmp_path / "op")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"]).write.partitionBy(
+        "p"
+    ).parquet(path)
+    delta_adapter.overwrite_partitions_auto(
+        spark.createDataFrame([(9, "a")], ["k", "p"]), path, ["p"]
+    )
+    got = sorted((r.k, r.p) for r in spark.read.parquet(path).collect())
+    assert got == [(2, "b"), (9, "a")]  # only partition a replaced
+
+
+def test_overwrite_partitions_auto_delta_route_dynamic(
+    spark, fake_delta, spy_writer
+):
+    fake_delta.is_delta = True
+    delta_adapter.overwrite_partitions_auto(
+        spark.createDataFrame([(9, "a")], ["k", "p"]), "/delta/op", ["p"]
+    )
+    assert spy_writer["format"] == "delta"
+    assert spy_writer["mode"] == "overwrite"
+    assert spy_writer["options"].get("partitionOverwriteMode") == "dynamic"
+    assert spy_writer["partitionBy"] == ["p"]
+    assert spy_writer["path"] == "/delta/op"
+
+
+def test_convert_to_delta_requires_delta_and_is_idempotent(
+    spark, tmp_path, fake_delta, monkeypatch
+):
+    conversions = []
+    monkeypatch.setattr(
+        fake_delta, "convertToDelta",
+        classmethod(lambda cls, spark, ident, schema=None: conversions.append((ident, schema))),
+        raising=False,
+    )
+    fake_delta.is_delta = True
+    delta_adapter.convert_to_delta(spark, "/delta/already")  # no-op
+    assert conversions == []
+    fake_delta.is_delta = False
+    delta_adapter.convert_to_delta(spark, "/tables/t1")
+    delta_adapter.convert_to_delta(spark, "/tables/t2", "p STRING")
+    assert conversions == [
+        ("parquet.`/tables/t1`", None),
+        ("parquet.`/tables/t2`", "p STRING"),
+    ]
+
+
+def test_convert_to_delta_raises_without_delta(spark):
+    assert not delta_adapter.delta_available()
+    with pytest.raises(RuntimeError, match="delta-spark is not importable"):
+        delta_adapter.convert_to_delta(spark, "/tables/t1")
