@@ -8670,16 +8670,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         ord AS (
           SELECT src.*,
-                 sum(available) OVER w AS cum_a,
-                 sum(weight) OVER w AS cum_w
+                 sum(available) OVER wp AS cum_a,
+                 sum(available) OVER ws AS suf_a,
+                 sum(weight) OVER ws AS suf_w
           FROM src
-          WINDOW w AS (ORDER BY available / weight, source
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          WINDOW wp AS (ORDER BY available / weight, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               ws AS (ORDER BY available / weight, source
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
         ),
         lvl AS (
-          SELECT max((least(t.budget, t.ta) - o.cum_a) / (t.tw - o.cum_w))
+          -- suffix-sum candidate level, the r12 cancellation-robust form
+          -- (sampling.py): W - W_k as a suffix sum never cancels
+          SELECT max(least(t.budget - o.cum_a, o.suf_a) / o.suf_w)
                    AS lam_rows
-          FROM ord o, tot t WHERE t.tw > o.cum_w
+          FROM ord o, tot t WHERE o.suf_w > 0
         ),
         lam AS (
           SELECT greatest(least(t.budget, t.ta) / t.tw,

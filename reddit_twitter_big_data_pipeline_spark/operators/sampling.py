@@ -385,7 +385,13 @@ def water_fill_allocation(
     prefix sums are frame-ordered (deterministic in any engine); the
     full-table Σw is not order-defined at float precision, so use
     dyadic/integer weights when bit-stable parity matters (integer
-    `available` is exact in any order)."""
+    `available` is exact in any order). Numerically the level is
+    cancellation-robust (r12): W − W_k and its numerator twin compute as
+    SUFFIX sums of positive terms, never total-minus-prefix — with
+    weights spanning 1e-30..1e+30 the subtraction form cancels to 0 and
+    silently breaks the Σalloc contract (caught by the adversarial
+    property test in tests/test_properties.py, which pins this form
+    against an exact-rational replay)."""
     if max_epochs <= 0:
         raise ValueError("water_fill_allocation: max_epochs must be > 0")
     if total_budget < 0:
@@ -417,21 +423,37 @@ def water_fill_allocation(
         eff.alias("__a"),
         (eff / w_ok).cast("double").alias("__r"),
     )
-    ww = Window.orderBy(F.col("__r").asc(), F.col(key_col).asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    order = [F.col("__r").asc(), F.col(key_col).asc()]
+    ww = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    # the candidate level λ(k) = (T − A_k)/(W − W_k) computes its
+    # denominator as a SUFFIX sum, not total-minus-prefix: with weights
+    # spanning wide magnitudes (1e-30..1e+30, the adversarial property
+    # test), W − W_k cancels catastrophically in float — 1e16+1 − 1e16
+    # is 0, the `> 0` guard then DROPS the true level candidate and the
+    # Σalloc = min(budget, Σavailable) contract breaks, not just its low
+    # bits. A suffix sum of all-positive terms never cancels. Same for
+    # the numerator: T − A_k = min(budget − A_k, suffix_a) exactly
+    # (min commutes with the subtraction), and suffix_a is robust when
+    # the supply side dominates. Same sort, one extra frame — no
+    # additional shuffle or pass over the per-source table.
+    ws = Window.orderBy(*order).rowsBetween(1, Window.unboundedFollowing)
     wall = Window.partitionBy()
     c = s.select(
         "*",
         F.sum("__a").over(ww).alias("__cum_a"),
-        F.sum("__w").over(ww).alias("__cum_w"),
+        F.sum("__a").over(ws).alias("__suf_a"),
+        F.sum("__w").over(ws).alias("__suf_w"),
         F.sum("__a").over(wall).alias("__tot_a"),
         F.sum("__w").over(wall).alias("__tot_w"),
     )
     t = F.least(F.lit(float(total_budget)), F.col("__tot_a"))
-    lam_rows = c.filter(F.col("__tot_w") > F.col("__cum_w")).agg(
+    lam_rows = c.filter(F.col("__suf_w") > 0).agg(
         F.max(
-            (t - F.col("__cum_a")) / (F.col("__tot_w") - F.col("__cum_w"))
+            F.least(
+                F.lit(float(total_budget)) - F.col("__cum_a"),
+                F.col("__suf_a"),
+            )
+            / F.col("__suf_w")
         ).alias("__lam_rows")
     )
     base = c.select(

@@ -352,25 +352,34 @@ def _admit_by_quota(
     domain_cap: int,
     hash_fn: str,
     have: DataFrame | None = None,
+    quota_keys: list[str] | None = None,
 ) -> DataFrame:
     """Stage 3 of incremental admission: per-domain remaining-quota
     ranking. The corpus contributes only (domain, count) — reduced
     map-side, never re-shuffled in full. `have` is the stored-reduction
     form ((domain, __have) — per-domain admitted counts maintained at
     admission time, `streaming/curation.py:curate_stream_v2`); `corpus`
-    may then be None and is never scanned."""
+    may then be None and is never scanned.
+
+    `quota_keys` (default ["domain"]) is the quota's group key: pass
+    ["domain", "__day"] for a PER-EVENT-DAY domain cap (the daily mode
+    of `curate_stream_v2` — `have` must then carry the same keys). Keys
+    beyond "domain" must already be columns of `novel` and survive into
+    the output so the caller can maintain keyed counts."""
+    keys = list(quota_keys) if quota_keys else ["domain"]
     if have is None:
         have = (
             corpus.select(text_ops.registered_domain(url_col).alias("domain"))
             .groupBy("domain")
             .agg(F.count(F.lit(1)).alias("__have"))
         )
-    w = Window.partitionBy("domain").orderBy(
+    w = Window.partitionBy(*keys).orderBy(
         sampling._bucket(id_col, "cap", hash_fn).asc(), F.col(id_col).asc()
     )
+    extra = [k for k in keys if k != "domain"]
     return (
         novel.withColumn("__rn", F.row_number().over(w))
-        .join(have, "domain", "left")
+        .join(have, keys, "left")
         .filter(
             F.col("__rn") <= F.lit(domain_cap) - F.coalesce(F.col("__have"), F.lit(0))
         )
@@ -379,6 +388,7 @@ def _admit_by_quota(
             "lang",
             "domain",
             text_ops.token_count(text_col).cast("long").alias("n_tokens"),
+            *extra,
         )
     )
 

@@ -264,6 +264,8 @@ def curate_stream_v2(
     bands: int = 16,
     hash_fn: str = "xxhash64",
     available_now: bool = True,
+    quota_mode: str = "lifetime",
+    date_col: str | None = None,
 ) -> StreamingQuery:
     """`curate_increment_v2` as a STREAM (VERDICT r10 item 5): each
     micro-batch runs the BATCH admission stack — row-local gates,
@@ -304,8 +306,22 @@ def curate_stream_v2(
 
     Long-running streams accumulate one small file set per batch per
     state table; compact with `compact_stream_state` during a stopped
-    maintenance window."""
+    maintenance window.
+
+    `quota_mode` (VERDICT r11 item 6, unifying the two streaming
+    pipelines): "lifetime" (default) caps each domain once over the
+    stream's life; "daily" caps per (domain, EVENT-DAY) — `date_col`
+    names the batch column carrying the event time (timestamp or
+    date-castable string) and the stored domain counts gain a `__day`
+    key, so a day's quota refills at the next event day exactly like
+    `curate_stream`'s daily mode and `domain_quota_admit_daily`. The
+    mode is fixed per `state_dir` (the domains table's schema differs);
+    point a mode switch at a fresh state dir."""
     rows_per_band = num_perm // bands
+    if quota_mode not in ("lifetime", "daily"):
+        raise ValueError("curate_stream_v2: quota_mode must be 'lifetime' or 'daily'")
+    if quota_mode == "daily" and date_col is None:
+        raise ValueError("curate_stream_v2: quota_mode='daily' requires date_col")
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -346,14 +362,26 @@ def curate_stream_v2(
             f"id {id_t}, band int, bucket long",
             batch_id,
         )
-        have = (
-            _read_state(
-                spark, os.path.join(state_dir, "domains"), "domain string, n long",
-                batch_id,
+        if quota_mode == "daily":
+            quota_keys = ["domain", "__day"]
+            have = (
+                _read_state(
+                    spark, os.path.join(state_dir, "domains"),
+                    "domain string, __day date, n long", batch_id,
+                )
+                .groupBy("domain", "__day")
+                .agg(F.sum("n").alias("__have"))
             )
-            .groupBy("domain")
-            .agg(F.sum("n").alias("__have"))
-        )
+        else:
+            quota_keys = ["domain"]
+            have = (
+                _read_state(
+                    spark, os.path.join(state_dir, "domains"), "domain string, n long",
+                    batch_id,
+                )
+                .groupBy("domain")
+                .agg(F.sum("n").alias("__have"))
+            )
         novel = _increment_gated_novel(
             batch, None, blocked, id_col, text_col, url_col, blocked_col,
             min_margin, q_micro_min, corpus_fps=fps,
@@ -371,9 +399,18 @@ def curate_stream_v2(
         )
         losers = pairs.select(F.col("b").alias(id_col)).distinct()
         screened = novel.join(losers, id_col, "left_anti").persist()
+        if quota_mode == "daily":
+            # thread the event day through (novel dropped it): one
+            # batch-sized id->day join, the day becomes a quota key
+            days = batch.select(
+                F.col(id_col), F.to_date(date_col).alias("__day")
+            )
+            ranked = screened.join(days, id_col)
+        else:
+            ranked = screened
         admitted = _admit_by_quota(
-            screened, None, id_col, text_col, url_col, domain_cap, hash_fn,
-            have=have,
+            ranked, None, id_col, text_col, url_col, domain_cap, hash_fn,
+            have=have, quota_keys=quota_keys,
         ).persist()
 
         bcol = F.lit(batch_id).alias("__batch")
@@ -402,7 +439,7 @@ def curate_stream_v2(
             ["__batch"],
         )
         overwrite_partitions(
-            admitted.groupBy("domain")
+            admitted.groupBy(*quota_keys)
             .agg(F.count(F.lit(1)).alias("n"))
             .select("*", bcol),
             os.path.join(state_dir, "domains"),
@@ -511,7 +548,10 @@ def compact_stream_state(
             continue
         folded = df.drop("__batch")
         if name == "domains":
-            folded = folded.groupBy("domain").agg(F.sum("n").alias("n"))
+            # group by every non-count column so both quota modes fold
+            # correctly: (domain) for lifetime, (domain, __day) for daily
+            gk = [c for c in folded.columns if c != "n"]
+            folded = folded.groupBy(*gk).agg(F.sum("n").alias("n"))
         elif name == "ids":  # the invariant log folds to its running max
             folded = folded.agg(F.max("hi").alias("hi"))
         fs, p = writers._hadoop_fs(spark, path)

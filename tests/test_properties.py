@@ -291,3 +291,80 @@ def test_keep_best_invariants_on_random_graphs(spark, pairs, qualities):
         for members in clusters.values()
     )
     assert kept == expect
+
+
+# --- water-filling under adversarial weight magnitudes (VERDICT r11
+# item 8): the closed form's docstring caveats that the full-table Σw is
+# not order-defined at float precision; these pin (a) the engine tracks
+# an EXACT-rational replay of its own closed form to float tolerance
+# even with 1e-30 and 1e+30 weights mixed, and (b) the 6dp output round
+# absorbs partition-order sum differences (budget bounded so absolute
+# sum-order error stays far below the 1e-6 quantum — unbounded budgets
+# are exactly the docstring's dyadic-weights territory).
+
+_W_EXP = st.integers(min_value=-30, max_value=30)
+_SRC = st.lists(
+    st.tuples(_W_EXP, st.integers(min_value=0, max_value=1_000_000)),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _exact_water_fill(items, budget):
+    """The engine's closed form replayed in exact rational arithmetic
+    (Fraction of the exact float weight values), max_epochs=1."""
+    from fractions import Fraction
+
+    fs = [(k, Fraction(w), Fraction(a)) for k, w, a in items]
+    tot_a = sum(a for _, _, a in fs)
+    tot_w = sum(w for _, w, _ in fs)
+    t = min(Fraction(budget), tot_a)
+    lam = t / tot_w
+    cum_a = Fraction(0)
+    cum_w = Fraction(0)
+    for k, w, a in sorted(fs, key=lambda x: (x[2] / x[1], x[0])):
+        cum_a += a
+        cum_w += w
+        if tot_w > cum_w:
+            lam = max(lam, (t - cum_a) / (tot_w - cum_w))
+    return {k: float(min(a, w * lam)) for k, w, a in fs}
+
+
+@settings(max_examples=12, deadline=None)
+@given(_SRC, st.integers(min_value=0, max_value=1_000_000))
+def test_water_fill_adversarial_weights_track_exact_rational(spark, srcs, budget):
+    from reddit_twitter_big_data_pipeline_spark.operators import sampling
+
+    items = [(f"s{i:02d}", 10.0**e, a) for i, (e, a) in enumerate(srcs)]
+    df = spark.createDataFrame(items, "source string, weight double, available long")
+    got = {
+        r.source: r.alloc
+        for r in sampling.water_fill_allocation(df, budget).collect()
+    }
+    want = _exact_water_fill(items, budget)
+    assert set(got) == set(want)
+    for k in want:
+        # 6dp round quantum + relative float slack (near-tied avail/w
+        # ratios may legally sort either way; λ moves continuously)
+        assert abs(got[k] - want[k]) <= 1e-6 + 1e-9 * abs(want[k]), (
+            k, got[k], want[k])
+    supply = sum(a for _, _, a in items)
+    assert abs(sum(got.values()) - min(budget, supply)) <= 1e-5 + 1e-9 * budget
+
+
+@settings(max_examples=8, deadline=None)
+@given(_SRC, st.integers(min_value=0, max_value=1_000_000))
+def test_water_fill_6dp_round_absorbs_partition_sum_order(spark, srcs, budget):
+    from reddit_twitter_big_data_pipeline_spark.operators import sampling
+
+    items = [(f"s{i:02d}", 10.0**e, a) for i, (e, a) in enumerate(srcs)]
+    df = spark.createDataFrame(items, "source string, weight double, available long")
+    outs = []
+    for nparts in (1, 7):
+        outs.append({
+            r.source: r.alloc
+            for r in sampling.water_fill_allocation(
+                df.repartition(nparts), budget
+            ).collect()
+        })
+    assert outs[0] == outs[1]

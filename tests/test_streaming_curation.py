@@ -612,3 +612,116 @@ def test_compact_stream_state_enforces_stopped_clean_checkpoint(spark, tmp_path)
     # force overrides for operators abandoning the checkpoint
     counts = curation.compact_stream_state(spark, state, checkpoint=ckpt, force=True)
     assert counts["fps"] == 1
+
+
+def _dday(i, text, host, day, minute=0):
+    return {
+        "doc_id": i, "text": text,
+        "url": f"https://{host}/p/{i}",
+        "date": f"2023-03-{day:02d} 12:{minute:02d}:00",
+    }
+
+
+def test_curate_stream_v2_daily_quota_resets_per_event_day(spark, tmp_path):
+    """VERDICT r11 item 6: quota_mode='daily' keys the stored domain
+    counts by event date — a domain filled on day 1 stays capped for
+    day-1 stragglers in LATER batches but admits a fresh cap on day 2;
+    the domains state table carries the __day key."""
+    land = tmp_path / "land_v2daily"
+    _write_batch(
+        land, "1.json",
+        [_dday(1, _EN[0], "a.site1.com", 1, 0),
+         _dday(2, _EN[1], "b.site1.com", 1, 1),
+         _dday(3, _EN[2], "c.site1.com", 1, 2)],   # over the day-1 cap of 2
+        mtime=1,
+    )
+    _write_batch(
+        land, "2.json",
+        [_dday(11, _EN[3], "d.site1.com", 1, 5),   # day 1 still at cap
+         _dday(12, _EN[4], "e.site1.com", 2, 6)],  # day 2 -> fresh cap
+        mtime=2,
+    )
+    out = _run_v2(
+        spark, land, tmp_path, "v2daily",
+        min_margin=1, q_micro_min=1, domain_cap=2,
+        quota_mode="daily", date_col="date",
+    )
+    got = sorted((r.doc_id, str(r["__day"]), int(r["__batch"])) for r in out.collect())
+    # admission within a (domain, day) group follows the deterministic
+    # HASH order (the cap_per_group rule), so pin semantics, not ids:
+    # exactly 2 of day-1's three docs admit in batch 0, day-1 straggler
+    # 11 is rejected in batch 1, day-2 doc 12 opens a fresh cap
+    day1 = [g for g in got if g[1] == "2023-03-01"]
+    assert len(day1) == 2 and all(b == 0 for _, _, b in day1)
+    assert {g[0] for g in day1} < {1, 2, 3}
+    assert [g for g in got if g[1] == "2023-03-02"] == [(12, "2023-03-02", 1)]
+    dom = spark.read.parquet(str(tmp_path / "state_v2daily" / "domains"))
+    assert sorted((r.domain, str(r["__day"]), r.n) for r in dom.collect()) == [
+        ("site1.com", "2023-03-01", 2), ("site1.com", "2023-03-02", 1)
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="quota_mode"):
+        curation.curate_stream_v2(
+            spark.range(1), "s", "o", "c", quota_mode="weekly"
+        )
+    with pytest.raises(ValueError, match="requires date_col"):
+        curation.curate_stream_v2(
+            spark.range(1), "s", "o", "c", quota_mode="daily"
+        )
+
+
+def test_curate_stream_v2_daily_single_day_parity_with_lifetime(spark, tmp_path):
+    """Within one event day the daily quota IS the lifetime quota — the
+    two modes must admit identical documents over the same batches."""
+    b1 = [_dday(1, _EN[0], "a.site1.com", 1, 0),
+          _dday(2, _EN[1], "b.site1.com", 1, 1),
+          _dday(3, _EN[2], "c.site1.com", 1, 2)]
+    b2 = [_dday(11, _EN[3], "d.site1.com", 1, 5),
+          _dday(12, _EN[4], "e.site9.com", 1, 6)]
+    land = tmp_path / "land_parity1d"
+    _write_batch(land, "1.json", b1, mtime=1)
+    _write_batch(land, "2.json", b2, mtime=2)
+    daily = _run_v2(
+        spark, land, tmp_path, "par_daily",
+        min_margin=1, q_micro_min=1, domain_cap=2,
+        quota_mode="daily", date_col="date",
+    )
+    life = _run_v2(
+        spark, land, tmp_path, "par_life",
+        min_margin=1, q_micro_min=1, domain_cap=2,
+    )
+    key = lambda r: (r.doc_id, r.domain, int(r["__batch"]))
+    assert sorted(map(key, daily.collect())) == sorted(map(key, life.collect()))
+
+
+def test_curate_stream_v2_daily_replay_is_idempotent(spark, tmp_path):
+    """The daily path keeps the W5 discipline: a from-scratch rerun
+    (checkpoint wiped, day-keyed state left on disk) reads only
+    pre-batch state and overwrites its own partitions — identical
+    output, no double-admission, and compaction folds the day-keyed
+    domain counts correctly."""
+    import shutil
+
+    land = tmp_path / "land_dreplay"
+    _write_batch(land, "1.json", [_dday(1, _EN[0], "a.site1.com", 1, 0)], mtime=1)
+    _write_batch(
+        land, "2.json",
+        [_dday(11, _EN[1], "b.site1.com", 1, 5),   # day-1 site1.com at cap 1
+         _dday(12, _EN[2], "c.site1.com", 2, 6)],  # day 2 admits
+        mtime=2,
+    )
+    kw = dict(min_margin=1, q_micro_min=1, domain_cap=1,
+              quota_mode="daily", date_col="date")
+    out1 = _run_v2(spark, land, tmp_path, "dreplay", **kw)
+    first = sorted((r.doc_id, int(r["__batch"])) for r in out1.collect())
+    assert first == [(1, 0), (12, 1)]
+    shutil.rmtree(str(tmp_path / "ckpt_dreplay"))
+    out2 = _run_v2(spark, land, tmp_path, "dreplay", **kw)
+    assert sorted((r.doc_id, int(r["__batch"])) for r in out2.collect()) == first
+    counts = curation.compact_stream_state(spark, str(tmp_path / "state_dreplay"))
+    assert counts["domains"] == 2  # (site1.com, d1) and (site1.com, d2)
+    dom = spark.read.parquet(str(tmp_path / "state_dreplay" / "domains"))
+    assert sorted((r.domain, str(r["__day"]), r.n) for r in dom.collect()) == [
+        ("site1.com", "2023-03-01", 1), ("site1.com", "2023-03-02", 1)
+    ]
