@@ -171,6 +171,34 @@ HEADLINE = [
 ]
 
 
+def _canary(spark, out: list[float]) -> None:
+    """One fixed constant-work probe (lineitem scan + three aggregates,
+    noop sink), appended to `out`. Interleaved every ~10 queries so the
+    artifact SELF-DOCUMENTS its ambient-load window (VERDICT r11 item 2):
+    identical work spread across the whole run — a canary max/min spread
+    of 3-4x says the run straddled a load window and absolute totals are
+    not comparable across artifacts; a tight spread says they are."""
+    from reddit_twitter_big_data_pipeline_spark import schemas
+
+    li = schemas.load_table(spark, SF_DIR, "lineitem")
+    t0 = time.time()
+    li.selectExpr(
+        "sum(l_extendedprice) AS s", "avg(l_quantity) AS a", "count(*) AS n"
+    ).write.format("noop").mode("overwrite").save()
+    out.append(round(time.time() - t0, 3))
+
+
+def _canary_stats(times: list[float]) -> dict:
+    if not times:
+        return {}
+    return {
+        "times": times,
+        "min": min(times),
+        "max": max(times),
+        "spread": round(max(times) / max(min(times), 1e-9), 2),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as E
     from reddit_twitter_big_data_pipeline_spark.session import get_spark
@@ -191,8 +219,14 @@ def main() -> None:
     spark.range(10_000_000).selectExpr("sum(id)", "count(distinct id % 1000)").write.format(
         "noop"
     ).mode("overwrite").save()
+    canary_times: list[float] = []
+    _canary(spark, [])  # untimed cold run: footer/page-cache warmup so
+    # every RECORDED probe measures identical warm work, not cold-start
+    _canary(spark, canary_times)  # baseline probe right after warmup
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % 10 == 0:
+            _canary(spark, canary_times)
         if name == "dedup_incremental_build":
             b, p = _bench_incremental_split(spark, reps)
             timings["dedup_incremental_build"] = b
@@ -224,9 +258,13 @@ def main() -> None:
     full_surface: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
         headline_set = set(HEADLINE) | {"dedup_incremental_pairs"}
+        fi = 0
         for name, fn in qs.items():
             if name in headline_set:
                 continue
+            if fi and fi % 10 == 0:
+                _canary(spark, canary_times)
+            fi += 1
             t0 = time.time()
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -234,6 +272,8 @@ def main() -> None:
             except Exception as ex:  # noqa: BLE001
                 print(f"bench error {name}: {ex}", file=sys.stderr)
                 full_surface[name] = -1.0
+    _canary(spark, canary_times)  # closing probe
+    canary = _canary_stats(canary_times)
     print(
         json.dumps(
             {
@@ -243,6 +283,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "full_surface": full_surface,
+                "canary": canary,
             }
         )
     )
@@ -269,6 +310,12 @@ def main() -> None:
                     sum(t for t in full_surface.values() if t >= 0), 3
                 ),
                 "top5_slowest": top5,
+                # ambient self-documentation (VERDICT r11 item 2): the
+                # interleaved constant-work probe's spread — read >~3x as
+                # "this artifact straddled a load window"
+                "canary_spread": canary.get("spread"),
+                "canary_min": canary.get("min"),
+                "canary_max": canary.get("max"),
             }
         )
     )
