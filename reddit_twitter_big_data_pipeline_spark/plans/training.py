@@ -353,6 +353,7 @@ def _admit_by_quota(
     hash_fn: str,
     have: DataFrame | None = None,
     quota_keys: list[str] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stage 3 of incremental admission: per-domain remaining-quota
     ranking. The corpus contributes only (domain, count) — reduced
@@ -365,7 +366,14 @@ def _admit_by_quota(
     ["domain", "__day"] for a PER-EVENT-DAY domain cap (the daily mode
     of `curate_stream_v2` — `have` must then carry the same keys). Keys
     beyond "domain" must already be columns of `novel` and survive into
-    the output so the caller can maintain keyed counts."""
+    the output so the caller can maintain keyed counts.
+
+    `keep_cols` names extra `novel` columns passed through to the
+    output. Keeping `text_col` is FREE: every `novel` column already
+    rides the quota window's shuffle (the select below is what drops
+    them), so a caller that needs admitted text avoids re-joining it —
+    `curate_stream_v2`'s admission uses this to make the admitted frame
+    serve as its own doc set (r12 A/B: tools/ab_increment_v2_writes.py)."""
     keys = list(quota_keys) if quota_keys else ["domain"]
     if have is None:
         have = (
@@ -389,6 +397,7 @@ def _admit_by_quota(
             "domain",
             text_ops.token_count(text_col).cast("long").alias("n_tokens"),
             *extra,
+            *keep_cols,
         )
     )
 
