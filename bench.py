@@ -191,11 +191,19 @@ def _canary(spark, out: list[float]) -> None:
 def _canary_stats(times: list[float]) -> dict:
     if not times:
         return {}
+    med = sorted(times)[len(times) // 2]
     return {
         "times": times,
         "min": min(times),
         "max": max(times),
+        "median": med,
+        # max/min catches any excursion; max/median separates a one-off
+        # spike (large spread, small spread_vs_median) from a run that
+        # straddled a genuinely slow window (both large) — the r12
+        # closing run read spread 7.7 / vs-median 4.2 from one spike
+        # while the suite's only >1.5x mover re-timed back into its band
         "spread": round(max(times) / max(min(times), 1e-9), 2),
+        "spread_vs_median": round(max(times) / max(med, 1e-9), 2),
     }
 
 
@@ -314,6 +322,7 @@ def main() -> None:
                 # interleaved constant-work probe's spread — read >~3x as
                 # "this artifact straddled a load window"
                 "canary_spread": canary.get("spread"),
+                "canary_spread_vs_median": canary.get("spread_vs_median"),
                 "canary_min": canary.get("min"),
                 "canary_max": canary.get("max"),
             }
