@@ -368,3 +368,84 @@ def test_water_fill_6dp_round_absorbs_partition_sum_order(spark, srcs, budget):
             ).collect()
         })
     assert outs[0] == outs[1]
+
+
+# --- temporal joins vs exact references (r12): the fixed-example tests
+# pin known cases; these sweep generated boundary-heavy inputs — equal
+# timestamps (the <=/>= tie rules), tolerance edges, negative
+# coordinates and inverted/empty intervals (bucket floor-division and
+# the [start, end) contract are where off-by-ones live).
+
+_TS = st.integers(min_value=-20, max_value=20)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), _TS), min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(0, 2), _TS, st.integers(0, 99)),
+             min_size=1, max_size=12, unique_by=lambda r: (r[0], r[1])),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 0, 3]),
+)
+def test_as_of_join_matches_pandas_merge_asof(spark, evs, snaps, direction, tol):
+    import pandas as pd
+
+    from reddit_twitter_big_data_pipeline_spark.operators import temporal
+
+    ev = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(evs)], "k long, ts long, eid long"
+    )
+    snap = spark.createDataFrame(snaps, "k long, sts long, score long")
+    got = {
+        (r.k, r.ts, r.eid): r.score
+        for r in temporal.as_of_join(
+            ev, snap, ["k"], "ts", "sts", direction=direction, tolerance_s=tol
+        ).collect()
+    }
+    lpd = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(evs)],
+                       columns=["k", "ts", "eid"]).sort_values("ts")
+    rpd = pd.DataFrame(snaps, columns=["k", "sts", "score"]).sort_values("sts")
+    want_df = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="sts", by="k",
+        direction=direction, tolerance=tol,
+    )
+    want = {
+        (int(r.k), int(r.ts), int(r.eid)): (None if pd.isna(r.score) else int(r.score))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), _TS), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 2), _TS, _TS), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=7),
+    st.sampled_from(["inner", "left"]),
+)
+def test_range_join_matches_brute_containment(spark, pts, ivs, width, how):
+    from reddit_twitter_big_data_pipeline_spark.operators import temporal
+
+    pdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(pts)], "k long, t long, pid long"
+    )
+    idf = spark.createDataFrame(
+        [(k, lo, hi, j) for j, (k, lo, hi) in enumerate(ivs)],
+        "k long, lo long, hi long, iid long",
+    )
+    out = temporal.range_join(pdf, idf, ["k"], "t", "lo", "hi", bucket_width=width, how=how)
+    got = sorted(
+        (r.pid, None if r["iid"] is None else r.iid) for r in out.collect()
+    )
+    # brute reference: containment is [lo, hi) per key
+    matches = {
+        (i, j)
+        for i, (pk, t) in enumerate(pts)
+        for j, (ik, lo, hi) in enumerate(ivs)
+        if pk == ik and lo <= t < hi
+    }
+    want = sorted(matches)
+    if how == "left":
+        matched_pts = {i for i, _ in matches}
+        want = sorted(want + [(i, None) for i in range(len(pts)) if i not in matched_pts])
+    assert got == want, (got, want, width)
