@@ -23,6 +23,8 @@ they fall back to the `writers` parquet implementations unchanged:
   overwrite_partitions_auto     -> dynamic partitionOverwriteMode (the
                                    Delta-native equivalent of a
                                    replaceWhere over df's partitions)
+  compact_table_auto            -> OPTIMIZE / ZORDER BY (transactional
+                                   small-files maintenance)
   convert_to_delta              -> CONVERT TO DELTA migration for tables
                                    the parquet path was maintaining
 
@@ -288,3 +290,56 @@ def convert_to_delta(
         DeltaTable.convertToDelta(spark, ident)
     else:
         DeltaTable.convertToDelta(spark, ident, partition_schema)
+
+
+def compact_table_auto(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+) -> int:
+    """`writers.compact_table` through Delta `OPTIMIZE` when the target
+    is a Delta table — the maintenance twin of the write-family routing:
+    plain compaction maps to `optimize().executeCompaction()` and
+    `zorder_cols` to `optimize().executeZOrderBy(...)` (Delta's own
+    multi-dimensional clustering, the engine-native form of
+    `writers.zorder_value`), both transactional (readers keep the old
+    snapshot mid-rewrite; no staging/swap needed). Delta's OPTIMIZE
+    sizes files by its own `optimize.maxFileSize` table/session
+    properties, so `target_file_bytes` is applied as a session conf for
+    the call's duration; `sort_cols` has no OPTIMIZE equivalent (Delta
+    orders via ZORDER only), so a sort_cols request on a Delta table
+    raises rather than silently compacting unsorted. Returns the file
+    count after the rewrite when Delta reports it, else -1 (metrics
+    shape varies by delta-spark version). Non-Delta targets (or no
+    delta-spark) run the staging-then-swap parquet compaction
+    unchanged."""
+    DeltaTable = _delta_table_cls()
+    if DeltaTable is None or not DeltaTable.isDeltaTable(spark, path):
+        return writers.compact_table(
+            spark, path, target_file_bytes, sort_cols, zorder_cols
+        )
+    if sort_cols:
+        raise ValueError(
+            "compact_table_auto: Delta OPTIMIZE has no sort_cols form — "
+            "use zorder_cols (ZORDER BY) on Delta tables"
+        )
+    key = "spark.databricks.delta.optimize.maxFileSize"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(int(target_file_bytes)))
+    try:
+        opt = DeltaTable.forPath(spark, path).optimize()
+        if zorder_cols:
+            res = opt.executeZOrderBy(*zorder_cols)
+        else:
+            res = opt.executeCompaction()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    try:  # metrics row: (path, metrics struct) — numFilesAdded when present
+        return int(res.collect()[0]["metrics"]["numFilesAdded"])
+    except Exception:  # noqa: BLE001 - metrics shape varies across versions
+        return -1

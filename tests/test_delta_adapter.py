@@ -369,3 +369,46 @@ def test_convert_to_delta_raises_without_delta(spark):
     assert not delta_adapter.delta_available()
     with pytest.raises(RuntimeError, match="delta-spark is not importable"):
         delta_adapter.convert_to_delta(spark, "/tables/t1")
+
+
+def test_compact_table_auto_fallback_compacts_parquet(spark, tmp_path):
+    assert not delta_adapter.delta_available()
+    path = str(tmp_path / "ct")
+    spark.range(1000).repartition(16).write.parquet(path)
+    n = delta_adapter.compact_table_auto(spark, path, target_file_bytes=10**9)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_compact_table_auto_delta_route_optimize_and_zorder(
+    spark, fake_delta, monkeypatch
+):
+    calls = {}
+
+    class _Opt:
+        def executeCompaction(self):
+            calls["compaction"] = True
+            calls["maxFileSize"] = spark.conf.get(
+                "spark.databricks.delta.optimize.maxFileSize", None
+            )
+            return spark.createDataFrame([("p", {"numFilesAdded": 3})],
+                                         "path string, metrics map<string,int>")
+
+        def executeZOrderBy(self, *cols):
+            calls["zorder"] = list(cols)
+            return spark.range(0)  # metrics shape the adapter can't parse
+
+    monkeypatch.setattr(_Recorder, "optimize", lambda self: _Opt(), raising=False)
+    fake_delta.is_delta = True
+    n = delta_adapter.compact_table_auto(spark, "/delta/ct", target_file_bytes=12345)
+    assert calls["compaction"] and calls["maxFileSize"] == "12345"
+    assert n == 3
+    # conf restored after the call
+    assert spark.conf.get("spark.databricks.delta.optimize.maxFileSize", None) is None
+    n2 = delta_adapter.compact_table_auto(
+        spark, "/delta/ct", zorder_cols=["a", "b"]
+    )
+    assert calls["zorder"] == ["a", "b"]
+    assert n2 == -1  # unparseable metrics degrade to -1, never raise
+    with pytest.raises(ValueError, match="no sort_cols form"):
+        delta_adapter.compact_table_auto(spark, "/delta/ct", sort_cols=["a"])
