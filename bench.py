@@ -191,7 +191,9 @@ def _canary(spark, out: list[float]) -> None:
 def _canary_stats(times: list[float]) -> dict:
     if not times:
         return {}
-    med = sorted(times)[len(times) // 2]
+    import statistics
+
+    med = statistics.median(times)
     return {
         "times": times,
         "min": min(times),

@@ -400,12 +400,15 @@ def water_fill_allocation(
     # first in the prefix window) while the row's supply still counts in
     # __tot_a, silently breaking the water level and the
     # Σalloc = min(budget, Σavailable) contract — fail loudly instead.
+    # +inf is rejected too (r12 review): it zeroes every candidate level
+    # (eff/inf = 0, suffix sums inf) and inf*0 = NaN routes the whole
+    # budget to the inf row via least()'s NaN-is-largest rule.
     # The guard stays IN-PLAN (raise_error fires on the executors when
     # the bad row is scanned): sources is a per-SOURCE aggregate, so no
     # extra driver job is worth spending on validation.
     wd = F.col(weight_col).cast("double")
     w_ok = F.when(
-        wd.isNull() | (wd <= 0) | F.isnan(wd),
+        wd.isNull() | (wd <= 0) | F.isnan(wd) | (wd == F.lit(float("inf"))),
         F.raise_error(
             F.concat(
                 F.lit("water_fill_allocation: weight must be > 0; got "),
@@ -525,9 +528,12 @@ def budget_select(
             docs["*"], guard.alias("__alloc")
         )
     else:
-        joined = docs.join(alloc, source_col).withColumn(
-            "__alloc", F.col(alloc_col)
-        )
+        # null-safe like the error mode (r12 review): a NULL-source doc
+        # whose allocation table carries a NULL-keyed row HAS a budget —
+        # the two modes must only differ on docs with NO allocation row
+        joined = docs.join(
+            alloc, docs[source_col].eqNullSafe(alloc[source_col])
+        ).select(docs["*"], alloc[alloc_col].alias("__alloc"))
     return (
         joined.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
         .filter(F.col("cum_tokens") <= F.col("__alloc"))

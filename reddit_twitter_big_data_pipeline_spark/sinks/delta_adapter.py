@@ -66,6 +66,30 @@ def delta_available() -> bool:
     return _delta_table_cls() is not None
 
 
+def _route(spark: SparkSession, path: str):
+    """The single routing decision every `*_auto` entry point shares
+    (r12 review: five hand-rolled copies had already drifted). Returns
+    (route, DeltaTable, reason):
+
+      ("parquet", ..., reason) — run the writers fallback: delta-spark
+          is not importable, or the path holds a pre-existing non-Delta
+          table (which installing the dependency must never break —
+          migrate explicitly with `convert_to_delta`);
+      ("delta", cls, None)     — the path IS a Delta table: use it;
+      ("bootstrap", cls, None) — delta-spark importable and the path is
+          missing: create the table as Delta.
+    """
+    DeltaTable = _delta_table_cls()
+    if DeltaTable is None:
+        return "parquet", None, "delta-spark is not importable"
+    if DeltaTable.isDeltaTable(spark, path):
+        return "delta", DeltaTable, None
+    fs, p = writers._hadoop_fs(spark, path)
+    if fs.exists(p):
+        return "parquet", DeltaTable, "the target is a pre-existing non-Delta table"
+    return "bootstrap", DeltaTable, None
+
+
 def _dedupe_updates(
     updates: DataFrame, keys: list[str], order_col: str | None
 ) -> DataFrame:
@@ -109,9 +133,8 @@ def merge_upsert_auto(
     so the divergence is never silent. Callers who need the partitioned
     parquet layout want `merge_upsert_partitioned_auto` instead (its
     fallback IS partition-scoped)."""
-    DeltaTable = _delta_table_cls()
-
-    def _fallback(reason: str) -> DataFrame:
+    route, DeltaTable, reason = _route(spark, target_path)
+    if route == "parquet":
         if partition_cols:
             warnings.warn(
                 "merge_upsert_auto: partition_cols is honored only on the "
@@ -119,19 +142,11 @@ def merge_upsert_auto(
                 "UNPARTITIONED plain parquet (use merge_upsert_partitioned_auto "
                 "for a partition-scoped fallback)",
                 UserWarning,
-                stacklevel=3,
+                stacklevel=2,
             )
         return writers.merge_upsert(spark, target_path, updates, keys, order_col)
-
-    if DeltaTable is None:
-        return _fallback("delta-spark is not importable")
     src = _dedupe_updates(updates, keys, order_col)
-    if not DeltaTable.isDeltaTable(spark, target_path):
-        fs, p = writers._hadoop_fs(spark, target_path)
-        if fs.exists(p):
-            # pre-existing plain-parquet table: the bootstrap save would
-            # hard-error on the non-empty dir — keep the parquet merge
-            return _fallback("the target is a pre-existing non-Delta table")
+    if route == "bootstrap":
         w = src.write.format("delta")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
@@ -170,18 +185,13 @@ def merge_upsert_partitioned_auto(
     partitions instead of rewriting the table. Keys that move across
     partitions need `merge_upsert_auto`, exactly as they need plain
     `merge_upsert` on the parquet path."""
-    DeltaTable = _delta_table_cls()
-    if DeltaTable is None:
+    route, DeltaTable, _ = _route(spark, target_path)
+    if route == "parquet":
         return writers.merge_upsert_partitioned(
             spark, target_path, updates, keys, partition_cols, order_col
         )
     src = _dedupe_updates(updates, keys, order_col)
-    if not DeltaTable.isDeltaTable(spark, target_path):
-        fs, p = writers._hadoop_fs(spark, target_path)
-        if fs.exists(p):
-            return writers.merge_upsert_partitioned(
-                spark, target_path, updates, keys, partition_cols, order_col
-            )
+    if route == "bootstrap":
         src.write.format("delta").partitionBy(*partition_cols).save(target_path)
         return DeltaTable.forPath(spark, target_path).toDF()
     cond = " AND ".join(
@@ -207,16 +217,12 @@ def replace_table_auto(spark: SparkSession, target_path: str, df: DataFrame) -> 
     `replace_table` is a FULL replacement — the parquet swap never
     carried the old schema either. Non-Delta targets (or no delta-spark)
     use the staging-then-swap parquet path unchanged."""
-    DeltaTable = _delta_table_cls()
-    if DeltaTable is None or not DeltaTable.isDeltaTable(spark, target_path):
-        fs, p = writers._hadoop_fs(spark, target_path)
-        if (
-            DeltaTable is not None
-            and not fs.exists(p)
-        ):
-            df.write.format("delta").save(target_path)  # bootstrap as Delta
-            return
+    route, _, _ = _route(spark, target_path)
+    if route == "parquet":
         writers.replace_table(spark, target_path, df)
+        return
+    if route == "bootstrap":
+        df.write.format("delta").save(target_path)
         return
     (
         df.write.format("delta")
@@ -238,15 +244,11 @@ def overwrite_partitions_auto(
     as a partitioned Delta table; non-Delta targets (or no delta-spark)
     keep the dynamic-overwrite parquet write unchanged."""
     spark = df.sparkSession
-    DeltaTable = _delta_table_cls()
-    if DeltaTable is None:
+    route, _, _ = _route(spark, path)
+    if route == "parquet":
         writers.overwrite_partitions(df, path, partition_cols)
         return
-    if not DeltaTable.isDeltaTable(spark, path):
-        fs, p = writers._hadoop_fs(spark, path)
-        if fs.exists(p):
-            writers.overwrite_partitions(df, path, partition_cols)
-            return
+    if route == "bootstrap":
         df.write.format("delta").partitionBy(*partition_cols).save(path)
         return
     (
@@ -315,8 +317,10 @@ def compact_table_auto(
     shape varies by delta-spark version). Non-Delta targets (or no
     delta-spark) run the staging-then-swap parquet compaction
     unchanged."""
-    DeltaTable = _delta_table_cls()
-    if DeltaTable is None or not DeltaTable.isDeltaTable(spark, path):
+    route, DeltaTable, _ = _route(spark, path)
+    if route != "delta":  # parquet fallback AND missing-path bootstrap:
+        # compacting a missing table is writers.compact_table's error
+        # to raise, not a reason to create an empty Delta table
         return writers.compact_table(
             spark, path, target_file_bytes, sort_cols, zorder_cols
         )

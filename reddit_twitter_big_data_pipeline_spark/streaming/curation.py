@@ -295,10 +295,14 @@ def curate_stream_v2(
     current-batch rows); event-source ids (snowflakes) satisfy this.
 
     That convention is ENFORCED per batch (ADVICE r11): each batch logs
-    its max seen id to the slim `ids/` state table (one row per batch,
-    read cost ∝ #batches, never corpus-sized), and a batch whose min id
-    is <= the stored max FAILS the streaming query loudly instead of
-    silently admitting near-duplicates as pair a-sides. Replay stays
+    the max id of its gated-NOVEL rows — the rows that reach the probe;
+    gate-rejected ids never enter state and are exempt — to the slim
+    `ids/` state table (one row per batch, read cost ∝ #batches, never
+    corpus-sized), and a batch whose min gated id is <= the stored max
+    FAILS the streaming query loudly instead of silently admitting
+    near-duplicates as pair a-sides. The min/max agg runs over the
+    already-persisted novel frame, so it is the action that populates
+    the cache the probe reuses — no extra source scan. Replay stays
     sound: the check reads `__batch < batch_id`, so a replayed batch
     compares against exactly its pre-batch high-water mark. String ids
     compare lexicographically — the zero-padded convention their
@@ -314,9 +318,13 @@ def curate_stream_v2(
     names the batch column carrying the event time (timestamp or
     date-castable string) and the stored domain counts gain a `__day`
     key, so a day's quota refills at the next event day exactly like
-    `curate_stream`'s daily mode and `domain_quota_admit_daily`. The
-    mode is fixed per `state_dir` (the domains table's schema differs);
-    point a mode switch at a fresh state dir."""
+    `curate_stream`'s daily mode and `domain_quota_admit_daily`. Daily
+    output rows additionally carry the `__day` column, and a
+    null/unparseable event date fails the batch loudly (a null day
+    would silently re-earn a fresh cap every batch). The mode is fixed
+    per `state_dir` AND per `out_dir` (the domains table's schema and
+    the output schema both differ); point a mode switch at fresh
+    dirs for both."""
     rows_per_band = num_perm // bands
     if quota_mode not in ("lifetime", "daily"):
         raise ValueError("curate_stream_v2: quota_mode must be 'lifetime' or 'daily'")
@@ -332,24 +340,6 @@ def curate_stream_v2(
         # the globally-increasing convention, e.g. zero-padded ids) fail
         # its first-ever batch on an incompatible unionByName
         id_t = batch.schema[id_col].dataType.simpleString()
-        # id-monotonicity invariant (ADVICE r11): two bounded-scalar aggs
-        # — min over THIS batch, max over the #batches-row ids log
-        prev_hi = (
-            _read_state(spark, os.path.join(state_dir, "ids"), f"hi {id_t}", batch_id)
-            .agg(F.max("hi"))
-            .first()[0]
-        )
-        batch_lo, batch_hi = batch.agg(
-            F.min(id_col), F.max(id_col)
-        ).first()
-        if prev_hi is not None and batch_lo is not None and batch_lo <= prev_hi:
-            raise ValueError(
-                f"curate_stream_v2: batch {batch_id} contains id "
-                f"{batch_lo!r} <= the stored high-water mark {prev_hi!r} — "
-                "ids must be globally increasing across batches (the "
-                "incremental near-dup convention); a violating stream "
-                "would silently admit near-duplicates."
-            )
         fps = _read_state(
             spark, os.path.join(state_dir, "fps"), "__fp string", batch_id
         )
@@ -386,6 +376,29 @@ def curate_stream_v2(
             batch, None, blocked, id_col, text_col, url_col, blocked_col,
             min_margin, q_micro_min, corpus_fps=fps,
         ).persist()
+        # id-monotonicity invariant (ADVICE r11): the convention protects
+        # the probe's b-side-is-batch-row labeling, so the rows that must
+        # satisfy it are exactly the ones that REACH the probe — the
+        # gated novel set (gate-rejected ids never enter state and are
+        # exempt). Computing min/max over the PERSISTED novel frame
+        # costs no extra source scan (the r12 review: a batch-frame agg
+        # re-read the raw source once per batch) — this action is what
+        # materializes the cache the probe reuses. The stored side is
+        # the #batches-row ids log, a bounded scan.
+        prev_hi = (
+            _read_state(spark, os.path.join(state_dir, "ids"), f"hi {id_t}", batch_id)
+            .agg(F.max("hi"))
+            .first()[0]
+        )
+        batch_lo, batch_hi = novel.agg(F.min(id_col), F.max(id_col)).first()
+        if prev_hi is not None and batch_lo is not None and batch_lo <= prev_hi:
+            raise ValueError(
+                f"curate_stream_v2: batch {batch_id} contains id "
+                f"{batch_lo!r} <= the stored high-water mark {prev_hi!r} — "
+                "ids must be globally increasing across batches (the "
+                "incremental near-dup convention); a violating stream "
+                "would silently admit near-duplicates."
+            )
         pairs = dedup_ops.minhash_incremental_pairs(
             novel.select(id_col, text_col),
             None,
@@ -410,10 +423,28 @@ def curate_stream_v2(
         screened = novel.join(losers, id_col, "left_anti")
         if quota_mode == "daily":
             # thread the event day through (novel dropped it): one
-            # batch-sized id->day join, the day becomes a quota key
-            days = batch.select(
-                F.col(id_col), F.to_date(date_col).alias("__day")
-            )
+            # batch-sized id->day join, the day becomes a quota key. A
+            # null/unparseable event date fails LOUDLY (r12 review): the
+            # have-counts join on (domain, __day) is null-UNSAFE, so a
+            # null day would never match its accumulated counts and the
+            # domain would silently re-earn a fresh cap every batch —
+            # the exact silent-break class the other guards fail on.
+            # try_cast (not to_date) so malformed strings reach THIS
+            # guard's message instead of ANSI mode's cast exception —
+            # one failure shape whether the input is null or garbage.
+            day = F.col(date_col).try_cast("date")
+            day_ok = F.when(
+                day.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("curate_stream_v2: quota_mode='daily' requires a "
+                              "parseable event date; got "),
+                        F.coalesce(F.col(date_col).cast("string"), F.lit("NULL")),
+                        F.lit(f" in column {date_col!r}"),
+                    )
+                ).cast("date"),
+            ).otherwise(day)
+            days = batch.select(F.col(id_col), day_ok.alias("__day"))
             ranked = screened.join(days, id_col)
         else:
             ranked = screened
@@ -454,8 +485,9 @@ def curate_stream_v2(
             os.path.join(state_dir, "domains"),
             ["__batch"],
         )
+        hi_rows = [] if batch_hi is None else [(batch_hi,)]  # all-gated-out batch
         overwrite_partitions(
-            spark.createDataFrame([(batch_hi,)], f"hi {id_t}").select("*", bcol),
+            spark.createDataFrame(hi_rows, f"hi {id_t}").select("*", bcol),
             os.path.join(state_dir, "ids"),
             ["__batch"],
         )

@@ -339,13 +339,15 @@ def test_water_fill_rejects_negative_budget(spark):
 
 
 def test_water_fill_rejects_nonpositive_weights(spark):
-    # ADVICE r11: a weight <= 0 (or null) used to make __r null — nulls
-    # sort first in the prefix window while the row's supply still
-    # counted in __tot_a, silently breaking the water level. The in-plan
-    # guard now fails the job loudly, naming the offending source.
+    # ADVICE r11 (+r12 review): a weight <= 0 / null / NaN used to make
+    # __r null — nulls sort first in the prefix window while the row's
+    # supply still counted in __tot_a — and +inf zeroed every candidate
+    # level then routed the whole budget to the inf row via
+    # least()'s NaN-is-largest rule; both silently broke the water
+    # level. The in-plan guard now fails the job loudly.
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
-    for bad_w in (0.0, -2.0, None):
+    for bad_w in (0.0, -2.0, None, float("nan"), float("inf")):
         src = spark.createDataFrame(
             [("good", 1.0, 100), ("bad", bad_w, 50)],
             "source string, weight double, available long",
@@ -384,5 +386,10 @@ def test_budget_select_missing_sources_modes(spark):
     )
     rows = sampling.budget_select(docs_null, alloc_null, missing_sources="error").collect()
     assert len(rows) == 2
+    # r12 review: drop mode is null-safe too — a NULL-source doc whose
+    # allocation table has a NULL-keyed row HAS a budget; the modes
+    # differ only on docs with NO allocation row
+    rows_drop = sampling.budget_select(docs_null, alloc_null).collect()
+    assert sorted(r.doc_id for r in rows_drop) == [1, 2]
     with pytest.raises(ValueError, match="missing_sources"):
         sampling.budget_select(docs, alloc, missing_sources="admit")

@@ -725,3 +725,23 @@ def test_curate_stream_v2_daily_replay_is_idempotent(spark, tmp_path):
     assert sorted((r.domain, str(r["__day"]), r.n) for r in dom.collect()) == [
         ("site1.com", "2023-03-01", 1), ("site1.com", "2023-03-02", 1)
     ]
+
+
+def test_curate_stream_v2_daily_rejects_unparseable_dates(spark, tmp_path):
+    """r12 review: a null/unparseable event date under quota_mode='daily'
+    fails the batch loudly — a null __day would never match its stored
+    (domain, __day) counts, so the domain would silently re-earn a fresh
+    cap every micro-batch."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    land = tmp_path / "land_baddate"
+    rows = [_dday(1, _EN[0], "a.site1.com", 1, 0)]
+    rows[0]["date"] = "03/01/2023 not-a-date"
+    _write_batch(land, "1.json", rows, mtime=1)
+    with pytest.raises(StreamingQueryException, match="parseable event date"):
+        _run_v2(
+            spark, land, tmp_path, "baddate",
+            min_margin=1, q_micro_min=1,
+            quota_mode="daily", date_col="date",
+        )
