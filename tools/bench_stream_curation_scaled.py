@@ -23,6 +23,9 @@ dominate; the corpus-side contribution is partition-pruned state scans
 and one bucket-keyed probe join).
 
 Usage: python tools/bench_stream_curation_scaled.py [sf_dir] [reps] [workdir]
+       [mode: lifetime|daily]  (daily = r12 quota_mode='daily': the batch
+       spreads over three event days, seeded domain counts carry the
+       SEED_DAY key — same flat done-bar, now for the day-keyed path)
 Prints one JSON line: {scale: min_sec}, state rows, admitted rows, ratio.
 """
 
@@ -49,12 +52,16 @@ from reddit_twitter_big_data_pipeline_spark.streaming import curation, streams  
 
 SCALES = (1, 4, 16)
 NUM_PERM, K, BANDS = 64, 3, 16
+SEED_DAY = "2023-03-01"
 
 
-def seed_state(spark, corpus_df, state_dir: str) -> dict:
+def seed_state(spark, corpus_df, state_dir: str, daily: bool = False) -> dict:
     """Materialize the stored reductions curate_stream_v2 maintains, as
     they would exist after the corpus was admitted — seeded at
-    `__batch=-1` so a batch-0 probe sees all of it."""
+    `__batch=-1` so a batch-0 probe sees all of it. With `daily`, the
+    domain counts carry the day key (the whole seeded corpus lands on
+    SEED_DAY, so batch rows dated SEED_DAY probe non-empty counts and
+    later-day rows open fresh caps — both daily paths exercised)."""
     bcol = F.lit(-1).alias("__batch")
     overwrite_partitions(
         corpus_df.select(text_ops.fingerprint("text").alias("__fp"))
@@ -76,11 +83,14 @@ def seed_state(spark, corpus_df, state_dir: str) -> dict:
         os.path.join(state_dir, "bands"),
         ["__batch"],
     )
+    dom = corpus_df.select(text_ops.registered_domain("url").alias("domain"))
+    if daily:
+        dom = dom.withColumn("__day", F.lit(SEED_DAY).cast("date"))
+        counts = dom.groupBy("domain", "__day").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        counts = dom.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
     overwrite_partitions(
-        corpus_df.select(text_ops.registered_domain("url").alias("domain"))
-        .groupBy("domain")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("*", bcol),
+        counts.select("*", bcol),
         os.path.join(state_dir, "domains"),
         ["__batch"],
     )
@@ -93,17 +103,31 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     work = sys.argv[3] if len(sys.argv) > 3 else "/tmp/stream_curation_scaled"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "lifetime"
+    daily = mode == "daily"
     shutil.rmtree(work, ignore_errors=True)
     spark = session.get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 
     batch_dir = os.path.join(work, "batch")
-    fixed_batch(spark, sf_dir).write.parquet(batch_dir)
+    b = fixed_batch(spark, sf_dir)
+    if daily:
+        # spread the batch over SEED_DAY..+2: day-1 rows probe the seeded
+        # (domain, day) counts, later days open fresh caps
+        b = b.withColumn(
+            "date",
+            F.date_format(
+                F.date_add(F.lit(SEED_DAY).cast("date"),
+                           (F.col("doc_id") % 3).cast("int")),
+                "yyyy-MM-dd 12:00:00",
+            ),
+        )
+    b.write.parquet(batch_dir)
     schema = spark.read.parquet(batch_dir).schema
 
     meta: dict = {}
     for s in SCALES:
         sd = os.path.join(work, f"state_{s}x")
-        meta[s] = seed_state(spark, corpus(spark, sf_dir, s), sd)
+        meta[s] = seed_state(spark, corpus(spark, sf_dir, s), sd, daily=daily)
         print(f"seeded {s}x: {meta[s]}", file=sys.stderr, flush=True)
 
     def run_once(s: int, rep: int) -> tuple[float, int]:
@@ -111,6 +135,7 @@ def main() -> None:
         out = os.path.join(work, f"out_{s}x")
         src = streams.read_parquet_stream(spark, batch_dir, schema)
         t0 = time.time()
+        kw = dict(quota_mode="daily", date_col="date") if daily else {}
         q = curation.curate_stream_v2(
             src,
             state_dir=os.path.join(work, f"state_{s}x"),
@@ -118,6 +143,7 @@ def main() -> None:
             checkpoint=ck,
             domain_cap=20,
             q_micro_min=150_000,
+            **kw,
         )
         streams.run_to_completion(q)
         dt = time.time() - t0
@@ -132,7 +158,7 @@ def main() -> None:
             admitted[s] = n
             print(f"rep{rep} {s}x: {dt:.2f}s admitted={n}", file=sys.stderr, flush=True)
     out = {
-        "mode": "stream_v2",
+        "mode": f"stream_v2_{mode}",
         "min_sec": {str(s): round(min(ts), 3) for s, ts in times.items()},
         "state_shingle_rows": {str(s): meta[s]["shingle_rows"] for s in SCALES},
         "admitted": {str(s): admitted[s] for s in SCALES},
