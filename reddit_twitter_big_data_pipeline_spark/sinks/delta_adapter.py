@@ -25,6 +25,8 @@ they fall back to the `writers` parquet implementations unchanged:
                                    replaceWhere over df's partitions)
   compact_table_auto            -> OPTIMIZE / ZORDER BY (transactional
                                    small-files maintenance)
+  vacuum_auto                   -> VACUUM / manifested-version GC /
+                                   plain-parquet no-op
   convert_to_delta              -> CONVERT TO DELTA migration for tables
                                    the parquet path was maintaining
 
@@ -347,3 +349,42 @@ def compact_table_auto(
         return int(res.collect()[0]["metrics"]["numFilesAdded"])
     except Exception:  # noqa: BLE001 - metrics shape varies across versions
         return -1
+
+
+def vacuum_auto(
+    spark: SparkSession,
+    path: str,
+    retention_hours: float = 168.0,
+    n_partition_cols: int | None = None,
+) -> int:
+    """Stale-file garbage collection routed by table kind, completing
+    the adapter's maintenance story alongside `compact_table_auto`:
+
+    - Delta table: `DeltaTable.vacuum(retention_hours)` (Delta enforces
+      its own retention floor; time travel shortens accordingly).
+      Returns -1 — Delta does not report a removed-file count.
+    - Manifested parquet (`merge_upsert_manifested` tables — version
+      dirs under the partition leaves): `writers.vacuum_manifested`,
+      which keeps the two newest manifests' versions; requires
+      `n_partition_cols` (the manifest layout's depth) and raises
+      without it rather than guessing. Returns the dirs removed.
+    - Plain parquet: nothing to vacuum — the two-rename swap deletes
+      its backup on completion and `recover_interrupted_swap` heals the
+      crash window — returns 0.
+    """
+    route, DeltaTable, _ = _route(spark, path)
+    if route == "delta":
+        DeltaTable.forPath(spark, path).vacuum(retention_hours)
+        return -1
+    fs, p = writers._hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    jvm = spark._jvm
+    if writers._manifest_versions(fs, jvm, path):
+        if n_partition_cols is None:
+            raise ValueError(
+                "vacuum_auto: the target is a manifested-parquet table — "
+                "pass n_partition_cols so version GC can walk its layout"
+            )
+        return writers.vacuum_manifested(spark, path, n_partition_cols)
+    return 0

@@ -412,3 +412,34 @@ def test_compact_table_auto_delta_route_optimize_and_zorder(
     assert n2 == -1  # unparseable metrics degrade to -1, never raise
     with pytest.raises(ValueError, match="no sort_cols form"):
         delta_adapter.compact_table_auto(spark, "/delta/ct", sort_cols=["a"])
+
+
+def test_vacuum_auto_routes_by_table_kind(spark, tmp_path, fake_delta, monkeypatch):
+    # Delta table -> DeltaTable.vacuum(retention)
+    calls = {}
+    monkeypatch.setattr(
+        _Recorder, "vacuum",
+        lambda self, hours: calls.setdefault("hours", hours),
+        raising=False,
+    )
+    fake_delta.is_delta = True
+    assert delta_adapter.vacuum_auto(spark, "/delta/v", retention_hours=24.0) == -1
+    assert calls["hours"] == 24.0
+    # plain parquet -> nothing to vacuum
+    fake_delta.is_delta = False
+    path = str(tmp_path / "plain_v")
+    spark.range(5).write.parquet(path)
+    assert delta_adapter.vacuum_auto(spark, path) == 0
+    # manifested parquet -> writers.vacuum_manifested (and requires depth)
+    vm = {}
+    monkeypatch.setattr(writers, "_manifest_versions", lambda fs, jvm, p: [1, 2])
+    monkeypatch.setattr(
+        writers, "vacuum_manifested",
+        lambda spark, p, n: (vm.setdefault("args", (p, n)), 7)[1],
+    )
+    with pytest.raises(ValueError, match="n_partition_cols"):
+        delta_adapter.vacuum_auto(spark, path)
+    assert delta_adapter.vacuum_auto(spark, path, n_partition_cols=2) == 7
+    assert vm["args"] == (path, 2)
+    # missing path entirely -> 0, no error
+    assert delta_adapter.vacuum_auto(spark, str(tmp_path / "nope")) == 0
