@@ -501,6 +501,13 @@ def budget_select(
     offending source. There is no third mode: admitting unbudgeted
     sources would break the Σ tokens ≤ Σ alloc contract.
 
+    A MATCHED allocation row carrying a NULL `alloc_col` value raises in
+    BOTH modes (ADVICE r12): it is a malformed allocation table, not a
+    missing allocation — before this guard, "error" mode blamed it on a
+    "no allocation row" that plainly existed, and "drop" mode silently
+    dropped the whole source through `cum_tokens <= NULL`. The two modes
+    still differ only on docs with NO allocation row.
+
     One group-keyed window over the corpus (the same shuffle any
     per-group rule needs) + a broadcast join of the per-source
     allocation table. Returns the admitted (id, source, n_tokens,
@@ -510,20 +517,36 @@ def budget_select(
     w = Window.partitionBy(source_col).orderBy(
         _bucket(id_col, salt, hash_fn).asc(), F.col(id_col).asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
-    alloc = F.broadcast(allocations.select(source_col, alloc_col))
+    # __has_alloc marks "a row matched" independently of the alloc VALUE,
+    # so a missing row and a NULL alloc value raise different errors
+    alloc = F.broadcast(
+        allocations.select(source_col, alloc_col, F.lit(True).alias("__has_alloc"))
+    )
+    src_name = F.coalesce(docs[source_col].cast("string"), F.lit("NULL"))
+    null_alloc_guard = F.raise_error(
+        F.concat(
+            F.lit("budget_select: allocation row for source "),
+            src_name,
+            F.lit(f" carries a NULL {alloc_col} value (malformed allocation table)"),
+        )
+    ).cast("double")
     if missing_sources == "error":
         # left join + in-plan raise: the unmatched row itself carries the
         # error, so the guard costs no extra job and no extra shuffle
         joined = docs.join(alloc, docs[source_col].eqNullSafe(alloc[source_col]), "left")
-        guard = F.when(
-            alloc[alloc_col].isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("budget_select: no allocation row for source "),
-                    F.coalesce(docs[source_col].cast("string"), F.lit("NULL")),
-                )
-            ).cast("double"),
-        ).otherwise(alloc[alloc_col])
+        guard = (
+            F.when(
+                alloc["__has_alloc"].isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("budget_select: no allocation row for source "),
+                        src_name,
+                    )
+                ).cast("double"),
+            )
+            .when(alloc[alloc_col].isNull(), null_alloc_guard)
+            .otherwise(alloc[alloc_col])
+        )
         joined = joined.select(
             docs["*"], guard.alias("__alloc")
         )
@@ -533,9 +556,26 @@ def budget_select(
         # the two modes must only differ on docs with NO allocation row
         joined = docs.join(
             alloc, docs[source_col].eqNullSafe(alloc[source_col])
-        ).select(docs["*"], alloc[alloc_col].alias("__alloc"))
+        ).select(
+            docs["*"],
+            F.when(alloc[alloc_col].isNull(), null_alloc_guard)
+            .otherwise(alloc[alloc_col])
+            .alias("__alloc"),
+        )
+    # EXACT boundary compare (VERDICT r12 item 3 — the property pattern
+    # found the same float seam the water fill had): `cum_tokens` is a
+    # long, so a raw long<=double filter silently rounds cum to the
+    # nearest double first — at cum > 2^53 that admitted a boundary doc
+    # whose exact total EXCEEDED the allocation (measured: alloc = 2^53,
+    # cum = 2^53+1 rounds to 2^53 and passes). Since cum is integral,
+    # cum <= alloc  <=>  cum <= floor(alloc), and floor(double) -> long
+    # is exact; allocations at/above 2^63 (no long can exceed them) skip
+    # the floor so ANSI mode's overflow guard never fires on them.
+    limit = F.when(
+        F.col("__alloc") >= F.lit(float(2**63)), F.lit(2**63 - 1).cast("long")
+    ).otherwise(F.floor(F.col("__alloc")).cast("long"))
     return (
         joined.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
-        .filter(F.col("cum_tokens") <= F.col("__alloc"))
+        .filter(F.col("cum_tokens") <= limit)
         .select(id_col, source_col, F.col(tokens_col).cast("long").alias(tokens_col), "cum_tokens")
     )

@@ -186,7 +186,20 @@ def merge_upsert_partitioned_auto(
     it is what lets Delta prune the MERGE's file scan to touched
     partitions instead of rewriting the table. Keys that move across
     partitions need `merge_upsert_auto`, exactly as they need plain
-    `merge_upsert` on the parquet path."""
+    `merge_upsert` on the parquet path.
+
+    Out-of-contract inputs corrupt DIFFERENTLY per route (ADVICE r12) —
+    worth knowing when debugging a violated contract: a key that moves
+    partitions misses the Delta match condition and lands as a DUPLICATE
+    key via whenNotMatchedInsertAll, while the parquet fallback dedupes
+    the duplicate away (dropping the old-partition row) whenever the old
+    partition is also touched by the batch. Neither shape is the merge's
+    semantics — both are the documented precondition being violated —
+    but a duplicate-key symptom points at the Delta route and a
+    vanished-row symptom at the parquet route. A debug assertion (anti-
+    join of update keys against matches in OTHER partitions of the
+    target) catches it on either route before merging, at the cost of
+    one extra target scan per call — deliberately not built in."""
     route, DeltaTable, _ = _route(spark, target_path)
     if route == "parquet":
         return writers.merge_upsert_partitioned(
@@ -318,7 +331,18 @@ def compact_table_auto(
     count after the rewrite when Delta reports it, else -1 (metrics
     shape varies by delta-spark version). Non-Delta targets (or no
     delta-spark) run the staging-then-swap parquet compaction
-    unchanged."""
+    unchanged.
+
+    NOT re-entrant across a shared SparkSession (ADVICE r12): the
+    maxFileSize conf is session-global for the call's duration, so a
+    concurrent job on the same session sees the mutated value, and two
+    overlapping compact calls can restore each other's stale "previous"
+    value. delta-spark exposes no per-call OPTIMIZE file-size option;
+    deployments that need isolation should set the TABLE property
+    `delta.targetFileSize` (`ALTER TABLE ... SET TBLPROPERTIES`) instead
+    — it scopes to the table and makes `target_file_bytes` here a no-op
+    — or serialize maintenance calls per session (the usual shape of a
+    nightly OPTIMIZE job anyway)."""
     route, DeltaTable, _ = _route(spark, path)
     if route != "delta":  # parquet fallback AND missing-path bootstrap:
         # compacting a missing table is writers.compact_table's error

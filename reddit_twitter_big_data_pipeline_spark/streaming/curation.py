@@ -423,7 +423,7 @@ def curate_stream_v2(
         screened = novel.join(losers, id_col, "left_anti")
         if quota_mode == "daily":
             # thread the event day through (novel dropped it): one
-            # batch-sized id->day join, the day becomes a quota key. A
+            # batch-sized id->date join, the day becomes a quota key. A
             # null/unparseable event date fails LOUDLY (r12 review): the
             # have-counts join on (domain, __day) is null-UNSAFE, so a
             # null day would never match its accumulated counts and the
@@ -432,6 +432,12 @@ def curate_stream_v2(
             # try_cast (not to_date) so malformed strings reach THIS
             # guard's message instead of ANSI mode's cast exception —
             # one failure shape whether the input is null or garbage.
+            # The guard is computed AFTER the join to screened (ADVICE
+            # r12): validation covers exactly the rows that survive
+            # gating + dedup — deterministically, because __day is a
+            # quota key the admission window evaluates for every ranked
+            # row — instead of an optimizer-dependent maybe-fire on rows
+            # the join was about to prune anyway.
             day = F.col(date_col).try_cast("date")
             day_ok = F.when(
                 day.isNull(),
@@ -444,8 +450,11 @@ def curate_stream_v2(
                     )
                 ).cast("date"),
             ).otherwise(day)
-            days = batch.select(F.col(id_col), day_ok.alias("__day"))
-            ranked = screened.join(days, id_col)
+            ranked = (
+                screened.join(batch.select(F.col(id_col), F.col(date_col)), id_col)
+                .withColumn("__day", day_ok)
+                .drop(date_col)
+            )
         else:
             ranked = screened
         adm_docs = _admit_by_quota(

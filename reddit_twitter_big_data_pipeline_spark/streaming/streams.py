@@ -13,7 +13,9 @@ Here the same semantics are first-class Structured Streaming:
                                  / availableNow for replay-all-then-stop)
   W2  15-min tumbling window   → `window(ts, "15 minutes")` + watermark
   W3  daily boundary/watermark → `window(ts, "1 day")` + 1-hour watermark
-  W4  3-day late refresh       → `foreachBatch` → sinks.writers.merge_upsert
+  W4  3-day late refresh       → `foreachBatch` → delta_adapter.merge_upsert_auto
+                                 (Delta MERGE INTO when delta-spark is
+                                 importable, writers.merge_upsert otherwise)
   W5  exactly-once bookmarks   → checkpointLocation (file-source offsets log)
   W6  sessionization (absent   → `session_window`; stream dedup via
       in reference)              `dropDuplicatesWithinWatermark`
@@ -32,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from ..sinks import writers
+from ..sinks import delta_adapter, writers
 
 
 # --------------------------------------------------------------------- W1
@@ -283,17 +285,29 @@ def upsert_stream(
     merge: only the partitions a batch's keys live in are rewritten, so a
     steady stream of small late updates costs O(touched partitions) per
     batch instead of one full-table rewrite per batch — the difference
-    between a viable and a pathological continuous refresh at 100 TB."""
+    between a viable and a pathological continuous refresh at 100 TB.
+
+    Each batch merges through the `*_auto` Delta adapter (VERDICT r12
+    item 2): a Delta-enabled deployment gets a real transactional
+    `MERGE INTO` per micro-batch (with partition keys in the match
+    condition when `partition_cols` is set, so Delta prunes the rewrite
+    to touched partitions); without delta-spark the adapter falls back
+    to the exact `writers.merge_upsert[_partitioned]` calls this
+    function made before — replay-idempotence is unchanged on both
+    routes (keyed last-writer-wins merges are idempotent under
+    re-execution of the same batch)."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         if partition_cols:
-            writers.merge_upsert_partitioned(
+            delta_adapter.merge_upsert_partitioned_auto(
                 batch.sparkSession, target_path, batch, keys, partition_cols, order_col
             )
         else:
-            writers.merge_upsert(batch.sparkSession, target_path, batch, keys, order_col)
+            delta_adapter.merge_upsert_auto(
+                batch.sparkSession, target_path, batch, keys, order_col
+            )
 
     writer = df.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
     if available_now:

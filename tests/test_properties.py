@@ -449,3 +449,233 @@ def test_range_join_matches_brute_containment(spark, pts, ivs, width, how):
         matched_pts = {i for i, _ in matches}
         want = sorted(want + [(i, None) for i in range(len(pts)) if i not in matched_pts])
     assert got == want, (got, want, width)
+
+
+# --- VERDICT r12 item 3: the exact-rational adversarial-magnitude
+# pattern (which found the water-fill cancellation break in r12 and the
+# budget_select long<=double rounding break in r13) extended to the
+# remaining closed-form float/integer seams. Each test replays the
+# operator's documented closed form in exact arithmetic (Fraction /
+# Python ints) and pins the engine to it.
+
+
+def _hash_order(spark, items, salt="budget"):
+    """The engine's admission order for budget_select: xxhash64(salt, id)
+    asc, id asc — read back from Spark itself (xxhash64 has no Python
+    twin here; the ORDER is the seam under test's input, not the seam)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i, _ in items], "doc_id long")
+    rows = (
+        df.select(
+            "doc_id",
+            F.pmod(F.xxhash64(F.lit(salt), F.col("doc_id").cast("string")), F.lit(1_000_000)).alias("h"),
+        )
+        .collect()
+    )
+    hmap = {r.doc_id: r.h for r in rows}
+    return sorted((i for i, _ in items), key=lambda i: (hmap[i], i))
+
+
+_TOK = st.one_of(
+    st.integers(min_value=0, max_value=100),
+    st.integers(min_value=2**50, max_value=2**53 + 64),
+)
+_ALLOC_F = st.one_of(
+    st.floats(min_value=0.0, max_value=200.0, allow_nan=False),
+    st.integers(min_value=2**52, max_value=2**53 + 64).map(float),
+    st.just(float(2**63)),
+    st.just(1e300),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_TOK, min_size=1, max_size=5),
+    _ALLOC_F,
+)
+def test_budget_select_boundary_tracks_exact_integer_cumsum(spark, toks, alloc):
+    """Admission is EXACT: doc i admitted iff its exact integer running
+    total (in hash order) <= the exact rational value of the double
+    allocation — no doc whose true cum exceeds the budget may slip in
+    through the long->double rounding of the comparison (the r13 fix:
+    alloc=2^53, cum=2^53+1 was admitted before)."""
+    from fractions import Fraction
+
+    from reddit_twitter_big_data_pipeline_spark.operators import sampling
+
+    items = list(enumerate(toks))
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in items], "doc_id long, source string, n_tokens long"
+    )
+    adf = spark.createDataFrame([("s", alloc)], "source string, alloc double")
+    got = sorted(r.doc_id for r in sampling.budget_select(docs, adf).collect())
+    tok = dict(items)
+    cum, want = 0, []
+    for i in _hash_order(spark, items):
+        cum += tok[i]
+        if Fraction(cum) <= Fraction(alloc):
+            want.append(i)
+        else:
+            break  # prefix rule: first boundary-crossing doc ends the source
+    assert got == sorted(want)
+
+
+_VAL_MAG = st.one_of(
+    st.integers(min_value=-3, max_value=3).map(float),
+    st.sampled_from([1e-300, 1e-30, 1e30, 1e300, -1e300, -1e-300, 0.0]),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_VAL_MAG, min_size=1, max_size=24), st.integers(min_value=1, max_value=8))
+def test_equidepth_histogram_matches_exact_ntile_replay(spark, vals, n_buckets):
+    """Bucket membership, counts, and bounds replicate SQL ntile exactly
+    at any value magnitude: ranks and bucket boundaries are pure integer
+    arithmetic, values only ever sort/min/max (exact double compares)."""
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    rows = list(enumerate(vals))
+    df = spark.createDataFrame([(v, i) for i, v in rows], "v double, id long")
+    got = [
+        (r.bucket, r.n_rows, r.lo, r.hi)
+        for r in analytics.equidepth_histogram(df, "v", ["id"], n_buckets).collect()
+    ]
+    # exact replay: sort by (v, id), ntile(B) split (first n%B buckets one extra)
+    seq = sorted(rows, key=lambda t: (t[1], t[0]))
+    n, got_exp = len(seq), []
+    base, rem = divmod(n, n_buckets)
+    start = 0
+    for b in range(1, min(n, n_buckets) + 1):
+        size = base + (1 if b <= rem else 0) if base else 1
+        chunk = seq[start:start + size]
+        start += size
+        vs = [v for _, v in chunk]
+        got_exp.append((b, len(chunk), min(vs), max(vs)))
+    assert got == got_exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_VAL_MAG, min_size=1, max_size=16),
+    st.lists(_VAL_MAG, min_size=0, max_size=16),
+    st.integers(min_value=2, max_value=6),
+)
+def test_psi_drift_tracks_exact_rational_shares(spark, base_vals, cur_vals, n_buckets):
+    """Bucket counts are exact at any magnitude (boundary compares are
+    raw double <=); each psi_contrib tracks the exact-Fraction share
+    computation to the 6dp output round."""
+    import math
+    from fractions import Fraction
+
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    b = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(base_vals)], "v double, id long"
+    )
+    c = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(cur_vals)], "v double, id long"
+    ) if cur_vals else b.limit(0)
+    got = {
+        r.bucket: (r.n_base, r.n_cur, r.psi_contrib)
+        for r in analytics.psi_drift(b, c, "v", ["id"], n_buckets).collect()
+    }
+    # exact replay of the documented closed form
+    seq = sorted(zip(base_vals, range(len(base_vals))))
+    n, B = len(seq), n_buckets
+    base_sz, rem = divmod(n, B)
+    uppers, start = [], 0
+    for k in range(1, min(n, B) + 1):
+        size = base_sz + (1 if k <= rem else 0) if base_sz else 1
+        uppers.append(max(v for v, _ in seq[start:start + size]))
+        start += size
+    K = len(uppers)
+
+    def bucket_of(v):
+        for i, u in enumerate(uppers[:-1]):
+            if v <= u:
+                return i + 1
+        return K
+
+    nb = {k: 0 for k in range(1, K + 1)}
+    nc = {k: 0 for k in range(1, K + 1)}
+    for v in base_vals:
+        nb[bucket_of(v)] += 1
+    for v in cur_vals:
+        nc[bucket_of(v)] += 1
+    assert set(got) == set(nb)
+    tb, tc = sum(nb.values()), sum(nc.values())
+    for k in nb:
+        gb, gc, contrib = got[k]
+        assert (gb, gc) == (nb[k], nc[k])  # counts exact
+        p = Fraction(2 * nb[k] + 1, 2 * tb + K)
+        q = Fraction(2 * nc[k] + 1, 2 * tc + K)
+        want = float(p - q) * math.log(float(p) / float(q)) if p != q else 0.0
+        assert abs(contrib - round(want, 6)) <= 2e-6, (k, contrib, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+       st.integers(min_value=2, max_value=64))
+def test_kmv_estimate_matches_exact_rational(spark, vals, k):
+    """(k-1)·2^60 / h_k tracks the exact Fraction to float ulp; under-k
+    groups return EXACTLY n (the threshold n<k is integer, no seam)."""
+    from fractions import Fraction
+
+    from reddit_twitter_big_data_pipeline_spark.operators import sketches
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = sketches.kmv_build(df, "v", k=k)
+    hashes = sorted(r.hash for r in sk.collect())
+    got = sketches.kmv_estimate(sk, k=k).collect()[0].n_distinct_est
+    if len(hashes) < k:
+        assert got == float(len(hashes))
+    else:
+        want = Fraction((k - 1) * (1 << 60), hashes[-1])
+        assert abs(got - float(want)) <= abs(float(want)) * 1e-12
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=2**50, max_value=2**62),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=4),
+)
+def test_hdr_quantile_matches_exact_integer_replay(spark, vals, pcts):
+    """rank = (n·pct + 99) div 100 and bucket selection replay exactly in
+    Python ints at any magnitude (the whole sketch is integer-only)."""
+    from reddit_twitter_big_data_pipeline_spark.operators import sketches
+
+    p_bits = 6
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = sketches.hdr_build(df, "v", precision_bits=p_bits)
+    got = {r.pct: r.est for r in sketches.hdr_quantile(sk, pcts).collect()}
+
+    def lo_of(v):
+        if v == 0 or v.bit_length() <= p_bits:
+            return v
+        s = v.bit_length() - p_bits
+        return (v >> s) << s
+
+    buckets: dict = {}
+    for v in vals:
+        buckets[lo_of(v)] = buckets.get(lo_of(v), 0) + 1
+    n = len(vals)
+    want = {}
+    for pct in set(pcts):
+        rank = (n * pct + 99) // 100
+        cum = 0
+        est = None
+        for lo in sorted(buckets):
+            cum += buckets[lo]
+            if cum >= rank:
+                est = lo
+                break
+        want[pct] = est
+    assert got == want

@@ -393,3 +393,32 @@ def test_budget_select_missing_sources_modes(spark):
     assert sorted(r.doc_id for r in rows_drop) == [1, 2]
     with pytest.raises(ValueError, match="missing_sources"):
         sampling.budget_select(docs, alloc, missing_sources="admit")
+
+
+def test_budget_select_null_alloc_value_raises_in_both_modes(spark):
+    """ADVICE r12: a MATCHED allocation row carrying a NULL alloc value is
+    a malformed allocation table, distinct from a missing row — before
+    this guard, 'error' mode blamed a 'no allocation row' that existed
+    and 'drop' mode silently dropped the source via cum_tokens <= NULL.
+    Both modes now raise naming the real defect."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [(1, "s1", 4), (2, "s2", 4)], "doc_id long, source string, n_tokens long"
+    )
+    alloc = spark.createDataFrame(
+        [("s1", 10.0), ("s2", None)], "source string, alloc double"
+    )
+    for mode in ("drop", "error"):
+        with pytest.raises(
+            SparkRuntimeException,
+            match="allocation row for source s2 carries a NULL alloc value",
+        ):
+            sampling.budget_select(docs, alloc, missing_sources=mode).collect()
+    # healthy rows are untouched: dropping the malformed source row
+    # restores both modes (s2 then has NO row: dropped / named)
+    ok = alloc.filter("source = 's1'")
+    kept = sampling.budget_select(docs, ok).collect()
+    assert {r.source for r in kept} == {"s1"}
+    with pytest.raises(SparkRuntimeException, match="no allocation row for source s2"):
+        sampling.budget_select(docs, ok, missing_sources="error").collect()

@@ -1028,3 +1028,167 @@ def test_kmv_stream_folds_batches_and_replays_idempotently(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert sorted(map(tuple, spark.read.parquet(tgt).collect())) == before
+
+
+# ------------------------------------------------- W4 through the Delta seam
+
+
+class _StreamRecorder:
+    """Fake delta.tables.DeltaTable capturing each micro-batch's MERGE
+    chain (mirrors tests/test_delta_adapter.py's _Recorder, but appends
+    per-call so a multi-batch stream records every merge)."""
+
+    calls: dict = {}
+    is_delta = True
+
+    @classmethod
+    def isDeltaTable(cls, spark, path):
+        return cls.is_delta
+
+    @classmethod
+    def forPath(cls, spark, path):
+        cls.calls.setdefault("forPath", []).append(path)
+        return cls()
+
+    def alias(self, a):
+        return self
+
+    def merge(self, src, cond):
+        type(self).calls.setdefault("merge_conds", []).append(cond)
+        type(self).calls.setdefault("merge_srcs", []).append(
+            sorted((r.id, r.username) for r in src.select("id", "username").collect())
+        )
+        return self
+
+    def whenMatchedUpdateAll(self, condition=None):
+        type(self).calls.setdefault("matched_conds", []).append(condition)
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        return self
+
+    def execute(self):
+        type(self).calls.setdefault("executed", []).append(True)
+
+    def toDF(self):
+        return None
+
+
+@pytest.fixture
+def fake_delta_stream(monkeypatch):
+    import sys
+    import types
+
+    _StreamRecorder.calls = {}
+    pkg = types.ModuleType("delta")
+    tables = types.ModuleType("delta.tables")
+    tables.DeltaTable = _StreamRecorder
+    pkg.tables = tables
+    monkeypatch.setitem(sys.modules, "delta", pkg)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables)
+    yield _StreamRecorder
+
+
+def test_w4_upsert_stream_routes_through_delta_merge(spark, tmp_path, fake_delta_stream):
+    """VERDICT r12 item 2: with delta-spark importable and the target a
+    Delta table, every micro-batch of upsert_stream runs a real Delta
+    MERGE INTO (null-safe key condition, order_col guard) instead of the
+    parquet two-rename merge — foreachBatch runs on the driver, so the
+    faked module is visible to the per-batch merge."""
+    fake_delta_stream.is_delta = True
+    land, ckpt = tmp_path / "land", str(tmp_path / "ckpt")
+    _write_batch(
+        land, "b1.json",
+        [{"id": 10, "date": "2023-03-25 12:00:00", "username": "a"},
+         {"id": 11, "date": "2023-03-25 12:01:00", "username": "b"}],
+    )
+    streams.run_to_completion(
+        streams.upsert_stream(
+            _with_ts(streams.read_json_stream(spark, str(land), SCHEMA)),
+            "/delta/w4", ckpt, keys=["id"], order_col="ts",
+        )
+    )
+    c = fake_delta_stream.calls
+    assert c["forPath"] == ["/delta/w4"]
+    assert c["merge_conds"] == ["t.`id` <=> s.`id`"]
+    assert c["matched_conds"] == ["s.`ts` >= t.`ts`"]
+    assert c["executed"] == [True]
+    assert c["merge_srcs"] == [[(10, "a"), (11, "b")]]
+    # second micro-batch = second MERGE against the same table
+    _write_batch(
+        land, "b2.json",
+        [{"id": 10, "date": "2023-03-27 00:00:00", "username": "a2"}],
+    )
+    streams.run_to_completion(
+        streams.upsert_stream(
+            _with_ts(streams.read_json_stream(spark, str(land), SCHEMA)),
+            "/delta/w4", ckpt, keys=["id"], order_col="ts",
+        )
+    )
+    assert c["executed"] == [True, True]
+    assert c["merge_srcs"][1] == [(10, "a2")]
+
+
+def test_w4_upsert_stream_partitioned_delta_condition_prunes(
+    spark, tmp_path, fake_delta_stream
+):
+    """partition_cols route: the Delta match condition carries the
+    partition keys alongside the upsert keys, which is what lets Delta
+    prune the MERGE file scan to touched partitions."""
+    fake_delta_stream.is_delta = True
+    land, ckpt = tmp_path / "land", str(tmp_path / "ckpt")
+    _write_batch(
+        land, "b1.json",
+        [{"id": 10, "date": "2023-03-25 12:00:00", "username": "a"}],
+    )
+    streams.run_to_completion(
+        streams.upsert_stream(
+            _with_ts(streams.read_json_stream(spark, str(land), SCHEMA))
+            .withColumn("day", F.to_date("ts")),
+            "/delta/w4p", ckpt, keys=["id"], order_col="ts", partition_cols=["day"],
+        )
+    )
+    c = fake_delta_stream.calls
+    assert c["merge_conds"] == ["t.`id` <=> s.`id` AND t.`day` <=> s.`day`"]
+    assert c["executed"] == [True]
+
+
+def test_w4_upsert_stream_preexisting_parquet_keeps_parquet_route(
+    spark, tmp_path, fake_delta_stream
+):
+    """A pre-existing non-Delta target keeps the parquet merge even with
+    delta-spark importable (installing the dependency must never break a
+    working refresh job), and replay-idempotence is unchanged."""
+    fake_delta_stream.is_delta = False  # isDeltaTable(path) -> False
+    land, tgt, ckpt = tmp_path / "land", str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    # pre-existing plain-parquet target (a table the parquet merge was
+    # maintaining before delta-spark got installed)
+    spark.createDataFrame(
+        [(11, "2023-03-25 12:01:00", "b")], ["id", "date", "username"]
+    ).select(
+        F.col("id").cast("long"), "date", "username",
+        F.to_timestamp("date", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    ).write.parquet(tgt)
+    _write_batch(
+        land, "day1.json",
+        [{"id": 10, "date": "2023-03-25 12:00:00", "username": "a"},
+         {"id": 11, "date": "2023-03-25 12:01:00", "username": "b"}],
+    )
+    run = lambda: streams.run_to_completion(  # noqa: E731
+        streams.upsert_stream(
+            _with_ts(streams.read_json_stream(spark, str(land), SCHEMA)),
+            tgt, ckpt, keys=["id"], order_col="ts",
+        )
+    )
+    run()
+    assert spark.read.parquet(tgt).count() == 2
+    _write_batch(
+        land, "day3.json",
+        [{"id": 10, "date": "2023-03-27 00:00:00", "username": "a2"}],
+    )
+    run()
+    got = {r.id: r.username for r in spark.read.parquet(tgt).collect()}
+    assert got == {10: "a2", 11: "b"}
+    assert fake_delta_stream.calls.get("executed") is None  # Delta never merged
+    run()  # replay: same checkpoint, nothing new
+    assert spark.read.parquet(tgt).count() == 2

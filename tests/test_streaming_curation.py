@@ -429,6 +429,65 @@ def test_domain_quota_admit_daily_resets_per_event_day(spark, tmp_path):
     assert finals and finals[-1] == 2, finals
 
 
+def test_domain_quota_admit_daily_past_watermark_straggler_drops(spark, tmp_path):
+    """VERDICT r12 item 4: a straggler whose event day was already GC'd
+    (its timer fired because the watermark passed end-of-day + slack) is
+    DROPPED by the engine's late-row filter before the operator runs —
+    it must NOT re-admit under a fresh counter (the silent re-earned-cap
+    break the GC timer would otherwise open). Pinned semantics: drop."""
+    land = tmp_path / "land_straggler"
+
+    def _d(i, day, minute):
+        return {
+            "doc_id": i,
+            "text": "x",
+            "url": f"https://a.com/p/{i}",
+            "date": f"2023-03-{day:02d} 12:{minute:02d}:00",
+        }
+
+    # batch 1: day-1 fills a.com's cap (ids 1,2; id 3 over cap), and a
+    # day-9 row drives the watermark far past day 1's GC horizon
+    # (day-1 timer = end of day 2; watermark after batch 1 = day 9 - 1h)
+    _write_batch(
+        land, "1.json",
+        [_d(1, 1, 1), _d(2, 1, 2), _d(3, 1, 3), _d(70, 9, 0)],
+        mtime=1,
+    )
+    # batch 2: innocuous day-9 row; while it runs, the day-1 timer
+    # (< watermark) fires and the (a.com, day-1) counter is REMOVED
+    _write_batch(land, "2.json", [_d(71, 9, 30)], mtime=2)
+    # batch 3: a day-1 straggler, far behind the watermark, whose
+    # (a.com, day-1) counter no longer exists
+    _write_batch(land, "3.json", [_d(99, 1, 30)], mtime=3)
+    src = (
+        streams.read_json_stream(spark, str(land), DOC_SCHEMA, max_files_per_trigger=1)
+        .withColumn("ts", F.to_timestamp("date", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    )
+    out = curation.domain_quota_admit_daily(src, cap=2, delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("daily_straggler")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_straggler"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    streams.run_to_completion(q)
+    rows = spark.sql("select * from daily_straggler").collect()
+    # 99 dropped (late), 3 dropped (over cap), 1/2/70/71 admitted
+    assert sorted(r.doc_id for r in rows) == [1, 2, 70, 71]
+    # the day-1 counter was GONE before the straggler's batch ran (state
+    # drops 2 -> 1 at batch 2), so only the late-row filter stood between
+    # id 99 and a re-earned fresh cap — and it held
+    finals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert finals and finals[-1] == 1 and 1 in finals[:-1], finals
+
+
 def test_compact_stream_state_preserves_admission_behavior(spark, tmp_path):
     """Compaction folds all per-batch state into __batch=-1 without
     changing content: a batch streamed AFTER compaction admits exactly
