@@ -68,6 +68,18 @@ def delta_available() -> bool:
     return _delta_table_cls() is not None
 
 
+def read_table_auto(spark: SparkSession, path: str) -> DataFrame:
+    """Read `path` as a Delta table when it IS one, else as parquet — the
+    read twin of the `*_auto` writers. Required wherever a table MIGHT
+    have been bootstrapped as Delta by an `*_auto` write (e.g. the
+    streaming-curation state tables): a plain parquet read of a Delta dir
+    sees every historical file, silently duplicating overwritten rows."""
+    route, _, _ = _route(spark, path)
+    if route == "delta":
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
 def _route(spark: SparkSession, path: str):
     """The single routing decision every `*_auto` entry point shares
     (r12 review: five hand-rolled copies had already drifted). Returns

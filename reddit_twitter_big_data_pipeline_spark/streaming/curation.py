@@ -52,7 +52,7 @@ from ..operators import dedup as dedup_ops
 from ..operators import text as text_ops
 from ..plans.training import _admit_by_quota, _corpus_gated, _increment_gated_novel
 from ..sinks import writers
-from ..sinks.writers import overwrite_partitions
+from ..sinks import delta_adapter
 
 _QUOTA_STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 
@@ -239,10 +239,35 @@ def _read_state(
     state its first run saw — even if it crashed after some of its own
     state writes landed. A missing dir (first batch) reads as empty."""
     try:
-        df = spark.read.parquet(path)
+        df = delta_adapter.read_table_auto(spark, path)
     except AnalysisException:
         return spark.createDataFrame([], schema)
     return df.filter(F.col("__batch") < F.lit(batch_id)).drop("__batch")
+
+
+def _write_state_partition(df: DataFrame, path: str, cols: list[str]) -> None:
+    """One per-batch partition write of a v2 state/output table, routed
+    through the Delta adapter (VERDICT r12 item 7): with delta-spark
+    installed, tables bootstrap as Delta and each batch lands as a
+    transactional dynamic partition overwrite; otherwise the plain
+    parquet dynamic overwrite (the pre-r13 behavior, byte-identical).
+    `_read_state` reads through the same routing, so a replayed batch's
+    `__batch < batch_id` filter prunes identically on both kinds."""
+    delta_adapter.overwrite_partitions_auto(df, path, cols)
+
+
+def _delta_read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.format("delta").load(path)
+
+
+def _delta_overwrite(df: DataFrame, path: str) -> None:
+    (
+        df.write.format("delta")
+        .mode("overwrite")
+        .option("overwriteSchema", "true")
+        .partitionBy("__batch")
+        .save(path)
+    )
 
 
 def curate_stream_v2(
@@ -464,8 +489,8 @@ def curate_stream_v2(
         admitted = adm_docs.drop(text_col)
 
         bcol = F.lit(batch_id).alias("__batch")
-        overwrite_partitions(admitted.select("*", bcol), out_dir, ["__batch"])
-        overwrite_partitions(
+        _write_state_partition(admitted.select("*", bcol), out_dir, ["__batch"])
+        _write_state_partition(
             adm_docs.select(
                 text_ops.fingerprint(text_col).alias("__fp")
             ).distinct().select("*", bcol),
@@ -475,10 +500,10 @@ def curate_stream_v2(
         ex_inc = dedup_ops.hashed_shingles(
             adm_docs, id_col, text_col, shingle_k
         ).persist()
-        overwrite_partitions(
+        _write_state_partition(
             ex_inc.select("*", bcol), os.path.join(state_dir, "shingles"), ["__batch"]
         )
-        overwrite_partitions(
+        _write_state_partition(
             dedup_ops._band_frame(
                 dedup_ops.minhash_signatures_from_hashes(ex_inc, num_perm),
                 bands,
@@ -487,7 +512,7 @@ def curate_stream_v2(
             os.path.join(state_dir, "bands"),
             ["__batch"],
         )
-        overwrite_partitions(
+        _write_state_partition(
             admitted.groupBy(*quota_keys)
             .agg(F.count(F.lit(1)).alias("n"))
             .select("*", bcol),
@@ -495,7 +520,7 @@ def curate_stream_v2(
             ["__batch"],
         )
         hi_rows = [] if batch_hi is None else [(batch_hi,)]  # all-gated-out batch
-        overwrite_partitions(
+        _write_state_partition(
             spark.createDataFrame(hi_rows, f"hi {id_t}").select("*", bcol),
             os.path.join(state_dir, "ids"),
             ["__batch"],
@@ -548,6 +573,7 @@ def compact_stream_state(
     target_file_bytes: int = 256 * 1024 * 1024,
     checkpoint: str | None = None,
     force: bool = False,
+    retention_hours: float = 168.0,
 ) -> dict[str, int]:
     """Maintenance compaction for `curate_stream_v2`'s state tables: fold
     every per-batch partition into the single pre-stream partition
@@ -577,7 +603,15 @@ def compact_stream_state(
     into place with the two-rename swap (`sinks.writers`), healed by
     `recover_interrupted_swap` on the next access; a crash between
     tables leaves some compacted and some not — identical CONTENT either
-    way, so readers are unaffected."""
+    way, so readers are unaffected.
+
+    Delta-backed state tables (bootstrapped by `_write_state_partition`
+    when delta-spark is installed — VERDICT r12 item 7) take the Delta
+    route instead: the fold lands as ONE transactional partitioned
+    overwrite (no staging/swap — readers keep the old snapshot until the
+    commit), then `vacuum_auto(retention_hours)` GCs the superseded
+    files past Delta's retention floor. The replay precondition is the
+    same on both routes; only the crash-safety mechanism differs."""
     if checkpoint is not None and not force:
         pending = _last_uncommitted_batch(spark, checkpoint)
         if pending is not None:
@@ -591,9 +625,11 @@ def compact_stream_state(
     counts: dict[str, int] = {}
     for name in _STATE_TABLES:
         path = os.path.join(state_dir, name)
-        writers.recover_interrupted_swap(spark, path)
+        route, _, _ = delta_adapter._route(spark, path)
+        if route != "delta":
+            writers.recover_interrupted_swap(spark, path)
         try:
-            df = spark.read.parquet(path)
+            df = _delta_read(spark, path) if route == "delta" else spark.read.parquet(path)
         except AnalysisException:
             continue
         folded = df.drop("__batch")
@@ -608,6 +644,14 @@ def compact_stream_state(
         size = fs.getContentSummary(p).getLength()
         n_files = max(1, int((size + target_file_bytes - 1) // target_file_bytes))
         compacted = folded.repartition(n_files).withColumn("__batch", F.lit(-1))
+        if route == "delta":
+            # transactional fold: Delta's snapshot isolation lets the
+            # plan read the table it replaces; superseded files GC via
+            # VACUUM once past the retention floor
+            _delta_overwrite(compacted, path)
+            delta_adapter.vacuum_auto(spark, path, retention_hours)
+            counts[name] = _delta_read(spark, path).count()
+            continue
         staging = path + ".__staging__"
         compacted.write.mode("overwrite").partitionBy("__batch").parquet(staging)
         writers._swap_into_place(spark, path, staging)

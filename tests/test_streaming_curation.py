@@ -804,3 +804,92 @@ def test_curate_stream_v2_daily_rejects_unparseable_dates(spark, tmp_path):
             min_margin=1, q_micro_min=1,
             quota_mode="daily", date_col="date",
         )
+
+
+def test_compact_stream_state_delta_route(spark, tmp_path, monkeypatch):
+    """VERDICT r12 item 7: when the state tables are Delta, compaction
+    folds via ONE transactional partitioned overwrite + vacuum_auto —
+    never the two-rename swap — and produces exactly the parquet route's
+    content. Delta is faked (not installed here): the routing decision
+    comes from the faked DeltaTable.isDeltaTable, and the two delta IO
+    seams are patched to parquet equivalents that record the calls."""
+    import sys
+    import types
+
+    from reddit_twitter_big_data_pipeline_spark.sinks import delta_adapter, writers
+
+    def build(dirname):
+        sd = tmp_path / dirname
+        mk = lambda rows, schema: spark.createDataFrame(rows, schema)  # noqa: E731
+        tables = {
+            "fps": mk([("a",), ("b",)], "fp string"),
+            "shingles": mk([(1, 10), (2, 20)], "id long, h long"),
+            "bands": mk([(1, 0, 5)], "id long, band int, sig long"),
+            "domains": mk([("x.com", 2), ("y.com", 1)], "domain string, n long"),
+            "ids": mk([(7,)], "hi long"),
+        }
+        for b in (0, 1):
+            for t, df in tables.items():
+                writers.overwrite_partitions(
+                    df.withColumn("__batch", F.lit(b)), str(sd / t), ["__batch"]
+                )
+        return str(sd)
+
+    def read_all(sd):
+        return {
+            t: sorted(
+                map(tuple, spark.read.parquet(f"{sd}/{t}").drop("__batch").collect())
+            )
+            for t in ("fps", "shingles", "bands", "domains", "ids")
+        }
+
+    # control: the parquet route
+    sd_parquet = build("state_parquet")
+    counts_parquet = curation.compact_stream_state(spark, sd_parquet)
+
+    # delta route: fake the module, patch the IO seams, record vacuums
+    sd_delta = build("state_delta")
+
+    class _FakeDeltaTable:
+        @classmethod
+        def isDeltaTable(cls, spark, path):
+            return path.startswith(sd_delta)  # only OUR tables are "Delta"
+
+    pkg = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = _FakeDeltaTable
+    pkg.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", pkg)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    overwrites, vacuums = [], []
+    monkeypatch.setattr(curation, "_delta_read", lambda s, p: s.read.parquet(p))
+
+    def fake_overwrite(df, path):
+        rows = df.collect()  # materialize before clobbering the input dir
+        overwrites.append(path)
+        spark.createDataFrame(rows, df.schema).write.mode("overwrite").partitionBy(
+            "__batch"
+        ).parquet(path)
+
+    monkeypatch.setattr(curation, "_delta_overwrite", fake_overwrite)
+    monkeypatch.setattr(
+        delta_adapter, "vacuum_auto", lambda s, p, h: (vacuums.append((p, h)), -1)[1]
+    )
+
+    def no_swap(*a, **kw):
+        raise AssertionError("two-rename swap must not run on the Delta route")
+
+    monkeypatch.setattr(writers, "_swap_into_place", no_swap)
+
+    counts_delta = curation.compact_stream_state(spark, sd_delta, retention_hours=24.0)
+
+    assert counts_delta == counts_parquet
+    assert read_all(sd_delta) == read_all(sd_parquet)
+    # the domains fold re-aggregated (2 batches x 2 domains -> 2 rows)
+    assert counts_delta["domains"] == 2 and counts_delta["ids"] == 1
+    assert sorted(overwrites) == sorted(f"{sd_delta}/{t}" for t in curation._STATE_TABLES)
+    assert sorted(vacuums) == sorted((f"{sd_delta}/{t}", 24.0) for t in curation._STATE_TABLES)
+    # everything folded into the single pre-stream partition
+    fps = spark.read.parquet(f"{sd_delta}/fps")
+    assert {r["__batch"] for r in fps.select("__batch").distinct().collect()} == {-1}
