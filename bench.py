@@ -282,6 +282,47 @@ def main() -> None:
             except Exception as ex:  # noqa: BLE001
                 print(f"bench error {name}: {ex}", file=sys.stderr)
                 full_surface[name] = -1.0
+    # Scaled-curation headline (VERDICT r12 item 8): one 16x-corpus
+    # curate_corpus_v2 run (80k docs at sf0.1, the bench_curation_scaled
+    # replica builder) so round-over-round comparison of the curation
+    # stack happens where DATA COST dominates — the 5k-doc suite rows
+    # are AQE stage-overhead-dominated and re-adjudicate as ambient
+    # every round. Single rep: at ~2 minutes of real work the ambient
+    # band is a small fraction, and the canary probes bracket it.
+    # SPARK_GRAFT_BENCH_SCALED=0 skips (fast iteration).
+    scaled: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALED", "1") != "0":
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "bench_curation_scaled",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools",
+                "bench_curation_scaled.py",
+            ),
+        )
+        _bcs = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_bcs)
+        from pyspark.sql import functions as _F
+
+        from reddit_twitter_big_data_pipeline_spark.plans import training as _training
+
+        _corpus16 = _bcs.corpus(spark, SF_DIR, 16)
+        _blocked16 = spark.range(0, 20 * 16, 5).select(
+            _F.concat(_F.lit("site"), _F.col("id").cast("string"), _F.lit(".com"))
+            .alias("domain")
+        )
+        _canary(spark, canary_times)
+        t0 = time.time()
+        try:
+            _training.curate_corpus_v2(
+                _corpus16, _blocked16, domain_cap=20, q_micro_min=150_000
+            ).write.format("noop").mode("overwrite").save()
+            scaled["train_curation_v2_16x"] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            print(f"bench error train_curation_v2_16x: {ex}", file=sys.stderr)
+            scaled["train_curation_v2_16x"] = -1.0
     _canary(spark, canary_times)  # closing probe
     canary = _canary_stats(canary_times)
     print(
@@ -293,6 +334,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "full_surface": full_surface,
+                "scaled": scaled,
                 "canary": canary,
             }
         )
@@ -327,6 +369,9 @@ def main() -> None:
                 "canary_spread_vs_median": canary.get("spread_vs_median"),
                 "canary_min": canary.get("min"),
                 "canary_max": canary.get("max"),
+                # the 16x-corpus curation row (data-cost-dominated, the
+                # round-over-round comparison point for the curation stack)
+                "scaled": scaled,
             }
         )
     )
