@@ -304,21 +304,13 @@ def main() -> None:
         )
         _bcs = _ilu.module_from_spec(_spec)
         _spec.loader.exec_module(_bcs)
-        from pyspark.sql import functions as _F
-
-        from reddit_twitter_big_data_pipeline_spark.plans import training as _training
-
-        _corpus16 = _bcs.corpus(spark, SF_DIR, 16)
-        _blocked16 = spark.range(0, 20 * 16, 5).select(
-            _F.concat(_F.lit("site"), _F.col("id").cast("string"), _F.lit(".com"))
-            .alias("domain")
-        )
+        # the tool owns the workload (corpus, blocklist, gate constants):
+        # the headline row must measure EXACTLY the scaling study's cell
+        _plan16 = _bcs.build_v2(spark, SF_DIR, 16)
         _canary(spark, canary_times)
         t0 = time.time()
         try:
-            _training.curate_corpus_v2(
-                _corpus16, _blocked16, domain_cap=20, q_micro_min=150_000
-            ).write.format("noop").mode("overwrite").save()
+            _plan16.write.format("noop").mode("overwrite").save()
             scaled["train_curation_v2_16x"] = round(time.time() - t0, 3)
         except Exception as ex:  # noqa: BLE001
             print(f"bench error train_curation_v2_16x: {ex}", file=sys.stderr)

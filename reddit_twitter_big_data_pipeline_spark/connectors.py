@@ -148,6 +148,14 @@ def praw_fetch_factory(
                     submission = reddit.submission(id=post.id)
                     submission.comments.replace_more(limit=None)
                     for comment in submission.comments.list():
+                        # deleted/removed comments carry author=None;
+                        # praw_comment_record's author.name would raise
+                        # and — unlike the reference Lambda, where one
+                        # crash loses one invocation — deterministically
+                        # fail the whole Spark task on every retry. Skip
+                        # them like the bot filter does.
+                        if comment.author is None:
+                            continue
                         if str(comment.author) in skip_authors:
                             continue
                         out.append(praw_comment_record(comment, post.id))
@@ -220,6 +228,10 @@ def snscrape_fetch_factory(
 
 # ------------------------------------------------------------- neo4j (K8)
 
+# per-process bolt-driver pool: (GraphDatabase identity, uri, user,
+# password) -> driver. See neo4j_transport_factory's docstring.
+_NEO4J_DRIVERS: dict = {}
+
 
 def neo4j_transport_factory(
     uri: str,
@@ -240,7 +252,17 @@ def neo4j_transport_factory(
 
     Credentials travel as strings; sockets are opened executor-side and
     never pickled. The statement vocabulary is the sink's
-    (`NODE_MERGE`/`EDGE_MERGE` with a `$rows` UNWIND parameter)."""
+    (`NODE_MERGE`/`EDGE_MERGE` with a `$rows` UNWIND parameter).
+
+    The bolt driver (one connection pool + IO threads) is memoized
+    PER-PROCESS, not per-partition: `write_graph` calls the factory once
+    per partition, Spark reuses Python workers across tasks, and a fresh
+    un-closed pool per partition would accumulate hundreds of open pools
+    against the server's connection limit over a long job. The memo key
+    includes the imported `GraphDatabase` class identity so a re-imported
+    (or test-faked) neo4j module gets a fresh driver; the pool lives for
+    the worker process's lifetime, which is exactly the bolt driver's
+    intended usage ("one driver per application")."""
 
     def factory() -> Callable[[str, list[dict]], None]:
         neo4j = _need("neo4j", "neo4j")
@@ -254,7 +276,12 @@ def neo4j_transport_factory(
             )
             if t is not None
         )
-        driver = neo4j.GraphDatabase.driver(uri, auth=(user, password))
+        key = (id(neo4j.GraphDatabase), uri, user, password)
+        driver = _NEO4J_DRIVERS.get(key)
+        if driver is None:
+            driver = _NEO4J_DRIVERS.setdefault(
+                key, neo4j.GraphDatabase.driver(uri, auth=(user, password))
+            )
 
         def send(statement: str, rows: list[dict]) -> None:
             from .sinks.graph_sink import TransientSinkError

@@ -640,8 +640,17 @@ def compact_stream_state(
             folded = folded.groupBy(*gk).agg(F.sum("n").alias("n"))
         elif name == "ids":  # the invariant log folds to its running max
             folded = folded.agg(F.max("hi").alias("hi"))
-        fs, p = writers._hadoop_fs(spark, path)
-        size = fs.getContentSummary(p).getLength()
+        # Size the fold from the LIVE snapshot's files, not the raw dir:
+        # on the Delta route getContentSummary counts _delta_log plus
+        # every superseded pre-vacuum file (vacuum runs AFTER this and
+        # keeps most of them under the retention floor anyway), so a
+        # long-running stream's dir is ~N× its live data and the fold
+        # would re-emit ~N× too many files — the accumulation this
+        # compaction exists to fix. `df.inputFiles()` is the snapshot's
+        # file list on both routes (plain parquet listing = live files).
+        fs, _ = writers._hadoop_fs(spark, path)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        size = sum(fs.getFileStatus(jvm_path(f)).getLen() for f in df.inputFiles())
         n_files = max(1, int((size + target_file_bytes - 1) // target_file_bytes))
         compacted = folded.repartition(n_files).withColumn("__batch", F.lit(-1))
         if route == "delta":

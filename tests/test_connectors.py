@@ -153,7 +153,15 @@ def _fixture_reddit():
         score=1,
         parent_id=f"t3_{posts[0]['id']}",
     )
-    return _make_fake_reddit(fakes, {posts[0]["id"]: tree + [bot]}), posts
+    deleted = SimpleNamespace(
+        id="del1",
+        created_utc=_ts("2023-03-25 12:31:00"),
+        body="[removed]",
+        author=None,  # deleted comment: author.name would AttributeError
+        score=0,
+        parent_id=f"t3_{posts[0]['id']}",
+    )
+    return _make_fake_reddit(fakes, {posts[0]["id"]: tree + [bot, deleted]}), posts
 
 
 def test_praw_fetch_window_modes_and_bot_skip():
@@ -163,8 +171,9 @@ def test_praw_fetch_window_modes_and_bot_skip():
     post_ids = [r["id"] for r in recs if "title" in r]
     comment_ids = [r["id"] for r in recs if "post_id" in r]
     assert post_ids == [posts[0]["id"], posts[2]["id"]]  # middle post out of window
-    # dump comments for post 0 kept, AutoModerator skipped
-    assert comment_ids and "bot1" not in comment_ids
+    # dump comments for post 0 kept; AutoModerator skipped; the deleted
+    # comment (author=None) skipped instead of AttributeError-ing the task
+    assert comment_ids and "bot1" not in comment_ids and "del1" not in comment_ids
     assert reddit.search_calls == [("ukraine", "new", "week")]
     # posts-only mode emits no comment records
     fetch_p = connectors.praw_fetch_factory(lambda: reddit, what="posts")()
@@ -273,6 +282,21 @@ def test_neo4j_transport_runs_managed_write(fake_neo4j):
     assert fake_neo4j["log"] == [
         ("UNWIND $rows AS row MERGE (n:Post {id: row.node_id})", {"rows": rows})
     ]
+
+
+def test_neo4j_driver_memoized_per_process(fake_neo4j):
+    """write_graph calls the factory once PER PARTITION and Spark reuses
+    Python workers across tasks — the bolt driver (a connection pool)
+    must be built once per (GraphDatabase, uri, user, password), not per
+    partition, or a long job leaks hundreds of open pools."""
+    fac = connectors.neo4j_transport_factory("bolt://pool:7687", "u", "pw")
+    send1, send2 = fac(), fac()  # two "partitions"
+    send1("UNWIND $rows AS row RETURN row", [])
+    send2("UNWIND $rows AS row RETURN row", [])
+    assert fake_neo4j["driver_args"] == [("bolt://pool:7687", ("u", "pw"))]
+    # different credentials/uri → a distinct driver
+    connectors.neo4j_transport_factory("bolt://other", "u", "pw")()
+    assert len(fake_neo4j["driver_args"]) == 2
 
 
 def test_neo4j_transport_maps_transient_errors(fake_neo4j):

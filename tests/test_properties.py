@@ -460,19 +460,16 @@ def test_range_join_matches_brute_containment(spark, pts, ivs, width, how):
 
 
 def _hash_order(spark, items, salt="budget"):
-    """The engine's admission order for budget_select: xxhash64(salt, id)
-    asc, id asc — read back from Spark itself (xxhash64 has no Python
-    twin here; the ORDER is the seam under test's input, not the seam)."""
-    from pyspark.sql import functions as F
+    """The engine's admission order for budget_select: bucket-hash asc,
+    id asc — read back from Spark via the engine's OWN `_bucket`
+    expression (xxhash64 has no Python twin here, and a hand-retyped
+    expression drifts: an earlier copy cast the id to string while the
+    engine hashes the native long, silently diverging the replay's
+    order). The ORDER is the seam under test's input, not the seam."""
+    from reddit_twitter_big_data_pipeline_spark.operators.sampling import _bucket
 
     df = spark.createDataFrame([(i,) for i, _ in items], "doc_id long")
-    rows = (
-        df.select(
-            "doc_id",
-            F.pmod(F.xxhash64(F.lit(salt), F.col("doc_id").cast("string")), F.lit(1_000_000)).alias("h"),
-        )
-        .collect()
-    )
+    rows = df.select("doc_id", _bucket("doc_id", salt).alias("h")).collect()
     hmap = {r.doc_id: r.h for r in rows}
     return sorted((i for i, _ in items), key=lambda i: (hmap[i], i))
 

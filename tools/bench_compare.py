@@ -30,12 +30,28 @@ import statistics
 import sys
 
 
-def _timings(artifact: dict) -> dict[str, float]:
-    """Headline + full-surface timings merged; headline wins on overlap
-    (min-of-reps beats the tail's single-shot timing)."""
+def _raw(artifact: dict) -> dict[str, float]:
+    """Headline + full-surface + scaled timings merged; headline wins on
+    overlap (min-of-reps beats the tail's single-shot timing). The
+    `scaled` rows (e.g. train_curation_v2_16x, the r13 data-cost-
+    dominated curation comparison point) are first-class here — dropping
+    them would exclude exactly the row built to be compared."""
     out = dict(artifact.get("full_surface") or {})
+    out.update(artifact.get("scaled") or {})
     out.update(artifact.get("queries") or {})
-    return {q: t for q, t in out.items() if isinstance(t, (int, float)) and t > 0}
+    return {q: t for q, t in out.items() if isinstance(t, (int, float))}
+
+
+def _timings(artifact: dict) -> dict[str, float]:
+    return {q: t for q, t in _raw(artifact).items() if t > 0}
+
+
+def _errored(artifact: dict) -> list[str]:
+    """Queries the run attempted but recorded as failed (bench.py writes
+    -1.0 on exception). Kept OUT of the ratio math but reported: a
+    regression-to-failure must not masquerade as a de-registered query
+    in only_old."""
+    return sorted(q for q, t in _raw(artifact).items() if t <= 0)
 
 
 def compare(new: dict, old: dict, top_n: int = 8, band: float = 2.0) -> dict:
@@ -72,6 +88,8 @@ def compare(new: dict, old: dict, top_n: int = 8, band: float = 2.0) -> dict:
         verdict = f"net SLOWER (canary-normalized sum ratio {norm_sum:.3f})"
     if not normalized:
         verdict += " [RAW: one artifact has no canary]"
+    if _errored(new):
+        verdict += f" [ERRORED in new run: {', '.join(_errored(new))}]"
     return {
         "verdict": verdict,
         "canary_normalized": normalized,
@@ -92,8 +110,12 @@ def compare(new: dict, old: dict, top_n: int = 8, band: float = 2.0) -> dict:
         "flagged_wins": wins[:top_n],
         "fastest_movers": [_row(q) for q, _ in movers[:top_n]],
         "slowest_movers": [_row(q) for q, _ in movers[-top_n:][::-1]],
-        "only_new": sorted(set(tn) - set(to)),
-        "only_old": sorted(set(to) - set(tn)),
+        "errored_new": _errored(new),
+        "errored_old": _errored(old),
+        # a query that ERRORED in the other run is not "only" anywhere —
+        # an error in new would otherwise masquerade as a de-registration
+        "only_new": sorted(set(tn) - set(to) - set(_errored(old))),
+        "only_old": sorted(set(to) - set(tn) - set(_errored(new))),
     }
 
 

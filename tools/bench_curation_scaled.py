@@ -138,26 +138,42 @@ def fixed_batch(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# The study's gate constants, shared with bench.py's scaled headline row
+# (train_curation_v2_16x) so the headline row measures EXACTLY this
+# study's workload — a drift here would silently change both together,
+# never one without the other.
+V2_PARAMS = {"domain_cap": 20, "q_micro_min": 150_000}
+
+
+def blocked_domains(spark, scale: int) -> DataFrame:
+    """The study's blocklist: every 5th of the 20·scale planted domains."""
+    return spark.range(0, 20 * scale, 5).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".com")).alias(
+            "domain"
+        )
+    )
+
+
+def build_v2(spark, sf_dir: str, scale: int) -> DataFrame:
+    """One curate_corpus_v2 plan over the `scale`× replicated corpus with
+    the study's blocklist and gate constants (bench.py's headline row)."""
+    return training.curate_corpus_v2(
+        corpus(spark, sf_dir, scale), blocked_domains(spark, scale), **V2_PARAMS
+    )
+
+
 def bench_mode(spark, sf_dir: str, reps: int, mode: str) -> None:
     frames, blocked, meta = {}, {}, {}
     for s in SCALES:
         frames[s] = corpus(spark, sf_dir, s)
-        blocked[s] = spark.range(0, 20 * s, 5).select(
-            F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".com")).alias(
-                "domain"
-            )
-        )
+        blocked[s] = blocked_domains(spark, s)
         meta[s] = {"rows_in": frames[s].count()}
     batch = fixed_batch(spark, sf_dir) if mode == "increment" else None
 
     def build(s: int) -> DataFrame:
         if mode == "increment":
-            return training.curate_increment(
-                batch, frames[s], domain_cap=20, q_micro_min=150_000
-            )
-        return training.curate_corpus_v2(
-            frames[s], blocked[s], domain_cap=20, q_micro_min=150_000
-        )
+            return training.curate_increment(batch, frames[s], **V2_PARAMS)
+        return training.curate_corpus_v2(frames[s], blocked[s], **V2_PARAMS)
 
     # warm every scale once (JIT, page cache), record output rows
     for s in SCALES:
