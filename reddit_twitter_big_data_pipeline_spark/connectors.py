@@ -9,6 +9,11 @@ clients into the engine's injectable seams:
   neo4j_transport_factory -> sinks.graph_sink transport
                              (reference: neo4j_insert/neo4j_reddit_insert.py:1-10,
                               glue/reddit_glue.py:31,70-126)
+  google_translate_backend    -> functions.enrich set_backend('translate')
+                             (reference: glue/reddit_glue.py:31-32,232-236)
+  comprehend_sentiment_backend -> functions.enrich set_backend('sentiment')
+                             (reference: glue/reddit_glue.py:155-181 — with
+                              its two batch-alignment bugs FIXED, not replayed)
 
 Record SHAPES are field-for-field the reference's landing format — same
 keys, same casts (the P1 str/int coercions) — so a corpus scraped through
@@ -297,6 +302,143 @@ def neo4j_transport_factory(
         return send
 
     return factory
+
+
+# ------------------------------------------- deep_translator (U1) / boto3 (U2)
+
+
+def google_translate_backend(
+    source: str = "auto",
+    target: str = "en",
+    translator_factory: Callable[[], Any] | None = None,
+) -> Callable:
+    """U1 concrete binding: a `functions.enrich.set_backend('translate', ...)`
+    pandas-batch backend wrapping deep_translator's GoogleTranslator — the
+    reference's translator (reference: glue/reddit_glue.py:31-32, applied
+    row-by-row at :232-236). Row-wise like the reference (the service has
+    no batch endpoint worth the coupling); empty/None rows pass through
+    untouched — the reference drops them BEFORE translating (:228-230),
+    and deep_translator raises NotValidPayload on them.
+
+    Transient service failures (deep_translator's TooManyRequests /
+    RequestError — throttles, network) map to `TransientEnrichError`, so
+    composing with `enrich.retrying_backend` gets batch retry + per-item
+    salvage + null-on-exhaustion, strictly better than the reference's
+    failed-row "" sentinel it later has to scrub (:239-241). Any other
+    exception propagates and fails the task loudly.
+
+    One translator per backend instance (built lazily on first call,
+    executor-side — the factory closure travels, never the client)."""
+
+    def backend(texts):
+        import pandas as pd
+
+        from .functions.enrich import TransientEnrichError
+
+        if translator_factory is None:
+            dt = _need("deep_translator", "deep-translator")
+            tr = dt.GoogleTranslator(source=source, target=target)
+        else:  # injected client: the lib is only needed for exception types
+            try:
+                dt = __import__("deep_translator")
+            except ImportError:
+                dt = None
+            tr = translator_factory()
+        exc = getattr(dt, "exceptions", None)
+        transient = tuple(
+            t
+            for t in (
+                getattr(exc, "TooManyRequests", None),
+                getattr(exc, "RequestError", None),
+            )
+            if t is not None
+        )
+
+        def one(t):
+            if t is None or t == "":
+                return t
+            try:
+                return tr.translate(t)
+            except transient as ex:
+                raise TransientEnrichError(str(ex)) from ex
+
+        return pd.Series([one(t) for t in texts], index=texts.index)
+
+    return backend
+
+
+# Comprehend's documented per-request cap (TextList ≤ 25 docs) and the
+# reference's per-doc truncation guard (glue/reddit_glue.py:162, the
+# commented-out 4500-char slice — Comprehend rejects docs > 5000 BYTES,
+# so the slice is applied here for real, not left commented).
+_COMPREHEND_BATCH = 25
+_COMPREHEND_MAX_CHARS = 4500
+
+
+def comprehend_sentiment_backend(
+    region_name: str = "us-east-1",
+    client_factory: Callable[[], Any] | None = None,
+    language_code: str = "en",
+) -> Callable:
+    """U2 concrete binding: a `set_backend('sentiment', ...)` pandas-batch
+    backend wrapping boto3 Comprehend `batch_detect_sentiment` (reference:
+    glue/reddit_glue.py:155-181). Returns the Positive/Negative/Neutral/
+    Mixed frame index-aligned to the input — with the reference's TWO
+    alignment bugs fixed rather than replayed:
+
+    - the reference offsets each result by `i*len(batch)` (:170), which
+      misplaces every result of the LAST batch when it is partial (a
+      52-doc list puts batch 2's results at 2*2=4.. instead of 50..);
+      here the offset is the batch's true start position;
+    - the reference iterates ResultList only, so any doc Comprehend
+      rejects (ErrorList) silently SHIFTS nothing — it just vanishes,
+      and the later positional zip misattributes sentiments to rows
+      (the U2 operator bug documented at `functions/enrich.py`); here
+      ErrorList rows surface as all-NaN rows in their own positions,
+      the same null-shape `retrying_backend` uses.
+
+    Throttling (ThrottlingException / TooManyRequestsException, by error
+    code) maps to `TransientEnrichError` for the retry wrapper; other
+    ClientErrors propagate. One boto3 client per backend instance, built
+    lazily executor-side."""
+
+    def backend(texts):
+        import pandas as pd
+
+        from .functions.enrich import TransientEnrichError
+
+        if client_factory is None:
+            boto3 = _need("boto3", "boto3")
+            client = boto3.client("comprehend", region_name=region_name)
+        else:
+            client = client_factory()
+        cols = ["Positive", "Negative", "Neutral", "Mixed"]
+        vals = [t if isinstance(t, str) else "" for t in texts]
+        out: list[tuple | None] = [None] * len(vals)
+        for start in range(0, len(vals), _COMPREHEND_BATCH):
+            batch = [t[:_COMPREHEND_MAX_CHARS] for t in vals[start : start + _COMPREHEND_BATCH]]
+            try:
+                resp = client.batch_detect_sentiment(
+                    TextList=batch, LanguageCode=language_code
+                )
+            except Exception as ex:  # boto3 ClientError carries a code
+                code = (
+                    getattr(ex, "response", None) or {}
+                ).get("Error", {}).get("Code", "")
+                if code in ("ThrottlingException", "TooManyRequestsException"):
+                    raise TransientEnrichError(str(ex)) from ex
+                raise
+            for item in resp.get("ResultList", []):
+                s = item["SentimentScore"]
+                out[start + item["Index"]] = tuple(s[c] for c in cols)
+            # ErrorList rows keep their None slot -> all-NaN row below
+        return pd.DataFrame(
+            [r if r is not None else (float("nan"),) * 4 for r in out],
+            columns=cols,
+            index=texts.index,
+        )
+
+    return backend
 
 
 # The fetch closures reference this module's record-shaping functions and

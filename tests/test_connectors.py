@@ -317,3 +317,143 @@ def test_import_guard_names_the_missing_dependency():
         connectors.neo4j_transport_factory("bolt://x", "u", "p")()
     with pytest.raises(ImportError, match="pip install snscrape"):
         connectors.snscrape_fetch_factory("2023-01-01 00:00:00")()
+
+
+# ------------------------------------- deep_translator (U1) / boto3 (U2)
+
+
+@pytest.fixture
+def fake_deep_translator(monkeypatch):
+    state = {"built": [], "fail_on": set()}
+
+    class _TooManyRequests(Exception):
+        pass
+
+    class _NotValidPayload(Exception):
+        pass
+
+    class _GoogleTranslator:
+        def __init__(self, source, target):
+            state["built"].append((source, target))
+
+        def translate(self, text):
+            if text in state["fail_on"]:
+                raise _TooManyRequests("throttled")
+            if not text:  # the real lib rejects empties
+                raise _NotValidPayload(text)
+            return f"EN:{text}"
+
+    pkg = types.ModuleType("deep_translator")
+    pkg.GoogleTranslator = _GoogleTranslator
+    exc = types.ModuleType("deep_translator.exceptions")
+    exc.TooManyRequests = _TooManyRequests
+    exc.NotValidPayload = _NotValidPayload
+    pkg.exceptions = exc
+    monkeypatch.setitem(sys.modules, "deep_translator", pkg)
+    monkeypatch.setitem(sys.modules, "deep_translator.exceptions", exc)
+    state["TooManyRequests"] = _TooManyRequests
+    return state
+
+
+def test_google_translate_backend_rowwise_with_empty_passthrough(fake_deep_translator):
+    import pandas as pd
+
+    backend = connectors.google_translate_backend(source="auto", target="en")
+    got = backend(pd.Series(["guerra", None, "", "paz"], index=[7, 8, 9, 10]))
+    assert list(got) == ["EN:guerra", None, "", "EN:paz"]
+    assert list(got.index) == [7, 8, 9, 10]  # index-aligned, like every backend
+    assert fake_deep_translator["built"] == [("auto", "en")]
+
+
+def test_google_translate_backend_maps_throttle_and_salvages(fake_deep_translator):
+    import pandas as pd
+
+    from reddit_twitter_big_data_pipeline_spark.functions.enrich import (
+        TransientEnrichError,
+        retrying_backend,
+    )
+
+    fake_deep_translator["fail_on"] = {"poison"}
+    backend = connectors.google_translate_backend()
+    with pytest.raises(TransientEnrichError, match="throttled"):
+        backend(pd.Series(["poison"]))
+    # composed with the engine's retry wrapper: the poison row nulls out,
+    # the rest of the batch keeps real values (the reference's "" sentinel
+    # scrub, done right)
+    wrapped = retrying_backend(backend, max_retries=1, sleep=lambda s: None)
+    got = wrapped(pd.Series(["ok", "poison", "also ok"]))
+    assert list(got) == ["EN:ok", None, "EN:also ok"]
+
+
+class _FakeComprehend:
+    def __init__(self, error_indexes=(), throttle_batches=()):
+        self.batches = []
+        self._err = set(error_indexes)  # WITHIN-batch indexes to reject
+        self._throttle = set(throttle_batches)
+
+    def batch_detect_sentiment(self, TextList, LanguageCode):
+        n = len(self.batches)
+        self.batches.append((list(TextList), LanguageCode))
+        if n in self._throttle:
+            ex = Exception("slow down")
+            ex.response = {"Error": {"Code": "ThrottlingException"}}
+            raise ex
+        result, errors = [], []
+        for i, t in enumerate(TextList):
+            if i in self._err:
+                errors.append({"Index": i, "ErrorCode": "UNSUPPORTED_LANGUAGE"})
+            else:
+                v = (len(t) % 10) / 10.0
+                result.append(
+                    {"Index": i, "SentimentScore": {
+                        "Positive": v, "Negative": 1 - v, "Neutral": 0.0, "Mixed": 0.0}}
+                )
+        result.reverse()  # ResultList order is NOT positional — Index is
+        return {"ResultList": result, "ErrorList": errors}
+
+
+def test_comprehend_backend_batches_aligns_and_truncates():
+    import math
+
+    import pandas as pd
+
+    client = _FakeComprehend()
+    backend = connectors.comprehend_sentiment_backend(client_factory=lambda: client)
+    texts = pd.Series([f"d{i:03d}" * (1 + i % 3) for i in range(52)] + ["x" * 6000])
+    got = backend(texts)
+    # 53 docs -> 25/25/3 (the reference's i*len(batch) offset would
+    # misplace every last-batch row; ours must not)
+    assert [len(b[0]) for b in client.batches] == [25, 25, 3]
+    assert list(got.columns) == ["Positive", "Negative", "Neutral", "Mixed"]
+    assert len(got) == 53 and not got.isna().any().any()
+    # alignment survives the reversed ResultList: row i scored from doc i
+    for i in (0, 24, 25, 49, 50, 51):
+        assert got.iloc[i]["Positive"] == (len(texts[i]) % 10) / 10.0, i
+    # the 6000-char doc was truncated to the 4500-char service guard
+    assert len(client.batches[2][0][-1]) == 4500
+    assert math.isclose(got.iloc[52]["Positive"], (4500 % 10) / 10.0)
+
+
+def test_comprehend_backend_errorlist_rows_become_nan_not_shifts():
+    import pandas as pd
+
+    client = _FakeComprehend(error_indexes={1})
+    backend = connectors.comprehend_sentiment_backend(client_factory=lambda: client)
+    got = backend(pd.Series(["aa", "bb", "cccc"]))
+    assert got.iloc[1].isna().all()  # rejected doc -> NaN row IN PLACE
+    # neighbors keep their own scores (the reference silently dropped the
+    # row, shifting every later positional zip)
+    assert got.iloc[0]["Positive"] == 0.2 and got.iloc[2]["Positive"] == 0.4
+
+
+def test_comprehend_backend_maps_throttle_to_transient():
+    import pandas as pd
+
+    from reddit_twitter_big_data_pipeline_spark.functions.enrich import (
+        TransientEnrichError,
+    )
+
+    client = _FakeComprehend(throttle_batches={0})
+    backend = connectors.comprehend_sentiment_backend(client_factory=lambda: client)
+    with pytest.raises(TransientEnrichError, match="slow down"):
+        backend(pd.Series(["a"]))
