@@ -676,3 +676,130 @@ def test_hdr_quantile_matches_exact_integer_replay(spark, vals, pcts):
                 break
         want[pct] = est
     assert got == want
+
+
+# --- r13 extension: the last two closed-form monitors (grouped_trend,
+# grouped_corr). Their documented contract is exact-LONG sufficient
+# statistics with a FIXED final IEEE op order, so the properties pin (a)
+# bit-equality to a python replay of that exact op order — the
+# reproducibility claim — and (b) proximity to the exact rational value
+# at adversarial magnitudes (longs past 2^53, where the final double
+# casts round) — the accuracy claim the fixed order is supposed to buy.
+
+_TREND_VAL = st.one_of(
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+    st.sampled_from([8.2, -8.2, 0.07, 1e12, -1e12, 9.9e13, 0.0]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 40), _TREND_VAL),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_grouped_trend_matches_ieee_replay_and_exact_rational(spark, rows):
+    import math
+    from datetime import date, timedelta
+    from fractions import Fraction
+
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    unit = 100
+    df = spark.createDataFrame(
+        [(g, date(2024, 1, 1) + timedelta(days=d), v) for g, d, v in rows],
+        "g long, ts date, value double",
+    )
+    got = {
+        r.g: (r.n_days, r.slope, r.intercept)
+        for r in analytics.grouped_trend(df, "value", "ts", ["g"], unit=unit).collect()
+    }
+    by_g: dict = {}
+    for g, d, v in rows:
+        # the fixed-point conversion is DEFINED as floor(double(v)*unit):
+        # python replays the identical IEEE multiply (8.2*100 -> 819)
+        by_g.setdefault(g, {}).setdefault(d, 0)
+        by_g[g][d] += math.floor(v * unit)
+    for g, daily in by_g.items():
+        d0 = min(daily)
+        pts = [(d - d0, y) for d, y in daily.items()]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        n_days, slope, intercept = got[g]
+        assert n_days == n
+        if den == 0:
+            assert slope is None and intercept is None
+            continue
+        # (a) bit-equal to the documented op order
+        slope_ieee = float(num) / float(den)
+        intercept_ieee = (float(sy) - slope_ieee * float(sx)) / float(n)
+        assert slope == slope_ieee and intercept == intercept_ieee, (g, num, den)
+        # (b) slope within 3 ulp of the exact rational even when num/den
+        # round at the double cast (|num| can exceed 2^53 here)
+        exact = Fraction(num, den)
+        assert abs(Fraction(slope) - exact) <= abs(exact) * Fraction(1, 2**50) or (
+            exact == 0 and slope == 0.0
+        ), (g, num, den)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), _TREND_VAL),
+        min_size=2,
+        max_size=14,
+    ),
+)
+def test_grouped_corr_matches_ieee_replay_and_exact_value(spark, rows):
+    import math
+    from datetime import date, timedelta
+    from decimal import Decimal, getcontext
+
+    from reddit_twitter_big_data_pipeline_spark.operators import analytics
+
+    unit = 100
+    df = spark.createDataFrame(
+        [(g, date(2024, 1, 1) + timedelta(days=d), v) for g, d, v in rows],
+        "g long, ts date, value double",
+    )
+    out = analytics.grouped_corr(df, "value", "ts", "g", unit=unit).collect()
+    got = {(r.g_a, r.g_b): (r.n_days, r.corr) for r in out}
+    daily: dict = {}
+    for g, d, v in rows:
+        daily.setdefault(g, {}).setdefault(d, 0)
+        daily[g][d] += math.floor(v * unit)
+    groups = sorted(daily)
+    getcontext().prec = 60
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            days = sorted(set(daily[ga]) & set(daily[gb]))
+            if not days:
+                assert (ga, gb) not in got
+                continue
+            xs = [daily[ga][d] for d in days]
+            ys = [daily[gb][d] for d in days]
+            n = len(days)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+            num = n * sxy - sx * sy
+            den_x, den_y = n * sxx - sx * sx, n * syy - sy * sy
+            n_days, corr = got[(ga, gb)]
+            assert n_days == n
+            if den_x <= 0 or den_y <= 0:
+                assert corr is None
+                continue
+            # (a) bit-equal to the documented op order (two sqrts, one div)
+            ieee = float(num) / (math.sqrt(float(den_x)) * math.sqrt(float(den_y)))
+            assert corr == ieee, (ga, gb, num, den_x, den_y)
+            # (b) within 1e-9 of the exact value via 60-digit decimal
+            exact = Decimal(num) / (Decimal(den_x) * Decimal(den_y)).sqrt()
+            assert abs(Decimal(corr) - exact) <= Decimal("1e-9") * max(
+                abs(exact), Decimal(1)
+            ), (ga, gb, num, den_x, den_y)
