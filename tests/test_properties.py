@@ -803,3 +803,39 @@ def test_grouped_corr_matches_ieee_replay_and_exact_value(spark, rows):
             assert abs(Decimal(corr) - exact) <= Decimal("1e-9") * max(
                 abs(exact), Decimal(1)
             ), (ga, gb, num, den_x, den_y)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5),
+    st.sampled_from([0.0, 0.25, 0.5, 0.7, 1.0, 2.0]),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=10_000)),
+)
+def test_temperature_weights_invariants(spark, counts, alpha, target):
+    """temperature_weights' α-power shares aren't rational, so instead of
+    an exact replay the property pins the operator's CONTRACT: (1) the
+    expected mixed-corpus size Σ w_s·n_s equals target_total (the whole
+    point of the T/n_s conversion), (2) per-source expected contributions
+    order like n_s^α — heads stay heads, α=0 equalizes outright, α=1 is
+    pure re-balancing with every weight 1."""
+    from reddit_twitter_big_data_pipeline_spark.operators import sampling
+
+    rows = [(f"s{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "source string")
+    w = sampling.temperature_weights(df, alpha=alpha, target_total=target)
+    n = {f"s{i}": c for i, c in enumerate(counts)}
+    t = float(target) if target is not None else float(sum(counts))
+    assert set(w) == set(n)
+    # (1) expected mixed size == target (9-decimal weight rounding only)
+    mixed = sum(w[s] * n[s] for s in w)
+    assert abs(mixed - t) <= 1e-6 * max(t, 1.0), (w, counts, alpha, target)
+    # (2) contributions order like n^alpha
+    contrib = {s: w[s] * n[s] for s in w}
+    by_n = sorted(w, key=lambda s: n[s])
+    for a, b in zip(by_n, by_n[1:]):
+        if alpha == 0.0 or n[a] == n[b]:
+            assert abs(contrib[a] - contrib[b]) <= 1e-6 * max(t, 1.0)
+        else:
+            assert contrib[a] <= contrib[b] + 1e-6 * max(t, 1.0)
+    if alpha == 1.0 and target is None:
+        assert all(v == 1.0 for v in w.values())
