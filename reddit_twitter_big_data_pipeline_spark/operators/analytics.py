@@ -538,9 +538,15 @@ def grouped_trend(
     and intercept from the five sufficient statistics (n, Σx, Σy, Σxy,
     Σx²), which are EXACT integer sums here: y is the day's total in
     floor(value·unit) longs, x is the day offset from the group's first
-    day (series-length-sized, so the cross products stay far inside long
-    range). The only float ops are the slope division and the intercept's
-    (Σy − slope·Σx)/n — fixed IEEE op order, engine-reproducible.
+    day. The five sums and the num/den cross products are computed in
+    decimal(38,0) — exact integer arithmetic to 10^38, so adversarial
+    magnitudes (day totals near 10^16, where long×long cross products
+    overflow 2^63) stay exact instead of erroring under ANSI mode (the
+    r13 adversarial-magnitude property found the n·Σxy seam). The only
+    float ops are the slope division and the intercept's
+    (Σy − slope·Σx)/n — fixed IEEE op order, engine-reproducible
+    (decimal→double casts are correctly rounded, bit-identical to the
+    long→double casts they replace wherever the value fits a long).
 
     Returns (group..., n_days, slope, intercept): slope in micro-units
     per day, intercept the fitted level at the group's first day.
@@ -564,12 +570,14 @@ def grouped_trend(
         F.datediff(F.col("day"), F.min("day").over(w_full)).cast("long").alias("x"),
         "y",
     )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     sums = xy.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
     )
     num = sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]
     den = sums["n"] * sums["sxx"] - sums["sx"] * sums["sx"]
@@ -597,13 +605,16 @@ def grouped_corr(
     series — the cross-metric dependency monitor next to `cusum_drift`
     (did purchases decouple from views?). Exact-integer sufficient
     statistics again: daily totals in floor(value·unit) longs, the six
-    sums (n, Σx, Σy, Σxy, Σx², Σy²) all long arithmetic over days the
-    two series share, and the only float ops are numerator/denominator
-    conversion, two IEEE-exact sqrts and one division in fixed order —
-    bit-reproducible, so a correlation matrix is hash-gateable, which
-    `F.corr`'s streaming-moment doubles are not. The default `unit=100`
-    (not micro) keeps Σy² inside long range for day totals up to ~10^8
-    cents; lower it further at larger magnitudes.
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) in decimal(38,0) — exact integer
+    arithmetic to 10^38, so day totals near 10^16 (whose Σy² cross
+    products overflow long multiplication — the r13 adversarial-
+    magnitude property found exactly that seam at value≈10^12·unit=100)
+    stay exact instead of erroring under ANSI mode. The only float ops
+    are numerator/denominator conversion (decimal→double, correctly
+    rounded — bit-identical to the long→double casts they replace
+    wherever the value fits a long), two IEEE-exact sqrts and one
+    division in fixed order — bit-reproducible, so a correlation matrix
+    is hash-gateable, which `F.corr`'s streaming-moment doubles are not.
 
     Returns one row per unordered group pair (g_a < g_b):
     (g_a, g_b, n_days, corr double; NULL when either series is constant
@@ -623,13 +634,15 @@ def grouped_corr(
     a = daily.select(F.col("g").alias("g_a"), "day", F.col("y").alias("ya"))
     b = daily.select(F.col("g").alias("g_b"), "day", F.col("y").alias("yb"))
     pairs = a.join(b, "day").filter(F.col("g_a") < F.col("g_b"))
+    yad = F.col("ya").cast("decimal(38,0)")
+    ybd = F.col("yb").cast("decimal(38,0)")
     sums = pairs.groupBy("g_a", "g_b").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("ya").alias("sx"),
-        F.sum("yb").alias("sy"),
-        F.sum(F.col("ya") * F.col("yb")).alias("sxy"),
-        F.sum(F.col("ya") * F.col("ya")).alias("sxx"),
-        F.sum(F.col("yb") * F.col("yb")).alias("syy"),
+        F.sum(yad).alias("sx"),
+        F.sum(ybd).alias("sy"),
+        F.sum(yad * ybd).alias("sxy"),
+        F.sum(yad * yad).alias("sxx"),
+        F.sum(ybd * ybd).alias("syy"),
     )
     num = sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]
     den_x = sums["n"] * sums["sxx"] - sums["sx"] * sums["sx"]
