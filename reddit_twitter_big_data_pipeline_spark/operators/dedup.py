@@ -1287,20 +1287,24 @@ def boilerplate_ngrams(
 
     Scale shape (the inverted-index discipline): text is shingled in the
     scan stage and every k-gram crosses the wire as an 8-byte xxhash64 —
-    the exchanges carry (id, hash), never text. One groupBy(hash) counts
-    document frequency (per-doc-distinct by construction, map-side
-    partials collapse repeats), one hash-keyed join annotates each
-    (id, hash) with its df, one groupBy(id) folds the flags. A gram
-    shared by every document fans out to exactly its posting-list size —
-    bounded by the input, no quadratic blowup anywhere."""
+    the exchanges carry (id, hash), never text. The corpus document
+    frequency is a count(*) window over the hash (per-doc-distinct by
+    construction), then one groupBy(id) folds the flags — r13: the
+    window replaces the old groupBy(hash) + hash-keyed self-JOIN, which
+    shingled and hashed the corpus TWICE (the lazy gram frame fed both
+    join sides) and paid a third exchange; same integer df per (id,
+    hash), one corpus scan, two exchanges. A gram shared by every
+    document still costs exactly its posting-list size in the window
+    partition (WindowExec spills) — bounded by the input, no quadratic
+    blowup anywhere."""
     grams = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, k)).alias("g"),
     )
     gh = grams.select("id", F.xxhash64("g").alias("gh"))
-    counts = gh.groupBy("gh").agg(F.count(F.lit(1)).alias("df_docs"))
+    wdf = Window.partitionBy("gh")
     return (
-        gh.join(counts, "gh")
+        gh.withColumn("df_docs", F.count(F.lit(1)).over(wdf))
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

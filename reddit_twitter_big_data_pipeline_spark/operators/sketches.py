@@ -241,22 +241,28 @@ def kmv_build(
     oracle rebuilds the identical sketch and the estimate is hash-gated
     (like the CMS above, unlike HLL).
 
-    Scale shape: one distinct on (group, value) — a shuffle the exact
-    count needs anyway — then a per-group window rank over the hash
-    keeps the k smallest. The window sorts only the group's DISTINCT
-    hashes (WindowExec spills, hub groups cannot OOM a task); everything
-    after the distinct carries (group, 8-byte hash), never values."""
+    Scale shape: hash in the SCAN stage, then one distinct on
+    (group, hash) — the dedupe shuffle the exact count needs anyway, but
+    carrying an 8-byte long instead of the raw value string (r13, guide
+    §2.3 "shuffle fewer bytes": for shingle-gram inputs the value strings
+    are 30-60 bytes, so the exchange shrinks 4-7×; KMV set algebra is
+    defined over the hash set, so deduping hashes instead of values is
+    the sketch's own semantics). Then a per-group window rank keeps the
+    k smallest — the window sorts only the group's DISTINCT hashes
+    (WindowExec spills, hub groups cannot OOM a task)."""
     groups = list(group_cols or [])
-    dv = (
+    h = (
         df.select(*groups, F.col(value_col).cast("string").alias("v"))
         .filter(F.col("v").isNotNull())
+        .select(
+            *groups,
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("v"))), 1, 15), 16, 10
+            )
+            .cast("long")
+            .alias("hash"),
+        )
         .distinct()
-    )
-    h = dv.select(
-        *groups,
-        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("v"))), 1, 15), 16, 10)
-        .cast("long")
-        .alias("hash"),
     )
     w = Window.partitionBy(*groups).orderBy(F.col("hash").asc()) if groups else (
         Window.partitionBy().orderBy(F.col("hash").asc())
@@ -564,15 +570,29 @@ def bloom_prune(
     salt: str = "bloom",
 ) -> DataFrame:
     """Drop probe rows whose key is definitively absent from the Bloom
-    filter. Entirely MAP-SIDE: each of the `k_hashes` membership checks
-    is one broadcast hash join on the word index (the filter frame is
-    ≤ m_bits/64 rows) plus a bitwise AND — the probe stream never
-    shuffles, never aggregates, and rows drop in the scan stage, which
-    is the entire point of a runtime filter at 100 TB: the following
-    exact join shuffles only survivors. Guarantees: every true match
+    filter. Entirely MAP-SIDE: the whole filter folds into ONE 1-row
+    map<word, bits> (≤ m_bits/64 entries — 8 KB of longs per 2^16 bits,
+    bounded by the m_bits CONSTANT, never by data) that crossJoin-
+    broadcasts onto the probe, and all `k_hashes` membership checks are
+    element_at lookups + bitwise ANDs in the probe's own scan stage —
+    the probe stream never shuffles, never aggregates, and rows drop in
+    the scan, which is the entire point of a runtime filter at 100 TB:
+    the following exact join shuffles only survivors. (r13: this
+    replaces k_hashes sequential broadcast HASH joins — one plan node
+    and one broadcast instead of k, same rows: element_at misses return
+    NULL, and NULL & mask != 0 is NULL ⇒ filtered, exactly the old
+    isNotNull ∧ bit-set conjunction.) Guarantees: every true match
     survives (no false negatives); survivors may include ~fpp false
     positives, so compose with the exact join for final results."""
-    out = probe
+    bloom_map = F.broadcast(
+        bloom.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("word"), F.col("bits")))
+            ).alias("__bl_map")
+        )
+    )
+    out = probe.crossJoin(bloom_map)
+    cond = None
     for j in range(k_hashes):
         pos = (
             F.conv(
@@ -588,22 +608,13 @@ def bloom_prune(
             ).cast("long")
             % m_bits
         )
-        pcol, wcol, bcol, mcol = f"__blp{j}", f"__blw{j}", f"__blb{j}", f"__blm{j}"
-        side = F.broadcast(
-            bloom.select(F.col("word").alias(wcol), F.col("bits").alias(bcol))
+        word = F.shiftright(pos, 6)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
         )
-        out = (
-            out.withColumn(pcol, pos)
-            .withColumn(wcol, F.shiftright(F.col(pcol), 6))
-            .withColumn(mcol, F.expr(f"shiftleft(1L, CAST({pcol} % 64 AS INT))"))
-            .join(side, wcol, "left")
-            .filter(
-                F.col(bcol).isNotNull()
-                & (F.col(bcol).bitwiseAND(F.col(mcol)) != 0)
-            )
-            .drop(pcol, wcol, bcol, mcol)
-        )
-    return out
+        hit = F.element_at(F.col("__bl_map"), word).bitwiseAND(mask) != 0
+        cond = hit if cond is None else cond & hit
+    return out.filter(cond).drop("__bl_map")
 
 
 # --- HDR-histogram quantile sketch ------------------------------------------

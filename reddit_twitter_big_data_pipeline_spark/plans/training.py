@@ -63,6 +63,7 @@ def curate_corpus_v2(
     q_micro_min: int = 150_000,
     split_weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
     hash_fn: str = "xxhash64",
+    checkpoint_gated: bool = True,
 ) -> DataFrame:
     """The RefinedWeb/Dolma-shape curation pipeline over (id, text, url)
     rows, composing the r8/r9 primitives into ONE lazy plan:
@@ -95,11 +96,20 @@ def curate_corpus_v2(
     high-quality one, matching `curate_increment`), the per-domain
     rules before dedupe (a domain's quota should not be refilled by
     its own near-identical pages), split LAST so losers don't consume
-    split capacity."""
+    split capacity.
+
+    ``checkpoint_gated`` (r13, the v3 barrier applied here): a lazy
+    localCheckpoint of the gated survivors. Without it, filter/projection
+    pushdown substitutes the staged langid/quality expression trees into
+    every downstream reference — the analyzed plan is ~25× larger (414 KB
+    vs 16 KB formatted) and Catalyst pays that on every action. Same
+    values either way; pass False when executors are disk-constrained."""
     qual = _corpus_gated(
         docs, blocked, id_col, text_col, url_col, blocked_col,
         min_margin, q_micro_min,
     )
+    if checkpoint_gated:
+        qual = qual.localCheckpoint(eager=False)
     quota = sampling.cap_per_group(
         qual, "domain", domain_cap, id_col=id_col, hash_fn=hash_fn
     )
@@ -246,6 +256,7 @@ def curate_increment(
     domain_cap: int = 20,
     q_micro_min: int = 150_000,
     hash_fn: str = "xxhash64",
+    checkpoint_gated: bool = True,
 ) -> DataFrame:
     """Incremental ADMISSION of a new crawl batch against an existing
     curated corpus — the steady-state production shape (a pipeline
@@ -274,11 +285,19 @@ def curate_increment(
     daily admission affordable at a 100-TB standing corpus. Stage order
     differs from `curate_corpus_v2` deliberately: dedupe runs BEFORE
     quota here so near-identical recrawls cannot consume a domain's
-    remaining quota."""
+    remaining quota.
+
+    ``checkpoint_gated`` (r13, the v3 barrier): lazy localCheckpoint of
+    the gated NOVEL batch rows (contractually the small side). Without it
+    the quota stage's multiple references substitute the full gate
+    expression trees — the analyzed plan is ~80× larger (1.26 MB vs
+    16 KB formatted) and Catalyst pays that per action. Same values."""
     novel = _increment_gated_novel(
         batch, corpus, blocked, id_col, text_col, url_col, blocked_col,
         min_margin, q_micro_min,
     )
+    if checkpoint_gated:
+        novel = novel.localCheckpoint(eager=False)
     return _admit_by_quota(
         novel, corpus, id_col, text_col, url_col, domain_cap, hash_fn
     )
@@ -419,6 +438,7 @@ def curate_increment_v2(
     shingle_k: int = 3,
     bands: int = 16,
     corpus_state: tuple[DataFrame, DataFrame] | None = None,
+    checkpoint_gated: bool = True,
 ) -> DataFrame:
     """`curate_increment` with the NEAR-dup corpus screen composed into
     admission (VERDICT r9 item 7): a recrawl that differs from a corpus
@@ -446,15 +466,23 @@ def curate_increment_v2(
     # The gated-novel subtree (langid scoring, windows, two anti-joins)
     # feeds THREE consumers here — the probe's shingle side, the loser
     # anti-join's left side, and (transitively) the final quota — so it
-    # is persisted once. The cache holds the BATCH's survivors (the
+    # is materialized once. The cache holds the BATCH's survivors (the
     # contractually small side of incremental admission), never the
-    # corpus; Spark's plan-canonicalized cache keys mean repeated calls
-    # share one entry. Without this the gate pipeline re-executes per
-    # consumer (measured 94 s -> see SURVEY r10 for the A/B).
+    # corpus. Without this the gate pipeline re-executes per consumer
+    # (measured 94 s -> see SURVEY r10 for the A/B). r13: a lazy
+    # localCheckpoint instead of persist() — it caches the SAME rows AND
+    # truncates the logical plan, so the three consumers stop embedding
+    # the full gate tree (analyzed plan was 1.78 MB formatted with
+    # persist, whose cache only dedups EXECUTION, not Catalyst analysis,
+    # which re-walked the tree per action). checkpoint_gated=False keeps
+    # the old plan-keyed persist (shared across repeated calls).
     novel = _increment_gated_novel(
         batch, corpus, blocked, id_col, text_col, url_col, blocked_col,
         min_margin, q_micro_min,
-    ).persist()
+    )
+    novel = (
+        novel.localCheckpoint(eager=False) if checkpoint_gated else novel.persist()
+    )
     pairs = dedup_ops.minhash_incremental_pairs(
         novel.select(id_col, text_col),
         corpus.select(id_col, text_col),
