@@ -570,29 +570,26 @@ def bloom_prune(
     salt: str = "bloom",
 ) -> DataFrame:
     """Drop probe rows whose key is definitively absent from the Bloom
-    filter. Entirely MAP-SIDE: the whole filter folds into ONE 1-row
-    map<word, bits> (≤ m_bits/64 entries — 8 KB of longs per 2^16 bits,
-    bounded by the m_bits CONSTANT, never by data) that crossJoin-
-    broadcasts onto the probe, and all `k_hashes` membership checks are
-    element_at lookups + bitwise ANDs in the probe's own scan stage —
-    the probe stream never shuffles, never aggregates, and rows drop in
-    the scan, which is the entire point of a runtime filter at 100 TB:
-    the following exact join shuffles only survivors. (r13: this
-    replaces k_hashes sequential broadcast HASH joins — one plan node
-    and one broadcast instead of k, same rows: element_at misses return
-    NULL, and NULL & mask != 0 is NULL ⇒ filtered, exactly the old
-    isNotNull ∧ bit-set conjunction.) Guarantees: every true match
+    filter. Entirely MAP-SIDE: each of the `k_hashes` membership checks
+    is one broadcast hash join on the word index (the filter frame is
+    ≤ m_bits/64 rows) plus a bitwise AND — the probe stream never
+    shuffles, never aggregates, and rows drop in the scan stage, which
+    is the entire point of a runtime filter at 100 TB: the following
+    exact join shuffles only survivors. Guarantees: every true match
     survives (no false negatives); survivors may include ~fpp false
-    positives, so compose with the exact join for final results."""
-    bloom_map = F.broadcast(
-        bloom.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("word"), F.col("bits")))
-            ).alias("__bl_map")
-        )
-    )
-    out = probe.crossJoin(bloom_map)
-    cond = None
+    positives, so compose with the exact join for final results.
+
+    r13 note — this k-join shape was re-adjudicated against three
+    alternatives by interleaved A/B (tools/ab_r13_sketch_shapes.py) and
+    WON; do not "simplify" it without re-measuring: a 1-row
+    map<word,bits> crossJoin was 1.41× (map element_at is a linear
+    entry scan), a 1-row dense-array crossJoin 1.62×
+    (BroadcastNestedLoopJoin sits outside whole-stage codegen and
+    splits the pipeline), and a collect-to-plan-literal dense array
+    1.41× (identical filter time, but the bounded collect is an extra
+    SEQUENTIAL job where the lazy joins pipeline the filter build into
+    the one action). All four forms are map-side at scale."""
+    out = probe
     for j in range(k_hashes):
         pos = (
             F.conv(
@@ -608,13 +605,22 @@ def bloom_prune(
             ).cast("long")
             % m_bits
         )
-        word = F.shiftright(pos, 6)
-        mask = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        pcol, wcol, bcol, mcol = f"__blp{j}", f"__blw{j}", f"__blb{j}", f"__blm{j}"
+        side = F.broadcast(
+            bloom.select(F.col("word").alias(wcol), F.col("bits").alias(bcol))
         )
-        hit = F.element_at(F.col("__bl_map"), word).bitwiseAND(mask) != 0
-        cond = hit if cond is None else cond & hit
-    return out.filter(cond).drop("__bl_map")
+        out = (
+            out.withColumn(pcol, pos)
+            .withColumn(wcol, F.shiftright(F.col(pcol), 6))
+            .withColumn(mcol, F.expr(f"shiftleft(1L, CAST({pcol} % 64 AS INT))"))
+            .join(side, wcol, "left")
+            .filter(
+                F.col(bcol).isNotNull()
+                & (F.col(bcol).bitwiseAND(F.col(mcol)) != 0)
+            )
+            .drop(pcol, wcol, bcol, mcol)
+        )
+    return out
 
 
 # --- HDR-histogram quantile sketch ------------------------------------------

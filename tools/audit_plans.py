@@ -39,9 +39,6 @@ NESTED_LOOP_EXEMPT = {
     "text_domain_stats",     # 1-row corpus-total cross join (share column)
     "sample_water_fill",     # 1-row water-level (λ*) frame broadcast cross join
     "train_mixture_select",  # composes water_fill_allocation (same 1-row level)
-    "x_bloom_prune_join",    # 1-row map<word,bits> filter (≤ m_bits/64 entries,
-                             # bounded by the m_bits constant) broadcast cross
-                             # join — r13 bloom_prune single-lookup shape
 }
 
 
