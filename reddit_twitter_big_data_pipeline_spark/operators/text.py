@@ -464,7 +464,17 @@ def repetition_signals(
     ``keep`` columns pass through the staging untouched (the
     langid_margin pattern), so a gate can filter on the signals without
     joining them back — since the signals are row-local, the passthrough
-    costs nothing."""
+    costs nothing.
+
+    r13: the input is `spread()` first — the per-row sort+fold chain is
+    the most CPU-expensive row-local projection in the engine, and a
+    few-MB corpus arrives as 1-2 scan splits, pinning the whole fold to
+    1-2 cores (measured 7.1 s -> 2.1 s at sf0.1 on local[32]); at scale
+    the scan has enough splits and spread is a no-op costing only the
+    partition-count check."""
+    from ..parallel import spread as _spread
+
+    df = _spread(df)
     # line-run fold: flush a finished run's duplicate contribution on
     # element change; a trailing flush in finish() closes the last run.
     # The "" init for prev is safe: a leading run of real "" lines differs

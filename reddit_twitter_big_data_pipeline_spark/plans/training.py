@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..operators import dedup as dedup_ops, sampling, text as text_ops
+from ..parallel import spread as _spread
 
 
 def curate_corpus(
@@ -216,10 +217,16 @@ def _corpus_gated(
     through for its watermark): confidence langid (label rides the
     scan), optional broadcast blocklist anti-join on the registered
     domain, integer micro-unit quality gate. Returns
-    (id, text, url, *keep_extra, lang, domain)."""
+    (id, text, url, *keep_extra, lang, domain).
+
+    r13: the input is `spread()` first — the langid/quality/domain
+    expression chain is row-local CPU work, and a few-MB corpus arrives
+    as 1-2 scan splits, pinning the whole gate stage (and the barrier
+    checkpoint that materializes it) to 1-2 cores; at scale the scan
+    has enough splits and spread is a no-op costing only the check."""
     lang_ok = (
         text_ops.langid_margin(
-            docs.select(id_col, text_col, url_col, *keep_extra),
+            _spread(docs.select(id_col, text_col, url_col, *keep_extra)),
             col=text_col,
             id_col=id_col,
             min_margin=min_margin,
@@ -326,7 +333,12 @@ def _increment_gated_novel(
     distinct corpus fingerprint set): pass it when the pipeline persists
     fingerprints at admission (`streaming/curation.py:curate_stream_v2`)
     and the corpus text is never re-scanned here; `corpus` may then be
-    None. Without it the fingerprint set derives from `corpus`."""
+    None. Without it the fingerprint set derives from `corpus`.
+
+    r13 note: spreading the batch before the gates was tried and
+    measured 1.11-1.12x SLOWER interleaved on both increment queries —
+    the BATCH gate chain is too light to pay for the repartition
+    (contrast _corpus_gated, where the corpus-side gates win)."""
     lang_ok = (
         text_ops.langid_margin(
             batch.select(id_col, text_col, url_col),
