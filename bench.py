@@ -305,16 +305,26 @@ def main() -> None:
         _bcs = _ilu.module_from_spec(_spec)
         _spec.loader.exec_module(_bcs)
         # the tool owns the workload (corpus, blocklist, gate constants):
-        # the headline row must measure EXACTLY the scaling study's cell
-        _plan16 = _bcs.build_v2(spark, SF_DIR, 16)
-        _canary(spark, canary_times)
-        t0 = time.time()
-        try:
-            _plan16.write.format("noop").mode("overwrite").save()
-            scaled["train_curation_v2_16x"] = round(time.time() - t0, 3)
-        except Exception as ex:  # noqa: BLE001
-            print(f"bench error train_curation_v2_16x: {ex}", file=sys.stderr)
-            scaled["train_curation_v2_16x"] = -1.0
+        # the headline row must measure EXACTLY the scaling study's cell.
+        # r14 (VERDICT r13 item 3): the increment/increment_v2 16x cells
+        # join the v2 one — their 5k-doc suite rows are stage-overhead-
+        # bound, so the data-cost-dominated scaled cells are where the
+        # curation family's round-over-round comparison happens.
+        _scaled_builders = {
+            "train_curation_v2_16x": _bcs.build_v2,
+            "train_curation_increment_16x": _bcs.build_increment,
+            "train_curation_increment_v2_16x": _bcs.build_increment_v2,
+        }
+        for _sname, _builder in _scaled_builders.items():
+            _plan16 = _builder(spark, SF_DIR, 16)
+            _canary(spark, canary_times)
+            t0 = time.time()
+            try:
+                _plan16.write.format("noop").mode("overwrite").save()
+                scaled[_sname] = round(time.time() - t0, 3)
+            except Exception as ex:  # noqa: BLE001
+                print(f"bench error {_sname}: {ex}", file=sys.stderr)
+                scaled[_sname] = -1.0
     _canary(spark, canary_times)  # closing probe
     canary = _canary_stats(canary_times)
     print(
@@ -332,38 +342,55 @@ def main() -> None:
         )
     )
     # The driver's BENCH_r{N}.json artifact keeps only the LAST 2000 chars
-    # of stdout; the full_surface dict above fills that window, so the r6
-    # and r7 artifacts lost every headline total (ADVICE r7). Repeat a
-    # compact headline-only summary LAST — no per-query dicts, so the line
-    # is a few hundred bytes and the truncated tail always carries the
-    # totals that matter. The top-5 slowest headline queries ride along as
-    # a bounded diagnostic.
-    top5 = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    )
+    # of stdout (measured: BENCH_r12/r13 "tail" is exactly 2000), so the
+    # first line's full per-query dict is always cut mid-JSON and the
+    # driver's per-query comparison came up empty two rounds running
+    # (VERDICT r13 item 2). The full headline dict alone serializes to
+    # ~2.8 KB — it can NEVER fit the tail — so the final line carries the
+    # largest slowest-first PREFIX of it that keeps the line under 1900
+    # bytes (~40 queries ≈ >90% of the suite's seconds; `queries_omitted`
+    # counts the fast tail left out). The first printed line still holds
+    # every query for local artifacts; no entry is removed or renamed
+    # there. `top5_slowest` is subsumed: `queries` is sorted slowest-
+    # first, so its first five keys ARE the old top5 field.
+    summary = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "headline_queries": len(timings),
+        "full_surface_queries": len(full_surface),
+        "full_surface_total": round(
+            sum(t for t in full_surface.values() if t >= 0), 3
+        ),
+        # ambient self-documentation (VERDICT r11 item 2): the
+        # interleaved constant-work probe's spread — read >~3x as
+        # "this artifact straddled a load window"
+        "canary_spread": canary.get("spread"),
+        "canary_spread_vs_median": canary.get("spread_vs_median"),
+        "canary_min": canary.get("min"),
+        "canary_max": canary.get("max"),
+        # the 16x-corpus curation rows (data-cost-dominated, the
+        # round-over-round comparison point for the curation stack)
+        "scaled": scaled,
+    }
+    ordered = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    fitted: dict[str, float] = {}
+    for name, t in ordered:
+        trial = dict(fitted)
+        trial[name] = t
+        line = json.dumps(
+            {**summary, "queries": trial, "queries_omitted": len(ordered) - len(trial)}
+        )
+        if len(line) > 1900:
+            break
+        fitted = trial
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "headline_queries": len(timings),
-                "full_surface_queries": len(full_surface),
-                "full_surface_total": round(
-                    sum(t for t in full_surface.values() if t >= 0), 3
-                ),
-                "top5_slowest": top5,
-                # ambient self-documentation (VERDICT r11 item 2): the
-                # interleaved constant-work probe's spread — read >~3x as
-                # "this artifact straddled a load window"
-                "canary_spread": canary.get("spread"),
-                "canary_spread_vs_median": canary.get("spread_vs_median"),
-                "canary_min": canary.get("min"),
-                "canary_max": canary.get("max"),
-                # the 16x-corpus curation row (data-cost-dominated, the
-                # round-over-round comparison point for the curation stack)
-                "scaled": scaled,
+                **summary,
+                "queries": fitted,
+                "queries_omitted": len(ordered) - len(fitted),
             }
         )
     )

@@ -17,6 +17,11 @@ from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame) -> DataFrame:
+    # Streaming plans cannot be inspected via .rdd (AnalysisException at
+    # plan-build time) and micro-batch sources size their own partitions;
+    # the semantically right guard there is a no-op.
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -38,8 +38,13 @@ a corpus-proportional stage would show (the corpus-side scan+reduce
 does grow with the corpus, but it is the cheap map-side path; the
 batch-side windows and joins dominate).
 
+Mode `increment_v2` (r14, VERDICT r13 item 3): the near-dup-screened
+admission (`curate_increment_v2`) under the same fixed-batch / scaled-
+corpus method — its 5k-doc suite row is stage-overhead-bound, so the
+round-over-round comparison belongs on this data-cost-dominated cell.
+
 Usage: python tools/bench_curation_scaled.py [sf_dir] [reps] [mode]
-       mode in {v2, increment, both} (default both)
+       mode in {v2, increment, increment_v2, both} (default both)
 Prints one JSON line per mode: {scale: min_sec}, rows, ratios.
 """
 
@@ -162,17 +167,42 @@ def build_v2(spark, sf_dir: str, scale: int) -> DataFrame:
     )
 
 
+def build_increment(spark, sf_dir: str, scale: int) -> DataFrame:
+    """One curate_increment plan: the FIXED batch admitted against the
+    `scale`× replicated corpus (bench.py's scaled row shares this builder
+    with the scaling study — same no-drift contract as build_v2)."""
+    return training.curate_increment(
+        fixed_batch(spark, sf_dir), corpus(spark, sf_dir, scale), **V2_PARAMS
+    )
+
+
+def build_increment_v2(spark, sf_dir: str, scale: int) -> DataFrame:
+    """One curate_increment_v2 plan (the near-dup-screened admission):
+    same fixed batch / scaled corpus as build_increment, with the
+    incremental MinHash probe composed in. Batch ids (+50M) sit above
+    every corpus id (max 16·OFF + |docs|), per the operator's contract."""
+    return training.curate_increment_v2(
+        fixed_batch(spark, sf_dir), corpus(spark, sf_dir, scale), **V2_PARAMS
+    )
+
+
 def bench_mode(spark, sf_dir: str, reps: int, mode: str) -> None:
     frames, blocked, meta = {}, {}, {}
     for s in SCALES:
         frames[s] = corpus(spark, sf_dir, s)
         blocked[s] = blocked_domains(spark, s)
         meta[s] = {"rows_in": frames[s].count()}
-    batch = fixed_batch(spark, sf_dir) if mode == "increment" else None
+    batch = (
+        fixed_batch(spark, sf_dir)
+        if mode in ("increment", "increment_v2")
+        else None
+    )
 
     def build(s: int) -> DataFrame:
         if mode == "increment":
             return training.curate_increment(batch, frames[s], **V2_PARAMS)
+        if mode == "increment_v2":
+            return training.curate_increment_v2(batch, frames[s], **V2_PARAMS)
         return training.curate_corpus_v2(frames[s], blocked[s], **V2_PARAMS)
 
     # warm every scale once (JIT, page cache), record output rows
@@ -196,7 +226,7 @@ def bench_mode(spark, sf_dir: str, reps: int, mode: str) -> None:
         "rows_in": {str(s): meta[s]["rows_in"] for s in SCALES},
         "rows_out": {str(s): meta[s]["rows_out"] for s in SCALES},
     }
-    if mode == "increment":
+    if batch is not None:
         out["batch_rows"] = batch.count()
     out["ratio_16x_over_1x"] = round(min(times[16]) / min(times[1]), 3)
     print(json.dumps(out), flush=True)
@@ -207,7 +237,7 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     mode = sys.argv[3] if len(sys.argv) > 3 else "both"
     spark = session.get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    for m in ("v2", "increment") if mode == "both" else (mode,):
+    for m in ("v2", "increment", "increment_v2") if mode == "both" else (mode,):
         bench_mode(spark, sf_dir, reps, m)
 
 
