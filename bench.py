@@ -310,16 +310,28 @@ def main() -> None:
         # join the v2 one — their 5k-doc suite rows are stage-overhead-
         # bound, so the data-cost-dominated scaled cells are where the
         # curation family's round-over-round comparison happens.
+        #
+        # MEASUREMENT FIX (r14, explicit per the driver contract): the
+        # timer now starts BEFORE the plan build, matching the headline
+        # loop's methodology. The r13 row started it after, which was
+        # wrong once the r13 checkpoint barrier landed: a lazy
+        # localCheckpoint executes its upstream stages at BUILD time
+        # (AQE's toRdd runs every non-final stage), so the r13-recorded
+        # v2_16x ≈ 10 s timed only the post-barrier half — the gate
+        # stages (~60 s at 16x) ran untimed. Old numbers kept:
+        # BENCH_r13.json scaled.train_curation_v2_16x = 10.169 (driver,
+        # post-barrier half only); r14 baseline under the same broken
+        # timer = 7.8 s, full-cost = see BENCH_r14_opt_baseline.json.
         _scaled_builders = {
             "train_curation_v2_16x": _bcs.build_v2,
             "train_curation_increment_16x": _bcs.build_increment,
             "train_curation_increment_v2_16x": _bcs.build_increment_v2,
         }
         for _sname, _builder in _scaled_builders.items():
-            _plan16 = _builder(spark, SF_DIR, 16)
             _canary(spark, canary_times)
             t0 = time.time()
             try:
+                _plan16 = _builder(spark, SF_DIR, 16)
                 _plan16.write.format("noop").mode("overwrite").save()
                 scaled[_sname] = round(time.time() - t0, 3)
             except Exception as ex:  # noqa: BLE001

@@ -542,7 +542,11 @@ def grouped_trend(
     decimal(38,0) — exact integer arithmetic to 10^38, so adversarial
     magnitudes (day totals near 10^16, where long×long cross products
     overflow 2^63) stay exact instead of erroring under ANSI mode (the
-    r13 adversarial-magnitude property found the n·Σxy seam). The only
+    r13 adversarial-magnitude property found the n·Σxy seam). The
+    binding range is the num/den PRODUCTS, not the sums: under
+    allowPrecisionLoss they cap at decimal(38,0) a few orders before
+    the sums would — past that ANSI errors and non-ANSI yields NULL
+    (still strictly wider than the old 2^63 seam; ADVICE r13). The only
     float ops are the slope division and the intercept's
     (Σy − slope·Σx)/n — fixed IEEE op order, engine-reproducible
     (decimal→double casts are correctly rounded, bit-identical to the
@@ -609,7 +613,12 @@ def grouped_corr(
     arithmetic to 10^38, so day totals near 10^16 (whose Σy² cross
     products overflow long multiplication — the r13 adversarial-
     magnitude property found exactly that seam at value≈10^12·unit=100)
-    stay exact instead of erroring under ANSI mode. The only float ops
+    stay exact instead of erroring under ANSI mode. The binding range is
+    the NUM/DEN cross products (n·Σxy − Σx·Σy etc.), not the sums: under
+    allowPrecisionLoss those products cap at decimal(38,0) a few orders
+    before the sums would, so past ~10^38 on the products ANSI errors
+    and non-ANSI yields NULL — still strictly wider than the old 2^63
+    long seam (ADVICE r13). The only float ops
     are numerator/denominator conversion (decimal→double, correctly
     rounded — bit-identical to the long→double casts they replace
     wherever the value fits a long), two IEEE-exact sqrts and one

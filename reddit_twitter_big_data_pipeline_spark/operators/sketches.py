@@ -580,15 +580,18 @@ def bloom_prune(
     positives, so compose with the exact join for final results.
 
     r13 note — this k-join shape was re-adjudicated against three
-    alternatives by interleaved A/B (tools/ab_r13_sketch_shapes.py) and
-    WON; do not "simplify" it without re-measuring: a 1-row
-    map<word,bits> crossJoin was 1.41× (map element_at is a linear
-    entry scan), a 1-row dense-array crossJoin 1.62×
-    (BroadcastNestedLoopJoin sits outside whole-stage codegen and
-    splits the pipeline), and a collect-to-plan-literal dense array
-    1.41× (identical filter time, but the bounded collect is an extra
-    SEQUENTIAL job where the lazy joins pipeline the filter build into
-    the one action). All four forms are map-side at scale."""
+    alternatives by interleaved A/B and WON; do not "simplify" it
+    without re-measuring: a 1-row map<word,bits> crossJoin was 1.41×
+    (map element_at is a linear entry scan), a 1-row dense-array
+    crossJoin 1.62× (BroadcastNestedLoopJoin sits outside whole-stage
+    codegen and splits the pipeline), and a collect-to-plan-literal
+    dense array 1.41× (identical filter time, but the bounded collect
+    is an extra SEQUENTIAL job where the lazy joins pipeline the filter
+    build into the one action). All four forms are map-side at scale.
+    r14 (ADVICE r13): the three losing variants are COMMITTED as
+    explicit arms of tools/ab_r13_sketch_shapes.py (bloom_map /
+    bloom_arr / bloom_lit), so the adjudication is reproducible from
+    the repo."""
     out = probe
     for j in range(k_hashes):
         pos = (

@@ -22,6 +22,26 @@ from ..operators import dedup as dedup_ops, sampling, text as text_ops
 from ..parallel import spread as _spread
 
 
+def _gate_barrier(df: DataFrame, enabled: bool = True) -> DataFrame:
+    """Lazy localCheckpoint BETWEEN a scored projection and the filters
+    that consume it (r14). Catalyst pushes a filter through a projection
+    by SUBSTITUTING the projected expressions into the condition, so
+    `langid_margin(...).filter(lang_conf != 'und')` re-evaluates the
+    whole staged token machinery inside the filter — the executed gate
+    plan carried ~114 copies of split(regexp_replace(lower(text))) and
+    the chain ran core-count-flat at ~6.5 s per action (measured r14;
+    spreading to 64 partitions did not move it). The barrier makes the
+    filters read materialized attributes: one copy of the machinery,
+    one pass over the text. No-op on streaming frames (plan-build-time
+    AnalysisException otherwise; micro-batch plans are rebuilt per
+    batch anyway) and when `enabled` is False (the checkpoint_gated
+    escape hatch — executor churn loses unreplicated localCheckpoint
+    blocks, see curate_corpus_v2)."""
+    if not enabled or df.isStreaming:
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -29,6 +49,7 @@ def curate_corpus(
     min_words: int = 10,
     split_weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
     hash_fn: str = "xxhash64",
+    checkpoint_gated: bool = True,
 ) -> DataFrame:
     """(id, split, n_tokens) for every SURVIVING document:
 
@@ -41,8 +62,19 @@ def curate_corpus(
 
     Order matters and is the curation-standard one: dedup AFTER cleaning
     (two docs differing only in boilerplate are duplicates), split LAST
-    (so losers don't consume split capacity)."""
-    cleaned = text_ops.clean_for_training(docs.select(id_col, text_col), col=text_col)
+    (so losers don't consume split capacity).
+
+    ``checkpoint_gated`` (r14): a `_gate_barrier` after the scrub
+    projection — without it the length guard's filter pushdown
+    substitutes the whole scrub regex chain into its condition and
+    ``exact_dedupe``'s loser anti-join doubles everything again (the
+    same duplication `_gate_barrier` documents for the v2 gates), so
+    the scrub ran up to 4× per row. Same values; False for executor-
+    churn/disk-constrained deployments (see curate_corpus_v2)."""
+    cleaned = _gate_barrier(
+        text_ops.clean_for_training(docs.select(id_col, text_col), col=text_col),
+        checkpoint_gated,
+    )
     guarded = cleaned.filter(text_ops.token_count(text_col) >= min_words)
     deduped = dedup_ops.exact_dedupe(guarded, id_col=id_col, text_col=text_col)
     return deduped.select(
@@ -104,10 +136,17 @@ def curate_corpus_v2(
     pushdown substitutes the staged langid/quality expression trees into
     every downstream reference — the analyzed plan is ~25× larger (414 KB
     vs 16 KB formatted) and Catalyst pays that on every action. Same
-    values either way; pass False when executors are disk-constrained."""
+    values either way. FAULT-TOLERANCE TRADEOFF (ADVICE r13):
+    localCheckpoint stores UNREPLICATED executor-local blocks and cuts
+    the lineage that would rebuild them, so losing any executor that
+    holds a block (spot reclaim, dynamic-allocation scale-down, OOM
+    kill) fails the job unrecoverably. Pass False — or swap the barrier
+    for a reliable ``df.checkpoint()`` under cluster storage — on
+    deployments with executor churn; pass False too when executors are
+    disk-constrained."""
     qual = _corpus_gated(
         docs, blocked, id_col, text_col, url_col, blocked_col,
-        min_margin, q_micro_min,
+        min_margin, q_micro_min, barrier=checkpoint_gated,
     )
     if checkpoint_gated:
         qual = qual.localCheckpoint(eager=False)
@@ -163,10 +202,13 @@ def curate_corpus_v3(
     linear 17.7 s vs checkpoint+filter 14.2 s vs the old
     checkpoint+join 13.9 s (filter/join = 1.02×, within noise). Pass
     ``checkpoint_gated=False`` for the fully-lazy single plan when
-    executors are disk-constrained."""
+    executors are disk-constrained — or under executor churn: the
+    barrier's blocks are unreplicated executor-local state with no
+    lineage behind them (see curate_corpus_v2's docstring for the full
+    failure mode)."""
     qual = _corpus_gated(
         docs, blocked, id_col, text_col, url_col, blocked_col,
-        min_margin, q_micro_min,
+        min_margin, q_micro_min, barrier=checkpoint_gated,
     )
     if checkpoint_gated:
         qual = qual.localCheckpoint(eager=False)
@@ -211,6 +253,7 @@ def _corpus_gated(
     min_margin: int,
     q_micro_min: int,
     keep_extra: tuple = (),
+    barrier: bool = True,
 ) -> DataFrame:
     """Stages 1-3 of whole-corpus curation, shared by v2 and v3 (and the
     streaming curate_stream — `keep_extra` threads the event-time column
@@ -223,15 +266,24 @@ def _corpus_gated(
     expression chain is row-local CPU work, and a few-MB corpus arrives
     as 1-2 scan splits, pinning the whole gate stage (and the barrier
     checkpoint that materializes it) to 1-2 cores; at scale the scan
-    has enough splits and spread is a no-op costing only the check."""
-    lang_ok = (
+    has enough splits and spread is a no-op costing only the check.
+
+    r14: the scored langid projection gets its own `_gate_barrier`
+    BEFORE the lang_conf filter — see the helper's docstring for the
+    pushdown-substitution duplication it removes (the gate chain was
+    paying ~17 evaluations of the token machinery per row)."""
+    scored = _gate_barrier(
         text_ops.langid_margin(
             _spread(docs.select(id_col, text_col, url_col, *keep_extra)),
             col=text_col,
             id_col=id_col,
             min_margin=min_margin,
             keep=(text_col, url_col, *keep_extra),
-        )
+        ),
+        barrier,
+    )
+    lang_ok = (
+        scored
         .filter(F.col("lang_conf") != "und")
         .select(
             id_col, text_col, url_col, *keep_extra,
@@ -298,10 +350,12 @@ def curate_increment(
     the gated NOVEL batch rows (contractually the small side). Without it
     the quota stage's multiple references substitute the full gate
     expression trees — the analyzed plan is ~80× larger (1.26 MB vs
-    16 KB formatted) and Catalyst pays that per action. Same values."""
+    16 KB formatted) and Catalyst pays that per action. Same values.
+    Executor churn loses the barrier's unreplicated blocks and fails the
+    job (see curate_corpus_v2's docstring); pass False there."""
     novel = _increment_gated_novel(
         batch, corpus, blocked, id_col, text_col, url_col, blocked_col,
-        min_margin, q_micro_min,
+        min_margin, q_micro_min, barrier=checkpoint_gated,
     )
     if checkpoint_gated:
         novel = novel.localCheckpoint(eager=False)
@@ -321,6 +375,7 @@ def _increment_gated_novel(
     min_margin: int,
     q_micro_min: int,
     corpus_fps: DataFrame | None = None,
+    barrier: bool = True,
 ) -> DataFrame:
     """Stages 1-2 of incremental admission, shared by `curate_increment`
     and `curate_increment_v2`: row-local gates on the batch (confidence
@@ -338,15 +393,27 @@ def _increment_gated_novel(
     r13 note: spreading the batch before the gates was tried and
     measured 1.11-1.12x SLOWER interleaved on both increment queries —
     the BATCH gate chain is too light to pay for the repartition
-    (contrast _corpus_gated, where the corpus-side gates win)."""
-    lang_ok = (
+    (contrast _corpus_gated, where the corpus-side gates win). r14
+    explains WHY spread never moved this chain: the cost was pushdown
+    SUBSTITUTION, not row compute — see `_gate_barrier`. Two barriers
+    fix it: one after the scored langid projection (filters read
+    attributes, one pass of the token machinery), one after the
+    quality gate (``exact_dedupe``'s loser anti-join references its
+    input twice — the slim-exchange discipline re-ran the whole gate
+    chain per side, measured 12-13 s → 0.2-0.3 s per extra reference
+    once materialized)."""
+    scored = _gate_barrier(
         text_ops.langid_margin(
             batch.select(id_col, text_col, url_col),
             col=text_col,
             id_col=id_col,
             min_margin=min_margin,
             keep=(text_col, url_col),
-        )
+        ),
+        barrier,
+    )
+    lang_ok = (
+        scored
         .filter(F.col("lang_conf") != "und")
         .select(id_col, text_col, url_col, F.col("lang_conf").alias("lang"))
     )
@@ -357,9 +424,12 @@ def _increment_gated_novel(
             "domain",
             "left_anti",
         )
-    qual = dom.filter(
-        F.floor(text_ops.quality_score(text_col) * F.lit(1_000_000.0)).cast("long")
-        >= F.lit(q_micro_min)
+    qual = _gate_barrier(
+        dom.filter(
+            F.floor(text_ops.quality_score(text_col) * F.lit(1_000_000.0)).cast("long")
+            >= F.lit(q_micro_min)
+        ),
+        barrier,
     )
     within = dedup_ops.exact_dedupe(qual, id_col=id_col, text_col=text_col)
     corpus_fp = (
@@ -487,10 +557,12 @@ def curate_increment_v2(
     # the full gate tree (analyzed plan was 1.78 MB formatted with
     # persist, whose cache only dedups EXECUTION, not Catalyst analysis,
     # which re-walked the tree per action). checkpoint_gated=False keeps
-    # the old plan-keyed persist (shared across repeated calls).
+    # the old plan-keyed persist (shared across repeated calls) — and is
+    # the executor-churn-safe form: the barrier's blocks are unreplicated
+    # executor-local state (see curate_corpus_v2's docstring).
     novel = _increment_gated_novel(
         batch, corpus, blocked, id_col, text_col, url_col, blocked_col,
-        min_margin, q_micro_min,
+        min_margin, q_micro_min, barrier=checkpoint_gated,
     )
     novel = (
         novel.localCheckpoint(eager=False) if checkpoint_gated else novel.persist()

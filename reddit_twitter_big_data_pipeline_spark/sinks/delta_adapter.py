@@ -208,10 +208,11 @@ def merge_upsert_partitioned_auto(
     partition is also touched by the batch. Neither shape is the merge's
     semantics — both are the documented precondition being violated —
     but a duplicate-key symptom points at the Delta route and a
-    vanished-row symptom at the parquet route. A debug assertion (anti-
-    join of update keys against matches in OTHER partitions of the
-    target) catches it on either route before merging, at the cost of
-    one extra target scan per call — deliberately not built in."""
+    vanished-row symptom at the parquet route. The debug assertion that
+    catches it on either route BEFORE merging is
+    ``partition_moved_keys`` (one extra target scan per call) —
+    deliberately not built into the merge path; gate on it in
+    deployments that cannot prove the invariant upstream."""
     route, DeltaTable, _ = _route(spark, target_path)
     if route == "parquet":
         return writers.merge_upsert_partitioned(
@@ -232,6 +233,49 @@ def merge_upsert_partitioned_auto(
         m = m.whenMatchedUpdateAll()
     m.whenNotMatchedInsertAll().execute()
     return dt.toDF()
+
+
+def partition_moved_keys(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_cols: list[str],
+) -> DataFrame:
+    """The pre-merge DEBUG ASSERTION for
+    ``merge_upsert_partitioned_auto``'s contract (ADVICE r12 / VERDICT
+    r13 item 8): distinct update keys that already exist in the target
+    under a DIFFERENT partition value — exactly the out-of-contract
+    input that corrupts differently per route (duplicate key on Delta,
+    vanished row on parquet; see merge_upsert_partitioned_auto). Empty
+    result ⇒ the batch is safe on either route. Costs one target scan;
+    run it as a gate (``assert df.isEmpty()``) in deployments that
+    cannot prove the partition-stability invariant upstream.
+
+    Returns one row per offending (key, update-partition,
+    target-partition) combination: keys verbatim, partition columns as
+    ``new_<p>`` (the update's) and ``old_<p>`` (the target's). Key and
+    partition comparisons are null-safe, matching the merge's ``<=>``
+    condition."""
+    tgt = read_table_auto(spark, target_path).select(*keys, *partition_cols)
+    upd = updates.select(*keys, *partition_cols).distinct()
+    key_cond = None
+    for k in keys:
+        c = upd[k].eqNullSafe(tgt[k])
+        key_cond = c if key_cond is None else key_cond & c
+    same_part = None
+    for p in partition_cols:
+        c = upd[p].eqNullSafe(tgt[p])
+        same_part = c if same_part is None else same_part & c
+    return (
+        upd.join(tgt, key_cond & ~same_part)
+        .select(
+            *[upd[k] for k in keys],
+            *[upd[p].alias(f"new_{p}") for p in partition_cols],
+            *[tgt[p].alias(f"old_{p}") for p in partition_cols],
+        )
+        .distinct()
+    )
 
 
 def replace_table_auto(spark: SparkSession, target_path: str, df: DataFrame) -> None:

@@ -443,3 +443,69 @@ def test_vacuum_auto_routes_by_table_kind(spark, tmp_path, fake_delta, monkeypat
     assert vm["args"] == (path, 2)
     # missing path entirely -> 0, no error
     assert delta_adapter.vacuum_auto(spark, str(tmp_path / "nope")) == 0
+
+
+def test_partition_moved_keys_flags_contract_violation(spark, tmp_path):
+    """ADVICE r12 / VERDICT r13 item 8: the pre-merge debug assertion.
+    A key that moved partitions is flagged with its old and new
+    partition values; a contract-clean batch yields an empty frame. Also
+    pins the documented parquet-route symptom the assertion guards
+    against: when the old partition is also touched, the parquet merge
+    DROPS the moved key's old-partition row (a vanished-row corruption,
+    not the merge's semantics)."""
+    assert not delta_adapter.delta_available()
+    path = str(tmp_path / "moved")
+    base = spark.createDataFrame(
+        [(1, "a", "one", 5), (2, "a", "two", 5), (3, "b", "three", 5)],
+        ["k", "p", "val", "v"],
+    )
+    base.write.partitionBy("p").parquet(path)
+    # clean batch: same-partition update + fresh key -> no offenders
+    clean = spark.createDataFrame(
+        [(1, "a", "upd", 9), (4, "b", "four", 9)], ["k", "p", "val", "v"]
+    )
+    assert (
+        delta_adapter.partition_moved_keys(spark, path, clean, ["k"], ["p"]).count()
+        == 0
+    )
+    # violating batch: key 3 moves b -> a while partition a is also touched
+    moved = spark.createDataFrame(
+        [(1, "a", "upd", 9), (3, "a", "moved", 9)], ["k", "p", "val", "v"]
+    )
+    flagged = delta_adapter.partition_moved_keys(spark, path, moved, ["k"], ["p"])
+    assert [tuple(r) for r in flagged.collect()] == [(3, "a", "b")]
+    # the symptom the assertion prevents (parquet route, old partition
+    # touched): key 3's old-partition row vanishes and the key lands
+    # once under the new partition — pinned so the docstring's claim
+    # stays true against writers changes
+    delta_adapter.merge_upsert_partitioned_auto(
+        spark, path, moved, ["k"], ["p"], order_col="v"
+    )
+    rows = sorted(
+        (r["k"], r["p"]) for r in spark.read.parquet(path).collect()
+    )
+    assert rows == [(1, "a"), (2, "a"), (3, "a")]  # (3, "b") vanished
+
+
+def test_partition_moved_keys_null_safe_keys(spark, tmp_path):
+    """Key and partition comparisons are null-safe, matching the
+    merge's <=> condition: a NULL key in the same partition is clean; a
+    NULL key that moved partitions is flagged."""
+    assert not delta_adapter.delta_available()
+    path = str(tmp_path / "moved_null")
+    spark.createDataFrame(
+        [(None, "a", "null-key", 5), (1, "a", "one", 5)],
+        "k int, p string, val string, v int",
+    ).write.partitionBy("p").parquet(path)
+    same = spark.createDataFrame(
+        [(None, "a", "upd", 9)], "k int, p string, val string, v int"
+    )
+    assert (
+        delta_adapter.partition_moved_keys(spark, path, same, ["k"], ["p"]).count()
+        == 0
+    )
+    moved = spark.createDataFrame(
+        [(None, "b", "upd", 9)], "k int, p string, val string, v int"
+    )
+    flagged = delta_adapter.partition_moved_keys(spark, path, moved, ["k"], ["p"])
+    assert [tuple(r) for r in flagged.collect()] == [(None, "b", "a")]

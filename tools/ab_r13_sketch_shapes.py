@@ -7,8 +7,15 @@ discipline — sequential blocks do not adjudicate on this box):
    KMV + pairwise intersection) — the arm where the deduped values are
    30-60-byte gram strings and the exchange payload shrinks to 8-byte
    longs.
-2. bloom: `bloom_prune` single 1-row-map crossJoin lookup (new) vs
-   k_hashes sequential broadcast hash joins (old), driven through the
+2. bloom: the COMMITTED `bloom_prune` (k_hashes sequential broadcast
+   hash joins — the shape that WON the r13 adjudication) vs the three
+   losing alternatives, each committed here as an explicit arm so the
+   1.4-1.6× numbers in bloom_prune's docstring are reproducible
+   (ADVICE r13: the original r13 tool compared the winner to itself):
+   `map` — 1-row map<word,bits> crossJoin, k element_at lookups;
+   `arr` — 1-row dense bits array crossJoin (BroadcastNestedLoopJoin);
+   `lit` — bits array collected to the driver and embedded as a plan
+   literal (adds one sequential collect job). Driven through the
    x_bloom_prune_join shape.
 3. boilerplate: `boilerplate_ngrams` df-count window (new) vs
    groupBy(hash) + hash self-join (old), driven through
@@ -64,39 +71,113 @@ def _kmv_build_old(df, value_col, group_cols=None, k=256, salt="kmv:"):
     )
 
 
-def _bloom_prune_old(probe, bloom, key_col, m_bits, k_hashes, salt="bloom"):
-    """Pre-r13 bloom_prune: k_hashes sequential broadcast hash joins."""
-    out = probe
+def _bloom_pos(key_col, j, m_bits, salt="bloom"):
+    """The j-th bit position for a probe key (identical hash chain to
+    sketches.bloom_build/bloom_prune)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{j}:"), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def _stage_pos(df, key_col, k_hashes, m_bits, salt):
+    """Stage the k bit positions as named columns (__bp0..__bpK-1) so
+    the mask expressions can reference them by name, exactly like the
+    committed bloom_prune's withColumn staging."""
     for j in range(k_hashes):
-        pos = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit(f"{salt}{j}:"), F.col(key_col).cast("string"))
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
+        df = df.withColumn(f"__bp{j}", _bloom_pos(key_col, j, m_bits, salt))
+    return df
+
+
+def _bloom_cond(j, bits):
+    """bits word already selected for position column __bp{j}; true iff
+    the bit is set."""
+    mask = F.expr(f"shiftleft(1L, CAST(__bp{j} % 64 AS INT))")
+    return bits.isNotNull() & (bits.bitwiseAND(mask) != 0)
+
+
+def _bloom_prune_map(probe, bloom, key_col, m_bits, k_hashes, salt="bloom"):
+    """Losing r13 variant 1 (measured 1.41×): 1-row map<word,bits>
+    crossJoin, k element_at lookups — Spark's MapData element_at is a
+    LINEAR entry scan, paid k times per probe row."""
+    m = F.broadcast(
+        bloom.agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bm")
         )
-        pcol, wcol, bcol, mcol = f"__blp{j}", f"__blw{j}", f"__blb{j}", f"__blm{j}"
-        side = F.broadcast(
-            bloom.select(F.col("word").alias(wcol), F.col("bits").alias(bcol))
+    )
+    out = _stage_pos(probe.crossJoin(m), key_col, k_hashes, m_bits, salt)
+    cond = None
+    for j in range(k_hashes):
+        bits = F.element_at(F.col("__bm"), F.shiftright(F.col(f"__bp{j}"), 6))
+        c = _bloom_cond(j, bits)
+        cond = c if cond is None else cond & c
+    return out.filter(cond).drop(
+        "__bm", *[f"__bp{j}" for j in range(k_hashes)]
+    )
+
+
+def _dense_bits_row(bloom, m_bits):
+    """1-row dense array<long> of the filter's words (missing words 0)."""
+    n_words = m_bits // 64
+    return bloom.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("__ba")
+    )
+
+
+def _bloom_prune_arr(probe, bloom, key_col, m_bits, k_hashes, salt="bloom"):
+    """Losing r13 variant 2 (measured 1.62×): 1-row dense-array
+    crossJoin — array element_at is O(1), but the 1-row broadcast side
+    plans as BroadcastNestedLoopJoin, which sits OUTSIDE whole-stage
+    codegen and splits the probe pipeline."""
+    out = _stage_pos(
+        probe.crossJoin(F.broadcast(_dense_bits_row(bloom, m_bits))),
+        key_col, k_hashes, m_bits, salt,
+    )
+    cond = None
+    for j in range(k_hashes):
+        bits = F.element_at(
+            F.col("__ba"), (F.shiftright(F.col(f"__bp{j}"), 6) + 1).cast("int")
         )
-        out = (
-            out.withColumn(pcol, pos)
-            .withColumn(wcol, F.shiftright(F.col(pcol), 6))
-            .withColumn(mcol, F.expr(f"shiftleft(1L, CAST({pcol} % 64 AS INT))"))
-            .join(side, wcol, "left")
-            .filter(
-                F.col(bcol).isNotNull() & (F.col(bcol).bitwiseAND(F.col(mcol)) != 0)
-            )
-            .drop(pcol, wcol, bcol, mcol)
+        c = _bloom_cond(j, bits)
+        cond = c if cond is None else cond & c
+    return out.filter(cond).drop(
+        "__ba", *[f"__bp{j}" for j in range(k_hashes)]
+    )
+
+
+def _bloom_prune_lit(probe, bloom, key_col, m_bits, k_hashes, salt="bloom"):
+    """Losing r13 variant 3 (measured 1.41×): dense array collected to
+    the driver and embedded as a plan LITERAL — the filter itself times
+    like the winner, but the bounded collect is an extra SEQUENTIAL job
+    where the committed shape's lazy joins pipeline the filter build
+    into the one action."""
+    n_words = m_bits // 64
+    got = {r["word"]: r["bits"] for r in bloom.collect()}
+    arr = F.array(*[F.lit(got.get(i, 0)).cast("long") for i in range(n_words)])
+    out = _stage_pos(probe, key_col, k_hashes, m_bits, salt)
+    cond = None
+    for j in range(k_hashes):
+        bits = F.element_at(
+            arr, (F.shiftright(F.col(f"__bp{j}"), 6) + 1).cast("int")
         )
-    return out
+        c = _bloom_cond(j, bits)
+        cond = c if cond is None else cond & c
+    return out.filter(cond).drop(*[f"__bp{j}" for j in range(k_hashes)])
 
 
 def _boilerplate_old(df, id_col="doc_id", text_col="text", k=5, min_docs=2):
@@ -128,7 +209,7 @@ def _boilerplate_old(df, id_col="doc_id", text_col="text", k=5, min_docs=2):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    arms = sys.argv[3:] or ["kmv", "bloom", "boilerplate"]
+    arms = sys.argv[3:] or ["kmv", "bloom_map", "bloom_arr", "bloom_lit", "boilerplate"]
     spark = session.get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 
     docs = schemas.load_table(spark, sf_dir, "documents")
@@ -141,24 +222,35 @@ def main():
         sk = build(grams, "g", group_cols=["source"], k=128)
         return sketches.kmv_intersect_estimate(sk, ["source"], k=128)
 
-    def bloom(new: bool):
-        s = supp.filter(F.col("s_acctbal") > 6000).select("s_suppkey", "s_name")
-        probe = li.select("l_suppkey", "l_extendedprice", "l_discount")
-        bl = sketches.bloom_build(s, "s_suppkey", m_bits=4096, k_hashes=3)
-        prune = sketches.bloom_prune if new else _bloom_prune_old
-        pruned = prune(probe, bl, "l_suppkey", m_bits=4096, k_hashes=3)
-        joined = pruned.join(F.broadcast(s), pruned["l_suppkey"] == s["s_suppkey"])
-        return joined.groupBy("s_suppkey", "s_name").agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
+    _BLOOM_VARIANTS = {
+        "bloom_map": _bloom_prune_map,
+        "bloom_arr": _bloom_prune_arr,
+        "bloom_lit": _bloom_prune_lit,
+    }
+
+    def _bloom_arm(variant):
+        def bloom(new: bool):
+            s = supp.filter(F.col("s_acctbal") > 6000).select("s_suppkey", "s_name")
+            probe = li.select("l_suppkey", "l_extendedprice", "l_discount")
+            bl = sketches.bloom_build(s, "s_suppkey", m_bits=4096, k_hashes=3)
+            prune = sketches.bloom_prune if new else _BLOOM_VARIANTS[variant]
+            pruned = prune(probe, bl, "l_suppkey", m_bits=4096, k_hashes=3)
+            joined = pruned.join(F.broadcast(s), pruned["l_suppkey"] == s["s_suppkey"])
+            return joined.groupBy("s_suppkey", "s_name").agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue"
+                )
             )
-        )
+
+        return bloom
 
     def boilerplate(new: bool):
         fn = dedup.boilerplate_ngrams if new else _boilerplate_old
         return fn(docs, k=5, min_docs=2)
 
-    builders = {"kmv": kmv, "bloom": bloom, "boilerplate": boilerplate}
+    builders = {"kmv": kmv, "boilerplate": boilerplate}
+    for v in _BLOOM_VARIANTS:
+        builders[v] = _bloom_arm(v)
 
     def run(arm: str, new: bool) -> float:
         spark.sparkContext.setJobDescription(f"ab_r13 {arm} {'new' if new else 'old'}")
@@ -167,8 +259,10 @@ def main():
         spark.sparkContext.setJobDescription(None)
         return round(time.time() - t0, 3)
 
-    for a in arms:  # warm pass, untimed
-        run(a, True)
+    for a in arms:  # warm pass, untimed — and row parity between shapes
+        n_new = builders[a](True).count()
+        n_old = builders[a](False).count()
+        assert n_new == n_old, (a, n_new, n_old)
 
     times = {a: {"new": [], "old": []} for a in arms}
     for _ in range(reps):
